@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship deterministic query (the TransE link-
+prediction ranking spine, SURVEY §7 M0) at sf0.001; ``queries`` /
+``oracle_sql`` expose the full declared operator contract from
+``transe_pyspark_spark.plans.queries``.
 """
 
 from __future__ import annotations
@@ -13,26 +12,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# NB: import the symbols straight from the submodule — the package
+# __init__ re-exports a *function* named ``queries`` that shadows the
+# submodule attribute on ``transe_pyspark_spark.plans``.
+from transe_pyspark_spark.plans.queries import REGISTRY
+from transe_pyspark_spark.plans.queries import oracle_sql as _oracle_sql
+from transe_pyspark_spark.plans.queries import queries as _queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return REGISTRY["transe_rank_eval"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins for every oracle-checkable query."""
+    return _oracle_sql()

@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is forced to full materialization via a count over the
+result (no driver-side row transfer beyond the count), timed
+wall-clock. ``value`` is the total seconds across headline queries —
+the number BENCH_r{N}.json records and BASELINE.md is judged against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transe_pyspark_spark.plans.queries import REGISTRY  # noqa: E402
+from transe_pyspark_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per major operator family (relational agg, join
+#: pipeline, window, as-of, dedup-LSH, knn, text, flagship eval).
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_order_seq",
+    "asof_purchase_click",
+    "minhash_near_pairs",
+    "knn_brute_force",
+    "text_stats",
+    "transe_rank_eval",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers so q1 doesn't pay session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Property/invariant tests (SURVEY §5.2/§5.4): the stochastic and
+non-SQL-expressible operators, checked by invariants and by equivalence
+against their exact counterparts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transe_pyspark_spark.operators import dedup as D
+from transe_pyspark_spark.operators import similarity as S
+from transe_pyspark_spark.operators.relational import dict_encode
+from transe_pyspark_spark.sources.readers import load_table
+
+
+def test_dict_encode_dense_and_deterministic(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    v1 = dict_encode(part, "p_brand").collect()
+    v2 = dict_encode(part, "p_brand").collect()
+    assert v1 == v2
+    ids = sorted(r.id for r in v1)
+    assert ids == list(range(len(ids)))  # dense 0..V-1
+    toks = [r.token for r in sorted(v1, key=lambda r: r.id)]
+    assert toks == sorted(toks)  # id order == token order
+
+
+def test_seeded_sample_reproducible_and_sized(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    s1 = orders.sample(False, 0.5, seed=7)
+    s2 = orders.sample(False, 0.5, seed=7)
+    c1 = s1.count()
+    assert c1 == s2.count()
+    assert sorted(r.o_orderkey for r in s1.collect()) == sorted(r.o_orderkey for r in s2.collect())
+    assert abs(c1 / n - 0.5) < 0.1  # concentration
+
+
+def test_knn_broadcast_matches_relational(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    rel = S.knn_relational(q, emb, k=10).collect()
+    bc = S.knn_broadcast(spark, q, emb, k=10).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.neighbor_id, r.rank) for r in rel]) == sorted(
+        [(r.query_id, r.neighbor_id, r.rank) for r in bc]
+    ), "broadcast/mapInPandas kNN must equal the relational plan"
+    assert len({key(r) for r in rel}) == len(rel)
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_relational(q, emb, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.ann_lsh(q, emb, k=10, num_hash_tables=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(docs, threshold=0.8, shingle_n=3).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8, shingle_n=3, num_hashes=64, bands=16).collect()
+    }
+    # verify=True re-checks exact jaccard on candidates → no false
+    # positives; recall on well-above-threshold pairs should be high.
+    assert lsh <= exact
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"MinHash-LSH recall {recall} on {len(exact)} true pairs"
+
+
+def test_simhash_pairs_symmetric_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    pairs = D.simhash_pairs(docs, max_hamming=2, bits=32, shingle_n=3).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 2
+
+
+def test_exact_dup_groups_partition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = D.exact_dup_groups(docs)
+    assert groups.agg(F.sum("dup_count")).collect()[0][0] == docs.count()

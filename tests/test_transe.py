@@ -1,0 +1,150 @@
+"""TransE pipeline tests (SURVEY §5.2-§5.4): ETL determinism, trainer
+invariants + loss decrease, evaluator equivalence with the relational
+flagship plan, checkpoint round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transe_pyspark_spark.sources.readers import load_table
+from transe_pyspark_spark.transe.data import build_vocab, encode_triples, filter_seen
+from transe_pyspark_spark.transe.evaluate import evaluate_link_prediction, rank_triples
+from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows
+from transe_pyspark_spark.transe.train import TransETrainer
+
+
+@pytest.fixture(scope="module")
+def toy_triples(spark, tmp_path_factory):
+    """Small deterministic KG as a TSV → exercises the real ingestion."""
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(400):
+        h, l, t = rng.integers(0, 40), rng.integers(0, 5), rng.integers(0, 40)
+        lines.append(f"e{h}\tr{l}\te{t}")
+    p = tmp_path_factory.mktemp("kg") / "train.tsv"
+    p.write_text("\n".join(sorted(set(lines))) + "\n")
+    return str(p)
+
+
+def test_etl_vocab_and_encode(spark, toy_triples):
+    from transe_pyspark_spark.transe.data import load_triples
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv)
+    n_ent, n_lab = ev.count(), lv.count()
+    assert enc.count() == raw.count()  # no rows lost in encoding joins
+    stats = enc.agg(
+        F.min("h"), F.max("h"), F.min("l"), F.max("l"), F.min("t"), F.max("t")
+    ).collect()[0]
+    assert stats[0] >= 0 and stats[1] < n_ent
+    assert stats[2] >= 0 and stats[3] < n_lab
+    # determinism: same ids on re-run
+    ev2, _ = build_vocab(raw)
+    assert ev.collect() == ev2.collect()
+
+
+def test_filter_seen_semantics(spark, toy_triples):
+    from transe_pyspark_spark.transe.data import load_triples
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    test_df = spark.createDataFrame(
+        [("e1", "r0", "e2"), ("unseen", "r0", "e2"), ("e1", "runseen", "e2")],
+        ["head", "label", "tail"],
+    )
+    kept = filter_seen(test_df, ev, lv).collect()
+    assert len(kept) == 1 and kept[0].head == "e1"
+
+
+def test_model_init_invariants(spark):
+    m = TransEModel.init_random(30, 5, k=16, seed=1)
+    bound = 6.0 / np.sqrt(16)
+    assert m.entity.shape == (30, 16) and m.label.shape == (5, 16)
+    assert np.all(np.abs(m.entity) <= bound)
+    np.testing.assert_allclose(np.linalg.norm(m.label, axis=1), 1.0, atol=1e-12)
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    m = TransEModel.init_random(20, 4, k=8, seed=3)
+    m.checkpoint(spark, str(tmp_path / "ckpt"))
+    m2 = TransEModel.restore(spark, str(tmp_path / "ckpt"))
+    np.testing.assert_array_equal(m.entity, m2.entity)
+    np.testing.assert_array_equal(m.label, m2.label)
+
+
+@pytest.mark.parametrize("distance", ["L1", "L2"])
+def test_trainer_loss_decreases(spark, toy_triples, distance):
+    from transe_pyspark_spark.transe.data import load_triples
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv)
+    n_ent, n_lab = ev.count(), lv.count()
+    tr = TransETrainer(k=16, n_epochs=12, n_batches=1, learning_rate=0.05,
+                       distance=distance, seed=7)
+    model = tr.fit(spark, enc, n_ent, n_lab)
+    head, tail = np.mean(tr.loss_history[:3]), np.mean(tr.loss_history[-3:])
+    assert tail < head, f"loss did not decrease: {tr.loss_history}"
+    # mean-merge averages unit vectors from different partitions, so
+    # norms are ≤ 1 (convexity) but not exactly 1; must stay bounded.
+    norms = np.linalg.norm(model.entity, axis=1)
+    assert np.all(norms <= 1.0 + 1e-9) and np.all(norms > 0.5), norms
+
+
+def test_trainer_last_writer_unit_norms(spark, toy_triples):
+    """merge='last' (the reference's last-writer-wins, TransE.py:159-170)
+    preserves the per-touch renorm exactly → unit entity norms."""
+    from transe_pyspark_spark.transe.data import load_triples
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv)
+    tr = TransETrainer(k=16, n_epochs=3, n_batches=1, learning_rate=0.05,
+                       distance="L2", seed=7, merge="last")
+    model = tr.fit(spark, enc, ev.count(), lv.count())
+    np.testing.assert_allclose(np.linalg.norm(model.entity, axis=1), 1.0, atol=1e-9)
+
+
+def test_evaluator_matches_relational_flagship(spark, sf_dir):
+    """The mapInPandas evaluator must agree with the declarative
+    transe_rank_eval plan on the same synthetic KG (SURVEY §7 M2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    rel_rows = [r for r in rows if r.vec_id < 10]
+    ent_rows = [r for r in rows if r.vec_id >= 10]
+    ent_ids = [r.vec_id for r in ent_rows]
+    id_of = {v: i for i, v in enumerate(ent_ids)}
+    entity = np.array([r.embedding for r in ent_rows], dtype=np.float64)
+    label = np.array([r.embedding for r in rel_rows], dtype=np.float64)
+    model = TransEModel(entity, label)
+    V = len(ent_ids)
+    triples = [
+        (id_of[r.vec_id], r.vec_id % 10, id_of[10 + (r.vec_id * 7) % V])
+        for r in ent_rows
+        if r.vec_id < 60
+    ]
+    tdf = spark.createDataFrame(triples, ["h", "l", "t"])
+    ranks = rank_triples(spark, model, tdf, distance="L2")
+    got = ranks.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg("rank_tail").alias("mean_rank"),
+        F.avg(F.when(F.col("rank_tail") <= 10, 1.0).otherwise(0.0)).alias("hits_at_10"),
+    ).collect()[0]
+
+    from transe_pyspark_spark.plans.queries import REGISTRY
+
+    want = REGISTRY["transe_rank_eval"].fn(spark, sf_dir).collect()[0]
+    assert got.n_test == want.n_test
+    assert got.mean_rank == pytest.approx(want.mean_rank, abs=1e-9)
+    assert got.hits_at_10 == pytest.approx(want.hits_at_10, abs=1e-12)
+
+
+def test_eval_metrics_shape(spark, sf_dir):
+    m = TransEModel.init_random(50, 5, k=8, seed=11)
+    tdf = spark.createDataFrame([(1, 0, 2), (3, 1, 4), (5, 2, 6)], ["h", "l", "t"])
+    out = evaluate_link_prediction(spark, m, tdf)
+    assert 0 <= out["mean_rank"] < 50
+    assert 0.0 <= out["hits_at_10"] <= 1.0

@@ -1,0 +1,114 @@
+"""Text-analysis scalar functions (SURVEY §2B R19 + north-star text ops).
+
+Generalizes the reference's only text operation — tab-split tokenize
+(``utils.py:6``) — into the column-level text toolkit a training-data
+pipeline needs: tokenization, token counting, quality scoring,
+language-ID, fingerprinting. Everything here is a Catalyst expression
+(JVM-side, codegen'd); no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list for quality scoring; deliberately short so
+#: the oracle SQL can inline it.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single
+#: non-alphanumeric-non-space marks. ASCII classes only so Java regex
+#: (Spark) and RE2 (DuckDB) agree.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (robust to leading/trailing
+    spaces — unlike a bare split)."""
+    return F.filter(F.split(F.trim(text), " +"), lambda w: w != "")
+
+
+def word_count(text: Column | str) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def token_count(text: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens (letters/digits/punct marks)."""
+    return F.regexp_count(F.col(text) if isinstance(text, str) else text, F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def avg_word_len(text: Column | str) -> Column:
+    ws = words(text)
+    total = F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double"))
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(total / F.size(ws))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    ws = words(F.lower(F.col(text) if isinstance(text, str) else text))
+    stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(stop.cast("double") / F.size(ws).cast("double"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality in [0,1]: length band + word-length band +
+    stopword presence. Mirrors common pretraining-corpus filters
+    (C4-style); weights are arbitrary but fixed and documented."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 5000), 0.4).otherwise(0.0)
+    awl = avg_word_len(c)
+    awl_ok = F.when((awl >= 2.0) & (awl <= 12.0), 0.3).otherwise(0.0)
+    sw = stopword_ratio(c)
+    sw_ok = F.when((sw > 0.0) & (sw < 0.6), 0.3).otherwise(0.0)
+    return (len_ok + awl_ok + sw_ok).cast("double")
+
+
+#: Characteristic high-frequency words per language for the n-gram/word
+#: heuristic language ID. Deterministic, dependency-free.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": (),  # CJK detected by script, not word list
+}
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map<lang, score>: fraction of words matching each language's
+    marker list; 'zh' scored by CJK codepoint presence."""
+    ws = words(F.lower(F.col(text) if isinstance(text, str) else text))
+    n = F.size(ws)
+    entries = []
+    for lang, markers in _LANG_MARKERS.items():
+        if markers:
+            hits = F.size(F.filter(ws, lambda w: w.isin(*markers)))
+            score = F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+        else:
+            c = F.col(text) if isinstance(text, str) else text
+            score = F.when(c.rlike("[\\x{4e00}-\\x{9fff}]"), F.lit(1.0)).otherwise(F.lit(0.0))
+        entries.extend([F.lit(lang), score])
+    return F.create_map(*entries)
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over ``lang_scores`` with deterministic tie-break on the
+    language code; 'und' when every score is 0."""
+    m = lang_scores(text)
+    arr = F.map_entries(m)  # array<struct<key,value>>
+    best = F.array_max(F.transform(arr, lambda e: F.struct(e["value"].alias("v"), e["key"].alias("k"))))
+    return F.when(best["v"] <= 0.0, F.lit("und")).otherwise(best["k"])
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic polynomial rolling hash over characters:
+    h = Σ ascii(cᵢ)·31^(n−1−i) mod (2^31−1), computed left-to-right as
+    h ← (h·31 + ascii(c)) mod p. Pure integer arithmetic so any engine
+    reproduces it exactly (the oracle uses ``list_reduce``)."""
+    p = F.lit(2147483647).cast("long")
+    chars = F.split(F.col(text) if isinstance(text, str) else text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
+    )

@@ -1,0 +1,98 @@
+"""Time-series joins: as-of and range (SURVEY §2B R7/R8 — capability
+gaps in the reference, required by the engine contract).
+
+Scale posture: the as-of join is the *union-window* formulation — one
+shuffle on the join key, a single in-partition sort, no point-lookup
+joins and no per-row subqueries. This is the same plan TimescaleDB /
+kdb-style engines lower as-of to, and it survives arbitrarily many rows
+per key (spill-able sort, no state blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` and equal key (left outer semantics).
+
+    Implementation: tag both sides, union, and take
+    ``last(right_value, ignorenulls)`` over a window ordered by
+    (ts, side) within each key — right rows sort before left rows at
+    equal timestamps, so an exactly-simultaneous right row IS matched.
+    """
+    rv = right_value_cols or [c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in rv],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in rv],
+        F.col(right_ts).alias("__rts"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "__k",
+        "__side",
+        "__lrow",
+        F.last("__rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}") for c in rv],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        F.col(f"{right_ts}{suffix}"),
+        *[F.col(f"{c}{suffix}") for c in rv],
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_expr: str = "INTERVAL 5 MINUTES",
+    out_count: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows per left row with equal key and
+    ``left.ts − window < right.ts < left.ts`` (half-open lookback).
+
+    Declarative non-equi join: Catalyst plans key-equi + range
+    predicates; with AQE the equi part still hashes on the key, so the
+    range condition is evaluated only within key groups.
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(window_expr))
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}"))
+    )
+    joined = l.join(r, cond, "left")
+    return joined.groupBy(*[F.col(f"l.{c}") for c in left.columns]).agg(
+        F.count(F.col(f"r.{right_ts}")).alias(out_count)
+    )

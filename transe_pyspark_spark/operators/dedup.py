@@ -1,0 +1,262 @@
+"""Deduplication operators (SURVEY §2B R18 + north-star dedup suite).
+
+Generalizes the reference's ``distinct()`` vocabulary dedup
+(``utils.py:13-15``) into the dedup toolkit a pretraining-data pipeline
+needs:
+
+* exact dedup           — hash aggregate on a normalization key
+* n-gram Jaccard        — exact pairwise set similarity (oracle-checkable)
+* MinHash + LSH banding — near-dup at scale: shingle → minhash
+                          signature → band buckets → join only within
+                          buckets → exact-verify candidates
+* SimHash               — Hamming-bucket near-dup
+* embedding cosine      — semantic near-dup (see similarity.cosine_pairs)
+
+Scale posture: the LSH/SimHash paths never compare all pairs — the only
+shuffles are groupBys on bucket keys, and the exact-verify join touches
+candidate pairs only. Hash functions are fixed-parameter polynomial
+hashes (not Spark-version-dependent), so signatures are stable across
+runs and clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from transe_pyspark_spark.functions.text import words
+
+#: Mersenne prime 2^31-1: modulus for shingle/minhash arithmetic. Kept
+#: at 31 bits so (hash * coeff + b) stays within int64 — Spark wraps
+#: silently on overflow, which would break the universal-hash property.
+_MERSENNE = (1 << 31) - 1
+
+
+def normalize_text(col) -> "F.Column":
+    """Canonical text form for exact dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group exact duplicates by normalized text; keep min-id canonical.
+    One hash-aggregate shuffle; map-side partial agg applies."""
+    return (
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select("canonical_id", "dup_count")
+    )
+
+
+def word_shingles(col, n: int = 3) -> "F.Column":
+    """Distinct n-grams of words as an array<string> column."""
+    ws = words(col)
+    if n == 1:
+        return F.array_distinct(ws)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact pairwise word-set Jaccard ≥ threshold (a < b).
+
+    O(n²) scoring — the *oracle-checkable ground truth* for the LSH
+    paths below; use only on bounded inputs (or post-blocking)."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    base = df.select(F.col(id_col), sh.alias("__sh"))
+    a = base.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
+    b = base.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _shingle_hashes(col, shingle_n: int) -> "F.Column":
+    """Deterministic 31-bit polynomial hash per shingle (base-131 over
+    code points, mod 2^31−1) — engine-independent, unlike F.hash/xxhash
+    whose values are Spark implementation details."""
+    def poly_hash(s):
+        chars = F.split(s, "")
+        return F.aggregate(
+            chars,
+            F.lit(7).cast("long"),
+            lambda acc, ch: (acc * 131 + F.coalesce(F.ascii(ch), F.lit(0))) % F.lit(_MERSENNE),
+        )
+
+    return F.transform(word_shingles(col, shingle_n), poly_hash)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    (aᵢ·h + bᵢ mod p). Entirely JVM-side higher-order functions — one
+    narrow pass over documents, no shuffle, no Python."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    hashes = _shingle_hashes(F.col(text_col), shingle_n)
+
+    def perm(a: int, b: int):
+        # NB: Spark infers HOF-lambda arity from the Python signature,
+        # so coefficients must be closed over, not default-arg-bound.
+        return lambda h: (h * a + b) % F.lit(_MERSENNE)
+
+    sig = F.array(*[F.array_min(F.transform(F.col("__h"), perm(a, b))) for a, b in coeffs])
+    return (
+        df.select(F.col(id_col), hashes.alias("__h"))
+        .filter(F.size("__h") > 0)
+        .select(F.col(id_col), sig.alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding.
+
+    Pipeline: signatures (narrow) → explode into ``bands`` band-keys →
+    self-join on (band, band_hash) = candidate pairs (shuffle is on
+    bucket keys only — all-pairs never materializes) → optional exact
+    Jaccard verify of candidates. With 64 hashes / 16 bands (r=4) the
+    S-curve midpoint sits near s ≈ (1/16)^(1/4) ≈ 0.5.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.concat_ws(",", F.transform(F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col(f"a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    if not verify:
+        return cands
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(col, bits: int = 64, shingle_n: int = 1) -> "F.Column":
+    """SimHash fingerprint: sign-sum of per-shingle hash bits.
+
+    Bit b of the fingerprint is 1 iff Σ_shingles (±1 by shingle-hash
+    bit b) > 0. Single pass over the shingle hashes with an
+    array-of-counters accumulator (one nested HOF), NOT one aggregate
+    per bit — the per-bit formulation re-evaluates the shingle hashing
+    ``bits`` times and is ~30× slower.
+    """
+    bits = min(bits, 61)
+    hashes = _shingle_hashes(col, shingle_n)
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda c, p: c + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Near-dup candidates whose SimHash fingerprints differ in ≤
+    ``max_hamming`` bits. Blocking: split the fingerprint into
+    ``max_hamming+1`` bands — any pair within the Hamming radius shares
+    at least one exact band (pigeonhole), so the join is on band keys,
+    never all-pairs."""
+    n_bands = max_hamming + 1
+    band_width = bits // n_bands
+    fp = df.select(F.col(id_col), simhash(F.col(text_col), bits, shingle_n).alias("__fp"))
+    pieces = []
+    for band in range(n_bands):
+        shift = band * band_width
+        width = band_width if band < n_bands - 1 else bits - shift
+        key = ((F.col("__fp") / F.lit(1 << shift)).cast("long") % F.lit(1 << width))
+        pieces.append(fp.select(F.col(id_col), F.lit(band).alias("band"), key.alias("bucket"), F.col("__fp")))
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.__fp").alias("__fa"),
+            F.col("b.__fp").alias("__fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    return (
+        cands.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,80 @@
+"""Multimodal column plumbing (north-star: image/audio/video at 100 TB).
+
+Media are opaque ``binary`` columns + typed metadata. The Spark-side
+plumbing — schema, Arrow batch shape, ``mapInPandas`` signature,
+partition sizing — is real and tested; the actual codec calls are
+stubbed (image/audio libraries are not in this container) behind
+``decode_image_real``, which raises ``NotImplementedError`` with the
+intended implementation documented.
+
+Scale posture: media rows are large — the reader should cap
+``spark.sql.files.maxPartitionBytes`` and rely on Arrow batch size
+(``spark.sql.execution.arrow.maxRecordsPerBatch``) to bound executor
+memory; metadata extraction is a narrow map, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of metadata extraction — what a real image decode
+#: would yield (dimensions from the header, not a full pixel decode).
+META_SCHEMA = "doc_id long, n_bytes long, width long, height long, channels long"
+
+
+def with_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Attach a binary payload column. Test fixture: UTF-8 bytes of the
+    text column stand in for image bytes; a real pipeline reads
+    ``spark.read.format('binaryFile')`` or a parquet binary column."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Real decode path — STUB.
+
+    Intended implementation (library not in this container)::
+
+        from PIL import Image
+        import io
+        img = Image.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height,
+                "channels": len(img.getbands())}
+    """
+    raise NotImplementedError("image codecs unavailable in this environment; use fake_meta")
+
+
+def fake_meta(n_bytes: int) -> tuple[int, int, int]:
+    """Deterministic stand-in for header parsing: synthesizes plausible
+    dimensions purely from the byte length, so results are
+    reproducible and oracle-checkable."""
+    return 16 + n_bytes % 64, 16 + (n_bytes // 64) % 64, 3
+
+
+def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    The ``mapInPandas`` shape (Iterator[pd.DataFrame] → Iterator) is
+    exactly what a real decoder needs: batch-at-a-time, bounded memory,
+    zero driver involvement.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf[payload_col].map(len)
+            dims = n_bytes.map(fake_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": dims.map(lambda d: d[0]).astype("int64"),
+                    "height": dims.map(lambda d: d[1]).astype("int64"),
+                    "channels": dims.map(lambda d: d[2]).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(extract, schema=META_SCHEMA)

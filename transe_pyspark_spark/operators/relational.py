@@ -1,0 +1,87 @@
+"""Relational operator library (SURVEY §2B R3-R6, R9-R12).
+
+Everything here is a thin, *declarative* composition of DataFrame ops —
+Catalyst owns the physical plan (broadcast vs sort-merge, partial aggs,
+AQE skew handling). The value added is the contract: deterministic,
+oracle-checkable semantics for the patterns the reference hand-rolls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dict_encode(df: DataFrame, col: str, token_col: str = "token", id_col: str = "id") -> DataFrame:
+    """Dense dictionary encoding: distinct values of ``col`` → contiguous
+    ids 0..V−1, ordered by token (SURVEY §2B R5).
+
+    Replaces the reference's ``distinct().zipWithIndex().collectAsMap()``
+    (``utils.py:13-23``), whose ids depend on partition order. Ordering
+    by token makes the assignment deterministic and oracle-checkable.
+
+    Scale note: ``row_number`` over a global ORDER BY is a single-
+    partition window — fine for vocabularies (≤ tens of millions of
+    short tokens, far below one executor's memory), which is the only
+    intended use. For billion-row surrogate keys use
+    ``zipWithIndex``-style per-partition offsets instead.
+    """
+    w = Window.orderBy(F.col(token_col))
+    return (
+        df.select(F.col(col).alias(token_col))
+        .distinct()
+        .select(F.col(token_col), (F.row_number().over(w) - 1).cast("long").alias(id_col))
+    )
+
+
+def encode_with_vocab(df: DataFrame, vocab: DataFrame, col: str, out_col: str, token_col: str = "token", id_col: str = "id") -> DataFrame:
+    """Replace string ``col`` with its vocab id via a **broadcast hash
+    join** — the declarative form of the reference's closure-captured
+    driver dict (``utils.py:26``), which *is* a hand-rolled map-side
+    join. Vocab stays distributed; nothing crosses the driver.
+    """
+    v = F.broadcast(vocab.select(F.col(token_col), F.col(id_col).alias(out_col)))
+    return df.join(v, df[col] == v[token_col], "inner").drop(token_col, col)
+
+
+def top_k_per_group(df: DataFrame, group_cols: list[str], order_col: str, k: int, desc: bool = True, tiebreak: str | None = None) -> DataFrame:
+    """Top-k rows per group via window ``row_number`` (R11).
+
+    ``tiebreak`` column makes the result total-ordered hence
+    deterministic — required for oracle checks and for reproducible
+    pipelines. Spark pushes a per-partition partial top-k
+    (WindowGroupLimit) below the shuffle, so this stays O(k) memory per
+    group at scale.
+    """
+    ordering = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    if tiebreak:
+        ordering.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*ordering)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumn("rank_in_group", F.col("__rn").cast("long"))
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], keep_by: str) -> DataFrame:
+    """Exact dedup keeping the row with the minimum ``keep_by`` per key
+    group (R18 exact path). A hash aggregate — one shuffle on the key,
+    map-side partial aggregation for free."""
+    return df.groupBy(*key_cols).agg(
+        F.min(keep_by).alias(keep_by),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Column | str) -> DataFrame:
+    """EXISTS filter (R6) — the declarative form of the reference's
+    vocabulary-membership check (``test.py:7-11``)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Column | str) -> DataFrame:
+    """NOT EXISTS filter (R6) — the declarative form of the reference's
+    negative-sample rejection (``TransE.py:237-244``)."""
+    return left.join(right, on, "left_anti")

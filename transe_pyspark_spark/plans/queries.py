@@ -1,0 +1,962 @@
+"""Declared query/operator contract (SURVEY §2B) + DuckDB oracles.
+
+Every entry is one operator-coverage claim: a PySpark implementation
+(callable ``(spark, sf_dir) → DataFrame``) and, where the semantics are
+deterministic and SQL-expressible, the ANSI-SQL oracle DuckDB runs on
+the same parquet. The driver hash-compares values order-insensitively,
+so column NAMES and exact VALUES must match.
+
+Float-parity rules used throughout (so value hashes match bit-for-bit):
+
+* money/quantity aggregates go through exact integer arithmetic —
+  ``round(x·10ᵏ)`` per row (2-dp money columns), BIGINT sums, one final
+  double division. Summation order then cannot matter.
+* vector math folds in DOUBLE, left-to-right, with the same expression
+  shape on both engines (Spark ``aggregate`` ≡ DuckDB ``list_reduce``
+  with a prepended 0.0 init).
+* raw parquet doubles pass through untouched (bit-identical in both
+  engines); only *derived* floats need care.
+* every integer-typed output is cast to BIGINT on both sides (Spark
+  ``row_number``/``length``/etc. return 32-bit; DuckDB returns BIGINT;
+  DuckDB ``sum(BIGINT)`` returns HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transe_pyspark_spark.functions import text as X
+from transe_pyspark_spark.functions import vector as V
+from transe_pyspark_spark.operators import dedup as D
+from transe_pyspark_spark.operators import multimodal as MM
+from transe_pyspark_spark.operators import relational as R
+from transe_pyspark_spark.operators import similarity as S
+from transe_pyspark_spark.operators.asof import asof_join, range_join_count
+from transe_pyspark_spark.sources.readers import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def _cents(col, scale: int = 100):
+    """Exact integer representation of a k-dp decimal stored as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale, 0).cast("long")
+
+
+_T = load_table  # brevity
+
+
+# ---------------------------------------------------------------------------
+# Relational core (R1, R3, R4, R9): scan → filter → group → aggregate
+# ---------------------------------------------------------------------------
+
+@_register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_charge,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/(100.0*count(*)) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/(100.0*count(*)) AS avg_price,
+           CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/(100.0*count(*)) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("scan", "filter", "agg"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pushdown-able timestamp filter, 2-key hash agg.
+    Generalizes SURVEY §2A A2/A4 (mean/sum aggregation)."""
+    li = _T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(_cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100.0).alias("sum_base_price"),
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 1000000)).cast("double") / 1000000.0).alias("sum_charge"),
+        (F.sum(_cents("l_quantity")).cast("double") / (100.0 * cnt)).alias("avg_qty"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / (100.0 * cnt)).alias("avg_price"),
+        (F.sum(_cents("l_discount")).cast("double") / (100.0 * cnt)).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@_register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact joins → top-k.
+    Ordering key is the exact integer revenue, so the limit is
+    deterministic across engines."""
+    c = _T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    rev = F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(rev.alias("__rev_e4"))
+        .orderBy(F.col("__rev_e4").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", (F.col("__rev_e4").cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@_register(
+    "region_revenue",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+           count(*) AS n_items
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join. Dimension sides are explicitly
+    broadcast — at 100 TB the lineitem scan must never shuffle for a
+    25-row nation table."""
+    r = F.broadcast(_T(spark, sf_dir, "region"))
+    n = F.broadcast(_T(spark, sf_dir, "nation"))
+    c = _T(spark, sf_dir, "customer")
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).cast("double") / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "filter_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_type IN ('ECONOMY', 'PROMO')
+      AND p_name LIKE '%o%'
+      AND p_retailprice > 500.0
+      AND p_brand IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 filter surface: BETWEEN / IN / LIKE / comparison / null-check,
+    all pushed to the parquet scan (verify via PushedFilters in explain)."""
+    p = _T(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_type").isin("ECONOMY", "PROMO")
+        & F.col("p_name").like("%o%")
+        & (F.col("p_retailprice") > 500.0)
+        & F.col("p_brand").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+
+
+# ---------------------------------------------------------------------------
+# Dictionary encoding (R5) — the reference's vocabulary build
+# ---------------------------------------------------------------------------
+
+@_register(
+    "dict_encode_brands",
+    oracle="""
+    SELECT token, CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
+    FROM (SELECT DISTINCT p_brand AS token FROM part) t
+    """,
+    tags=("dict-encode", "window"),
+)
+def q_dict_encode_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dense-ID assignment (replaces ``zipWithIndex`` at
+    reference ``utils.py:18-19``)."""
+    return R.dict_encode(_T(spark, sf_dir, "part"), "p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Joins (R6): semi / anti / outer
+# ---------------------------------------------------------------------------
+
+@_register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — the reference's vocabulary-membership filter
+    shape (``test.py:7-11``)."""
+    c = _T(spark, sf_dir, "customer")
+    o = _T(spark, sf_dir, "orders")
+    return R.semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@_register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the reference's negative-sample rejection shape
+    (``TransE.py:237-244``)."""
+    c = _T(spark, sf_dir, "customer")
+    o = _T(spark, sf_dir, "orders")
+    return R.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@_register(
+    "customer_order_stats",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS order_cnt,
+           CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS DOUBLE)/100.0 AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join", "agg"),
+)
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + aggregate with correct null semantics (zero
+    rows → count 0, sum NULL→0)."""
+    c = _T(spark, sf_dir, "customer")
+    o = _T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            (F.coalesce(F.sum(_cents("o_totalprice")), F.lit(0)).cast("double") / 100.0).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (R9)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _T(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents("o_totalprice")).cast("double") / 100.0).alias("total"),
+        )
+    )
+
+
+@_register(
+    "cube_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS total_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(_cents("l_quantity")).cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (R11/R12)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "window_order_seq",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS running_spend,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_window_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 window surface: row_number / running sum / lag / lead /
+    ntile over a deterministic (date, key) ordering."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        (F.sum(_cents("o_totalprice")).over(wsum).cast("double") / 100.0).alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@_register(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rank_in_group FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank_in_group
+      FROM orders) t
+    WHERE rank_in_group <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (R11); Spark plans a partial WindowGroupLimit
+    below the shuffle, so per-group state is O(k) at scale."""
+    return R.top_k_per_group(
+        _T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        "o_totalprice",
+        k=3,
+        desc=True,
+        tiebreak="o_orderkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (R10)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "nations_in_both",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_nations_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _T(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _T(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_register(
+    "nations_customers_only",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+    """,
+    tags=("setop",),
+)
+def q_nations_customers_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _T(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _T(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT (set-distinct) semantics, not exceptAll
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (R14): string / date / JSON
+# ---------------------------------------------------------------------------
+
+@_register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           substr(p_name, 1, 5) AS pfx,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, '#', p_type) AS btype,
+           replace(p_type, 'E', '3') AS repl,
+           split_part(p_name, ' ', 1) AS first_word,
+           lpad(p_brand, 12, '*') AS padded,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha,
+           trim('  ' || p_brand || ' ') AS trimmed
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("btype"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("3")).alias("repl"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_alpha"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@_register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since,
+           o_orderdate + INTERVAL 30 DAY AS ship_by
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")).cast("long").alias("days_since"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ship_by"),
+    )
+
+
+@_register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 JSON path extraction on the stream-shaped props column."""
+    e = _T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_type", k.alias("__k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__k").alias("avg_k"),
+        F.min("__k").alias("min_k"),
+        F.max("__k").alias("max_k"),
+    )
+
+
+@_register(
+    "distinct_counts",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_returnflag) AS n_flags
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@_register(
+    "mod_sample_orders",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0",
+    tags=("sample",),
+)
+def q_mod_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (R13's oracle-checkable face;
+    seeded Bernoulli ``df.sample`` is property-tested in pytest)."""
+    o = _T(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Vector ops / similarity (R15, R16)
+# ---------------------------------------------------------------------------
+
+_FOLD_SUM = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {terms}), (a, b) -> a + b)"
+
+
+@_register(
+    "vector_norms",
+    oracle=f"""
+    SELECT vec_id,
+           sqrt({_FOLD_SUM.format(terms="list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE))")}) AS l2_norm,
+           {_FOLD_SUM.format(terms="list_transform(embedding, x -> abs(x::DOUBLE))")} AS l1_norm,
+           {_FOLD_SUM.format(terms="list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE))")} AS sq_norm
+    FROM embeddings
+    """,
+    tags=("vector",),
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15 vector scalar functions as JVM higher-order expressions —
+    double-precision left fold, bit-compatible with the oracle's
+    list_reduce."""
+    e = _T(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        V.norm_l2("embedding").alias("l2_norm"),
+        V.norm_l1("embedding").alias("l1_norm"),
+        V.dot("embedding", "embedding").alias("sq_norm"),
+    )
+
+
+@_register(
+    "knn_brute_force",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      {_FOLD_SUM.format(terms="list_transform(list_zip(qv, cv), z -> ((z[1]::DOUBLE) - (z[2]::DOUBLE)) * ((z[1]::DOUBLE) - (z[2]::DOUBLE)))")} AS dist
+               FROM q, c WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS BIGINT) AS rank
+      FROM s) t
+    WHERE rank <= 10
+    """,
+    tags=("vector", "knn"),
+)
+def q_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 by squared-L2 (R16), relational form:
+    broadcast(query) × candidates → HOF distance → window top-k.
+    The mapInPandas/broadcast-matrix variant (the wide-data path) is
+    equivalence-tested against this in pytest."""
+    e = _T(spark, sf_dir, "embeddings")
+    return S.knn_relational(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+@_register(
+    "cosine_near_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+         s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      {_FOLD_SUM.format(terms="list_transform(list_zip(a.ve, b.ve), z -> z[1] * z[2])")} /
+                      (sqrt({_FOLD_SUM.format(terms="list_transform(a.ve, x -> x * x)")}) *
+                       sqrt({_FOLD_SUM.format(terms="list_transform(b.ve, x -> x * x)")})) AS cos_sim
+               FROM v a, v b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM s WHERE cos_sim >= 0.4
+    """,
+    tags=("vector", "dedup"),
+)
+def q_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star dedup). Exact
+    all-pairs — the LSH path (`ann_lsh`) is the scale variant."""
+    return S.cosine_pairs(_T(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Dedup & text analysis (R18, R19)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    """,
+    tags=("dedup",),
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(_T(spark, sf_dir, "documents"))
+
+
+@_register(
+    "jaccard_near_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')) AS ws
+               FROM documents),
+         s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) AS jaccard
+               FROM w a, w b WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM s WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "text"),
+)
+def q_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup (ground truth for the MinHash-LSH
+    scale path, which is rows-only-checked as `minhash_near_pairs`)."""
+    return D.jaccard_pairs(_T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=1)
+
+
+def q_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (scale path): shingle → signature → band
+    buckets → candidate join → exact verify. Not SQL-expressible ⇒
+    rows-only driver check; recall vs `jaccard_near_pairs` is asserted
+    in pytest."""
+    return D.minhash_lsh_pairs(
+        _T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=3, num_hashes=64, bands=16
+    )
+
+
+REGISTRY["minhash_near_pairs"] = QuerySpec("minhash_near_pairs", q_minhash_near_pairs, None, ("dedup",))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with pigeonhole band blocking; rows-only check
+    (hash bit arithmetic is not reasonably SQL-expressible)."""
+    return D.simhash_pairs(_T(spark, sf_dir, "documents"), max_hamming=2, bits=32, shingle_n=3)
+
+
+REGISTRY["simhash_near_pairs"] = QuerySpec("simhash_near_pairs", q_simhash_near_pairs, None, ("dedup",))
+
+
+def q_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via BucketedRandomProjectionLSH (R17); recall vs
+    brute force asserted in pytest, rows-only here (MLlib hash seeds are
+    not SQL-reproducible)."""
+    e = _T(spark, sf_dir, "embeddings")
+    return S.ann_lsh(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+REGISTRY["ann_lsh_neighbors"] = QuerySpec("ann_lsh_neighbors", q_ann_lsh_neighbors, None, ("knn",))
+
+
+@_register(
+    "text_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS lws
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ws, x -> CAST(length(x) AS DOUBLE))), (a,b) -> a+b) / len(ws)
+           END AS avg_word_len,
+           CASE WHEN len(lws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(lws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) / CAST(len(lws) AS DOUBLE)
+           END AS stopword_ratio
+    FROM w
+    """,
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19/north-star text analysis: word & BPE-ish token counts,
+    length stats, stopword ratio — all JVM-side expressions."""
+    d = _T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.word_count("text").alias("n_words"),
+        X.token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        X.avg_word_len("text").alias("avg_word_len"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@_register(
+    "doc_quality",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS lws
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(text) AS n,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ws, x -> CAST(length(x) AS DOUBLE))), (a,b) -> a+b) / len(ws)
+             END AS awl,
+             CASE WHEN len(lws) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) / CAST(len(lws) AS DOUBLE)
+             END AS sw
+      FROM w)
+    SELECT doc_id,
+           (CASE WHEN n >= 50 AND n <= 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+            + CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+            + CASE WHEN sw > 0.0 AND sw < 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+    FROM m
+    """,
+    tags=("text",),
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus quality score (C4-style heuristics)."""
+    d = _T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.quality_score("text").alias("quality"))
+
+
+@_register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint — pure integer
+    arithmetic, reproducible on any engine (unlike murmur/xxhash)."""
+    d = _T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word/script language-ID heuristic; rows-only check (the
+    argmax CASE tree is SQL-expressible but the value is in the operator,
+    not the oracle — accuracy is property-tested in pytest)."""
+    d = _T(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id("text").alias("lang_guess"))
+
+
+REGISTRY["lang_id_docs"] = QuerySpec("lang_id_docs", q_lang_id, None, ("text",))
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins (R7, R8)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "asof_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS ts_right
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("asof", "join"),
+)
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (R8): each purchase matched to the user's most recent
+    click at-or-before it. Union-window formulation: ONE shuffle on
+    user_id, no per-row lookups — survives arbitrary row counts."""
+    e = _T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id", right_value_cols=[])
+
+
+@_register(
+    "range_count_views",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT count(*) FROM events v
+            WHERE v.event_type = 'view' AND v.user_id = e.user_id
+              AND v.ts >= e.ts - INTERVAL 5 MINUTE AND v.ts < e.ts) AS n_views
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    tags=("range-join",),
+)
+def q_range_count_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (R7): views within the 5 minutes before each error."""
+    e = _T(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return range_join_count(errors, views, on="user_id", window_expr="INTERVAL 5 MINUTES", out_count="n_views")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north-star)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction through the real mapInPandas
+    plumbing (decode itself is a deterministic stub — see
+    operators.multimodal.decode_image_real)."""
+    d = MM.with_payload(_T(spark, sf_dir, "documents"))
+    return MM.extract_media_meta(d)
+
+
+# ---------------------------------------------------------------------------
+# TransE evaluation spine (R16/R22) — deterministic, oracle-checkable
+# ---------------------------------------------------------------------------
+
+_TRANSE_EVAL_ORACLE = f"""
+WITH ent AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings WHERE vec_id >= 10),
+     rel AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings WHERE vec_id < 10),
+     n AS (SELECT count(*) AS c FROM ent),
+     triples AS (
+       SELECT vec_id AS h, vec_id % 10 AS l, 10 + (vec_id * 7) % (SELECT c FROM n) AS t
+       FROM ent WHERE vec_id < 60),
+     scored AS (
+       SELECT tr.h, tr.l, tr.t, e.vec_id AS cand,
+              {_FOLD_SUM.format(terms="list_transform(list_zip(hv.ve, rv.ve, e.ve), z -> ((z[1] + z[2]) - z[3]) * ((z[1] + z[2]) - z[3]))")} AS d
+       FROM triples tr
+       JOIN ent hv ON hv.vec_id = tr.h
+       JOIN rel rv ON rv.vec_id = tr.l
+       CROSS JOIN ent e),
+     ranks AS (
+       SELECT s.h, s.l, s.t,
+              CAST(count(*) FILTER (WHERE s.d < st.d) AS BIGINT) AS rank
+       FROM scored s JOIN scored st ON s.h = st.h AND s.l = st.l AND s.t = st.t AND st.cand = st.t
+       GROUP BY s.h, s.l, s.t)
+SELECT count(*) AS n_test,
+       avg(rank) AS mean_rank,
+       avg(CASE WHEN rank <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS hits_at_10
+FROM ranks
+"""
+
+
+@_register("transe_rank_eval", oracle=_TRANSE_EVAL_ORACLE, tags=("transe", "knn", "flagship"))
+def q_transe_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic spine of the reference (SURVEY §7 M0): full-
+    vocabulary link-prediction ranking + Mean Rank / Hits@10, on a
+    synthetic KG derived from the embeddings fixture (vec_id < 10 play
+    relations, the rest entities; triples (h, h%10, 10+(7h mod V))).
+
+    Rank semantics = reference ``test.py:49-62``: 0-based argsort
+    position (strict-closer count), raw protocol, hits@10 ⇒ top-11
+    (SURVEY §4 quirks 4-5). The broadcast/mapInPandas evaluator
+    (transe.evaluate) is equivalence-tested against this plan in pytest.
+    """
+    emb = _T(spark, sf_dir, "embeddings")
+    ent = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    rel = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    n_ent = ent.select(F.count(F.lit(1)).alias("c"))
+    triples = (
+        ent.filter(F.col("vec_id") < 60)
+        .crossJoin(F.broadcast(n_ent))
+        .select(
+            F.col("vec_id").alias("h"),
+            (F.col("vec_id") % 10).alias("l"),
+            (F.lit(10) + (F.col("vec_id") * 7) % F.col("c")).alias("t"),
+        )
+    )
+    hv = ent.select(F.col("vec_id").alias("h"), F.col("embedding").alias("__hv"))
+    rv = rel.select(F.col("vec_id").alias("l"), F.col("embedding").alias("__rv"))
+    q = (
+        triples.join(F.broadcast(hv), "h")
+        .join(F.broadcast(rv), "l")
+        .select("h", "l", "t", V.add("__hv", "__rv").alias("__q"))
+    )
+    cand = ent.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("__cv"))
+    scored = q.join(cand, F.col("cand").isNotNull()).select(
+        "h", "l", "t", "cand", V.l2_sq("__q", "__cv").alias("d")
+    )
+    d_true = scored.filter(F.col("cand") == F.col("t")).select("h", "l", "t", F.col("d").alias("__dt"))
+    ranks = (
+        scored.join(d_true, ["h", "l", "t"])
+        .groupBy("h", "l", "t")
+        .agg(F.sum(F.when(F.col("d") < F.col("__dt"), 1).otherwise(0)).cast("long").alias("rank"))
+    )
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg("rank").alias("mean_rank"),
+        F.avg(F.when(F.col("rank") <= 10, F.lit(1.0)).otherwise(F.lit(0.0))).alias("hits_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (R23): executed with Trigger.AvailableNow, oracle = batch twin
+# ---------------------------------------------------------------------------
+
+@_register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation with watermark,
+    run to completion via AvailableNow; the oracle is the batch twin."""
+    from transe_pyspark_spark.streaming.windows import read_events_stream, run_available_now, tumbling_counts
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, spark, output_mode="complete")

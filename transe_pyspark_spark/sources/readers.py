@@ -1,0 +1,92 @@
+"""Sources & sinks (SURVEY §2B R1/R2).
+
+Replaces the reference's schemaless ``sc.textFile`` + three-pass tuple
+splitting (reference ``TransEmodule/utils.py:5-10``) with schema-ful,
+splittable, pushdown-capable readers. Explicit schemas everywhere: no
+``inferSchema`` (which costs an extra full scan and is nondeterministic
+on dirty data).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Schema of a raw knowledge-graph triples file: three tab-separated
+#: string columns, no header (reference ``utils.py:6``, ``README.md:86-87``).
+TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("head", T.StringType(), nullable=False),
+        T.StructField("label", T.StringType(), nullable=False),
+        T.StructField("tail", T.StringType(), nullable=False),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided fixture table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as
+    int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we
+    convert to a microsecond timestamp here (the fixture's values are
+    µs-precision, so the ``div 1000`` is lossless).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql``."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_triples_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a triples TSV (R1).
+
+    One CSV scan with an explicit schema replaces the reference's
+    ``textFile`` → ``split('\\t')`` → three per-column ``map`` passes
+    (``utils.py:6-10``): Catalyst prunes columns at the scan, so a
+    downstream ``select('head')`` never materializes the other two.
+    """
+    return spark.read.csv(path, sep="\t", schema=TRIPLES_SCHEMA, header=False)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with explicit schema (R1)."""
+    return spark.read.json(path, schema=schema)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet sink (R2) — replaces the reference's driver-side pickle
+    checkpoints (``utils.py:44-49``). ``partition_by`` enables partition
+    pruning for downstream readers at scale.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
