@@ -54,9 +54,11 @@ def word_shingles(col, n: int = 3) -> "F.Column":
     ws = words(col)
     if n == 1:
         return F.array_distinct(ws)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)))
+    # guard: sequence(0, -1) is DESCENDING in Spark, and slice(ws, 0, n)
+    # throws — short documents must yield an empty shingle set instead.
+    idx = F.sequence(F.lit(0), F.size(ws) - n)
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))))
     )
 
 
@@ -86,10 +88,10 @@ def jaccard_pairs(
     )
 
 
-def _shingle_hashes(col, shingle_n: int) -> "F.Column":
-    """Deterministic 31-bit polynomial hash per shingle (base-131 over
-    code points, mod 2^31−1) — engine-independent, unlike F.hash/xxhash
-    whose values are Spark implementation details."""
+def _word_hashes(col) -> "F.Column":
+    """Deterministic 31-bit polynomial hash per word (base-131 over code
+    points, mod 2^31−1) — engine-independent, unlike F.hash/xxhash whose
+    values are Spark implementation details."""
     def poly_hash(s):
         chars = F.split(s, "")
         return F.aggregate(
@@ -98,7 +100,44 @@ def _shingle_hashes(col, shingle_n: int) -> "F.Column":
             lambda acc, ch: (acc * 131 + F.coalesce(F.ascii(ch), F.lit(0))) % F.lit(_MERSENNE),
         )
 
-    return F.transform(word_shingles(col, shingle_n), poly_hash)
+    return F.transform(words(col), poly_hash)
+
+
+def _shingles_from_word_hashes(wh, shingle_n: int) -> "F.Column":
+    """Distinct shingle hashes from a MATERIALIZED array<long> column of
+    per-word hashes (combine the n word hashes polynomially).
+
+    ``wh`` must be a plain column reference, not a composed expression:
+    Catalyst does not common-subexpression-eliminate across the
+    ``element_at`` references below, so an inlined expression would be
+    re-evaluated ``shingle_n`` times per shingle (measured 8-20× blowup
+    on the documents fixture). Callers project ``_word_hashes`` into a
+    column first."""
+    if shingle_n == 1:
+        return F.array_distinct(wh)
+
+    def comb(i):
+        acc = F.element_at(wh, i)
+        for j in range(1, shingle_n):
+            # acc < p < 2^31 and 131313·p + p < 2^49: no int64 overflow
+            acc = (acc * 131313 + F.element_at(wh, i + j)) % F.lit(_MERSENNE)
+        return acc
+
+    idx = F.sequence(F.lit(1), F.size(wh) - (shingle_n - 1))
+    return F.when(F.size(wh) < shingle_n, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(F.transform(idx, comb))
+    )
+
+
+def _with_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int, out_col: str = "__h"
+) -> DataFrame:
+    """[id, __h: array<long>] with word hashes materialized between the
+    two projections (see _shingles_from_word_hashes)."""
+    return (
+        df.select(F.col(id_col), _word_hashes(F.col(text_col)).alias("__wh"))
+        .select(F.col(id_col), _shingles_from_word_hashes(F.col("__wh"), shingle_n).alias(out_col))
+    )
 
 
 def minhash_signatures(
@@ -116,7 +155,6 @@ def minhash_signatures(
 
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-    hashes = _shingle_hashes(F.col(text_col), shingle_n)
 
     def perm(a: int, b: int):
         # NB: Spark infers HOF-lambda arity from the Python signature,
@@ -125,9 +163,64 @@ def minhash_signatures(
 
     sig = F.array(*[F.array_min(F.transform(F.col("__h"), perm(a, b))) for a, b in coeffs])
     return (
-        df.select(F.col(id_col), hashes.alias("__h"))
+        _with_shingle_hashes(df, text_col, id_col, shingle_n)
         .filter(F.size("__h") > 0)
         .select(F.col(id_col), sig.alias("signature"))
+    )
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures via Arrow-batched NumPy (``mapInPandas``) —
+    the scale path. Spark's higher-order-function lambdas are
+    interpreted per element (never whole-stage codegen'd), so the pure-
+    JVM variant above pays ~64×|shingles| interpreted ops per document;
+    here the affine permutations are one vectorized (64, m) matrix op
+    per document. Shingle hashing is CRC32 (fixed algorithm → stable
+    across runs/engines). Still a narrow map: no shuffle, no driver."""
+    import random
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(seed)
+    A = np.array([rng.randrange(1, _MERSENNE) for _ in range(num_hashes)], dtype=np.int64)
+    B = np.array([rng.randrange(0, _MERSENNE) for _ in range(num_hashes)], dtype=np.int64)
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_sigs: list[list[int]] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = str(text).split()
+                if len(ws) < shingle_n:
+                    continue
+                sh = {" ".join(ws[i : i + shingle_n]) for i in range(len(ws) - shingle_n + 1)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) % _MERSENNE for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                sig = ((A[:, None] * h[None, :] + B[:, None]) % _MERSENNE).min(axis=1)
+                out_ids.append(int(doc_id))
+                out_sigs.append(sig.tolist())
+            # explicit dtypes: an all-skipped batch would otherwise emit
+            # object-dtype empty columns Arrow can't cast to long
+            yield pd.DataFrame(
+                {id_col: pd.Series(out_ids, dtype="int64"),
+                 "signature": pd.Series(out_sigs, dtype=object)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        sig_batches, schema=f"{id_col} long, signature array<long>"
     )
 
 
@@ -141,6 +234,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     verify: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -151,7 +245,8 @@ def minhash_lsh_pairs(
     S-curve midpoint sits near s ≈ (1/16)^(1/4) ≈ 0.5.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
+    sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
+    sigs = sig_fn(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col),
@@ -189,17 +284,15 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(col, bits: int = 64, shingle_n: int = 1) -> "F.Column":
-    """SimHash fingerprint: sign-sum of per-shingle hash bits.
-
-    Bit b of the fingerprint is 1 iff Σ_shingles (±1 by shingle-hash
-    bit b) > 0. Single pass over the shingle hashes with an
-    array-of-counters accumulator (one nested HOF), NOT one aggregate
-    per bit — the per-bit formulation re-evaluates the shingle hashing
-    ``bits`` times and is ~30× slower.
+def simhash_from_hashes(hashes, bits: int = 64) -> "F.Column":
+    """SimHash fingerprint from a materialized array<long> of shingle
+    hashes: bit b of the fingerprint is 1 iff Σ_shingles (±1 by
+    shingle-hash bit b) > 0. Single pass with an array-of-counters
+    accumulator (one nested HOF), NOT one aggregate per bit — the
+    per-bit formulation re-evaluates the input ``bits`` times and is
+    ~30× slower.
     """
     bits = min(bits, 61)
-    hashes = _shingle_hashes(col, shingle_n)
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
     counts = F.aggregate(
@@ -218,6 +311,53 @@ def simhash(col, bits: int = 64, shingle_n: int = 1) -> "F.Column":
     )
 
 
+def simhash_fingerprints_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """SimHash fingerprints via Arrow-batched NumPy — the scale path
+    (same rationale as minhash_signatures_arrow: interpreted HOF
+    aggregation allocates a counters array per shingle; here the whole
+    (m, bits) sign matrix is one vectorized op per document)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    bits = min(bits, 61)
+    shifts = np.arange(bits, dtype=np.int64)
+    powers = (np.int64(1) << shifts).astype(np.int64)
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[int] = []
+            out_fps: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = str(text).split()
+                if len(ws) < shingle_n:
+                    continue
+                sh = {" ".join(ws[i : i + shingle_n]) for i in range(len(ws) - shingle_n + 1)}
+                h = np.fromiter(
+                    (zlib.crc32(s.encode("utf-8")) % _MERSENNE for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                signs = 2 * ((h[:, None] >> shifts[None, :]) & 1) - 1  # (m, bits) ±1
+                fp = int(powers[signs.sum(axis=0) > 0].sum())
+                out_ids.append(int(doc_id))
+                out_fps.append(fp)
+            yield pd.DataFrame(
+                {id_col: pd.Series(out_ids, dtype="int64"),
+                 "__fp": pd.Series(out_fps, dtype="int64")}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fp_batches, schema=f"{id_col} long, __fp long")
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -225,6 +365,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     bits: int = 16,
     shingle_n: int = 1,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup candidates whose SimHash fingerprints differ in ≤
     ``max_hamming`` bits. Blocking: split the fingerprint into
@@ -233,7 +374,12 @@ def simhash_pairs(
     never all-pairs."""
     n_bands = max_hamming + 1
     band_width = bits // n_bands
-    fp = df.select(F.col(id_col), simhash(F.col(text_col), bits, shingle_n).alias("__fp"))
+    if impl == "arrow":
+        fp = simhash_fingerprints_arrow(df, text_col, id_col, bits, shingle_n)
+    else:
+        fp = _with_shingle_hashes(df, text_col, id_col, shingle_n).select(
+            F.col(id_col), simhash_from_hashes(F.col("__h"), bits).alias("__fp")
+        )
     pieces = []
     for band in range(n_bands):
         shift = band * band_width
