@@ -83,6 +83,33 @@ def test_simhash_pairs_symmetric_invariants(spark, sf_dir):
         assert 0 <= r.hamming <= 2
 
 
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact <= 0.05
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """R2 sink: partitioned write → read-back preserves rows and values
+    (partition pruning path: reading one partition returns its subset)."""
+    from transe_pyspark_spark.sources.readers import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_sink")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum((F.col("o_totalprice") * 100).cast("long"))).collect()[0][0]
+    b = back.agg(F.sum((F.col("o_totalprice") * 100).cast("long"))).collect()[0][0]
+    assert a == b
+    one_status = orders.select("o_orderstatus").first()[0]
+    pruned = spark.read.parquet(out).filter(F.col("o_orderstatus") == one_status)
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == one_status).count()
+
+
 def test_exact_dup_groups_partition(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = D.exact_dup_groups(docs)

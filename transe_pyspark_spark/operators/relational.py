@@ -12,7 +12,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dict_encode(df: DataFrame, col: str, token_col: str = "token", id_col: str = "id") -> DataFrame:
+def dict_encode(
+    df: DataFrame,
+    col: str,
+    token_col: str = "token",
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Dense dictionary encoding: distinct values of ``col`` → contiguous
     ids 0..V−1, ordered by token (SURVEY §2B R5).
 
@@ -20,17 +26,35 @@ def dict_encode(df: DataFrame, col: str, token_col: str = "token", id_col: str =
     (``utils.py:13-23``), whose ids depend on partition order. Ordering
     by token makes the assignment deterministic and oracle-checkable.
 
-    Scale note: ``row_number`` over a global ORDER BY is a single-
-    partition window — fine for vocabularies (≤ tens of millions of
-    short tokens, far below one executor's memory), which is the only
-    intended use. For billion-row surrogate keys use
-    ``zipWithIndex``-style per-partition offsets instead.
+    Scale path: a global ``row_number`` window would funnel the whole
+    vocabulary through ONE partition. Instead: range-repartition by
+    token (partition i's tokens all sort before partition i+1's), number
+    rows *within* each partition, and add the cumulative count of prior
+    partitions. The only driver data is one count per partition; ids are
+    identical to the global-window formulation regardless of where the
+    sampled range boundaries land.
     """
-    w = Window.orderBy(F.col(token_col))
+    toks = df.select(F.col(col).alias(token_col)).distinct()
+    n_part = num_partitions or toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    toks = toks.repartitionByRange(int(n_part), F.col(token_col)).sortWithinPartitions(token_col)
+    part = toks.withColumn("__pid", F.spark_partition_id())
+    # per-partition sizes: K rows (K = #partitions), driver-safe at any data scale
+    sizes = {r["__pid"]: r["cnt"] for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame([(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long")
+    )
+    w_in = Window.partitionBy("__pid").orderBy(token_col)
     return (
-        df.select(F.col(col).alias(token_col))
-        .distinct()
-        .select(F.col(token_col), (F.row_number().over(w) - 1).cast("long").alias(id_col))
+        part.join(off_df, "__pid")
+        .select(
+            F.col(token_col),
+            (F.row_number().over(w_in) - 1 + F.col("__off")).cast("long").alias(id_col),
+        )
     )
 
 

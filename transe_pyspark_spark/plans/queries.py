@@ -550,6 +550,241 @@ def q_mod_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey", "o_totalprice")
 
 
+@_register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (R9) — the shapes rollup/cube can't
+    express (per-status, per-priority, grand total, no cross)."""
+    _T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@_register(
+    "stddev_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(round(o_totalprice*100) AS HUGEINT) * CAST(round(o_totalprice*100) AS HUGEINT))
+                     - sum(CAST(round(o_totalprice*100) AS HUGEINT)) * sum(CAST(round(o_totalprice*100) AS HUGEINT)) AS DOUBLE)
+                / (CAST(count(*) AS DOUBLE) * (count(*) - 1))) / 100.0 AS price_stddev
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def q_stddev_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample standard deviation via exact integer moments
+    (n·Σx²−(Σx)² in BIGINT cents², one sqrt at the end) — bit-identical
+    across engines, unlike the engines' own streaming stddev_samp whose
+    accumulation order differs. sqrt is IEEE correctly-rounded, so the
+    final doubles agree exactly."""
+    o = _T(spark, sf_dir, "orders")
+    # decimal(38,0), not BIGINT: n·Σx² reaches ~6e20 and silently wraps
+    # int64 (DuckDB auto-promotes to HUGEINT; Spark must be told)
+    cents = _cents("o_totalprice").cast("decimal(38,0)")
+    n = F.count(F.lit(1))
+    sum_x = F.sum(cents)
+    sum_x2 = F.sum(cents * cents)
+    var_num = (n * sum_x2 - sum_x * sum_x).cast("double")
+    return o.groupBy("o_orderstatus").agg(
+        n.alias("n"),
+        (F.sqrt(var_num / (n.cast("double") * (n - 1))) / 100.0).alias("price_stddev"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — rows-only driver check (sketch
+    values are engine-specific); the ≤2% relative-error bound vs exact
+    is asserted in pytest."""
+    li = _T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+REGISTRY["approx_distinct"] = QuerySpec("approx_distinct", q_approx_distinct, None, ("agg", "approx"))
+
+
+@_register(
+    "math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           sqrt(o_totalprice) AS sq,
+           abs(o_totalprice - 100000.0) AS ab,
+           ceil(o_totalprice) AS ce,
+           floor(o_totalprice) AS fl,
+           round(o_totalprice, 1) AS rd,
+           sign(o_totalprice - 100000.0) AS sg,
+           CAST(o_orderkey % 7 AS BIGINT) AS md,
+           greatest(o_totalprice, 100000.0) AS gr,
+           least(o_totalprice, 100000.0) AS le
+    FROM orders
+    """,
+    tags=("scalar", "math"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 math functions — restricted to IEEE-exact operations (sqrt is
+    correctly rounded; ceil/floor/round/abs/sign/mod are exact), so
+    cross-engine doubles match bit-for-bit. Transcendentals (exp/ln/pow)
+    are deliberately excluded from the oracle contract: libm
+    implementations differ in the last ulp."""
+    o = _T(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.sqrt(p).alias("sq"),
+        F.abs(p - 100000.0).alias("ab"),
+        F.ceil(p).alias("ce"),
+        F.floor(p).alias("fl"),
+        F.round(p, 1).alias("rd"),
+        F.signum(p - 100000.0).alias("sg"),
+        (F.col("o_orderkey") % 7).cast("long").alias("md"),
+        F.greatest(p, F.lit(100000.0)).alias("gr"),
+        F.least(p, F.lit(100000.0)).alias("le"),
+    )
+
+
+@_register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           embedding[1] AS first_elem,
+           embedding[len(embedding)] AS last_elem,
+           list_reverse(embedding)[1] AS rev_first,
+           embedding[2:4] AS mid_slice,
+           list_sort(embedding)[1] AS min_elem,
+           list_contains(embedding, 0.0) AS has_zero
+    FROM embeddings
+    """,
+    tags=("scalar", "array"),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 array functions over the embedding column — raw parquet
+    floats pass through untouched, so values match exactly."""
+    e = _T(spark, sf_dir, "embeddings")
+    a = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(a).cast("long").alias("dim"),
+        F.element_at(a, 1).alias("first_elem"),
+        F.element_at(a, F.size(a)).alias("last_elem"),
+        F.element_at(F.reverse(a), 1).alias("rev_first"),
+        F.slice(a, 2, 3).alias("mid_slice"),
+        F.array_min(a).alias("min_elem"),
+        F.array_contains(a, 0.0).alias("has_zero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (R20): grouped-map applyInPandas, grouped-agg pandas UDF
+# ---------------------------------------------------------------------------
+
+@_register(
+    "grouped_map_demean",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/(100.0*count(*)) AS mean_price
+      FROM orders GROUP BY o_custkey)
+    SELECT o.o_custkey, o.o_orderkey,
+           round(o.o_totalprice - m.mean_price, 6) AS demeaned
+    FROM orders o JOIN m USING (o_custkey)
+    """,
+    tags=("udf", "grouped-map"),
+)
+def q_grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20 grouped-map ``applyInPandas``: per-customer de-meaning.
+    The group mean goes through exact integer cents (identical to the
+    oracle's), so the subtraction is bit-reproducible; output rounded
+    to 6 dp on both sides. At scale this is one shuffle on the group
+    key with Arrow transfer — the canonical 'custom per-group model'
+    shape."""
+    import pandas as pd
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+        mean = float(cents.sum()) / (100.0 * len(pdf))
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "demeaned": (pdf["o_totalprice"] - mean).round(6),
+            }
+        )
+
+    o = _T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return o.groupBy("o_custkey").applyInPandas(
+        demean, schema="o_custkey long, o_orderkey long, demeaned double"
+    )
+
+
+@_register(
+    "grouped_agg_price_range",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(round(max(o_totalprice)*100) - round(min(o_totalprice)*100) AS DOUBLE)/100.0 AS price_range
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("udf", "grouped-agg"),
+)
+def q_grouped_agg_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20 grouped-agg pandas UDF (UDAF shape): per-priority price
+    range computed in NumPy over Arrow batches."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: this module has postponed
+    # annotation evaluation, so the `-> float` annotation Spark would
+    # normally infer the UDF kind from arrives as a string.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def price_range(v):
+        cents = (v * 100).round().astype("int64")
+        return float(cents.max() - cents.min()) / 100.0
+
+    o = _T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(price_range("o_totalprice").alias("price_range"))
+
+
+def q_transe_train_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21 trainer smoke (rows-only): 3 epochs of distributed TransE on
+    a synthetic KG derived from the embeddings fixture; returns the
+    per-epoch hinge loss. Not SQL-expressible (iterative SGD); loss
+    decrease and metric-band parity are asserted in pytest."""
+    from transe_pyspark_spark.transe.train import TransETrainer
+
+    emb = _T(spark, sf_dir, "embeddings")
+    n_ent = emb.filter(F.col("vec_id") >= 10).count()
+    triples = (
+        emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 90))
+        .select(
+            (F.col("vec_id") - 10).alias("h"),
+            (F.col("vec_id") % 10).alias("l"),
+            ((F.col("vec_id") * 7) % n_ent).alias("t"),
+        )
+    )
+    tr = TransETrainer(k=16, n_epochs=3, n_batches=2, learning_rate=0.01, seed=42)
+    tr.fit(spark, triples, n_entities=n_ent, n_labels=10)
+    return spark.createDataFrame(
+        [(i, float(loss)) for i, loss in enumerate(tr.loss_history)], "epoch int, loss double"
+    )
+
+
+REGISTRY["transe_train_smoke"] = QuerySpec("transe_train_smoke", q_transe_train_smoke, None, ("transe", "train"))
+
+
 # ---------------------------------------------------------------------------
 # Vector ops / similarity (R15, R16)
 # ---------------------------------------------------------------------------
@@ -942,6 +1177,63 @@ def q_transe_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming (R23): executed with Trigger.AvailableNow, oracle = batch twin
 # ---------------------------------------------------------------------------
+
+@_register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH params AS (SELECT INTERVAL '1 hour' AS width, INTERVAL '30 minutes' AS slide),
+         w AS (
+           SELECT e.event_type,
+                  time_bucket(p.slide, e.ts) - (n.i * p.slide) AS window_start
+           FROM events e, params p,
+                (SELECT unnest(range(2)) AS i) n
+           WHERE time_bucket(p.slide, e.ts) - (n.i * p.slide) + p.width > e.ts)
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h width / 30m slide) streaming aggregation; the
+    oracle enumerates the width/slide overlapping windows per event."""
+    from transe_pyspark_spark.streaming.windows import read_events_stream, run_available_now, sliding_counts
+
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, spark, output_mode="complete")
+
+
+@_register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute inactivity gap) via Structured
+    Streaming ``session_window``; the oracle is the classic
+    gaps-and-islands SQL (Spark's session end = last event + gap)."""
+    from transe_pyspark_spark.streaming.windows import read_events_stream, run_available_now, session_counts
+
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    return run_available_now(stream, spark, output_mode="complete")
+
 
 @_register(
     "stream_tumbling_counts",
