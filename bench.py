@@ -34,6 +34,29 @@ HEADLINE = [
 ]
 
 
+def _train_epoch_seconds(spark) -> float:
+    """Per-epoch TransE training time at the reference's published
+    scale (FB15k-237: 483,142 train triples, 14,541 entities, 237
+    relations, k=50, 2 batches — BASELINE.md rows 1-5; 13.5 s/epoch on
+    its 1-worker config). Synthetic triples at identical shape; median
+    of epochs 2-3 (epoch 1 pays broadcast warmup)."""
+    import numpy as np
+    import pandas as pd
+
+    from transe_pyspark_spark.transe.train import TransETrainer
+
+    V, L, N, K = 14541, 237, 483142, 50
+    rng = np.random.default_rng(42)
+    pdf = pd.DataFrame(
+        {"h": rng.integers(0, V, N), "l": rng.integers(0, L, N), "t": rng.integers(0, V, N)}
+    )
+    triples = spark.createDataFrame(pdf).repartition(32)
+    tr = TransETrainer(k=K, n_epochs=3, n_batches=2, learning_rate=0.01, seed=1)
+    tr.fit(spark, triples, n_entities=V, n_labels=L)
+    later = sorted(tr.epoch_times[1:])
+    return round(later[len(later) // 2], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -49,6 +72,9 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    times["transe_train_epoch"] = _train_epoch_seconds(spark)
+    print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

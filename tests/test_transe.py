@@ -142,6 +142,25 @@ def test_evaluator_matches_relational_flagship(spark, sf_dir):
     assert got.hits_at_10 == pytest.approx(want.hits_at_10, abs=1e-12)
 
 
+def test_train_then_eval_quality_band(spark, toy_triples):
+    """End-to-end quality: after training, link-prediction Mean Rank on
+    the training KG must beat the random-guess expectation (V/2) by a
+    wide margin — the small-scale analogue of BASELINE.md's metric
+    parity (SURVEY §5.3)."""
+    from transe_pyspark_spark.transe.data import load_triples
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv).cache()
+    n_ent, n_lab = ev.count(), lv.count()
+    tr = TransETrainer(k=24, n_epochs=30, n_batches=1, learning_rate=0.05, seed=3)
+    model = tr.fit(spark, enc, n_ent, n_lab)
+    metrics = evaluate_link_prediction(spark, model, enc)
+    random_expectation = n_ent / 2
+    assert metrics["mean_rank"] < random_expectation * 0.7, metrics
+    assert metrics["hits_at_10"] > 0.3, metrics
+
+
 def test_eval_metrics_shape(spark, sf_dir):
     m = TransEModel.init_random(50, 5, k=8, seed=11)
     tdf = spark.createDataFrame([(1, 0, 2), (3, 1, 4), (5, 2, 6)], ["h", "l", "t"])
