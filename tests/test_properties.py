@@ -110,6 +110,54 @@ def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     assert pruned.count() == orders.filter(F.col("o_orderstatus") == one_status).count()
 
 
+def test_multimodal_feature_invariants(spark, sf_dir):
+    from transe_pyspark_spark.operators import multimodal as MM
+
+    d = MM.with_payload(load_table(spark, sf_dir, "documents").limit(100))
+    rows = MM.extract_features(d).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert len(r.byte_hist) == 16
+        assert abs(sum(r.byte_hist) - 1.0) < 1e-9
+        assert 0.0 <= r.entropy <= 4.0 + 1e-9  # log2(16) bound
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    from transe_pyspark_spark.operators import multimodal as MM
+
+    d = MM.with_payload(load_table(spark, sf_dir, "documents").limit(20))
+    frames = MM.sample_frames(d, every=4, frame_size=8).collect()
+    assert all(len(r.frame) <= 8 for r in frames)
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    for doc_id, nos in per_doc.items():
+        assert sorted(nos) == list(range(len(nos)))  # dense frame numbering
+
+
+def test_json_source_roundtrip(spark, tmp_path):
+    """R1 JSON-lines scan with explicit schema."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from transe_pyspark_spark.sources.readers import read_json
+
+    p = tmp_path / "rows.jsonl"
+    rows = [{"id": i, "name": f"n{i}", "score": i * 0.5} for i in range(50)]
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_json(spark, str(p), schema)
+    got = sorted((r.id, r.name, r.score) for r in df.collect())
+    assert got == [(r["id"], r["name"], r["score"]) for r in rows]
+
+
 def test_exact_dup_groups_partition(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = D.exact_dup_groups(docs)

@@ -78,3 +78,69 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
             )
 
     return df.select(id_col, payload_col).mapInPandas(extract, schema=META_SCHEMA)
+
+
+#: feature schema: fixed-width vector + scalar summary, the shape a
+#: real image/audio embedding stage produces.
+FEATURE_SCHEMA = "doc_id long, byte_hist array<double>, entropy double"
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", bins: int = 16) -> DataFrame:
+    """Feature extraction over binary payloads (the 'embed the media'
+    stage): normalized byte histogram + Shannon entropy, vectorized
+    NumPy per Arrow batch. A real pipeline swaps the histogram for a
+    model forward pass — the plumbing (binary in, fixed-width
+    array<double> out, narrow map, bounded batches) is identical.
+    """
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hists, ents = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(arr) == 0:
+                    hist = np.zeros(bins)
+                    ent = 0.0
+                else:
+                    counts = np.bincount(arr >> (8 - bins.bit_length() + 1), minlength=bins)[:bins]
+                    hist = counts / counts.sum()
+                    p = hist[hist > 0]
+                    ent = float(-(p * np.log2(p)).sum())
+                ids.append(int(doc_id))
+                hists.append(hist.tolist())
+                ents.append(ent)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "byte_hist": pd.Series(hists, dtype=object),
+                 "entropy": pd.Series(ents, dtype="float64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every: int = 64, frame_size: int = 32) -> DataFrame:
+    """Frame sampling for video-shaped payloads: every ``every``-th
+    ``frame_size``-byte window becomes one output row (doc_id, frame_no,
+    frame: binary). Real decoders replace the byte slicing; the
+    explode-shaped mapInPandas plumbing (one input row → many output
+    rows, bounded per batch) is what matters at scale."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, payloads = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                for frame_no, start in enumerate(range(0, len(raw), every * frame_size)):
+                    ids.append(int(doc_id))
+                    nos.append(frame_no)
+                    payloads.append(raw[start : start + frame_size])
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_no": pd.Series(nos, dtype="int64"),
+                 "frame": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        frames, schema="doc_id long, frame_no long, frame binary"
+    )

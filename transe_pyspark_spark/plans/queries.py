@@ -289,6 +289,66 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "full_outer_supplier_customer",
+    oracle="""
+    SELECT n_nationkey AS nationkey, s_cnt, c_cnt FROM (
+      SELECT coalesce(s.nk, c.nk) AS n_nationkey, s.s_cnt, c.c_cnt
+      FROM (SELECT s_nationkey AS nk, count(*) AS s_cnt FROM supplier GROUP BY 1) s
+      FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS c_cnt FROM customer GROUP BY 1) c
+      ON s.nk = c.nk) t
+    """,
+    tags=("join", "outer"),
+)
+def q_full_outer_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with nulls on both unmatched sides (R6)."""
+    s = (
+        _T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    c = (
+        _T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    return (
+        s.join(c, "nk", "full_outer")
+        .select(F.col("nk").alias("nationkey"), "s_cnt", "c_cnt")
+    )
+
+
+@_register(
+    "rank_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 9) AS prnk,
+           round(cume_dist() OVER w, 9) AS cd
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+    """,
+    tags=("window", "rank"),
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 ranking family: rank / dense_rank / percent_rank / cume_dist
+    over a total order (tie-broken), rounded where float division is
+    involved."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    li = _T(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping sets / rollup / cube (R9)
 # ---------------------------------------------------------------------------
@@ -1093,6 +1153,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal.decode_image_real)."""
     d = MM.with_payload(_T(spark, sf_dir, "documents"))
     return MM.extract_media_meta(d)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (byte histogram +
+    entropy) — the 'embed the media' stage shape; rows-only check,
+    invariants (histogram sums to 1, entropy bounds) in pytest."""
+    d = MM.with_payload(_T(spark, sf_dir, "documents"))
+    return MM.extract_features(d)
+
+
+REGISTRY["multimodal_features"] = QuerySpec("multimodal_features", q_multimodal_features, None, ("multimodal",))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1-row→N-rows explode through mapInPandas) for
+    video-shaped payloads; rows-only check."""
+    d = MM.with_payload(_T(spark, sf_dir, "documents"))
+    return MM.sample_frames(d)
+
+
+REGISTRY["multimodal_frames"] = QuerySpec("multimodal_frames", q_multimodal_frames, None, ("multimodal",))
 
 
 # ---------------------------------------------------------------------------
