@@ -158,6 +158,53 @@ def test_json_source_roundtrip(spark, tmp_path):
     assert got == [(r["id"], r["name"], r["score"]) for r in rows]
 
 
+def test_salted_join_matches_plain(spark, sf_dir):
+    from transe_pyspark_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k").select("k", "o_orderpriority")
+    plain = li.join(o, "k").groupBy("o_orderpriority").count().collect()
+    salted = salted_join(li, o, on="k", salt=8).groupBy("o_orderpriority").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Joining two tables bucketed on the join key must plan ZERO
+    exchanges — the co-location argument for paying the shuffle once at
+    write time (100 TB fact⨝fact joins)."""
+    import contextlib
+    import io
+
+    from transe_pyspark_spark.sources.readers import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "li_bucketed", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "o_bucketed", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        exchange_nodes = [
+            line for line in plan.splitlines()
+            if line.strip().startswith("(") and line.strip().endswith("Exchange")
+        ]
+        assert not exchange_nodes, f"bucketed join should not shuffle: {exchange_nodes}"
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
 def test_exact_dup_groups_partition(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = D.exact_dup_groups(docs)

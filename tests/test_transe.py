@@ -161,6 +161,25 @@ def test_train_then_eval_quality_band(spark, toy_triples):
     assert metrics["hits_at_10"] > 0.3, metrics
 
 
+def test_relational_trainer_converges(spark, toy_triples):
+    """The beyond-broadcastable-model path (train_relational): model
+    state stays distributed; loss must decrease and per-touch entity
+    renorm must hold."""
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.train_relational import RelationalTransETrainer
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv)
+    tr = RelationalTransETrainer(k=16, n_epochs=6, n_batches=1, learning_rate=0.01, seed=7)
+    ent, lab = tr.fit(spark, enc, ev.count(), lv.count())
+    head, tail = np.mean(tr.loss_history[:2]), np.mean(tr.loss_history[-2:])
+    assert tail < head, f"relational trainer loss did not decrease: {tr.loss_history}"
+    model = RelationalTransETrainer.to_local(ent, lab)
+    np.testing.assert_allclose(np.linalg.norm(model.entity, axis=1), 1.0, atol=1e-9)
+    assert model.k == 16
+
+
 def test_eval_metrics_shape(spark, sf_dir):
     m = TransEModel.init_random(50, 5, k=8, seed=11)
     tdf = spark.createDataFrame([(1, 0, 2), (3, 1, 4), (5, 2, 6)], ["h", "l", "t"])

@@ -99,6 +99,31 @@ def dedup_exact(df: DataFrame, key_cols: list[str], keep_by: str) -> DataFrame:
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys (SURVEY scale posture).
+
+    The left (large, skewed) side gets a random salt in [0, salt); the
+    right side is replicated ``salt`` times with every salt value, and
+    the join key becomes (key, salt) — a single hot key now spreads
+    over ``salt`` reducers instead of one straggler task. Semantically
+    identical to ``left.join(right, on, how)`` (oracle-checked by the
+    ``salted_join_revenue`` query). AQE's skew-join split handles
+    moderate skew automatically; explicit salting is for the extreme
+    case where one key exceeds what a single split can hold.
+    """
+    salted_l = left.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    salted_r = right.select("*", salts)
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: Column | str) -> DataFrame:
     """EXISTS filter (R6) — the declarative form of the reference's
     vocabulary-membership check (``test.py:7-11``)."""

@@ -264,6 +264,29 @@ def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (lineitem⨝orders on the fact
+    key), proving salting preserves plain-join semantics exactly."""
+    li = _T(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    o = _T(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k")
+    joined = R.salted_join(li, o.select("k", "o_orderpriority"), on="k", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(_cents("l_extendedprice")).cast("double") / 100.0).alias("revenue"),
+    )
+
+
+@_register(
     "customer_order_stats",
     oracle="""
     SELECT c_custkey,

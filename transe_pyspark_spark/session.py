@@ -38,6 +38,8 @@ _DEFAULT_CONF: dict[str, str] = {
     # reader rejects; read as int64 nanos and convert in load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
+    # bucketed tables (saveAsTable) land here, not in the repo cwd
+    "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
 }

@@ -81,6 +81,27 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.json(path, schema=schema)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (R2 + scale posture): co-locates rows by
+    hash(bucket_cols) at WRITE time, so a later join or aggregation on
+    those columns needs NO exchange — the shuffle is paid once instead
+    of per query. ``sort_cols`` additionally pre-sorts within buckets
+    (sort-merge join without the sort). See
+    ``test_bucketed_join_no_shuffle`` for the plan-level proof.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
     """Parquet sink (R2) — replaces the reference's driver-side pickle
     checkpoints (``utils.py:44-49``). ``partition_by`` enables partition
