@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis): column-level text/vector
+functions vs independent pure-Python reference implementations on
+generated inputs — catches edge cases the fixture corpus never hits
+(empty strings, unicode, runs of whitespace, zero vectors).
+
+Strategy note: one Spark job per example would be minutes per test, so
+each test draws a LIST of examples and runs them through ONE DataFrame.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+# printable ASCII incl. space: Spark's trim() strips only spaces while
+# Python's strip() strips all whitespace — tabs/newlines would make the
+# two reference implementations legitimately disagree.
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+vectors = st.lists(
+    st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=8),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _py_words(s: str) -> list[str]:
+    return [w for w in s.strip().split(" ") if w != ""]
+
+
+def _py_fingerprint(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 2147483647
+    return h
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts)
+def test_word_count_matches_python(spark, batch):
+    import pyspark.sql.functions as F
+
+    from transe_pyspark_spark.functions.text import word_count
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], ["i", "t"])
+    got = {r.i: r.n for r in df.select("i", word_count("t").alias("n")).collect()}
+    want = {i: len(_py_words(t)) for i, t in enumerate(batch)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts)
+def test_fingerprint_matches_python(spark, batch):
+    from transe_pyspark_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(batch)], ["i", "t"])
+    got = {r.i: r.fp for r in df.select("i", fingerprint("t").alias("fp")).collect()}
+    want = {i: _py_fingerprint(t) for i, t in enumerate(batch)}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(vectors)
+def test_vector_norms_match_python(spark, batch):
+    from transe_pyspark_spark.functions.vector import norm_l1, norm_l2
+
+    # pad to equal length (array columns need not be uniform, but keep simple)
+    dim = max(len(v) for v in batch)
+    batch = [v + [0.0] * (dim - len(v)) for v in batch]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(batch)], ["i", "v"])
+    rows = df.select("i", norm_l1("v").alias("l1"), norm_l2("v").alias("l2")).collect()
+    for r in rows:
+        v = batch[r.i]
+        assert math.isclose(r.l1, sum(abs(float(x)) for x in v), rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(r.l2, math.sqrt(sum(float(x) * float(x) for x in v)), rel_tol=1e-9, abs_tol=1e-9)

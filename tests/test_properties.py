@@ -57,6 +57,15 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_relational(q, emb, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in S.ann_ivf(q, emb, k=10, n_cells=16, n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {
@@ -203,6 +212,19 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """R2 CSV/TSV sink → R1 scan round-trip on triples-shaped data."""
+    from transe_pyspark_spark.sources.readers import read_triples_tsv, write_csv
+
+    df = spark.createDataFrame(
+        [(f"e{i}", f"r{i % 3}", f"e{i + 1}") for i in range(100)], ["head", "label", "tail"]
+    )
+    out = str(tmp_path / "triples_out")
+    write_csv(df, out)
+    back = read_triples_tsv(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
 def test_exact_dup_groups_partition(spark, sf_dir):

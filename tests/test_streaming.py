@@ -41,6 +41,19 @@ def test_session_twin(spark, sf_dir):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stateful_profiles_twin(spark, sf_dir):
+    """applyInPandasWithState running profile == batch aggregation."""
+    from transe_pyspark_spark.streaming.stateful import (
+        run_stateful_to_completion,
+        user_profiles_batch,
+    )
+
+    batch = user_profiles_batch(load_table(spark, sf_dir, "events"))
+    stream = run_stateful_to_completion(spark, sf_dir)
+    cols = ["user_id", "n_events", "value_cents", "last_ts"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_streaming_dedup_twin(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     batch_n = dedup_within_watermark(ev).count()

@@ -177,6 +177,65 @@ def ann_lsh(
     )
 
 
+def ann_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN via IVF (inverted-file) partitioning — the
+    second scale path next to LSH (R17).
+
+    Build: MLlib KMeans coarse-quantizes candidates into ``n_cells``
+    cells (one shuffle); each candidate row is tagged with its cell.
+    Probe: each query is compared to the (tiny, broadcast) centroid
+    table, keeps its ``n_probe`` nearest cells, and scores ONLY the
+    candidates in those cells — work scales with n_probe/n_cells of the
+    corpus instead of all of it. Recall vs brute force is the quality
+    metric (pytest)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    binned = model.transform(c).select("neighbor_id", "__cv", "cell")
+
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    cent_df = F.broadcast(
+        queries.sparkSession.createDataFrame(centroids, "cell int, __ctr array<double>")
+    )
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__cd").asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(cent_df)
+        .select("query_id", "__qv", "cell", V.l2_sq("__qv", "__ctr").alias("__cd"))
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+    scored = (
+        probes.join(binned, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", V.l2_sq("__qv", "__cv").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs (a < b) with cosine similarity ≥ threshold — the exact
     embedding near-dup primitive (small/medium n; the LSH variants above

@@ -1013,6 +1013,16 @@ def q_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ann_lsh_neighbors"] = QuerySpec("ann_lsh_neighbors", q_ann_lsh_neighbors, None, ("knn",))
 
 
+def q_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN (KMeans cells + n_probe nearest cells);
+    rows-only check, recall vs brute force asserted in pytest."""
+    e = _T(spark, sf_dir, "embeddings")
+    return S.ann_ivf(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+REGISTRY["ann_ivf_neighbors"] = QuerySpec("ann_ivf_neighbors", q_ann_ivf_neighbors, None, ("knn",))
+
+
 @_register(
     "text_stats",
     oracle="""
@@ -1281,6 +1291,26 @@ def q_transe_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming (R23): executed with Trigger.AvailableNow, oracle = batch twin
 # ---------------------------------------------------------------------------
+
+@_register(
+    "stream_stateful_profiles",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user profile accumulated across micro-batches in integer cents
+    — the final state equals the batch aggregation exactly."""
+    from transe_pyspark_spark.streaming.stateful import run_stateful_to_completion
+
+    return run_stateful_to_completion(spark, sf_dir)
+
 
 @_register(
     "stream_sliding_counts",

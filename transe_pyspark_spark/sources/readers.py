@@ -111,3 +111,9 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = "\t", header: bool = False) -> None:
+    """CSV/TSV sink (R2) — the interchange format the reference's
+    datasets arrive in (``README.md:86-87``)."""
+    df.write.mode(mode).options(sep=sep, header=header).csv(path)

