@@ -54,6 +54,64 @@ def test_stateful_profiles_twin(spark, sf_dir):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_watermark_drops_late_data_across_restart(spark, tmp_path):
+    """Late-data semantics: the watermark persisted in the checkpoint
+    must drop a too-late row on the NEXT run of the query.
+
+    (Within a single AvailableNow run Spark 4.1 plans all batches with
+    the run-start watermark, so in-run late rows are admitted — the
+    restart formulation is the one with guaranteed drop semantics, and
+    it also exercises checkpoint recovery.)"""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    d, ckpt, out = str(tmp_path / "src"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def write_src(name, tss):
+        spark.createDataFrame(
+            [(datetime.fromisoformat(t),) for t in tss], schema
+        ).coalesce(1).write.parquet(f"{d}/{name}")
+
+    def run_once():
+        src = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(d)
+        agg = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: watermark advances to 12:00 − 2h = 10:00; the 08:00 window
+    # finalizes with exactly one event
+    write_src("f1", ["2024-01-01 08:30", "2024-01-01 12:00"])
+    run_once()
+    first = {(str(r.ws), r.n) for r in spark.read.parquet(out).collect()}
+    assert first == {("2024-01-01 08:00:00", 1)}
+
+    # run 2: one late row into the finalized window + one on-time row
+    write_src("f2", ["2024-01-01 08:45", "2024-01-01 12:30"])
+    q2 = run_once()
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q2.recentProgress
+    )
+    assert dropped == 1, "the 08:45 row (behind the checkpointed watermark) must be dropped"
+    second = {(str(r.ws), r.n) for r in spark.read.parquet(out).collect()}
+    assert second == {("2024-01-01 08:00:00", 1)}, "finalized window must not change"
+
+
 def test_streaming_dedup_twin(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     batch_n = dedup_within_watermark(ev).count()
