@@ -67,11 +67,12 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        fn(spark, sf_dir).count()  # warmup: JIT/codegen compile, parquet footer cache
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
         times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        print(f"# {name}: {n} rows in {times[name]}s (steady-state)", file=sys.stderr)
 
     times["transe_train_epoch"] = _train_epoch_seconds(spark)
     print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)

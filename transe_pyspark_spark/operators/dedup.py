@@ -176,6 +176,7 @@ def minhash_signatures_arrow(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    include_hashes: bool = False,
 ) -> DataFrame:
     """MinHash signatures via Arrow-batched NumPy (``mapInPandas``) —
     the scale path. Spark's higher-order-function lambdas are
@@ -199,6 +200,7 @@ def minhash_signatures_arrow(
         for pdf in batches:
             out_ids: list[int] = []
             out_sigs: list[list[int]] = []
+            out_hashes: list[list[int]] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 ws = str(text).split()
                 if len(ws) < shingle_n:
@@ -212,16 +214,20 @@ def minhash_signatures_arrow(
                 sig = ((A[:, None] * h[None, :] + B[:, None]) % _MERSENNE).min(axis=1)
                 out_ids.append(int(doc_id))
                 out_sigs.append(sig.tolist())
+                if include_hashes:
+                    out_hashes.append(np.unique(h).tolist())
             # explicit dtypes: an all-skipped batch would otherwise emit
             # object-dtype empty columns Arrow can't cast to long
-            yield pd.DataFrame(
-                {id_col: pd.Series(out_ids, dtype="int64"),
-                 "signature": pd.Series(out_sigs, dtype=object)}
-            )
+            cols = {id_col: pd.Series(out_ids, dtype="int64"),
+                    "signature": pd.Series(out_sigs, dtype=object)}
+            if include_hashes:
+                cols["hashes"] = pd.Series(out_hashes, dtype=object)
+            yield pd.DataFrame(cols)
 
-    return df.select(id_col, text_col).mapInPandas(
-        sig_batches, schema=f"{id_col} long, signature array<long>"
-    )
+    schema = f"{id_col} long, signature array<long>"
+    if include_hashes:
+        schema += ", hashes array<long>"
+    return df.select(id_col, text_col).mapInPandas(sig_batches, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -245,8 +251,16 @@ def minhash_lsh_pairs(
     S-curve midpoint sits near s ≈ (1/16)^(1/4) ≈ 0.5.
     """
     rows_per_band = num_hashes // bands
-    sig_fn = minhash_signatures_arrow if impl == "arrow" else minhash_signatures
-    sigs = sig_fn(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
+    if impl == "arrow":
+        # one Arrow pass yields both the signature (banding) and the
+        # distinct shingle-hash set (exact verify) — the verify join
+        # then works on integer arrays instead of re-deriving string
+        # shingles twice through interpreted HOFs.
+        sigs = minhash_signatures_arrow(
+            df, text_col, id_col, num_hashes, shingle_n, seed, include_hashes=verify
+        ).cache()
+    else:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         F.col(id_col),
@@ -270,7 +284,10 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    if impl == "arrow":
+        sh = sigs.select(F.col(id_col), F.col("hashes").alias("__sh"))
+    else:
+        sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
