@@ -476,6 +476,89 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "range_frame_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+             AS spend_30d
+    FROM orders
+    """,
+    tags=("window", "range-frame"),
+)
+def q_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 RANGE frame: per-customer trailing-30-day spend. A range
+    frame is value-based (all peers within the interval), so ties on
+    o_orderdate are handled identically by both engines — no tiebreak
+    column needed, unlike ROWS frames."""
+    from pyspark.sql import Window
+
+    # NTZ → TZ → long (epoch seconds): session TZ is UTC, so lossless
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    o = _T(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_cents("o_totalprice")).over(w).cast("double") / 100.0).alias("spend_30d"),
+    )
+
+
+@_register(
+    "value_window_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+           nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "value"),
+)
+def q_value_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 value window functions: first/last/nth over the full
+    partition frame (last_value needs the unbounded-following frame or
+    it degenerates to the current row on both engines)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = _T(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+    )
+
+
+@_register(
+    "json_struct_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.tag') AS tag
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("scalar", "json"),
+)
+def q_json_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 from_json into a typed struct (vs path-at-a-time
+    get_json_object in json_extract_events) — one parse per row."""
+    e = _T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k LONG, tag STRING").alias("__p")
+    )
+    return parsed.select("event_id", F.col("__p.k").alias("k"), F.col("__p.tag").alias("tag"))
+
+
 # ---------------------------------------------------------------------------
 # Set operations (R10)
 # ---------------------------------------------------------------------------
