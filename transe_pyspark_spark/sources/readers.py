@@ -38,6 +38,27 @@ TRIPLES_SCHEMA = T.StructType(
 )
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Defensively apply the runtime-settable confs our plans depend on.
+
+    The harness may hand us a SparkSession it built itself (without
+    ``session.get_spark``); without these, every scan of the events
+    table fails outright (its parquet type is TIMESTAMP(NANOS), which
+    Spark rejects unless read as int64) and timestamps collect in a
+    local zone instead of the oracle's UTC. Both are runtime-settable
+    session confs; setting them repeatedly is a no-op.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # conf not recognized/settable on this build — proceed
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided fixture table (TESTDATA.md).
 
@@ -49,6 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -35,6 +35,9 @@ EVENTS_SCHEMA = T.StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
     micro-batch under AvailableNow)."""
+    from transe_pyspark_spark.sources.readers import ensure_session_conf
+
+    ensure_session_conf(spark)
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
