@@ -131,6 +131,17 @@ def test_multimodal_feature_invariants(spark, sf_dir):
         assert 0.0 <= r.entropy <= 4.0 + 1e-9  # log2(16) bound
 
 
+def test_multimodal_resize_fixed_output(spark, sf_dir):
+    from transe_pyspark_spark.operators import multimodal as MM
+
+    d = MM.with_payload(load_table(spark, sf_dir, "documents").limit(50))
+    rows = MM.resize_media(d, target_w=16, target_h=8).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.resized) == 16 * 8  # bounded output regardless of input size
+        assert (r.width, r.height) == (16, 8)
+
+
 def test_multimodal_frame_sampling(spark, sf_dir):
     from transe_pyspark_spark.operators import multimodal as MM
 

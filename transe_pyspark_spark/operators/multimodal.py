@@ -119,6 +119,51 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     return df.select(id_col, payload_col).mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target_w: int = 32,
+    target_h: int = 32,
+) -> DataFrame:
+    """Resize stage — STUB decode, real plumbing.
+
+    A real pipeline decodes the image, resizes (e.g. PIL
+    ``img.resize((w, h))``), and re-encodes; this container has no
+    codecs, so the deterministic stand-in byte-subsamples the payload
+    to exactly ``target_w·target_h`` bytes (striding, zero-padded).
+    The Spark-side contract is the real one: binary in → binary out +
+    typed dims, narrow Arrow map, output size bounded per row
+    regardless of input size (the property that matters for executor
+    memory at 100 TB)."""
+    import numpy as np
+
+    out_len = target_w * target_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(raw) == 0:
+                    resized = np.zeros(out_len, dtype=np.uint8)
+                else:
+                    idx = np.linspace(0, len(raw) - 1, num=out_len).astype(np.int64)
+                    resized = raw[idx]
+                ids.append(int(doc_id))
+                payloads.append(resized.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "resized": pd.Series(payloads, dtype=object),
+                 "width": pd.Series([target_w] * len(ids), dtype="int64"),
+                 "height": pd.Series([target_h] * len(ids), dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, schema="doc_id long, resized binary, width long, height long"
+    )
+
+
 def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", every: int = 64, frame_size: int = 32) -> DataFrame:
     """Frame sampling for video-shaped payloads: every ``every``-th
     ``frame_size``-byte window becomes one output row (doc_id, frame_no,

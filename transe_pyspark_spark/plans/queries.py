@@ -1204,6 +1204,68 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["lang_id_docs"] = QuerySpec("lang_id_docs", q_lang_id, None, ("text",))
 
 
+@_register(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS lws
+      FROM documents),
+    m AS (
+      SELECT doc_id, text, norm,
+             length(text) AS n,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ws, x -> CAST(length(x) AS DOUBLE))), (a,b) -> a+b) / len(ws)
+             END AS awl,
+             CASE WHEN len(lws) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lws, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) / CAST(len(lws) AS DOUBLE)
+             END AS sw
+      FROM w),
+    scored AS (
+      SELECT doc_id, text, norm,
+             (CASE WHEN n >= 50 AND n <= 5000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+              + CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+              + CASE WHEN sw > 0.0 AND sw < 0.6 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality
+      FROM m),
+    canonical AS (
+      SELECT min(doc_id) AS doc_id FROM scored GROUP BY norm)
+    SELECT s.doc_id, round(s.quality, 6) AS quality,
+           CAST(len(regexp_extract_all(s.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+    FROM scored s JOIN canonical c ON s.doc_id = c.doc_id
+    WHERE s.quality >= 0.7
+    """,
+    tags=("pipeline", "dedup", "text"),
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus cleaning pipeline (the north-star
+    end-to-end shape): exact dedup (keep min-id per normalized text) →
+    quality gate ≥ 0.7 → token counting. One narrow pass + one dedup
+    shuffle; every stage is the operator-library call, not bespoke
+    logic."""
+    d = _T(spark, sf_dir, "documents")
+    # dedup keys from a CHEAP projection; quality (an expensive HOF
+    # expression) is evaluated only once, on surviving rows — putting it
+    # in the pre-join projection re-evaluates it on both join sides
+    canonical = (
+        d.select("doc_id", D.normalize_text(F.col("text")).alias("__norm"))
+        .groupBy("__norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = d.join(canonical, "doc_id", "left_semi")
+    return (
+        kept.select("doc_id", "text", X.quality_score("text").alias("quality"))
+        .filter(F.col("quality") >= 0.7)
+        .select(
+            "doc_id",
+            F.round("quality", 6).alias("quality"),
+            X.token_count("text").alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of / range joins (R7, R8)
 # ---------------------------------------------------------------------------
