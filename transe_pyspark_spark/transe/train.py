@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows
 
-_UPDATE_SCHEMA = "id long, kind string, vec array<double>"
+_UPDATE_SCHEMA = "kind string, ids array<long>, data binary"
 
 
 def _corrupt_batch(
@@ -252,10 +252,24 @@ class TransETrainer:
                                     if i in ent_cache and n > 0:
                                         ent_cache[i] = ent_cache[i] / n
 
-                    rows = [(i, "entity", v.tolist()) for i, v in ent_cache.items()]
-                    rows += [(i, "label", v.tolist()) for i, v in lab_cache.items()]
-                    rows.append((-1, "__loss__", [loss]))
-                    yield pd.DataFrame(rows, columns=["id", "kind", "vec"])
+                    # packed transport: ONE row per kind per partition —
+                    # ids as array<long>, vectors as a contiguous
+                    # float64 blob — vs ~|touched| rows of list cells
+                    # (both Arrow-ification here and per-cell unpacking
+                    # on the driver were the dominant per-batch cost)
+                    def pack(cache: dict[int, np.ndarray], kind: str):
+                        if not cache:
+                            return (kind, [], b"")
+                        ids = list(map(int, cache.keys()))
+                        mat = np.stack([cache[i] for i in cache]).astype(np.float64)
+                        return (kind, ids, mat.tobytes())
+
+                    rows = [
+                        pack(ent_cache, "entity"),
+                        pack(lab_cache, "label"),
+                        ("__loss__", [], np.float64(loss).tobytes()),
+                    ]
+                    yield pd.DataFrame(rows, columns=["kind", "ids", "data"])
 
                 batch_df = train.sample(False, fraction, seed=step_seed)  # TransE.py:120-122
                 if self.train_partitions:
@@ -265,14 +279,23 @@ class TransETrainer:
                 # n_partitions per batch), so row-by-row collect() and a
                 # per-id Python merge dominated epoch time ~3×.
                 updates = batch_df.mapInPandas(kernel_fn, schema=_UPDATE_SCHEMA).toPandas()
-                loss_mask = updates["kind"] == "__loss__"
-                epoch_loss += float(sum(v[0] for v in updates.loc[loss_mask, "vec"]))
+                for blob in updates.loc[updates["kind"] == "__loss__", "data"]:
+                    epoch_loss += float(np.frombuffer(blob, dtype=np.float64)[0])
                 for kind, store in (("entity", model.entity), ("label", model.label)):
                     sub = updates[updates["kind"] == kind]
                     if len(sub) == 0:
                         continue
-                    ids = sub["id"].to_numpy(np.int64)
-                    mat = np.array(sub["vec"].tolist(), dtype=np.float64)
+                    dim = store.shape[1]
+                    parts = [
+                        (np.asarray(row_ids, dtype=np.int64),
+                         np.frombuffer(blob, dtype=np.float64).reshape(-1, dim))
+                        for row_ids, blob in zip(sub["ids"], sub["data"])
+                        if len(row_ids)
+                    ]
+                    if not parts:
+                        continue
+                    ids = np.concatenate([p[0] for p in parts])
+                    mat = np.concatenate([p[1] for p in parts])
                     if self.merge == "last":
                         # row order == partition collect order: in-order
                         # assignment IS last-writer-wins (TransE.py:159-170)
