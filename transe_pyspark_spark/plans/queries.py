@@ -717,6 +717,99 @@ def q_mod_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "priority_count_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "subquery"),
+)
+def q_priority_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an extra non-key
+    predicate → Catalyst decorrelates to a left-semi join."""
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate"))
+    return (
+        filtered.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register(
+    "small_quantity_parts",
+    oracle="""
+    WITH s AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qc,
+             count(*) AS n
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l.l_partkey,
+           count(*) AS n_small,
+           CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS small_revenue
+    FROM lineitem l JOIN s ON l.l_partkey = s.l_partkey
+    WHERE CAST(round(l.l_quantity*100) AS BIGINT) * s.n * 5 < s.sum_qc
+    GROUP BY l.l_partkey
+    """,
+    tags=("join", "subquery", "agg"),
+)
+def q_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their group's average —
+    the correlated scalar subquery decorrelated into an aggregate +
+    self-join. The threshold compare is pure integer arithmetic
+    (qty_cents · n · 5 < Σqty_cents ⇔ qty < 0.2·avg), so the boundary
+    is exact on both engines."""
+    li = _T(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_quantity")).alias("__sum_qc"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .filter(_cents("l_quantity") * F.col("__n") * 5 < F.col("__sum_qc"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            (F.sum(_cents("l_extendedprice")).cast("double") / 100.0).alias("small_revenue"),
+        )
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    oracle="""
+    SELECT order_cnt, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS order_cnt
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey) t
+    GROUP BY order_cnt
+    """,
+    tags=("join", "agg"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation (orders per customer, then
+    customers per order-count) including zero-order customers via the
+    left join."""
+    c = _T(spark, sf_dir, "customer")
+    o = _T(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+    return per_cust.groupBy("order_cnt").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@_register(
     "grouping_sets_revenue",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
