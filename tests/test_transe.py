@@ -94,6 +94,29 @@ def test_trainer_loss_decreases(spark, toy_triples, distance):
     assert np.all(norms <= 1.0 + 1e-9) and np.all(norms > 0.5), norms
 
 
+def test_trainer_faithful_kernel(spark, toy_triples):
+    """kernel='faithful' (sequential per-row updates with the evolving
+    local cache — the reference's exact semantics, TransE.py:172-218)
+    must also learn; vectorized and faithful should land in the same
+    loss regime."""
+    from transe_pyspark_spark.transe.data import load_triples
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv)
+    n_ent, n_lab = ev.count(), lv.count()
+    losses = {}
+    for kern in ("faithful", "vectorized"):
+        tr = TransETrainer(k=16, n_epochs=8, n_batches=1, learning_rate=0.05,
+                           seed=7, kernel=kern)
+        tr.fit(spark, enc, n_ent, n_lab)
+        assert np.mean(tr.loss_history[-2:]) < np.mean(tr.loss_history[:2]), (kern, tr.loss_history)
+        losses[kern] = tr.loss_history[-1]
+    # same regime: within 2x of each other after 8 epochs
+    lo, hi = sorted(losses.values())
+    assert hi < 2 * lo, losses
+
+
 def test_trainer_last_writer_unit_norms(spark, toy_triples):
     """merge='last' (the reference's last-writer-wins, TransE.py:159-170)
     preserves the per-touch renorm exactly → unit entity norms."""
