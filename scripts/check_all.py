@@ -19,8 +19,9 @@ from transe_pyspark_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark("check-all")
     failures = 0
     for name, spec in REGISTRY.items():
