@@ -119,6 +119,33 @@ def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     assert pruned.count() == orders.filter(F.col("o_orderstatus") == one_status).count()
 
 
+def test_tfidf_invariants(spark, sf_dir):
+    """R19 MLlib TF-IDF: right shape, non-negative, and a ubiquitous
+    word must carry (near-)zero idf weight."""
+    from transe_pyspark_spark.functions.text import tfidf_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    out = tfidf_features(docs, num_features=512).collect()
+    assert len(out) == 200
+    for r in out[:20]:
+        assert len(r.tfidf) == 512
+        assert all(v >= 0.0 for v in r.tfidf)
+    nonzero = sum(1 for r in out if any(v > 0 for v in r.tfidf))
+    assert nonzero == 200  # every doc has some term weight
+
+
+def test_count_vectorizer_vocab(spark, sf_dir):
+    from transe_pyspark_spark.functions.text import count_vectorize
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    out, vocab = count_vectorize(docs, vocab_size=256)
+    rows = out.collect()
+    assert len(rows) == 100 and len(vocab) <= 256 and len(vocab) > 0
+    # counts are term frequencies: integer-valued, non-negative
+    for r in rows[:10]:
+        assert all(v >= 0 and float(v).is_integer() for v in r.counts)
+
+
 def test_multimodal_feature_invariants(spark, sf_dir):
     from transe_pyspark_spark.operators import multimodal as MM
 

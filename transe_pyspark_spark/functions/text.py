@@ -100,6 +100,56 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["v"] <= 0.0, F.lit("und")).otherwise(best["k"])
 
 
+def tfidf_features(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1 << 12,
+    min_doc_freq: int = 1,
+):
+    """TF-IDF document vectors via the MLlib pipeline (SURVEY §2B R19:
+    Tokenizer → HashingTF → IDF), returned as
+    ``[id, tfidf: array<double>]``.
+
+    Scale posture: HashingTF is stateless (no vocabulary shuffle — the
+    feature index is a hash); only IDF's document-frequency aggregation
+    shuffles, once. For an exact vocabulary use CountVectorizer, which
+    pays a distinct-terms aggregation instead.
+    """
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    tf = HashingTF(inputCol="__words", outputCol="__tf", numFeatures=num_features)
+    words_df = tf.transform(tok.transform(df.select(id_col, text_col)))
+    idf = IDF(inputCol="__tf", outputCol="__tfidf", minDocFreq=min_doc_freq).fit(words_df)
+    return idf.transform(words_df).select(
+        id_col, vector_to_array("__tfidf").alias("tfidf")
+    )
+
+
+def count_vectorize(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1 << 12,
+    min_df: float = 1.0,
+):
+    """Exact-vocabulary term counts via CountVectorizer; returns
+    ``([id, counts], vocabulary)`` — the R19 alternative to HashingTF
+    when feature indices must be reversible to terms."""
+    from pyspark.ml.feature import CountVectorizer, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    words_df = tok.transform(df.select(id_col, text_col))
+    cv = CountVectorizer(
+        inputCol="__words", outputCol="__counts", vocabSize=vocab_size, minDF=min_df
+    ).fit(words_df)
+    out = cv.transform(words_df).select(id_col, vector_to_array("__counts").alias("counts"))
+    return out, list(cv.vocabulary)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic polynomial rolling hash over characters:
     h = Σ ascii(cᵢ)·31^(n−1−i) mod (2^31−1), computed left-to-right as

@@ -1322,6 +1322,17 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["lang_id_docs"] = QuerySpec("lang_id_docs", q_lang_id, None, ("text",))
 
 
+def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib TF-IDF features (R19: Tokenizer → HashingTF → IDF);
+    rows-only check (hash-based feature indices are engine-specific),
+    invariants in pytest."""
+    d = _T(spark, sf_dir, "documents")
+    return X.tfidf_features(d, num_features=512)
+
+
+REGISTRY["tfidf_docs"] = QuerySpec("tfidf_docs", q_tfidf_docs, None, ("text", "mllib"))
+
+
 @_register(
     "corpus_clean_pipeline",
     oracle="""
