@@ -203,6 +203,29 @@ def test_relational_trainer_converges(spark, toy_triples):
     assert model.k == 16
 
 
+def test_filtered_protocol_dominates_raw(spark, toy_triples):
+    """Filtered evaluation can only improve metrics: every filtered
+    rank ≤ its raw rank (known-true corruptions are excluded), and the
+    test triple itself is never filtered out."""
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.evaluate import rank_triples
+
+    raw_df = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw_df)
+    enc = encode_triples(raw_df, ev, lv).cache()
+    model = TransEModel.init_random(ev.count(), lv.count(), k=16, seed=2)
+    raw = {(r.h, r.l, r.t): (r.rank_head, r.rank_tail)
+           for r in rank_triples(spark, model, enc).collect()}
+    filt = {(r.h, r.l, r.t): (r.rank_head, r.rank_tail)
+            for r in rank_triples(spark, model, enc, known_triples=enc).collect()}
+    assert raw.keys() == filt.keys()
+    strictly_better = 0
+    for k in raw:
+        assert filt[k][0] <= raw[k][0] and filt[k][1] <= raw[k][1], (k, raw[k], filt[k])
+        strictly_better += int(filt[k] != raw[k])
+    assert strictly_better > 0  # the toy KG has colliding (h,l) pairs
+
+
 def test_eval_metrics_shape(spark, sf_dir):
     m = TransEModel.init_random(50, 5, k=8, seed=11)
     tdf = spark.createDataFrame([(1, 0, 2), (3, 1, 4), (5, 2, 6)], ["h", "l", "t"])

@@ -35,12 +35,34 @@ def rank_triples(
     model: TransEModel,
     test_triples: DataFrame,
     distance: str = "L2",
+    known_triples: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-triple 0-based head/tail ranks against the full entity vocab."""
+    """Per-triple 0-based head/tail ranks against the full entity vocab.
+
+    ``known_triples`` switches to the paper's **filtered** protocol
+    (Bordes et al. §4, not implemented by the reference — it is
+    raw-only, ``test.py:49-62``): candidate corruptions that are
+    themselves known-true triples are excluded from the ranking, so a
+    model isn't penalized for ranking another correct answer above the
+    test one. Pass the union of train+valid+test triples.
+    """
     sc = spark.sparkContext
     b_ent = sc.broadcast(model.entity)
     b_lab = sc.broadcast(model.label)
     use_l1 = distance == "L1"
+
+    known_tails: dict[tuple[int, int], np.ndarray] = {}
+    known_heads: dict[tuple[int, int], np.ndarray] = {}
+    if known_triples is not None:
+        tails_acc: dict[tuple[int, int], list[int]] = {}
+        heads_acc: dict[tuple[int, int], list[int]] = {}
+        for r in known_triples.select("h", "l", "t").collect():  # model-scale by contract
+            tails_acc.setdefault((r.h, r.l), []).append(r.t)
+            heads_acc.setdefault((r.l, r.t), []).append(r.h)
+        known_tails = {k: np.asarray(v, np.int64) for k, v in tails_acc.items()}
+        known_heads = {k: np.asarray(v, np.int64) for k, v in heads_acc.items()}
+    b_ktails = sc.broadcast(known_tails)
+    b_kheads = sc.broadcast(known_heads)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         E = b_ent.value  # (V, k)
@@ -61,6 +83,19 @@ def rank_triples(
                 # squared L2 via ||q||² − 2qEᵀ + ||e||² (no sqrt — TransE.py:304-309)
                 d_tail = (q_tail * q_tail).sum(axis=1)[:, None] - 2.0 * (q_tail @ E.T) + e_sq[None, :]
                 d_head = (q_head * q_head).sum(axis=1)[:, None] - 2.0 * (q_head @ E.T) + e_sq[None, :]
+            ktails, kheads = b_ktails.value, b_kheads.value
+            if ktails or kheads:
+                # filtered protocol: known-true corruptions (other than
+                # the test triple itself) never outrank it
+                for i in range(len(h)):
+                    kt = ktails.get((int(h[i]), int(l[i])))
+                    if kt is not None:
+                        excl = kt[kt != t[i]]
+                        d_tail[i, excl] = np.inf
+                    kh = kheads.get((int(l[i]), int(t[i])))
+                    if kh is not None:
+                        excl = kh[kh != h[i]]
+                        d_head[i, excl] = np.inf
             # 0-based rank = #candidates strictly closer (ties: stable
             # argsort order == candidate id order, so count equal-dist
             # candidates with smaller id)
@@ -86,11 +121,13 @@ def evaluate_link_prediction(
     test_triples: DataFrame,
     distance: str = "L2",
     hits_k: int = 10,
+    known_triples: DataFrame | None = None,
 ) -> dict[str, float]:
     """Mean Rank + Hits@k over head and tail ranks combined — the
     reference's ``calculate_rankings`` (``test.py:14-25``) as one
-    aggregation (``rank <= k``: the 0-based top-(k+1) quirk, preserved)."""
-    ranks = rank_triples(spark, model, test_triples, distance)
+    aggregation (``rank <= k``: the 0-based top-(k+1) quirk, preserved).
+    ``known_triples`` selects the paper's filtered protocol."""
+    ranks = rank_triples(spark, model, test_triples, distance, known_triples)
     both = ranks.select(F.col("rank_head").alias("rank")).unionAll(
         ranks.select(F.col("rank_tail").alias("rank"))
     )
