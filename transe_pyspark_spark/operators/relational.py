@@ -58,13 +58,27 @@ def dict_encode(
     )
 
 
-def encode_with_vocab(df: DataFrame, vocab: DataFrame, col: str, out_col: str, token_col: str = "token", id_col: str = "id") -> DataFrame:
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    col: str,
+    out_col: str,
+    token_col: str = "token",
+    id_col: str = "id",
+    broadcast: bool = True,
+) -> DataFrame:
     """Replace string ``col`` with its vocab id via a **broadcast hash
     join** — the declarative form of the reference's closure-captured
     driver dict (``utils.py:26``), which *is* a hand-rolled map-side
     join. Vocab stays distributed; nothing crosses the driver.
+
+    ``broadcast=False`` drops the hint for vocabularies too large to
+    broadcast (beyond-GB token tables): Catalyst then plans a shuffled
+    hash/sort-merge join, which is the correct shape at that size.
     """
-    v = F.broadcast(vocab.select(F.col(token_col), F.col(id_col).alias(out_col)))
+    v = vocab.select(F.col(token_col), F.col(id_col).alias(out_col))
+    if broadcast:
+        v = F.broadcast(v)
     return df.join(v, df[col] == v[token_col], "inner").drop(token_col, col)
 
 

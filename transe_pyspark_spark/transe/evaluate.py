@@ -134,5 +134,16 @@ def evaluate_link_prediction(
     row = both.agg(
         F.avg("rank").alias("mean_rank"),
         F.avg(F.when(F.col("rank") <= hits_k, 1.0).otherwise(0.0)).alias("hits"),
+        # standard KG-completion extras (beyond the reference's two):
+        # MRR over 1-based ranks, hits@1/@3 with the same 0-based quirk
+        F.avg(1.0 / (F.col("rank") + 1)).alias("mrr"),
+        F.avg(F.when(F.col("rank") <= 1, 1.0).otherwise(0.0)).alias("h1"),
+        F.avg(F.when(F.col("rank") <= 3, 1.0).otherwise(0.0)).alias("h3"),
     ).collect()[0]
-    return {"mean_rank": float(row.mean_rank), f"hits_at_{hits_k}": float(row.hits)}
+    return {
+        "mean_rank": float(row.mean_rank),
+        f"hits_at_{hits_k}": float(row.hits),
+        "mrr": float(row.mrr),
+        "hits_at_1": float(row.h1),
+        "hits_at_3": float(row.h3),
+    }
