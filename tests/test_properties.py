@@ -252,6 +252,30 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
 
 
+def test_sql_interface_parity(spark, sf_dir):
+    """spark.sql over registered fixture views must match the DataFrame
+    plan — users can drive the engine purely through SQL."""
+    from transe_pyspark_spark.plans.queries import REGISTRY
+    from transe_pyspark_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """).collect()
+    df_rows = (
+        REGISTRY["pricing_summary"].fn(spark, sf_dir)
+        .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+        .collect()
+    )
+    key = lambda r: (r.l_returnflag, r.l_linestatus)
+    assert sorted(map(tuple, sql_rows), key=str) == sorted(map(tuple, df_rows), key=str)
+
+
 def test_csv_sink_roundtrip(spark, tmp_path):
     """R2 CSV/TSV sink → R1 scan round-trip on triples-shaped data."""
     from transe_pyspark_spark.sources.readers import read_triples_tsv, write_csv
