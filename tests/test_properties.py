@@ -289,6 +289,29 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_near_dedup_canonical_invariants(spark, sf_dir):
+    """Cluster-level dedup: every document gets a verdict; within each
+    connected component exactly the min-id doc is kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    verdicts = D.near_dedup_canonical(docs, threshold=0.6, shingle_n=3)
+    rows = verdicts.collect()
+    assert len(rows) == docs.count()
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6, shingle_n=3)
+    comps = {r.id: r.component for r in D.connected_components(pairs).collect()}
+    kept = {r.doc_id for r in rows if r.keep}
+    by_comp: dict[int, list[int]] = {}
+    for doc, comp in comps.items():
+        by_comp.setdefault(comp, []).append(doc)
+    for comp, members in by_comp.items():
+        assert sum(1 for m in members if m in kept) == 1
+        assert min(members) in kept
+    # docs outside any pair are all kept
+    clustered = set(comps)
+    for r in rows:
+        if r.doc_id not in clustered:
+            assert r.keep
+
+
 def test_exact_dup_groups_partition(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = D.exact_dup_groups(docs)

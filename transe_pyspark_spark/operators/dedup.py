@@ -301,6 +301,88 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a similarity-pair edge list →
+    ``[id, component]`` with component = min node id in the component.
+
+    Near-dup *pairs* don't dedup a corpus by themselves — transitively
+    connected documents must collapse into one cluster before choosing
+    canonicals. Implementation is Pregel-style min-label propagation:
+    each iteration every node takes the min of its own label and its
+    neighbors' labels (one join + one aggregation per iteration,
+    lineage truncated with localCheckpoint). Iterations needed = graph
+    diameter, which for near-dup clusters is tiny; hard-capped at
+    ``max_iter``. This is the standard scalable formulation — no
+    driver-side union-find, state is one row per node.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nc"), "dst")
+            .groupBy("src")
+            .agg(F.min("__nc").alias("__min_nc"))
+        )
+        updated = (
+            labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("__min_nc"), F.col("component"))).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("u.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dedup_canonical(
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-level near-dedup: MinHash-LSH pairs → connected
+    components → keep the min-id document per cluster (singletons kept
+    implicitly). Returns ``[doc_id, keep: boolean]``."""
+    pairs = minhash_lsh_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    comps = connected_components(pairs)
+    canonical = comps.groupBy("component").agg(F.min("id").alias("__keep_id"))
+    keep_map = comps.join(canonical, "component").select(
+        F.col("id").alias(id_col), (F.col("id") == F.col("__keep_id")).alias("keep")
+    )
+    return (
+        df.select(id_col)
+        .join(keep_map, id_col, "left")
+        .select(id_col, F.coalesce("keep", F.lit(True)).alias("keep"))
+    )
+
+
 def simhash_from_hashes(hashes, bits: int = 64) -> "F.Column":
     """SimHash fingerprint from a materialized array<long> of shingle
     hashes: bit b of the fingerprint is 1 iff Σ_shingles (±1 by

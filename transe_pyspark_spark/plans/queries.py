@@ -1157,6 +1157,50 @@ def q_jaccard_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "near_dup_components",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')) AS ws
+               FROM documents),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM w a, w b WHERE a.doc_id < b.doc_id
+                 AND CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+                     CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS DOUBLE) >= 0.6),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION SELECT doc_b, doc_a FROM p),
+         r AS (
+           WITH RECURSIVE reach(src, dst) AS (
+             SELECT src, dst FROM e
+             UNION
+             SELECT reach.src, e.dst FROM reach JOIN e ON reach.dst = e.src)
+           SELECT * FROM reach)
+    SELECT src AS id, least(src, min(dst)) AS component
+    FROM r GROUP BY src
+    """,
+    tags=("dedup", "graph"),
+)
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact word-set Jaccard ≥ 0.6 pairs —
+    iterative min-label propagation on the Spark side, recursive-CTE
+    transitive closure as the DuckDB oracle."""
+    pairs = D.jaccard_pairs(_T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=1)
+    return D.connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"), F.col("component").cast("long").alias("component")
+    )
+
+
+def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dedup verdict per document (MinHash-LSH →
+    components → min-id canonical); rows-only (LSH candidates are not
+    SQL-reproducible), cluster-correctness covered by
+    near_dup_components' oracle + pytest."""
+    return D.near_dedup_canonical(_T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=3)
+
+
+REGISTRY["near_dedup_keep"] = QuerySpec("near_dedup_keep", q_near_dedup_keep, None, ("dedup",))
+
+
+@_register(
     "jaccard3_near_pairs",
     oracle="""
     WITH w AS (SELECT doc_id,
