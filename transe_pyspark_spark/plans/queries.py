@@ -1337,6 +1337,32 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_frequencies",
+    oracle="""
+    SELECT token, freq FROM (
+      SELECT w AS token, count(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '')) AS w
+            FROM documents) t
+      GROUP BY w) f
+    ORDER BY freq DESC, token LIMIT 50
+    """,
+    tags=("text", "topk"),
+)
+def q_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 word frequencies
+    (explode → count → total-ordered top-k) — the first step of any
+    tokenizer/vocab pipeline."""
+    d = _T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.words(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@_register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
@@ -1442,6 +1468,32 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # As-of / range joins (R7, R8)
 # ---------------------------------------------------------------------------
+
+@_register(
+    "purchase_funnel",
+    oracle="""
+    SELECT count(*) AS n_converted FROM (
+      SELECT user_id FROM events GROUP BY user_id
+      HAVING min(CASE WHEN event_type = 'view' THEN ts END)
+               < min(CASE WHEN event_type = 'click' THEN ts END)
+         AND min(CASE WHEN event_type = 'click' THEN ts END)
+               < min(CASE WHEN event_type = 'purchase' THEN ts END)) t
+    """,
+    tags=("events", "funnel"),
+)
+def q_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel analytics: users whose first view precedes their
+    first click precedes their first purchase — one conditional
+    aggregation, no self-joins."""
+    e = _T(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        first("view").alias("__v"), first("click").alias("__c"), first("purchase").alias("__p")
+    )
+    return per_user.filter(
+        (F.col("__v") < F.col("__c")) & (F.col("__c") < F.col("__p"))
+    ).agg(F.count(F.lit(1)).alias("n_converted"))
+
 
 @_register(
     "asof_purchase_click",
