@@ -68,7 +68,14 @@ def rank_triples(
         E = b_ent.value  # (V, k)
         L = b_lab.value
         e_sq = (E * E).sum(axis=1)
-        for pdf in batches:
+        # bound peak memory: the B×V distance matrix (B×V×k for L1)
+        # must stay ~hundreds of MB however large V or the Arrow batch
+        V = E.shape[0]
+        budget = 30_000_000 if not use_l1 else max(1, 30_000_000 // E.shape[1])
+        rows_per_chunk = max(1, budget // max(V, 1))
+        for whole in batches:
+          for start in range(0, len(whole), rows_per_chunk):
+            pdf = whole.iloc[start : start + rows_per_chunk]
             h = pdf["h"].to_numpy(np.int64)
             l = pdf["l"].to_numpy(np.int64)
             t = pdf["t"].to_numpy(np.int64)
