@@ -41,6 +41,32 @@ def test_session_twin(spark, sf_dir):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_stream_interval_join_twin(spark, sf_dir):
+    """Watermarked stream-stream interval join equals the batch
+    self-join with the same time bound."""
+    from transe_pyspark_spark.streaming.windows import (
+        click_purchase_interval_join,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    stream = run_available_now(
+        click_purchase_interval_join(
+            read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click"),
+            read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase"),
+        ),
+        spark,
+        output_mode="append",
+    )
+    cols = ["user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_stateful_profiles_twin(spark, sf_dir):
     """applyInPandasWithState running profile == batch aggregation."""
     from transe_pyspark_spark.streaming.stateful import (

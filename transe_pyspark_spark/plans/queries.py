@@ -1683,6 +1683,34 @@ def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join under AvailableNow; the
+    oracle is the batch self-join with the same time bound."""
+    from transe_pyspark_spark.streaming.windows import (
+        click_purchase_interval_join,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = click_purchase_interval_join(clicks, purchases)
+    return run_available_now(joined, spark, output_mode="append")
+
+
+@_register(
     "stream_sliding_counts",
     oracle="""
     WITH params AS (SELECT INTERVAL '1 hour' AS width, INTERVAL '30 minutes' AS slide),

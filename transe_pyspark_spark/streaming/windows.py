@@ -94,6 +94,31 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.dropDuplicates(["event_id"])
 
 
+def click_purchase_interval_join(clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join (R23): each click matched to the
+    same user's purchases within ``horizon`` after it. Watermarks on
+    BOTH sides bound the join state — click state is droppable once
+    the purchase-side watermark passes click.ts + horizon; without the
+    time bound the state would grow forever."""
+    c = clicks.select(
+        F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+
+
 def run_available_now(stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion (AvailableNow) into a
     memory sink; returns the materialized result as a DataFrame."""
