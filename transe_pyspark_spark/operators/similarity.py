@@ -112,15 +112,19 @@ def knn_broadcast(
                 for j in range(len(ids)):
                     if ids[j] == qi[i]:
                         continue
-                    item = (-float(d[i, j]), int(ids[j]))
+                    # (-dist, -id): among equal distances the SMALLER id
+                    # compares larger and is retained, matching the
+                    # global tie-break (orderBy dist asc, neighbor_id
+                    # asc) and knn_relational exactly.
+                    item = (-float(d[i, j]), -int(ids[j]))
                     if len(heap) < k:
                         heapq.heappush(heap, item)
                     elif item > heap[0]:
                         heapq.heapreplace(heap, item)
         rows = [
-            (q, nid, -negd)
+            (q, -negid, -negd)
             for q, heap in best.items()
-            for negd, nid in heap
+            for negd, negid in heap
         ]
         yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "dist"])
 

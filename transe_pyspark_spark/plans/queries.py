@@ -883,10 +883,10 @@ REGISTRY["approx_distinct"] = QuerySpec("approx_distinct", q_approx_distinct, No
     SELECT o_orderkey,
            sqrt(o_totalprice) AS sq,
            abs(o_totalprice - 100000.0) AS ab,
-           ceil(o_totalprice) AS ce,
-           floor(o_totalprice) AS fl,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+           CAST(floor(o_totalprice) AS BIGINT) AS fl,
            round(o_totalprice, 1) AS rd,
-           sign(o_totalprice - 100000.0) AS sg,
+           CAST(sign(o_totalprice - 100000.0) AS DOUBLE) AS sg,
            CAST(o_orderkey % 7 AS BIGINT) AS md,
            greatest(o_totalprice, 100000.0) AS gr,
            least(o_totalprice, 100000.0) AS le
@@ -899,7 +899,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded; ceil/floor/round/abs/sign/mod are exact), so
     cross-engine doubles match bit-for-bit. Transcendentals (exp/ln/pow)
     are deliberately excluded from the oracle contract: libm
-    implementations differ in the last ulp."""
+    implementations differ in the last ulp.
+
+    Type parity (r01 driver FAIL root cause): Spark ``ceil``/``floor``
+    return BIGINT while DuckDB's return DOUBLE, and Spark ``signum``
+    returns DOUBLE while DuckDB ``sign`` returns TINYINT — both sides
+    are cast to one explicit type (BIGINT / DOUBLE) so the driver's
+    value hash agrees."""
     o = _T(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
     return o.select(
@@ -924,7 +930,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding[1] AS first_elem,
            embedding[len(embedding)] AS last_elem,
            list_reverse(embedding)[1] AS rev_first,
-           embedding[2:4] AS mid_slice,
+           embedding[2] AS slice_1,
+           embedding[3] AS slice_2,
+           embedding[4] AS slice_3,
            list_sort(embedding)[1] AS min_elem,
            list_contains(embedding, 0.0) AS has_zero
     FROM embeddings
@@ -933,16 +941,24 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R14 array functions over the embedding column — raw parquet
-    floats pass through untouched, so values match exactly."""
+    floats pass through untouched, so values match exactly.
+
+    The ``slice`` output is projected to scalar elements (r01 driver
+    ERROR root cause: the external canonicalizer cannot hash raw
+    list-typed columns) — ``F.slice`` stays in the plan, its elements
+    are compared as plain doubles."""
     e = _T(spark, sf_dir, "embeddings")
     a = F.col("embedding")
+    sl = F.slice(a, 2, 3)
     return e.select(
         "vec_id",
         F.size(a).cast("long").alias("dim"),
         F.element_at(a, 1).alias("first_elem"),
         F.element_at(a, F.size(a)).alias("last_elem"),
         F.element_at(F.reverse(a), 1).alias("rev_first"),
-        F.slice(a, 2, 3).alias("mid_slice"),
+        F.element_at(sl, 1).alias("slice_1"),
+        F.element_at(sl, 2).alias("slice_2"),
+        F.element_at(sl, 3).alias("slice_3"),
         F.array_min(a).alias("min_elem"),
         F.array_contains(a, 0.0).alias("has_zero"),
     )

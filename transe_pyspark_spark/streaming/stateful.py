@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,7 +37,11 @@ def _user_profile_fn(
     n, cents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in batches:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # HALF_UP (away from zero), matching Spark F.round / DuckDB
+        # round — pandas .round() is half-even and would diverge on
+        # values whose ×100 lands exactly on .5 in float64.
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents += int(np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum())
         last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
     state.update((n, cents, last_us))
     yield pd.DataFrame(

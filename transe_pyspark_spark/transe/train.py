@@ -47,10 +47,14 @@ def _corrupt_batch(
     n_entities: int,
     train_keys: frozenset,
     rng: np.random.Generator,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized head-or-tail corruption with rejection against the
     train set (reference ``TransE.py:220-256``): position ∈ {head, tail}
-    with p=½, resample until the corrupted triple is unseen."""
+    with p=½, resample until the corrupted triple is unseen.
+
+    Also returns the per-row ``corrupt_head`` mask so callers can
+    identify the *newly sampled* entity (the reference renormalizes
+    exactly head, tail, and that corrupted entity — ``TransE.py:214-217``)."""
     n = len(h)
     corrupt_head = rng.integers(0, 2, size=n) == 0
     ch, ct = h.copy(), t.copy()
@@ -65,7 +69,7 @@ def _corrupt_batch(
             count=len(pending),
         )
         pending = pending[seen]
-    return ch, ct
+    return ch, ct, corrupt_head
 
 
 def _distances(delta: np.ndarray, distance: str) -> np.ndarray:
@@ -193,7 +197,7 @@ class TransETrainer:
                         h = pdf["h"].to_numpy(np.int64)
                         l = pdf["l"].to_numpy(np.int64)
                         t = pdf["t"].to_numpy(np.int64)
-                        ch, ct = _corrupt_batch(h, t, l, n_ent, b_keys.value, rng)
+                        ch, ct, chead = _corrupt_batch(h, t, l, n_ent, b_keys.value, rng)
                         if kern == "vectorized":
                             # Whole-batch step against the snapshot.
                             Hv, Lv, Tv = E[h], L[l], E[t]
@@ -247,7 +251,13 @@ class TransETrainer:
                                     ent_cache[chi] = ev(chi) + lr * gc
                                     lab_cache[li] = lv(li) + lr * gc
                                     ent_cache[cti] = ev(cti) - lr * gc
-                                for i in (hi, ti, chi):
+                                # Renormalize head, tail, and the NEWLY
+                                # SAMPLED corrupted entity (chi on
+                                # head-corruption rows, cti on
+                                # tail-corruption rows) — exactly the
+                                # reference's three normalize() calls
+                                # (TransE.py:214-217).
+                                for i in (hi, ti, chi if chead[row_i] else cti):
                                     n = np.linalg.norm(ent_cache.get(i, E[i]))
                                     if i in ent_cache and n > 0:
                                         ent_cache[i] = ent_cache[i] / n
