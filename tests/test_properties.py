@@ -316,3 +316,24 @@ def test_exact_dup_groups_partition(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     groups = D.exact_dup_groups(docs)
     assert groups.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+
+
+def test_quadratic_ops_guarded(spark):
+    """O(n²) ground-truth ops refuse unbounded inputs unless the caller
+    passes allow_quadratic=True — the LSH/ANN scale path must be the
+    only unflagged door."""
+    from transe_pyspark_spark.operators._guards import QUADRATIC_ROW_LIMIT
+
+    big_docs = spark.range(QUADRATIC_ROW_LIMIT + 1).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        D.jaccard_pairs(big_docs, threshold=0.6).count()
+    big_vecs = spark.range(QUADRATIC_ROW_LIMIT + 1).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        S.cosine_pairs(big_vecs, threshold=0.9).count()
+    # the escape hatch still works (plan built lazily, no need to run it)
+    D.jaccard_pairs(big_docs, threshold=0.6, allow_quadratic=True)
+    S.cosine_pairs(big_vecs, threshold=0.9, allow_quadratic=True)

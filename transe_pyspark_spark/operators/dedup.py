@@ -68,11 +68,16 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 1,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact pairwise word-set Jaccard ≥ threshold (a < b).
 
     O(n²) scoring — the *oracle-checkable ground truth* for the LSH
-    paths below; use only on bounded inputs (or post-blocking)."""
+    paths below; inputs above ``QUADRATIC_ROW_LIMIT`` rows raise unless
+    ``allow_quadratic=True`` (the LSH path is the unguarded door)."""
+    from transe_pyspark_spark.operators._guards import require_bounded_input
+
+    require_bounded_input(df, allow_quadratic, "jaccard_pairs")
     sh = word_shingles(F.col(text_col), shingle_n)
     base = df.select(F.col(id_col), sh.alias("__sh"))
     a = base.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
@@ -366,11 +371,21 @@ def near_dedup_canonical(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    method: str = "minhash",
 ) -> DataFrame:
-    """Corpus-level near-dedup: MinHash-LSH pairs → connected
-    components → keep the min-id document per cluster (singletons kept
-    implicitly). Returns ``[doc_id, keep: boolean]``."""
-    pairs = minhash_lsh_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    """Corpus-level near-dedup: near-dup pairs → connected components →
+    keep the min-id document per cluster (singletons kept implicitly).
+    Returns ``[doc_id, keep: boolean]``.
+
+    ``method="minhash"`` (default) is the bucketed LSH scale path;
+    ``method="exact"`` scores exact pairwise Jaccard — deterministic and
+    SQL-expressible (it backs the driver-checked ``near_dedup_keep``
+    oracle) but O(n²), so it inherits ``jaccard_pairs``' bounded-input
+    guard."""
+    if method == "exact":
+        pairs = jaccard_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    else:
+        pairs = minhash_lsh_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
     comps = connected_components(pairs)
     canonical = comps.groupBy("component").agg(F.min("id").alias("__keep_id"))
     keep_map = comps.join(canonical, "component").select(

@@ -240,10 +240,20 @@ def ann_ivf(
     )
 
 
-def cosine_pairs(df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_quadratic: bool = False,
+) -> DataFrame:
     """All pairs (a < b) with cosine similarity ≥ threshold — the exact
     embedding near-dup primitive (small/medium n; the LSH variants above
-    are the scale path)."""
+    are the scale path). Inputs above ``QUADRATIC_ROW_LIMIT`` rows raise
+    unless ``allow_quadratic=True``."""
+    from transe_pyspark_spark.operators._guards import require_bounded_input
+
+    require_bounded_input(df, allow_quadratic, "cosine_pairs")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
