@@ -232,3 +232,69 @@ def test_eval_metrics_shape(spark, sf_dir):
     out = evaluate_link_prediction(spark, m, tdf)
     assert 0 <= out["mean_rank"] < 50
     assert 0.0 <= out["hits_at_10"] <= 1.0
+
+
+def test_filtered_relational_matches_broadcast(spark, toy_triples):
+    """The scale-path filtered evaluation (join against known triples,
+    nothing collected) returns exactly the driver-dict path's ranks."""
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.evaluate import rank_triples
+
+    raw_df = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw_df)
+    enc = encode_triples(raw_df, ev, lv).cache()
+    model = TransEModel.init_random(ev.count(), lv.count(), k=16, seed=7)
+    for distance in ("L2", "L1"):
+        rel = {(r.h, r.l, r.t): (r.rank_head, r.rank_tail)
+               for r in rank_triples(spark, model, enc, distance=distance,
+                                     known_triples=enc, filter_method="relational").collect()}
+        bc = {(r.h, r.l, r.t): (r.rank_head, r.rank_tail)
+              for r in rank_triples(spark, model, enc, distance=distance,
+                                    known_triples=enc, filter_method="broadcast").collect()}
+        assert rel == bc
+
+
+def test_bloom_rejection_no_false_negatives(spark, toy_triples):
+    """The Bloom rejection filter must contain every train triple (no
+    false negatives — a true triple is never accepted as a negative)
+    and reject few non-members (false-positive rate within design)."""
+    import numpy as np
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.train import BloomRejection
+
+    raw_df = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw_df)
+    enc = encode_triples(raw_df, ev, lv).cache()
+    n = enc.count()
+    bloom = BloomRejection.build(enc, n)
+    rows = enc.collect()
+    h = np.array([r.h for r in rows], np.int64)
+    l = np.array([r.l for r in rows], np.int64)
+    t = np.array([r.t for r in rows], np.int64)
+    assert bloom.contains(h, l, t).all()
+    rng = np.random.default_rng(0)
+    fh = rng.integers(10_000, 20_000, size=5000).astype(np.int64)
+    fl = rng.integers(10_000, 20_000, size=5000).astype(np.int64)
+    ft = rng.integers(10_000, 20_000, size=5000).astype(np.int64)
+    fp_rate = bloom.contains(fh, fl, ft).mean()
+    assert fp_rate < 0.05, fp_rate
+
+
+def test_trainer_bloom_rejection_converges(spark, toy_triples):
+    """fit() with rejection="bloom" never collects the trainset and
+    still trains (loss decreases, unit norms hold)."""
+    import numpy as np
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.train import TransETrainer
+
+    raw_df = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw_df)
+    enc = encode_triples(raw_df, ev, lv).cache()
+    tr = TransETrainer(k=16, n_epochs=6, n_batches=1, learning_rate=0.05,
+                       margin=1.0, seed=3, rejection="bloom", merge="last",
+                       train_partitions=2)
+    model = tr.fit(spark, enc, ev.count(), lv.count())
+    head = sum(tr.loss_history[:2]) / 2
+    tail = sum(tr.loss_history[-2:]) / 2
+    assert tail < head, tr.loss_history
+    np.testing.assert_allclose(np.linalg.norm(model.entity, axis=1), 1.0, atol=1e-9)

@@ -36,6 +36,7 @@ def rank_triples(
     test_triples: DataFrame,
     distance: str = "L2",
     known_triples: DataFrame | None = None,
+    filter_method: str = "relational",
 ) -> DataFrame:
     """Per-triple 0-based head/tail ranks against the full entity vocab.
 
@@ -45,7 +46,23 @@ def rank_triples(
     themselves known-true triples are excluded from the ranking, so a
     model isn't penalized for ranking another correct answer above the
     test one. Pass the union of train+valid+test triples.
+
+    ``filter_method`` picks how the exclusion is applied:
+
+    * ``"relational"`` (default, scale path): raw ranks from the
+      broadcast kernel, then a per-(h,l)/(l,t) JOIN against
+      ``known_triples`` computes how many known-true corruptions
+      out-ranked the test triple and subtracts them. ``known_triples``
+      is never collected — it stays a DataFrame however large the KG.
+    * ``"broadcast"``: collect ``known_triples`` into driver-side
+      dicts shipped with the model (fast for model-scale KGs like
+      FB15k, unusable when the triple set is much larger than the
+      model).
     """
+    if known_triples is not None and filter_method == "relational":
+        raw = rank_triples(spark, model, test_triples, distance)
+        return _filtered_ranks_relational(spark, model, raw, known_triples, distance)
+
     sc = spark.sparkContext
     b_ent = sc.broadcast(model.entity)
     b_lab = sc.broadcast(model.label)
@@ -122,6 +139,96 @@ def rank_triples(
     return test_triples.select("h", "l", "t").mapInPandas(score, schema=_RANK_SCHEMA)
 
 
+def _model_vector_dfs(spark: SparkSession, model: TransEModel) -> tuple[DataFrame, DataFrame]:
+    """Model matrices as (id, vec) DataFrames — model-sized (V·k, L·k),
+    so they broadcast in the joins below."""
+    ent = spark.createDataFrame(
+        pd.DataFrame({"__eid": np.arange(model.entity.shape[0], dtype=np.int64),
+                      "__evec": list(model.entity)})
+    )
+    lab = spark.createDataFrame(
+        pd.DataFrame({"__lid": np.arange(model.label.shape[0], dtype=np.int64),
+                      "__lvec": list(model.label)})
+    )
+    return ent, lab
+
+
+def _filtered_ranks_relational(
+    spark: SparkSession,
+    model: TransEModel,
+    raw_ranks: DataFrame,
+    known_triples: DataFrame,
+    distance: str,
+) -> DataFrame:
+    """Filtered-protocol ranks without collecting ``known_triples``.
+
+    filtered_rank = raw_rank − #{known-true corruptions that out-rank
+    the test triple}. The subtrahend is a join: test triples match
+    known triples on (h,l) for tail corruption / (l,t) for head
+    corruption, the corruption's distance comes from a broadcast join
+    against the model-sized vector tables, and "out-ranks" uses the raw
+    kernel's exact tie rule (strictly closer, or equal-distance with a
+    smaller candidate id). One shuffle per side (the groupBy), and the
+    known-triple table is only ever shuffled on its join keys — this is
+    the 100 TB-KG shape; the driver-dict path is the model-scale
+    shortcut."""
+    from transe_pyspark_spark.functions import vector as V
+
+    dist_fn = V.l1 if distance == "L1" else V.l2_sq
+    ent, lab = _model_vector_dfs(spark, model)
+    known = known_triples.select("h", "l", "t").distinct()
+
+    # one row per test triple with the true triple's distance
+    test = (
+        raw_ranks.select("h", "l", "t")
+        .join(F.broadcast(ent.select(F.col("__eid").alias("h"), F.col("__evec").alias("__hv"))), "h")
+        .join(F.broadcast(lab.select(F.col("__lid").alias("l"), F.col("__lvec").alias("__lv"))), "l")
+        .join(F.broadcast(ent.select(F.col("__eid").alias("t"), F.col("__evec").alias("__tv"))), "t")
+        .select("h", "l", "t", dist_fn(V.add("__hv", "__lv"), F.col("__tv")).alias("__d_true"),
+                "__hv", "__lv", "__tv")
+    )
+
+    # tail side: known (h, l, t') with t' ≠ t that out-rank the true tail
+    kt = known.select("h", "l", F.col("t").alias("__cand"))
+    adj_tail = (
+        test.join(kt, ["h", "l"])
+        .filter(F.col("__cand") != F.col("t"))
+        .join(F.broadcast(ent.select(F.col("__eid").alias("__cand"), F.col("__evec").alias("__cv"))), "__cand")
+        .withColumn("__d", dist_fn(V.add("__hv", "__lv"), F.col("__cv")))
+        .filter(
+            (F.col("__d") < F.col("__d_true"))
+            | ((F.col("__d") == F.col("__d_true")) & (F.col("__cand") < F.col("t")))
+        )
+        .groupBy("h", "l", "t")
+        .agg(F.count(F.lit(1)).alias("__adj_tail"))
+    )
+
+    # head side: known (h', l, t) with h' ≠ h; d(e_h' + l, t)
+    kh = known.select(F.col("h").alias("__cand"), "l", "t")
+    adj_head = (
+        test.join(kh, ["l", "t"])
+        .filter(F.col("__cand") != F.col("h"))
+        .join(F.broadcast(ent.select(F.col("__eid").alias("__cand"), F.col("__evec").alias("__cv"))), "__cand")
+        .withColumn("__d", dist_fn(V.add("__cv", "__lv"), F.col("__tv")))
+        .filter(
+            (F.col("__d") < F.col("__d_true"))
+            | ((F.col("__d") == F.col("__d_true")) & (F.col("__cand") < F.col("h")))
+        )
+        .groupBy("h", "l", "t")
+        .agg(F.count(F.lit(1)).alias("__adj_head"))
+    )
+
+    return (
+        raw_ranks.join(adj_tail, ["h", "l", "t"], "left")
+        .join(adj_head, ["h", "l", "t"], "left")
+        .select(
+            "h", "l", "t",
+            (F.col("rank_head") - F.coalesce("__adj_head", F.lit(0))).cast("long").alias("rank_head"),
+            (F.col("rank_tail") - F.coalesce("__adj_tail", F.lit(0))).cast("long").alias("rank_tail"),
+        )
+    )
+
+
 def evaluate_link_prediction(
     spark: SparkSession,
     model: TransEModel,
@@ -129,12 +236,13 @@ def evaluate_link_prediction(
     distance: str = "L2",
     hits_k: int = 10,
     known_triples: DataFrame | None = None,
+    filter_method: str = "relational",
 ) -> dict[str, float]:
     """Mean Rank + Hits@k over head and tail ranks combined — the
     reference's ``calculate_rankings`` (``test.py:14-25``) as one
     aggregation (``rank <= k``: the 0-based top-(k+1) quirk, preserved).
     ``known_triples`` selects the paper's filtered protocol."""
-    ranks = rank_triples(spark, model, test_triples, distance, known_triples)
+    ranks = rank_triples(spark, model, test_triples, distance, known_triples, filter_method)
     both = ranks.select(F.col("rank_head").alias("rank")).unionAll(
         ranks.select(F.col("rank_tail").alias("rank"))
     )

@@ -40,17 +40,118 @@ from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows
 _UPDATE_SCHEMA = "kind string, ids array<long>, data binary"
 
 
+class ExactRejection:
+    """Trainset membership as a driver-collected frozenset — the
+    reference's semantics verbatim (``TransE.py:95``). Model-scale KGs
+    only: the whole trainset lives on the driver and in the broadcast."""
+
+    __slots__ = ("keys",)
+
+    def __init__(self, keys: frozenset):
+        self.keys = keys
+
+    def contains(self, ch: np.ndarray, l: np.ndarray, ct: np.ndarray) -> np.ndarray:
+        k = self.keys
+        return np.fromiter(
+            ((int(ch[i]), int(l[i]), int(ct[i])) in k for i in range(len(ch))),
+            dtype=bool,
+            count=len(ch),
+        )
+
+
+def _mix3(h: np.ndarray, l: np.ndarray, t: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64-style avalanche of a triple into one uint64 — the
+    Bloom filter's hash family (two seeds → double hashing)."""
+    with np.errstate(over="ignore"):
+        x = (
+            h.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ l.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+            ^ t.astype(np.uint64) * np.uint64(0x165667B19E3779F9)
+            ^ np.uint64(seed)
+        )
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+class BloomRejection:
+    """Trainset membership as a Bloom filter — the 100 TB-KG path.
+
+    Built distributed (per-partition bitmaps OR-merged on the driver —
+    only ``m/8`` bytes per partition ever cross the wire, never rows)
+    and broadcast at a fixed ``m/8``-byte footprint however many triples
+    the trainset has. One-sided error is SAFE here: a false positive
+    only rejects a valid negative and resamples (a slight sampling-
+    distribution shift, bounded by the fp rate); a true train triple is
+    NEVER accepted as a negative, which is the property the reference's
+    frozenset rejection exists for."""
+
+    __slots__ = ("bits", "m", "k")
+
+    def __init__(self, bits: np.ndarray, m: int, k: int):
+        self.bits = bits  # uint8[m/8]
+        self.m = m
+        self.k = k
+
+    @staticmethod
+    def sizing(n_items: int, bits_per_item: int = 10) -> tuple[int, int]:
+        """m (bits, multiple of 8) and k for ~0.8% fp at 10 bits/item."""
+        m = max(1024, int(n_items) * bits_per_item)
+        m += (-m) % 8
+        k = max(1, int(round(0.693 * bits_per_item)))
+        return m, k
+
+    @staticmethod
+    def _positions(h: np.ndarray, l: np.ndarray, t: np.ndarray, m: int, k: int) -> np.ndarray:
+        h1 = _mix3(h, l, t, 0x51BC21A5)
+        h2 = _mix3(h, l, t, 0xD6E8FEB8) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            return np.stack(
+                [((h1 + np.uint64(j) * h2) % np.uint64(m)).astype(np.int64) for j in range(k)]
+            )  # (k, n)
+
+    def contains(self, ch: np.ndarray, l: np.ndarray, ct: np.ndarray) -> np.ndarray:
+        if len(ch) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(ch, l, ct, self.m, self.k)
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+    @classmethod
+    def build(cls, train: DataFrame, n_triples: int) -> "BloomRejection":
+        m, k = cls.sizing(n_triples)
+
+        def part_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for pdf in batches:
+                h = pdf["h"].to_numpy(np.int64)
+                l = pdf["l"].to_numpy(np.int64)
+                t = pdf["t"].to_numpy(np.int64)
+                pos = cls._positions(h, l, t, m, k).ravel()
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+        merged = np.zeros(m // 8, dtype=np.uint8)
+        for row in train.select("h", "l", "t").mapInPandas(part_bits, "bits binary").collect():
+            merged |= np.frombuffer(row.bits, dtype=np.uint8)
+        return cls(merged, m, k)
+
+
 def _corrupt_batch(
     h: np.ndarray,
     t: np.ndarray,
     l: np.ndarray,
     n_entities: int,
-    train_keys: frozenset,
+    reject,
     rng: np.random.Generator,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized head-or-tail corruption with rejection against the
     train set (reference ``TransE.py:220-256``): position ∈ {head, tail}
-    with p=½, resample until the corrupted triple is unseen.
+    with p=½, resample until the corrupted triple is unseen per
+    ``reject`` (ExactRejection or BloomRejection).
 
     Also returns the per-row ``corrupt_head`` mask so callers can
     identify the *newly sampled* entity (the reference renormalizes
@@ -63,11 +164,7 @@ def _corrupt_batch(
         cand = rng.integers(0, n_entities, size=len(pending))
         ch[pending] = np.where(corrupt_head[pending], cand, ch[pending])
         ct[pending] = np.where(corrupt_head[pending], ct[pending], cand)
-        seen = np.fromiter(
-            ((int(ch[i]), int(l[i]), int(ct[i])) in train_keys for i in pending),
-            dtype=bool,
-            count=len(pending),
-        )
+        seen = reject.contains(ch[pending], l[pending], ct[pending])
         pending = pending[seen]
     return ch, ct, corrupt_head
 
@@ -103,10 +200,13 @@ class TransETrainer:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 50,
         train_partitions: int | None = 8,
+        rejection: str = "auto",
+        exact_rejection_limit: int = 2_000_000,
     ):
         assert distance in ("L1", "L2")
         assert merge in ("mean", "last")
         assert kernel in ("vectorized", "faithful")
+        assert rejection in ("auto", "exact", "bloom")
         self.k = k
         self.n_epochs = n_epochs
         self.n_batches = n_batches
@@ -125,6 +225,13 @@ class TransETrainer:
         #: vectorized kernel keeps cores busy within each partition. On a
         #: real cluster set ≈ executor count.
         self.train_partitions = train_partitions
+        #: negative-sampling rejection strategy: "exact" collects the
+        #: trainset to a frozenset (reference semantics, model-scale
+        #: only), "bloom" builds a distributed Bloom filter (fixed
+        #: broadcast footprint, no driver collect — the 100 TB path),
+        #: "auto" picks exact below `exact_rejection_limit` triples.
+        self.rejection = rejection
+        self.exact_rejection_limit = exact_rejection_limit
         self.loss_history: list[float] = []
         self.epoch_times: list[float] = []
 
@@ -147,12 +254,21 @@ class TransETrainer:
         from pyspark.sql import functions as F
 
         train = triples.select("h", "l", "t").orderBy(F.rand(self.seed)).cache()
-        # Rejection set: the trainset doubles as the negative-sampling
-        # filter (TransE.py:95). Broadcast as a frozenset — same scale
-        # contract as the reference; the relational alternative is an
-        # anti-join (SURVEY §2A F2).
-        keys = frozenset((r.h, r.l, r.t) for r in train.collect())
-        b_keys = sc.broadcast(keys)
+        # Rejection filter: the trainset doubles as the negative-sampling
+        # filter (TransE.py:95). Below the limit it is the reference's
+        # exact frozenset; above it (or on request) a distributed Bloom
+        # filter — fixed broadcast footprint, no full collect, one-sided
+        # error that only ever rejects extra candidates. The fully
+        # relational alternative (anti-join, SURVEY §2A F2) lives in
+        # train_relational.py.
+        strategy = self.rejection
+        if strategy == "auto":
+            strategy = "exact" if train.count() <= self.exact_rejection_limit else "bloom"
+        if strategy == "exact":
+            reject = ExactRejection(frozenset((r.h, r.l, r.t) for r in train.collect()))
+        else:
+            reject = BloomRejection.build(train, train.count())
+        b_keys = sc.broadcast(reject)
 
         model.entity = l2_normalize_rows(model.entity)  # pre-loop renorm, TransE.py:97
 
