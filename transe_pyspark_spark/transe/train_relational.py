@@ -22,10 +22,16 @@ reference dataflow becomes its relational form:
 
 No driver round-trip of model state anywhere in the loop; per-batch
 lineage is truncated with ``localCheckpoint`` so the plan doesn't grow
-with epochs. Shuffle per batch = 5 gather joins + 1 delta aggregation
-+ 1 update join, all hash-partitioned on id — exactly the joins a
-1000-executor cluster distributes; nothing is sized by V on any single
-node.
+with epochs. The five per-role embedding gathers are FUSED into one
+join: each triple row melts to five ``(role, kind, id)`` rows, joins
+the union-of-embedding-tables once on ``(kind, id)``, and pivots back
+to one row per triple via ``map_from_entries(collect_list(...))``.
+Shuffle per batch = 1 melted gather join + 1 pivot-back aggregation +
+1 delta aggregation + 1 update join, all hash-partitioned on id —
+exactly the joins a 1000-executor cluster distributes; nothing is
+sized by V on any single node, and the shuffled vector volume is ~5N
+vectors per batch versus ~9N for the unfused five-join chain (each
+successive join re-shuffled every vector already attached).
 
 Trade-off: per-epoch latency is much higher than the broadcast path at
 small V (joins vs one broadcast), so selection is by model size; the
@@ -153,13 +159,46 @@ class RelationalTransETrainer:
                 batch = train.sample(False, fraction, seed=step_seed)
                 c = self._corrupt(batch, train, n_entities, step_seed)
 
-                # gather: 5 equi-joins against the embedding tables (J2 relational)
-                def vec_of(df, key, out):
-                    side = ent.select(F.col("id").alias(key), F.col("vec").alias(out))
-                    return df.join(side, key)
-
-                g = vec_of(vec_of(vec_of(vec_of(c, "h", "__hv"), "t", "__tv"), "ch", "__chv"), "ct", "__ctv")
-                g = g.join(lab.select(F.col("id").alias("l"), F.col("vec").alias("__lv")), "l")
+                # Fused gather (J2 relational): melt each triple to five
+                # (role, kind, id) rows, join the union of both embedding
+                # tables ONCE on (kind, id), pivot back per triple. One
+                # gather shuffle instead of five; __rid preserves
+                # duplicate-triple multiplicity through the pivot groupBy.
+                roles = [("__hv", "e", "h"), ("__tv", "e", "t"),
+                         ("__chv", "e", "ch"), ("__ctv", "e", "ct"),
+                         ("__lv", "l", "l")]
+                melted = (
+                    c.withColumn("__rid", F.monotonically_increasing_id())
+                    .select(
+                        "__rid", "h", "l", "t", "ch", "ct",
+                        F.explode(F.array(*[
+                            F.struct(
+                                F.lit(role).alias("__role"),
+                                F.lit(kind).alias("__kind"),
+                                F.col(src).alias("__id"),
+                            )
+                            for role, kind, src in roles
+                        ])).alias("__r"),
+                    )
+                    .select("__rid", "h", "l", "t", "ch", "ct",
+                            "__r.__role", "__r.__kind", "__r.__id")
+                )
+                emb = ent.select(
+                    F.lit("e").alias("__kind"), F.col("id").alias("__id"), "vec"
+                ).unionByName(
+                    lab.select(F.lit("l").alias("__kind"), F.col("id").alias("__id"), "vec")
+                )
+                g = (
+                    melted.join(emb, ["__kind", "__id"])
+                    .groupBy("__rid", "h", "l", "t", "ch", "ct")
+                    .agg(F.map_from_entries(
+                        F.collect_list(F.struct("__role", "vec"))
+                    ).alias("__m"))
+                    .select(
+                        "h", "l", "t", "ch", "ct",
+                        *[F.col("__m")[role].alias(role) for role, _, _ in roles],
+                    )
+                )
 
                 pos = V.add("__hv", "__lv")
                 scored = g.select(
@@ -168,12 +207,14 @@ class RelationalTransETrainer:
                     dist_fn(V.add("__chv", "__lv"), F.col("__ctv")).alias("__dn"),
                 ).withColumn("__viol", margin + F.col("__dp") - F.col("__dn") > 0)
 
-                loss_row = scored.filter("__viol").agg(
+                # One gather per batch: the violating rows feed both the
+                # loss scalar and the gradient pass, so persist them
+                # instead of recomputing the melt-join-pivot twice.
+                viol = scored.filter("__viol").persist()
+                loss_row = viol.agg(
                     F.sum(margin + F.col("__dp") - F.col("__dn")).alias("loss")
                 ).collect()[0]
                 epoch_loss += float(loss_row.loss or 0.0)
-
-                viol = scored.filter("__viol")
                 # gradient g = 2(t−h−l) (or sign for L1); corrupted uses −g' (M5)
                 grad = V.sub(V.sub("__tv", "__hv"), F.col("__lv"))
                 gradc = V.sub(V.sub("__ctv", "__chv"), F.col("__lv"))
@@ -200,7 +241,7 @@ class RelationalTransETrainer:
                 # X3 relational: order-free grouped SUM of deltas —
                 # minibatch SGD exactly (the per-partition kernel also
                 # accumulates, not averages, within a partition)
-                deltas = contrib.groupBy("id", "kind").agg(sum_vec("delta").alias("delta"))
+                deltas = contrib.groupBy("id", "kind").agg(sum_vec("delta").alias("delta")).persist()
 
                 e_delta = deltas.filter(F.col("kind") == "e").select("id", "delta")
                 l_delta = deltas.filter(F.col("kind") == "l").select("id", "delta")
@@ -226,6 +267,8 @@ class RelationalTransETrainer:
                 # truncate lineage: the loop must not grow the plan
                 ent = new_ent.localCheckpoint()
                 lab = new_lab.localCheckpoint()
+                viol.unpersist()
+                deltas.unpersist()
             self.loss_history.append(epoch_loss)
         train.unpersist()
         return ent, lab
