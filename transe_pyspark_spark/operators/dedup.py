@@ -62,6 +62,42 @@ def word_shingles(col, n: int = 3) -> "F.Column":
     )
 
 
+def shingle_rows_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 1
+) -> DataFrame:
+    """Exploded distinct word n-grams: one ``(id, shingle)`` row per
+    distinct shingle per document, produced in a single Arrow batch pass
+    (``mapInPandas``). Spark's higher-order-function lambdas are
+    interpreted per element (10-40× slower than Arrow on this corpus —
+    see ``minhash_signatures_arrow``), so the string slicing happens in
+    Python over Arrow batches instead. Narrow map: no shuffle.
+
+    Tokenization matches ``functions.text.words`` exactly (split on
+    runs of SPACES only — not general whitespace — empties dropped), so
+    results stay bit-identical to the DuckDB oracle's
+    ``string_split_regex(trim(text), ' +')``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            shs: list[str] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in str(text).split(" ") if w]
+                if len(ws) < shingle_n:
+                    continue
+                seen = {" ".join(ws[i : i + shingle_n]) for i in range(len(ws) - shingle_n + 1)}
+                ids.extend([int(doc_id)] * len(seen))
+                shs.extend(seen)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"), "shingle": pd.Series(shs, dtype=object)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=f"{id_col} long, shingle string")
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -70,23 +106,40 @@ def jaccard_pairs(
     shingle_n: int = 1,
     allow_quadratic: bool = False,
 ) -> DataFrame:
-    """Exact pairwise word-set Jaccard ≥ threshold (a < b).
+    """Exact pairwise word-set Jaccard ≥ threshold (a < b) — the
+    *oracle-checkable ground truth* for the LSH paths below.
 
-    O(n²) scoring — the *oracle-checkable ground truth* for the LSH
-    paths below; inputs above ``QUADRATIC_ROW_LIMIT`` rows raise unless
-    ``allow_quadratic=True`` (the LSH path is the unguarded door)."""
+    Inverted-index plan, not a cross join: explode documents to
+    ``(id, shingle)`` rows (Arrow pass), equi-join the exploded table
+    with itself on the shingle, and count co-occurrences — that count IS
+    ``|A∩B|``, and ``|A∪B| = |A|+|B|-|A∩B|`` from per-doc set sizes, so
+    only pairs sharing ≥1 shingle are ever materialized (exact for any
+    ``threshold > 0``). All shuffles are hash joins/aggregates on
+    shingle or pair keys. Worst case (a shingle shared by most of the
+    corpus) still degenerates toward all-pairs, hence inputs above
+    ``QUADRATIC_ROW_LIMIT`` rows raise unless ``allow_quadratic=True``
+    (the LSH path is the unguarded door)."""
     from transe_pyspark_spark.operators._guards import require_bounded_input
 
     require_bounded_input(df, allow_quadratic, "jaccard_pairs")
-    sh = word_shingles(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col), sh.alias("__sh"))
-    a = base.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
-    b = base.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
-    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    union = F.size(F.array_union("__sa", "__sb")).cast("double")
-    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    pa = ex.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
+    # __i / (__na+__nb-__i) divides the same two integers as the oracle's
+    # len(intersect)/len(union): identical IEEE doubles, hash-stable.
+    jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
