@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -20,7 +21,8 @@ from transe_pyspark_spark.plans.queries import REGISTRY  # noqa: E402
 from transe_pyspark_spark.session import get_spark  # noqa: E402
 
 #: Headline set: one per major operator family (relational agg, join
-#: pipeline, window, as-of, dedup-LSH, knn, text, flagship eval).
+#: pipeline, window, as-of, dedup-LSH, exact-jaccard, knn, text,
+#: streaming, flagship eval).
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
@@ -28,8 +30,10 @@ HEADLINE = [
     "window_order_seq",
     "asof_purchase_click",
     "minhash_near_pairs",
+    "jaccard3_near_pairs",
     "knn_brute_force",
     "text_stats",
+    "stream_tumbling_counts",
     "transe_rank_eval",
 ]
 
@@ -57,6 +61,46 @@ def _train_epoch_seconds(spark) -> float:
     return round(later[len(later) // 2], 3)
 
 
+def _bucketed_join_seconds(spark, sf_dir: str) -> float:
+    """Pay-the-shuffle-once story in numbers: orders and lineitem are
+    bucketed by their join key at WRITE time (setup, untimed), so the
+    timed fact-fact join + aggregation runs with no Exchange on either
+    side — the plan a 100 TB warehouse would keep its fact tables in.
+    Compare against ``region_revenue``, which shuffles per query."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.sources.readers import load_table, write_bucketed
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for tbl in ("bench_orders_b", "bench_lineitem_b"):
+        # a previous bench run's location survives the (in-memory)
+        # catalog, so mode=overwrite alone can't reclaim it
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if warehouse:
+            shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+
+    write_bucketed(load_table(spark, sf_dir, "orders"), "bench_orders_b", ["o_orderkey"], 32)
+    write_bucketed(load_table(spark, sf_dir, "lineitem"), "bench_lineitem_b", ["l_orderkey"], 32)
+
+    def run() -> int:
+        o = spark.table("bench_orders_b")
+        li = spark.table("bench_lineitem_b")
+        return (
+            o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .count()
+        )
+
+    run()  # warmup: codegen + footer cache
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -73,6 +117,13 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {times[name]}s (steady-state)", file=sys.stderr)
+
+    # Drop caches left by the headline queries (minhash signature cache
+    # etc.) so the sections below aren't timed under their GC pressure.
+    spark.catalog.clearCache()
+
+    times["bucketed_orders_lineitem"] = _bucketed_join_seconds(spark, sf_dir)
+    print(f"# bucketed_orders_lineitem: {times['bucketed_orders_lineitem']}s", file=sys.stderr)
 
     times["transe_train_epoch"] = _train_epoch_seconds(spark)
     print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)
