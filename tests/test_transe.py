@@ -298,3 +298,74 @@ def test_trainer_bloom_rejection_converges(spark, toy_triples):
     tail = sum(tr.loss_history[-2:]) / 2
     assert tail < head, tr.loss_history
     np.testing.assert_allclose(np.linalg.norm(model.entity, axis=1), 1.0, atol=1e-9)
+
+
+def test_pickle_checkpoint_roundtrip_and_reference_compat(spark, tmp_path):
+    """backup_pickle/restore_pickle roundtrip, plus loading a pickle
+    written by the REFERENCE's Embedding class (utils.py:44-59) —
+    simulated with an identically-shaped class in a foreign module, so
+    the module-remapping unpickler is exercised."""
+    import pickle
+    import sys
+    import types
+
+    m = TransEModel.init_random(12, 3, k=6, seed=7)
+    m.backup_pickle(str(tmp_path), 999)
+    m2 = TransEModel.restore_pickle(
+        str(tmp_path / "entity_embedding_999.pkl"), str(tmp_path / "label_embedding_999.pkl")
+    )
+    np.testing.assert_array_equal(m.entity, m2.entity)
+    np.testing.assert_array_equal(m.label, m2.label)
+
+    # fabricate "TransEmodule.Embedding" with its own Embedding class
+    mod = types.ModuleType("TransEmodule.Embedding")
+
+    class Embedding:
+        def __init__(self, vector):
+            self._vector = np.asarray(vector)
+
+        @property
+        def vector(self):
+            return self._vector
+
+    Embedding.__module__ = "TransEmodule.Embedding"
+    Embedding.__qualname__ = "Embedding"
+    mod.Embedding = Embedding
+    parent = types.ModuleType("TransEmodule")
+    parent.Embedding = mod
+    sys.modules["TransEmodule"] = parent
+    sys.modules["TransEmodule.Embedding"] = mod
+    try:
+        for name, mat in (("entity", m.entity), ("label", m.label)):
+            with open(tmp_path / f"{name}_embedding_7.pkl", "wb") as out:
+                pickle.dump(Embedding(mat), out, pickle.HIGHEST_PROTOCOL)
+    finally:
+        del sys.modules["TransEmodule.Embedding"]
+        del sys.modules["TransEmodule"]
+    # the writer's module is gone — plain pickle.load would fail here
+    m3 = TransEModel.restore_pickle(
+        str(tmp_path / "entity_embedding_7.pkl"), str(tmp_path / "label_embedding_7.pkl")
+    )
+    np.testing.assert_array_equal(m.entity, m3.entity)
+    np.testing.assert_array_equal(m.label, m3.label)
+
+
+def test_eval_progress_replay(spark, toy_triples):
+    """progress_every reproduces the reference's running-metric prints
+    (test.py:64-68) and the progress path's final metrics equal the
+    default aggregation path's."""
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.evaluate import evaluate_link_prediction
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv).cache()
+    n_ent, n_lab = ev.count(), lv.count()
+    m = TransEModel.init_random(n_ent, n_lab, k=8, seed=11)
+    lines: list[str] = []
+    got = evaluate_link_prediction(spark, m, enc, progress_every=3, progress_fn=lines.append)
+    want = evaluate_link_prediction(spark, m, enc)
+    assert got == pytest.approx(want)
+    n_emits = len(range(0, enc.count(), 3))
+    assert len(lines) == 3 * n_emits
+    assert lines[0].startswith("Mean: ") and lines[1].startswith("Hit: ") and lines[2] == "0"

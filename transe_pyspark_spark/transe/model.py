@@ -40,6 +40,41 @@ def l2_normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+class _EmbeddingShim:
+    """Attribute-compatible stand-in for the reference's ``Embedding``
+    (``Embedding.py:3-19``): holds ``_vector``, exposes ``.vector``.
+    Unpickling never calls ``__init__``, so restoring a reference
+    pickle just repopulates ``__dict__``."""
+
+    def __init__(self, vector=None):
+        self._vector = np.asarray(vector, dtype=np.float64)
+
+    @property
+    def vector(self):
+        return self._vector
+
+
+def _load_pickled_matrix(path: str) -> np.ndarray:
+    """Unpickle one embedding file, remapping any class named
+    ``Embedding`` (whatever module the writer had it in) to
+    ``_EmbeddingShim`` so reference checkpoints load standalone."""
+    import pickle
+
+    class _RefUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):  # noqa: A003
+            if name == "Embedding":
+                return _EmbeddingShim
+            return super().find_class(module, name)
+
+    with open(path, "rb") as f:
+        obj = _RefUnpickler(f).load()
+    vec = obj.vector if hasattr(obj, "vector") else obj
+    mat = np.asarray(vec, dtype=np.float64)
+    if mat.ndim != 2:
+        raise ValueError(f"{path}: expected a 2-D embedding matrix, got shape {mat.shape}")
+    return mat
+
+
 class TransEModel:
     """Driver-held embedding matrices + checkpoint IO.
 
@@ -87,3 +122,26 @@ class TransEModel:
     def restore(cls, spark: SparkSession, path: str) -> "TransEModel":
         """Warm start (reference ``utils.py:52-59``, ``TransE.py:73-76``)."""
         return cls.from_df(spark.read.parquet(path))
+
+    def backup_pickle(self, path: str, checkpoint_id: int | str) -> None:
+        """Pickle checkpoint with the reference's exact file layout
+        (``utils.py:44-49``): ``{path}/entity_embedding_{id}.pkl`` +
+        ``{path}/label_embedding_{id}.pkl``, each holding one object
+        exposing ``.vector`` (the reference ``Embedding`` attribute
+        surface, ``Embedding.py:13-15``)."""
+        import pickle
+
+        for name, mat in (("entity", self.entity), ("label", self.label)):
+            with open(f"{path}/{name}_embedding_{checkpoint_id}.pkl", "wb") as out:
+                pickle.dump(_EmbeddingShim(mat), out, pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def restore_pickle(cls, entity_path: str, label_path: str) -> "TransEModel":
+        """Restore from the reference's pickle checkpoints
+        (``utils.py:52-59``) — the migration path for a user with
+        existing ``.pkl`` files. Pickles of the reference's
+        ``TransEmodule.Embedding.Embedding`` load WITHOUT the reference
+        installed: any class named ``Embedding`` is remapped to a local
+        attribute-compatible shim at unpickle time. Raw ndarray pickles
+        are accepted too."""
+        return cls(_load_pickled_matrix(entity_path), _load_pickled_matrix(label_path))
