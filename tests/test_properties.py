@@ -337,3 +337,20 @@ def test_quadratic_ops_guarded(spark):
     # the escape hatch still works (plan built lazily, no need to run it)
     D.jaccard_pairs(big_docs, threshold=0.6, allow_quadratic=True)
     S.cosine_pairs(big_vecs, threshold=0.9, allow_quadratic=True)
+
+
+@pytest.mark.parametrize("shingle_n,threshold", [(1, 0.5), (3, 0.6)])
+def test_jaccard_prefix_matches_exact(spark, sf_dir, shingle_n, threshold):
+    """Prefix-filtered (AllPairs/PPJoin) exact Jaccard returns the
+    IDENTICAL pair set (ids and rounded scores) as the ground-truth
+    inverted-index path — the prefix filter may only prune pairs that
+    cannot reach the threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        tuple(r) for r in D.jaccard_pairs(docs, threshold=threshold, shingle_n=shingle_n).collect()
+    }
+    prefix = {
+        tuple(r)
+        for r in D.jaccard_prefix_pairs(docs, threshold=threshold, shingle_n=shingle_n).collect()
+    }
+    assert prefix == exact

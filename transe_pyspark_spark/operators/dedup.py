@@ -146,6 +146,77 @@ def jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact pairwise Jaccard ≥ threshold via prefix filtering
+    (AllPairs/PPJoin family) — same result set as ``jaccard_pairs``,
+    UNGUARDED because the candidate set is provably bounded.
+
+    Theorem (prefix filter): order all shingles globally (rarest first —
+    ascending document frequency); if two sets A, B satisfy
+    ``J(A,B) ≥ t`` they must share a shingle within the first
+    ``|X| − ⌈t·|X|⌉ + 1`` shingles of each set X under that order.
+    Candidates therefore come from an equi-join restricted to PREFIX
+    rows only — a common stop-word shingle sits at the END of the
+    order, so it never generates candidates by itself — plus the length
+    filter ``t·|A| ≤ |B| ∧ t·|B| ≤ |A|``. Candidates are then verified
+    exactly with the same intersection-count join as ``jaccard_pairs``.
+
+    Shuffles: doc-freq agg, per-doc window (rank shingles), prefix
+    self-join, verify join, final agg — all hash-partitioned on
+    shingle/doc/pair keys; nothing quadratic in the corpus."""
+    ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("shingle").asc())
+    pos = (
+        ex.join(dfreq, "shingle")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = pos.filter(
+        F.col("__pos") <= F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+    )
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle", F.col("__n").alias("__na"))
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle", F.col("__n").alias("__nb"))
+    t = float(threshold)
+    cands = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("__nb") >= t * F.col("__na"))
+            & (F.col("__na") >= t * F.col("__nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verify: replicate A's shingles per candidate partner, then
+    # probe B's (id, shingle) rows — intersection size per pair
+    ea = ex.select(F.col(id_col).alias("doc_a"), "shingle")
+    eb = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _word_hashes(col) -> "F.Column":
     """Deterministic 31-bit polynomial hash per word (base-131 over code
     points, mod 2^31−1) — engine-independent, unlike F.hash/xxhash whose

@@ -1277,6 +1277,33 @@ def q_jaccard3_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(_T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=3)
 
 
+@_register(
+    "jaccard_prefix_near_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+               FROM documents),
+         g AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(ws) - 1),
+                                                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+               FROM w WHERE len(ws) >= 3),
+         s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+               FROM g a, g b WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM s WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "text"),
+)
+def q_jaccard_prefix_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via PREFIX FILTERING (AllPairs/PPJoin) —
+    identical result set to ``jaccard3_near_pairs`` but with a provably
+    bounded candidate join (rarest-first prefix + length filter), so it
+    carries no quadratic guard: this is the exact-similarity-join path
+    that survives corpus scale."""
+    return D.jaccard_prefix_pairs(_T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=3)
+
+
 def q_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup (scale path): shingle → signature → band
     buckets → candidate join → exact verify. Not SQL-expressible ⇒
@@ -1862,6 +1889,7 @@ _DRIVER_WINDOW = 50
 #: and each was driver-green in r01 (CORRECTNESS_r01.json).
 _OVERFLOW_ORACLE = [
     "jaccard_near_pairs",        # dedup: jaccard3/exact_dedup/components/keep in window
+    "jaccard_prefix_near_pairs",  # dedup: same result set as jaccard3_near_pairs (in window)
     "distinct_counts",           # agg: pricing/stats/rollup/cube/grouping/stddev/approx in window
     "customer_order_distribution",  # agg-of-agg: same family
     "json_extract_events",       # JSON: json_struct_events in window
