@@ -354,3 +354,18 @@ def test_jaccard_prefix_matches_exact(spark, sf_dir, shingle_n, threshold):
         for r in D.jaccard_prefix_pairs(docs, threshold=threshold, shingle_n=shingle_n).collect()
     }
     assert prefix == exact
+
+
+def test_ann_ivf_pq_recall(spark, sf_dir):
+    """IVF-PQ with exact shortlist re-rank must recover recall
+    comparable to plain IVF at the same probe budget — quantization
+    error may not cost ordering quality after refinement."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in S.knn_relational(q, emb, k=10).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_pq(q, emb, k=10, n_cells=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"

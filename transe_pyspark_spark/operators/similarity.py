@@ -240,6 +240,167 @@ def ann_ivf(
     )
 
 
+def _kmeans_np(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+    """Plain Lloyd's k-means on a driver-side sample (codebook training
+    is model-sized — M·k·(d/M) floats — exactly like the TransE
+    parameter server). Vectorized assignment via ‖x‖²−2xCᵀ+‖c‖²."""
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+        a = d.argmin(1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
+def ann_ivf_pq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subvectors: int = 8,
+    n_codes: int = 64,
+    train_sample: int = 4096,
+    refine_factor: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate k-NN — the memory-bound scale path beyond
+    ``ann_ivf``: candidates are stored as ``m_subvectors`` one-byte
+    codes instead of d floats (64-dim float32 → 8 bytes, a 32×
+    compression), so a 100 TB embedding corpus's index fits a cluster's
+    RAM.
+
+    Build: MLlib KMeans coarse-quantizes candidates into ``n_cells``
+    (one shuffle). Per-subspace codebooks are trained driver-side with
+    NumPy k-means on a bounded residual sample (codebooks are
+    model-sized; the sample is ``train_sample`` rows however big the
+    corpus), then every candidate's RESIDUAL (vec − cell centroid) is
+    encoded to codes in one Arrow ``mapInPandas`` pass — no shuffle.
+
+    Probe: queries pick ``n_probe`` nearest cells from the broadcast
+    centroid table; scoring joins probes to codes ON THE CELL KEY only,
+    then ``applyInPandas`` per (query, cell) group computes the
+    asymmetric-distance lookup table (M × n_codes) once and scores all
+    codes in that cell by table lookup — O(M) adds per candidate, never
+    touching the original vectors.
+
+    Refine: PQ distances only SHORTLIST — the top ``k·refine_factor``
+    per query are re-scored exactly against their original vectors (a
+    shortlist-sized gather join, the FAISS IVFPQR pattern), which
+    recovers the ordering the quantization error loses. Recall vs
+    brute force is the quality metric (pytest)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = candidates.select(
+        F.col(cand_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    binned = model.transform(c).select("neighbor_id", "__cv", "cell")
+    cent = np.array([[float(x) for x in ctr] for ctr in model.clusterCenters()])
+    d = cent.shape[1]
+    if d % m_subvectors != 0:
+        raise ValueError(f"dim {d} not divisible by m_subvectors={m_subvectors}")
+    ds = d // m_subvectors
+
+    # codebooks from a deterministic bounded residual sample
+    samp = binned.orderBy("neighbor_id").limit(train_sample).collect()
+    resid = np.array([np.asarray(r["__cv"], np.float64) - cent[r["cell"]] for r in samp])
+    rng = np.random.default_rng(seed)
+    books = np.stack(
+        [_kmeans_np(resid[:, m * ds : (m + 1) * ds], n_codes, 15, rng) for m in range(m_subvectors)]
+    )  # (M, n_codes≤, ds)
+
+    sc = candidates.sparkSession.sparkContext
+    b_cent, b_books = sc.broadcast(cent), sc.broadcast(books)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = b_books.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"neighbor_id": pd.Series([], dtype="int64"),
+                                    "cell": pd.Series([], dtype="int32"),
+                                    "codes": pd.Series([], dtype=object)})
+                continue
+            vecs = np.stack(pdf["__cv"].map(lambda v: np.asarray(v, np.float64)))
+            res = vecs - b_cent.value[pdf["cell"].to_numpy()]
+            codes = np.empty((len(pdf), B.shape[0]), dtype=np.int64)
+            for m in range(B.shape[0]):
+                sub = res[:, m * ds : (m + 1) * ds]
+                dist = (sub * sub).sum(1)[:, None] - 2.0 * (sub @ B[m].T) + (B[m] * B[m]).sum(1)[None, :]
+                codes[:, m] = dist.argmin(1)
+            yield pd.DataFrame({"neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                                "cell": pdf["cell"].to_numpy(np.int32),
+                                "codes": list(codes)})
+
+    coded = binned.mapInPandas(encode, schema="neighbor_id long, cell int, codes array<long>")
+
+    cent_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(cent)], "cell int, __ctr array<double>"
+        )
+    )
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__cd").asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(cent_df)
+        .select("query_id", "__qv", "cell", V.l2_sq("__qv", "__ctr").alias("__cd"))
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "cell")
+    )
+
+    shortlist = k * refine_factor
+
+    def score(key, pdf):
+        B = b_books.value
+        qv = np.asarray(pdf["__qv"].iloc[0], np.float64) - b_cent.value[key[1]]
+        lut = np.empty((B.shape[0], B.shape[1]))
+        for m in range(B.shape[0]):
+            diff = B[m] - qv[m * ds : (m + 1) * ds][None, :]
+            lut[m] = (diff * diff).sum(1)
+        codes = np.stack(pdf["codes"].map(np.asarray))
+        dist = lut[np.arange(B.shape[0])[None, :], codes].sum(1)
+        out = pd.DataFrame({"query_id": pdf["query_id"], "neighbor_id": pdf["neighbor_id"], "dist": dist})
+        # per-group partial shortlist bounds the shuffle into the window
+        return out.nsmallest(shortlist, ["dist", "neighbor_id"])
+
+    scored = (
+        probes.join(coded, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "cell")
+        .applyInPandas(score, schema="query_id long, neighbor_id long, dist double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    short = (
+        scored.withColumn("__pq_rank", F.row_number().over(w))
+        .filter(F.col("__pq_rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist only: original vectors are gathered
+    # for k·refine_factor rows per query, never for whole cells
+    exact = (
+        short.join(q, "query_id")
+        .join(binned.select("neighbor_id", "__cv"), "neighbor_id")
+        .select("query_id", "neighbor_id", V.l2_sq("__qv", "__cv").alias("dist"))
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -1347,6 +1347,17 @@ def q_ann_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ann_ivf_neighbors"] = QuerySpec("ann_ivf_neighbors", q_ann_ivf_neighbors, None, ("knn",))
 
 
+def q_ann_ivf_pq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate k-NN (product-quantized residual codes + ADC
+    lookup tables + exact shortlist re-rank); rows-only check, recall
+    vs brute force asserted in pytest."""
+    e = _T(spark, sf_dir, "embeddings")
+    return S.ann_ivf_pq(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+REGISTRY["ann_ivf_pq_neighbors"] = QuerySpec("ann_ivf_pq_neighbors", q_ann_ivf_pq_neighbors, None, ("knn",))
+
+
 @_register(
     "text_stats",
     oracle="""
