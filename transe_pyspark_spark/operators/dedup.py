@@ -84,6 +84,7 @@ def shingle_rows_arrow(
         for pdf in it:
             ids: list[int] = []
             shs: list[str] = []
+            ns: list[int] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 ws = [w for w in str(text).split(" ") if w]
                 if len(ws) < shingle_n:
@@ -91,11 +92,20 @@ def shingle_rows_arrow(
                 seen = {" ".join(ws[i : i + shingle_n]) for i in range(len(ws) - shingle_n + 1)}
                 ids.extend([int(doc_id)] * len(seen))
                 shs.extend(seen)
+                ns.extend([len(seen)] * len(seen))
             yield pd.DataFrame(
-                {id_col: pd.Series(ids, dtype="int64"), "shingle": pd.Series(shs, dtype=object)}
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "shingle": pd.Series(shs, dtype=object),
+                    # set size carried per row: spares callers a separate
+                    # groupBy + join just to recover |A| and |B|
+                    "n_shingles": pd.Series(ns, dtype="int64"),
+                }
             )
 
-    return df.select(id_col, text_col).mapInPandas(batches, schema=f"{id_col} long, shingle string")
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, shingle string, n_shingles long"
+    )
 
 
 def jaccard_pairs(
@@ -123,24 +133,21 @@ def jaccard_pairs(
 
     require_bounded_input(df, allow_quadratic, "jaccard_pairs")
     ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    pa = ex.select(F.col(id_col).alias("doc_a"), "shingle")
-    pb = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    pa = ex.select(F.col(id_col).alias("doc_a"), "shingle", F.col("n_shingles").alias("__na"))
+    pb = ex.select(F.col(id_col).alias("doc_b"), "shingle", F.col("n_shingles").alias("__nb"))
+    # __na/__nb are functionally dependent on the ids, so grouping on
+    # them adds no groups — and saves the sizes aggregate + two joins
     inter = (
         pa.join(pb, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "__na", "__nb")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
     # __i / (__na+__nb-__i) divides the same two integers as the oracle's
     # len(intersect)/len(union): identical IEEE doubles, hash-stable.
     jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -171,19 +178,15 @@ def jaccard_prefix_pairs(
     self-join, verify join, final agg — all hash-partitioned on
     shingle/doc/pair keys; nothing quadratic in the corpus."""
     ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("shingle").asc())
-    pos = (
-        ex.join(dfreq, "shingle")
-        .withColumn("__pos", F.row_number().over(w))
-        .join(sizes, id_col)
-    )
+    pos = ex.join(dfreq, "shingle").withColumn("__pos", F.row_number().over(w))
     prefix = pos.filter(
-        F.col("__pos") <= F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+        F.col("__pos")
+        <= F.col("n_shingles") - F.ceil(F.lit(float(threshold)) * F.col("n_shingles")) + 1
     )
-    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle", F.col("__n").alias("__na"))
-    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle", F.col("__n").alias("__nb"))
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle", F.col("n_shingles").alias("__na"))
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle", F.col("n_shingles").alias("__nb"))
     t = float(threshold)
     cands = (
         pa.join(pb, "shingle")
@@ -192,7 +195,7 @@ def jaccard_prefix_pairs(
             & (F.col("__nb") >= t * F.col("__na"))
             & (F.col("__na") >= t * F.col("__nb"))
         )
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "__na", "__nb")
         .distinct()
     )
     # exact verify: replicate A's shingles per candidate partner, then
@@ -202,16 +205,12 @@ def jaccard_prefix_pairs(
     inter = (
         cands.join(ea, "doc_a")
         .join(eb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "__na", "__nb")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb"))
     jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
