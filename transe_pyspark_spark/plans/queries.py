@@ -1858,6 +1858,31 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (``dropDuplicatesWithinWatermark``,
+    R23): the event stream is unioned with a second read of itself —
+    every event arrives twice — and the dedup must restore exactly one
+    row per event_id. Watermark-bounded seen-key state is the scale
+    story: a global stream dedup that never evicts would hold every key
+    forever. Oracle = the events table itself (event_id is unique)."""
+    from transe_pyspark_spark.streaming.windows import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+
+    doubled = read_events_stream(spark, sf_dir).unionAll(read_events_stream(spark, sf_dir))
+    deduped = dedup_within_watermark(doubled).select("event_id", "user_id", "event_type")
+    return run_available_now(deduped, spark, output_mode="append")
+
+
+@_register(
     "stream_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -1901,6 +1926,7 @@ _DRIVER_WINDOW = 50
 _OVERFLOW_ORACLE = [
     "jaccard_near_pairs",        # dedup: jaccard3/exact_dedup/components/keep in window
     "jaccard_prefix_near_pairs",  # dedup: same result set as jaccard3_near_pairs (in window)
+    "stream_dedup_events",       # streaming: 5 stream twins already in window
     "distinct_counts",           # agg: pricing/stats/rollup/cube/grouping/stddev/approx in window
     "customer_order_distribution",  # agg-of-agg: same family
     "json_extract_events",       # JSON: json_struct_events in window
