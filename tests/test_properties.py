@@ -356,6 +356,29 @@ def test_jaccard_prefix_matches_exact(spark, sf_dir, shingle_n, threshold):
     assert prefix == exact
 
 
+@pytest.mark.parametrize("threshold", [0.2, 0.8])
+def test_jaccard_prefix_float_boundary(spark, threshold):
+    """Thresholds whose binary repr rounds ABOVE the rational value
+    (0.2, 0.8) must not drop boundary pairs: t·n floats just above an
+    exact integer, so an epsilon-free ceil over-shortens the prefix and
+    the length filter rejects |B| == t·|A| exactly. Doc pairs below sit
+    exactly AT J == t (|A∩B|=1,|A∪B|=5 → 0.2; |A∩B|=4,|A∪B|=5 → 0.8)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo"),
+            (2, "alpha"),  # J(1,2) = 1/5 = 0.2, |B| = t·|A| exactly at t=0.2
+            (3, "alpha bravo charlie delta"),  # J(1,3) = 4/5 = 0.8
+            (4, "zulu yankee xray"),  # disjoint noise
+        ],
+        "doc_id long, text string",
+    )
+    exact = {tuple(r) for r in D.jaccard_pairs(docs, threshold=threshold).collect()}
+    prefix = {tuple(r) for r in D.jaccard_prefix_pairs(docs, threshold=threshold).collect()}
+    assert prefix == exact
+    boundary = (1, 2, 0.2) if threshold == 0.2 else (1, 3, 0.8)
+    assert boundary in prefix
+
+
 def test_ann_ivf_pq_recall(spark, sf_dir):
     """IVF-PQ with exact shortlist re-rank must recover recall
     comparable to plain IVF at the same probe budget — quantization

@@ -124,13 +124,23 @@ def jaccard_pairs(
     with itself on the shingle, and count co-occurrences — that count IS
     ``|A∩B|``, and ``|A∪B| = |A|+|B|-|A∩B|`` from per-doc set sizes, so
     only pairs sharing ≥1 shingle are ever materialized (exact for any
-    ``threshold > 0``). All shuffles are hash joins/aggregates on
-    shingle or pair keys. Worst case (a shingle shared by most of the
-    corpus) still degenerates toward all-pairs, hence inputs above
-    ``QUADRATIC_ROW_LIMIT`` rows raise unless ``allow_quadratic=True``
-    (the LSH path is the unguarded door)."""
+    ``threshold > 0``; disjoint pairs are unreachable by construction,
+    so ``threshold <= 0`` is rejected rather than silently incomplete).
+    All shuffles are hash joins/aggregates on shingle or pair keys.
+    Worst case (a shingle shared by most of the corpus) still
+    degenerates toward all-pairs, hence the quadratic guard — NOTE this
+    makes the call EAGER: ``require_bounded_input`` runs a ``count()``
+    Spark job at call time, and raises above ``QUADRATIC_ROW_LIMIT``
+    rows unless ``allow_quadratic=True`` (the LSH/prefix paths are the
+    unguarded doors)."""
     from transe_pyspark_spark.operators._guards import require_bounded_input
 
+    if threshold <= 0:
+        raise ValueError(
+            "jaccard_pairs requires threshold > 0: the inverted-index plan "
+            "only materializes pairs sharing at least one shingle, so "
+            "disjoint pairs (jaccard == 0) are never produced"
+        )
     require_bounded_input(df, allow_quadratic, "jaccard_pairs")
     ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
     pa = ex.select(F.col(id_col).alias("doc_a"), "shingle", F.col("n_shingles").alias("__na"))
@@ -181,19 +191,26 @@ def jaccard_prefix_pairs(
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("shingle").asc())
     pos = ex.join(dfreq, "shingle").withColumn("__pos", F.row_number().over(w))
+    # t·n is computed in binary floating point; for thresholds whose repr
+    # rounds ABOVE the rational value (0.2, 0.4, 0.8, ...) the product
+    # lands just above an exact integer, so a bare ceil would shorten the
+    # prefix by one and the length filter would reject |B| == t·|A|
+    # exactly — silently dropping qualifying pairs. Nudge below the
+    # integer before ceil/compare; 1e-9 ≪ 1/n for any real set size.
+    t = float(threshold)
+    eps = 1e-9
     prefix = pos.filter(
         F.col("__pos")
-        <= F.col("n_shingles") - F.ceil(F.lit(float(threshold)) * F.col("n_shingles")) + 1
+        <= F.col("n_shingles") - F.ceil(F.lit(t) * F.col("n_shingles") - F.lit(eps)) + 1
     )
     pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle", F.col("n_shingles").alias("__na"))
     pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle", F.col("n_shingles").alias("__nb"))
-    t = float(threshold)
     cands = (
         pa.join(pb, "shingle")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("__nb") >= t * F.col("__na"))
-            & (F.col("__na") >= t * F.col("__nb"))
+            & (F.col("__nb") >= t * F.col("__na") - eps)
+            & (F.col("__na") >= t * F.col("__nb") - eps)
         )
         .select("doc_a", "doc_b", "__na", "__nb")
         .distinct()
