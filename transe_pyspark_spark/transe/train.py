@@ -261,13 +261,14 @@ class TransETrainer:
         # error that only ever rejects extra candidates. The fully
         # relational alternative (anti-join, SURVEY §2A F2) lives in
         # train_relational.py.
+        n_triples = train.count()  # single job: used by auto-strategy AND Bloom sizing
         strategy = self.rejection
         if strategy == "auto":
-            strategy = "exact" if train.count() <= self.exact_rejection_limit else "bloom"
+            strategy = "exact" if n_triples <= self.exact_rejection_limit else "bloom"
         if strategy == "exact":
             reject = ExactRejection(frozenset((r.h, r.l, r.t) for r in train.collect()))
         else:
-            reject = BloomRejection.build(train, train.count())
+            reject = BloomRejection.build(train, n_triples)
         b_keys = sc.broadcast(reject)
 
         model.entity = l2_normalize_rows(model.entity)  # pre-loop renorm, TransE.py:97
@@ -297,6 +298,12 @@ class TransETrainer:
                     L = b_lab.value
                     ent_cache: dict[int, np.ndarray] = {}
                     lab_cache: dict[int, np.ndarray] = {}
+                    # vectorized kernel: evolving state as dense copy-on-
+                    # write arrays + touched masks instead of per-id dicts
+                    # (model-sized copy per task, same contract as the
+                    # broadcast itself; scatter becomes one np.add.at)
+                    E_acc = L_acc = None
+                    ent_touched = lab_touched = None
                     loss = 0.0
 
                     def ev(i: int) -> np.ndarray:
@@ -324,31 +331,29 @@ class TransETrainer:
                             loss += float((margin + d_pos - d_neg)[viol].sum())
                             g = _grad(Tv - Hv - Lv, distance) * viol[:, None]
                             gc = -_grad(CTv - CHv - Lv, distance) * viol[:, None]
-                            acc_e: dict[int, np.ndarray] = {}
-                            acc_l: dict[int, np.ndarray] = {}
-
-                            def scatter(acc, ids, delta, dim):
-                                for row_i, i in enumerate(ids):
-                                    i = int(i)
-                                    if i not in acc:
-                                        acc[i] = np.zeros(dim)
-                                    acc[i] += delta[row_i]
-
-                            dim = E.shape[1]
-                            scatter(acc_e, h, lr * g, dim)
-                            scatter(acc_e, t, -lr * g, dim)
-                            scatter(acc_e, ch, lr * gc, dim)
-                            scatter(acc_e, ct, -lr * gc, dim)
-                            scatter(acc_l, l, lr * (g + gc), dim)
-                            for i, d in acc_e.items():
-                                ent_cache[i] = ev(i) + d
-                            for i, d in acc_l.items():
-                                lab_cache[i] = lv(i) + d
-                            touched = set(map(int, h)) | set(map(int, t)) | set(map(int, ch)) | set(map(int, ct))
-                            for i in touched:
-                                n = np.linalg.norm(ent_cache[i])
-                                if n > 0:
-                                    ent_cache[i] = ent_cache[i] / n
+                            if E_acc is None:
+                                E_acc = E.astype(np.float64, copy=True)
+                                L_acc = L.astype(np.float64, copy=True)
+                                ent_touched = np.zeros(E.shape[0], dtype=bool)
+                                lab_touched = np.zeros(L.shape[0], dtype=bool)
+                            # one fused scatter-add per store (np.add.at
+                            # handles duplicate ids) — replaces the
+                            # per-row Python dict loop that dominated
+                            # kernel time
+                            ids4 = np.concatenate([h, t, ch, ct])
+                            deltas4 = np.concatenate(
+                                [lr * g, -lr * g, lr * gc, -lr * gc]
+                            )
+                            np.add.at(E_acc, ids4, deltas4)
+                            np.add.at(L_acc, l, lr * (g + gc))
+                            ent_touched[ids4] = True
+                            lab_touched[l] = True
+                            # renorm exactly the entities touched this
+                            # batch (matches the dict kernel's touched set)
+                            tu = np.unique(ids4)
+                            norms = np.linalg.norm(E_acc[tu], axis=1)
+                            nz = norms > 0
+                            E_acc[tu[nz]] /= norms[nz][:, None]
                         else:
                             # Faithful: sequential per-row with evolving
                             # local cache (TransE.py:172-218).
@@ -390,11 +395,24 @@ class TransETrainer:
                         mat = np.stack([cache[i] for i in cache]).astype(np.float64)
                         return (kind, ids, mat.tobytes())
 
-                    rows = [
-                        pack(ent_cache, "entity"),
-                        pack(lab_cache, "label"),
-                        ("__loss__", [], np.float64(loss).tobytes()),
-                    ]
+                    def pack_dense(acc, touched, kind: str):
+                        if acc is None or not touched.any():
+                            return (kind, [], b"")
+                        ids = np.nonzero(touched)[0]
+                        return (kind, ids.tolist(), np.ascontiguousarray(acc[ids]).tobytes())
+
+                    if kern == "vectorized":
+                        rows = [
+                            pack_dense(E_acc, ent_touched, "entity"),
+                            pack_dense(L_acc, lab_touched, "label"),
+                            ("__loss__", [], np.float64(loss).tobytes()),
+                        ]
+                    else:
+                        rows = [
+                            pack(ent_cache, "entity"),
+                            pack(lab_cache, "label"),
+                            ("__loss__", [], np.float64(loss).tobytes()),
+                        ]
                     yield pd.DataFrame(rows, columns=["kind", "ids", "data"])
 
                 batch_df = train.sample(False, fraction, seed=step_seed)  # TransE.py:120-122
