@@ -162,3 +162,85 @@ def fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % p,
     )
+
+
+#: PII patterns, deliberately ASCII-simple so Java regex (Spark) and
+#: RE2 (DuckDB) agree byte-for-byte on every match boundary.
+EMAIL_PATTERN = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PHONE_PATTERN = "555-[0-9]{4}"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(email_count, phone_count) — per-document PII hit counts, the
+    audit half of a scrub pass (a corpus release gate wants the counts
+    logged even when the text is redacted)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(EMAIL_PATTERN)).cast("long"),
+        F.regexp_count(c, F.lit(PHONE_PATTERN)).cast("long"),
+    )
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace every email/phone match with a typed placeholder token
+    (``<EMAIL>``/``<PHONE>``) — the standard pretraining-corpus PII
+    scrub (global replace; the oracle needs RE2's ``'g'`` flag to
+    match Java's replace-all default)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"), PHONE_PATTERN, "<PHONE>"
+    )
+
+
+def dup_word_ratio(text: Column | str) -> Column:
+    """1 − |distinct words|/|words| — the repetition signal from the
+    Gopher quality rules (Rae et al. 2021 §A1.1 use repeated line/
+    n-gram fractions; word-level is the analogue for single-line
+    docs). 0.0 for empty docs."""
+    ws = words(text)
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ws)).cast("double") / F.size(ws).cast("double")
+    )
+
+
+def chunk_docs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+):
+    """Fixed-size token-window chunking with overlap (size−stride
+    tokens shared between consecutive chunks) — the map from documents
+    to training sequences every LLM data pipeline runs last.
+
+    Pure narrow ops: tokenize (JVM split), explode the chunk starts
+    (``sequence(0, n−1, stride)``), slice the token array per start —
+    no shuffle at all; at 100 TB this pipelines with the parquet scan.
+    Output: (id, chunk_id, n_tokens, chunk_text); empty docs yield no
+    chunks. Deterministic, so DuckDB reproduces it exactly via
+    ``generate_series`` + ``list_slice``."""
+    assert 0 < stride <= size
+    ws = words(F.col(text_col))
+    return (
+        df.select(F.col(id_col), ws.alias("__ws"))
+        .filter(F.size("__ws") > 0)
+        .select(
+            id_col,
+            "__ws",
+            F.explode(
+                F.sequence(F.lit(0), F.size("__ws") - 1, F.lit(stride))
+            ).alias("__start"),
+        )
+        .select(
+            id_col,
+            (F.col("__start") / stride).cast("long").alias("chunk_id"),
+            F.slice("__ws", F.col("__start") + 1, size).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -122,16 +122,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with key salting for skewed keys (SURVEY scale posture).
 
-    The left (large, skewed) side gets a random salt in [0, salt); the
-    right side is replicated ``salt`` times with every salt value, and
-    the join key becomes (key, salt) — a single hot key now spreads
-    over ``salt`` reducers instead of one straggler task. Semantically
-    identical to ``left.join(right, on, how)`` (oracle-checked by the
-    ``salted_join_revenue`` query). AQE's skew-join split handles
-    moderate skew automatically; explicit salting is for the extreme
-    case where one key exceeds what a single split can hold.
+    The left (large, skewed) side gets a salt in [0, salt) derived from
+    a row-content hash (xxhash64 over ALL left columns — deterministic,
+    so a retried task routes every row to the SAME salt bucket, unlike
+    positional ``F.rand`` whose values shift when a partition is
+    recomputed); the right side is replicated ``salt`` times with every
+    salt value, and the join key becomes (key, salt) — a single hot key
+    now spreads over ``salt`` reducers instead of one straggler task.
+    Semantically identical to ``left.join(right, on, how)``
+    (oracle-checked by the ``salted_join_revenue`` query). AQE's
+    skew-join split handles moderate skew automatically; explicit
+    salting is for the extreme case where one key exceeds what a
+    single split can hold.
     """
-    salted_l = left.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    salted_l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     salted_r = right.select("*", salts)
     out = salted_l.join(salted_r, [on, "__salt"], how)
@@ -148,3 +154,29 @@ def anti_join(left: DataFrame, right: DataFrame, on: Column | str) -> DataFrame:
     """NOT EXISTS filter (R6) — the declarative form of the reference's
     negative-sample rejection (``TransE.py:237-244``)."""
     return left.join(right, on, "left_anti")
+
+
+def stratified_mod_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    denom: int = 100,
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row of stratum *s*
+    iff ``key % denom < round(fractions[s]·denom)`` — the data-mixing
+    step of a pretraining pipeline (per-source/per-language rates),
+    with systematic-sampling determinism instead of RNG so the result
+    is reproducible on any engine and any partitioning (same
+    reasoning as ``mod_sample_orders``; a seeded ``df.sampleBy`` is
+    the Bernoulli alternative when statistical randomness matters
+    more than replayability).
+
+    Pure narrow filter — no shuffle, pushes to the scan when ``key``
+    and ``strata`` are plain columns."""
+    thresholds = {s: int(round(f * denom)) for s, f in fractions.items()}
+    expr = F.lit(int(round(default * denom)))
+    for s, t in thresholds.items():
+        expr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(expr)
+    return df.filter(F.pmod(F.col(key_col), F.lit(denom)) < expr)

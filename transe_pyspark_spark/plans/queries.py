@@ -1031,6 +1031,60 @@ def q_grouped_agg_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(price_range("o_totalprice").alias("price_range"))
 
 
+@_register(
+    "scalar_udf_price_band",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN CAST(round(p_retailprice*100) AS BIGINT) < 100000 THEN 'budget'
+                  WHEN CAST(round(p_retailprice*100) AS BIGINT) < 150000 THEN 'mid'
+                  ELSE 'premium' END
+             || '-' || CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS price_band,
+             CAST(round(p_retailprice*100) AS BIGINT) AS cents
+      FROM part)
+    SELECT price_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY price_band
+    """,
+    tags=("udf", "scalar"),
+)
+def q_scalar_udf_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20 SCALAR pandas UDF face: a per-row Arrow-vectorized banding
+    function (two input columns → one string column) feeding a plain
+    relational aggregate. All arithmetic is exact integer cents inside
+    the UDF, so the band labels and sums are bit-identical to the SQL
+    oracle. At scale this is a narrow map over Arrow batches — no
+    shuffle until the (tiny) band aggregate."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR functionType: postponed annotation evaluation in
+    # this module turns the type hints Spark would infer from into
+    # strings (same reason as GROUPED_AGG above).
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def price_band(price, size):
+        import numpy as np
+        import pandas as pd
+
+        cents = (price * 100).round().astype("int64")
+        band = pd.Series(
+            np.where(cents < 100_000, "budget", np.where(cents < 150_000, "mid", "premium")),
+            index=price.index,
+        )
+        parity = pd.Series(np.where(size % 2 == 0, "even", "odd"), index=price.index)
+        return band + "-" + parity
+
+    p = _T(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    return (
+        p.select(price_band("p_retailprice", "p_size").alias("price_band"), cents.alias("__c"))
+        .groupBy("price_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("__c").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
 def q_transe_train_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R21 trainer smoke (rows-only): 3 epochs of distributed TransE on
     a synthetic KG derived from the embeddings fixture; returns the
@@ -1471,6 +1525,158 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", X.fingerprint("text").alias("fp"))
 
 
+@_register(
+    "doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+      FROM documents)
+    SELECT doc_id,
+           CAST(s // 24 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(ws, s + 1, least(s + 32, len(ws)))) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(ws, s + 1, least(s + 32, len(ws))), ' ') AS chunk_text
+    FROM t, unnest(generate_series(0, len(ws) - 1, 24)) AS u(s)
+    WHERE len(ws) > 0
+    """,
+    tags=("text", "chunk"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → overlapping 32-token training sequences (stride 24,
+    8-token overlap): the LLM pipeline's final map. Narrow ops only —
+    tokenize, explode chunk starts, slice — zero shuffles; the whole
+    thing pipelines with the parquet scan at any scale."""
+    return X.chunk_docs(_T(spark, sf_dir, "documents"), size=32, stride=24)
+
+
+@_register(
+    "gopher_quality_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(ws, w -> CAST(length(w) AS DOUBLE))),
+                       (a, b) -> a + b) / len(ws) END AS avg_word_len,
+             CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(len(list_filter(ws, w -> list_contains(
+                         {list(X.STOPWORDS)}, lower(w)))) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE) END AS stopword_frac,
+             CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE) END AS dup_word_frac
+      FROM t)
+    SELECT doc_id, n_words, avg_word_len, stopword_frac, dup_word_frac,
+           (n_words BETWEEN 10 AND 1000
+            AND avg_word_len BETWEEN 2.0 AND 10.0
+            AND stopword_frac >= 0.05
+            AND dup_word_frac <= 0.6) AS keep
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, Appendix A1.1,
+    adapted to single-line docs): word-count band, mean-word-length
+    band, stopword floor, repetition ceiling — each metric surfaced
+    alongside the combined ``keep`` verdict so downstream mixing can
+    re-weight instead of hard-drop. All JVM column expressions (HOFs
+    over the token array); one narrow pass, no shuffle."""
+    d = _T(spark, sf_dir, "documents")
+    ws = X.words(F.col("text"))
+    nw = F.size(ws).cast("long")
+    awl = X.avg_word_len("text")
+    swf = X.stopword_ratio("text")
+    dwf = X.dup_word_ratio("text")
+    keep = (
+        nw.between(10, 1000)
+        & awl.between(2.0, 10.0)
+        & (swf >= 0.05)
+        & (dwf <= 0.6)
+    )
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        awl.alias("avg_word_len"),
+        swf.alias("stopword_frac"),
+        dwf.alias("dup_word_frac"),
+        keep.alias("keep"),
+    )
+
+
+@_register(
+    "pii_scrub_docs",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example tel 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{X.EMAIL_PATTERN}')) AS BIGINT) AS email_count,
+           CAST(len(regexp_extract_all(t, '{X.PHONE_PATTERN}')) AS BIGINT) AS phone_count,
+           regexp_replace(regexp_replace(t, '{X.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                          '{X.PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed
+    FROM aug
+    """,
+    tags=("text", "pii"),
+)
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + scrub over the corpus. The synthetic docs carry no
+    PII, so both engines first append a deterministic fake
+    email/phone per doc (a pure function of doc_id) — the regexes
+    then have real matches to count and redact, and the oracle
+    checks exact match boundaries, not just zeros. Patterns are
+    ASCII-simple so Java regex and RE2 agree; counts and the
+    scrubbed text are both returned (release gates log counts even
+    when text is redacted). Narrow map, no shuffle."""
+    d = _T(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example tel 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    emails, phones = X.pii_counts(aug)
+    return d.select(
+        "doc_id",
+        emails.alias("email_count"),
+        phones.alias("phone_count"),
+        X.scrub_pii(aug).alias("scrubbed"),
+    )
+
+
+@_register(
+    "stratified_sample_mix",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 20 ELSE 10 END
+    """,
+    tags=("sample", "text"),
+)
+def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stratified sample: keep 50% of English, 20% of
+    Chinese, 10% of everything else — per-language rates exactly the
+    shape a pretraining mixture spec prescribes, via deterministic
+    systematic sampling (reproducible across engines/partitionings;
+    seeded ``sampleBy`` is the Bernoulli alternative)."""
+    d = _T(spark, sf_dir, "documents")
+    return R.stratified_mod_sample(
+        d.select("doc_id", "lang", "source"),
+        strata_col="lang",
+        key_col="doc_id",
+        fractions={"en": 0.5, "zh": 0.2},
+        default=0.1,
+    ).select("doc_id", "lang", "source")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word/script language-ID heuristic; rows-only check (the
     argmax CASE tree is SQL-expressible but the value is in the operator,
@@ -1748,6 +1954,109 @@ def q_transe_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSE_EVAL_FILTERED_ORACLE = f"""
+WITH ent AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings WHERE vec_id >= 10),
+     rel AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings WHERE vec_id < 10),
+     n AS (SELECT count(*) AS c FROM ent),
+     triples AS (
+       SELECT vec_id AS h, vec_id % 10 AS l, 10 + (vec_id * 7) % (SELECT c FROM n) AS t
+       FROM ent WHERE vec_id < 60),
+     known AS (
+       SELECT h, l, t AS cand FROM triples
+       UNION
+       SELECT vec_id AS h, vec_id % 10 AS l, 10 + (vec_id * 13) % (SELECT c FROM n) AS cand
+       FROM ent WHERE vec_id < 60),
+     scored AS (
+       SELECT tr.h, tr.l, tr.t, e.vec_id AS cand,
+              {_FOLD_SUM.format(terms="list_transform(list_zip(hv.ve, rv.ve, e.ve), z -> ((z[1] + z[2]) - z[3]) * ((z[1] + z[2]) - z[3]))")} AS d
+       FROM triples tr
+       JOIN ent hv ON hv.vec_id = tr.h
+       JOIN rel rv ON rv.vec_id = tr.l
+       CROSS JOIN ent e),
+     ranks AS (
+       SELECT s.h, s.l, s.t,
+              CAST(count(*) FILTER (WHERE s.d < st.d) AS BIGINT) AS rank_raw,
+              CAST(count(*) FILTER (WHERE s.d < st.d AND k.cand IS NULL) AS BIGINT) AS rank_filtered
+       FROM scored s
+       JOIN scored st ON s.h = st.h AND s.l = st.l AND s.t = st.t AND st.cand = st.t
+       LEFT JOIN known k ON k.h = s.h AND k.l = s.l AND k.cand = s.cand
+       GROUP BY s.h, s.l, s.t)
+SELECT count(*) AS n_test,
+       avg(rank_raw) AS mean_rank_raw,
+       avg(rank_filtered) AS mean_rank_filtered,
+       avg(CASE WHEN rank_filtered <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS hits_at_10_filtered
+FROM ranks
+"""
+
+
+@_register(
+    "transe_rank_eval_filtered",
+    oracle=_TRANSE_EVAL_FILTERED_ORACLE,
+    tags=("transe", "knn"),
+)
+def q_transe_rank_eval_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED-protocol link prediction (Bordes et al. §4 — beyond the
+    raw-only reference, ``test.py:49-62``): candidate corruptions that
+    are themselves known-true triples are excluded from the ranking.
+    Same synthetic KG as the flagship plus a second deterministic known
+    set ((h, h%10, 10+13h mod V)), so the exclusion is non-trivial.
+
+    Fully relational twin of
+    ``transe.evaluate._filtered_ranks_relational``: the known-triple
+    table is only ever joined on its (h, l, cand) keys — never
+    collected — which is the shape that survives a KG far larger than
+    the model. Raw and filtered mean ranks are returned side by side;
+    filtered rank == raw rank minus out-ranking known corruptions."""
+    emb = _T(spark, sf_dir, "embeddings")
+    ent = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    rel = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+    n_ent = ent.select(F.count(F.lit(1)).alias("c"))
+    heads = ent.filter(F.col("vec_id") < 60).crossJoin(F.broadcast(n_ent))
+    triples = heads.select(
+        F.col("vec_id").alias("h"),
+        (F.col("vec_id") % 10).alias("l"),
+        (F.lit(10) + (F.col("vec_id") * 7) % F.col("c")).alias("t"),
+    )
+    known = triples.select("h", "l", F.col("t").alias("cand")).union(
+        heads.select(
+            F.col("vec_id").alias("h"),
+            (F.col("vec_id") % 10).alias("l"),
+            (F.lit(10) + (F.col("vec_id") * 13) % F.col("c")).alias("cand"),
+        )
+    ).distinct()
+    hv = ent.select(F.col("vec_id").alias("h"), F.col("embedding").alias("__hv"))
+    rv = rel.select(F.col("vec_id").alias("l"), F.col("embedding").alias("__rv"))
+    q = (
+        triples.join(F.broadcast(hv), "h")
+        .join(F.broadcast(rv), "l")
+        .select("h", "l", "t", V.add("__hv", "__rv").alias("__q"))
+    )
+    cand = ent.select(F.col("vec_id").alias("cand"), F.col("embedding").alias("__cv"))
+    scored = q.join(cand, F.col("cand").isNotNull()).select(
+        "h", "l", "t", "cand", V.l2_sq("__q", "__cv").alias("d")
+    )
+    d_true = scored.filter(F.col("cand") == F.col("t")).select(
+        "h", "l", "t", F.col("d").alias("__dt")
+    )
+    marked = scored.join(d_true, ["h", "l", "t"]).join(
+        known.withColumn("__known", F.lit(1)), ["h", "l", "cand"], "left"
+    )
+    ranks = marked.groupBy("h", "l", "t").agg(
+        F.sum(F.when(F.col("d") < F.col("__dt"), 1).otherwise(0)).cast("long").alias("rank_raw"),
+        F.sum(
+            F.when((F.col("d") < F.col("__dt")) & F.col("__known").isNull(), 1).otherwise(0)
+        ).cast("long").alias("rank_filtered"),
+    )
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.avg("rank_raw").alias("mean_rank_raw"),
+        F.avg("rank_filtered").alias("mean_rank_filtered"),
+        F.avg(F.when(F.col("rank_filtered") <= 10, F.lit(1.0)).otherwise(F.lit(0.0))).alias(
+            "hits_at_10_filtered"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming (R23): executed with Trigger.AvailableNow, oracle = batch twin
 # ---------------------------------------------------------------------------
@@ -1920,17 +2229,36 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW = 50
 
-#: oracle-backed entries intentionally ordered past the window: each is
-#: a redundant extra of a family that keeps ≥2 in-window oracle rows,
-#: and each was driver-green in r01 (CORRECTNESS_r01.json).
+#: oracle-backed entries intentionally ordered past the window — the
+#: window is ROTATED each round so every oracle query earns a
+#: driver-green row across rounds. r03 rotation: the 7 entries that sat
+#: here in r02 (jaccard_near_pairs, jaccard_prefix_near_pairs,
+#: stream_dedup_events, distinct_counts, customer_order_distribution,
+#: json_extract_events, priority_count_exists) move INTO the window,
+#: plus the two new queries (scalar_udf_price_band,
+#: transe_rank_eval_filtered); the nine entries below move out — every
+#: one driver-green in BOTH r01 and r02 (CORRECTNESS_r0{1,2}.json), and
+#: every operator family keeps ≥1 in-window oracle row (strings/dates/
+#: math via filter_predicates+pricing+date-bearing streams; sampling
+#: via mod-hash determinism pytest; rollup/cube via
+#: grouping_sets_revenue; RANGE frames via window_order_seq +
+#: rank_functions; JSON via json_extract_events).
 _OVERFLOW_ORACLE = [
-    "jaccard_near_pairs",        # dedup: jaccard3/exact_dedup/components/keep in window
-    "jaccard_prefix_near_pairs",  # dedup: same result set as jaccard3_near_pairs (in window)
-    "stream_dedup_events",       # streaming: 5 stream twins already in window
-    "distinct_counts",           # agg: pricing/stats/rollup/cube/grouping/stddev/approx in window
-    "customer_order_distribution",  # agg-of-agg: same family
-    "json_extract_events",       # JSON: json_struct_events in window
-    "priority_count_exists",     # EXISTS shape: semi_anti_join + small_quantity in window
+    "string_funcs",              # scalar fns: twice-green
+    "date_funcs",                # scalar fns: twice-green
+    "math_funcs",                # scalar fns: green after r01 fix, green r02
+    "mod_sample_orders",         # sampling: twice-green
+    "small_quantity_parts",      # EXISTS/anti shape: priority_count_exists rotates in
+    "cube_flags",                # multi-dim agg: grouping_sets_revenue stays
+    "rollup_status_priority",    # multi-dim agg: grouping_sets_revenue stays
+    "range_frame_spend",         # window frames: window_order_seq + rank_functions stay
+    "json_struct_events",        # JSON: json_extract_events rotates in
+    # NEW in r03 (mirror-green this round; first in line for the r04
+    # rotation — never driver-checked):
+    "doc_chunks",                # LLM pipeline: doc→training-sequence chunking
+    "gopher_quality_docs",       # LLM pipeline: Gopher-rule quality filter
+    "pii_scrub_docs",            # LLM pipeline: PII audit + scrub
+    "stratified_sample_mix",     # LLM pipeline: per-language mixing sample
 ]
 
 
