@@ -203,6 +203,33 @@ def test_relational_trainer_converges(spark, toy_triples):
     assert model.k == 16
 
 
+def test_relational_init_deterministic(spark):
+    """The distributed init is a pure function of (seed, id): the same
+    seed yields bit-identical vectors under different partitioning
+    (task retries / executor counts reroute rows but can't change the
+    draw), and a different seed yields a different table."""
+    from transe_pyspark_spark.transe.train_relational import RelationalTransETrainer
+
+    tr = RelationalTransETrainer(k=8, seed=5)
+    a = tr._init_embeddings(spark, 64, 8, seed=5, normalize=True)
+    b = tr._init_embeddings(spark, 64, 8, seed=5, normalize=True).repartition(3)
+    rows_a = {r.id: r.vec for r in a.collect()}
+    rows_b = {r.id: r.vec for r in b.collect()}
+    assert rows_a == rows_b
+    # pure-function check against a driver-side reproduction (through
+    # l2_normalize_rows — np.linalg.norm on a bare 1-D vector rounds
+    # differently than the axis-1 matrix reduction)
+    from transe_pyspark_spark.transe.model import l2_normalize_rows
+
+    bound = 6.0 / np.sqrt(8)
+    for ident in (0, 17, 63):
+        vec = np.random.default_rng([5, ident]).uniform(-bound, bound, 8)
+        vec = l2_normalize_rows(vec[None, :])[0]
+        np.testing.assert_allclose(rows_a[ident], vec, rtol=0, atol=0)
+    c = {r.id: r.vec for r in tr._init_embeddings(spark, 64, 8, seed=6, normalize=True).collect()}
+    assert c != rows_a
+
+
 def test_filtered_protocol_dominates_raw(spark, toy_triples):
     """Filtered evaluation can only improve metrics: every filtered
     rank ≤ its raw rank (known-true corruptions are excluded), and the

@@ -167,8 +167,18 @@ def _filtered_ranks_relational(
     known triples on (h,l) for tail corruption / (l,t) for head
     corruption, the corruption's distance comes from a broadcast join
     against the model-sized vector tables, and "out-ranks" uses the raw
-    kernel's exact tie rule (strictly closer, or equal-distance with a
-    smaller candidate id). One shuffle per side (the groupBy), and the
+    kernel's tie RULE (strictly closer, or equal-distance with a
+    smaller candidate id) — but not its exact ROUNDING: raw ranks come
+    from the kernel's expanded BLAS form (‖q‖²−2qEᵀ+‖e‖²) while this
+    path computes distances elementwise, and the two can disagree
+    within ~1 ulp of d_true. This path is therefore TIE-APPROXIMATE
+    relative to ``filter_method="broadcast"``: a corruption landing
+    exactly on the float boundary may shift a filtered rank by ±1
+    (head-to-head equivalence on non-adversarial models is pytest-
+    gated by ``test_filtered_relational_matches_broadcast``). Bit-exact parity
+    across the two formulas is not achievable anyway — BLAS block
+    summation order differs from any per-element fold.
+    One shuffle per side (the groupBy), and the
     known-triple table is only ever shuffled on its join keys — this is
     the 100 TB-KG shape; the driver-dict path is the model-scale
     shortcut."""

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transe_pyspark_spark.functions import vector as V
-from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows, xavier_uniform
+from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows
 
 
 def _sum_vec_udf():
@@ -94,14 +94,33 @@ class RelationalTransETrainer:
     def _init_embeddings(
         self, spark: SparkSession, n: int, k: int, seed: int, normalize: bool
     ) -> DataFrame:
-        """Seeded Xavier init, distributed as an [id, vec] table. Driver
-        generates only because the test scale allows it; a true
-        beyond-RAM init would use per-row seeded rand expressions."""
-        mat = xavier_uniform(n, k, np.random.default_rng(seed))
-        if normalize:
-            mat = l2_normalize_rows(mat)
-        pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "vec": list(map(list, mat))})
-        return spark.createDataFrame(pdf).repartition(8, "id")
+        """Seeded Xavier init, distributed end-to-end: ``spark.range(n)``
+        partitions the id space across executors and a ``mapInPandas``
+        pass draws each row's U(−6/√k, 6/√k) vector from
+        ``default_rng([seed, id])`` — the per-row SeedSequence makes
+        the draw a pure function of (seed, id), so the table is
+        IDENTICAL under any partitioning, task retry, or executor
+        count (``test_relational_init_deterministic``), and no V×k
+        matrix ever materializes on the driver (the round-1 init built
+        the full matrix driver-side; at V=10⁹, k=100 that's 800 GB)."""
+        bound = 6.0 / np.sqrt(k)
+
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                mat = np.empty((len(ids), k), dtype=np.float64)
+                for i, ident in enumerate(ids):
+                    rng = np.random.default_rng([seed, int(ident)])
+                    mat[i] = rng.uniform(-bound, bound, k)
+                if normalize:
+                    mat = l2_normalize_rows(mat)
+                yield pd.DataFrame({"id": ids, "vec": list(map(list, mat))})
+
+        return (
+            spark.range(n)
+            .repartition(8, "id")
+            .mapInPandas(gen, "id long, vec array<double>")
+        )
 
     def _corrupt(self, batch: DataFrame, train: DataFrame, n_entities: int, seed: int) -> DataFrame:
         """Head-or-tail corruption with anti-join rejection (relational
