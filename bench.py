@@ -3,8 +3,12 @@
 
 Each query is forced to full materialization via a count over the
 result (no driver-side row transfer beyond the count), timed
-wall-clock. ``value`` is the total seconds across headline queries —
-the number BENCH_r{N}.json records and BASELINE.md is judged against.
+wall-clock. Every recorded number is the MEDIAN of 3 steady-state runs
+(after one untimed warmup), so single-run machine noise — the phantom
++27% between the r01 and r02 recordings — can't masquerade as a
+regression. ``value`` is the total seconds (sum of medians) across
+headline queries — the number BENCH_r{N}.json records and BASELINE.md
+is judged against; ``runs`` carries the raw per-run samples.
 """
 
 from __future__ import annotations
@@ -23,6 +27,9 @@ from transe_pyspark_spark.session import get_spark  # noqa: E402
 #: Headline set: one per major operator family (relational agg, join
 #: pipeline, window, as-of, dedup-LSH, exact-jaccard, knn, text,
 #: streaming, flagship eval).
+#: Timed samples per query; every recorded number is the median of these.
+N_RUNS = 3
+
 HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
@@ -43,7 +50,7 @@ def _train_epoch_seconds(spark) -> float:
     scale (FB15k-237: 483,142 train triples, 14,541 entities, 237
     relations, k=50, 2 batches — BASELINE.md rows 1-5; 13.5 s/epoch on
     its 1-worker config). Synthetic triples at identical shape; median
-    of epochs 2-3 (epoch 1 pays broadcast warmup)."""
+    of epochs 2-4 (epoch 1 pays broadcast warmup)."""
     import numpy as np
     import pandas as pd
 
@@ -55,10 +62,10 @@ def _train_epoch_seconds(spark) -> float:
         {"h": rng.integers(0, V, N), "l": rng.integers(0, L, N), "t": rng.integers(0, V, N)}
     )
     triples = spark.createDataFrame(pdf).repartition(32)
-    tr = TransETrainer(k=K, n_epochs=3, n_batches=2, learning_rate=0.01, seed=1)
+    tr = TransETrainer(k=K, n_epochs=1 + N_RUNS, n_batches=2, learning_rate=0.01, seed=1)
     tr.fit(spark, triples, n_entities=V, n_labels=L)
-    later = sorted(tr.epoch_times[1:])
-    return round(later[len(later) // 2], 3)
+    later = [round(t, 3) for t in tr.epoch_times[1:]]
+    return sorted(later)[len(later) // 2], later
 
 
 def _bucketed_join_seconds(spark, sf_dir: str) -> float:
@@ -96,9 +103,12 @@ def _bucketed_join_seconds(spark, sf_dir: str) -> float:
         )
 
     run()  # warmup: codegen + footer cache
-    t0 = time.time()
-    run()
-    return round(time.time() - t0, 3)
+    samples = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        run()
+        samples.append(round(time.time() - t0, 3))
+    return sorted(samples)[len(samples) // 2], samples
 
 
 def main() -> None:
@@ -109,23 +119,29 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        fn(spark, sf_dir).count()  # warmup: JIT/codegen compile, parquet footer cache
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s (steady-state)", file=sys.stderr)
+        n = fn(spark, sf_dir).count()  # warmup: JIT/codegen compile, parquet footer cache
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+        runs[name] = samples
+        times[name] = sorted(samples)[len(samples) // 2]
+        print(f"# {name}: {n} rows, median {times[name]}s of {samples}", file=sys.stderr)
 
     # Drop caches left by the headline queries (minhash signature cache
     # etc.) so the sections below aren't timed under their GC pressure.
     spark.catalog.clearCache()
 
-    times["bucketed_orders_lineitem"] = _bucketed_join_seconds(spark, sf_dir)
+    times["bucketed_orders_lineitem"], runs["bucketed_orders_lineitem"] = (
+        _bucketed_join_seconds(spark, sf_dir)
+    )
     print(f"# bucketed_orders_lineitem: {times['bucketed_orders_lineitem']}s", file=sys.stderr)
 
-    times["transe_train_epoch"] = _train_epoch_seconds(spark)
+    times["transe_train_epoch"], runs["transe_train_epoch"] = _train_epoch_seconds(spark)
     print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -134,6 +150,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "runs": runs,
         "sf": sf,
     }))
 
