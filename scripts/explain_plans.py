@@ -81,6 +81,18 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",
     ),
+    "doc_chunks": (
+        ["Generate"],
+        "chunk starts explode map-side; the whole chunker pipelines with the scan",
+    ),
+    "scalar_udf_price_band": (
+        ["ArrowEvalPython", "HashAggregate"],
+        "scalar pandas UDF runs as Arrow batches feeding a partial+final agg",
+    ),
+    "transe_rank_eval_filtered": (
+        ["BroadcastHashJoin"],
+        "model-sized vector tables broadcast into the candidate scoring join",
+    ),
 }
 
 #: plan nodes that must NOT appear (quadratic shapes the rewrite removed)
@@ -95,12 +107,18 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     ),
 }
 
-#: max Exchange *nodes* allowed (each extra exchange is a full shuffle)
+#: max Exchange *nodes* allowed (each extra exchange is a full shuffle);
+#: 0 = the operator must stay narrow end-to-end (pipelines with the scan)
 MAX_EXCHANGES = {
     "asof_purchase_click": 1,
     "pricing_summary": 1,
     "top3_orders_per_customer": 1,
     "window_order_seq": 1,
+    "doc_chunks": 0,
+    "gopher_quality_docs": 0,
+    "pii_scrub_docs": 0,
+    "stratified_sample_mix": 0,
+    "text_stats": 0,
 }
 
 

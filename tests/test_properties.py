@@ -182,6 +182,28 @@ def test_multimodal_frame_sampling(spark, sf_dir):
         assert sorted(nos) == list(range(len(nos)))  # dense frame numbering
 
 
+def test_decode_image_real_or_documented_stub():
+    """Optional-import decode contract: with Pillow present a real PNG
+    decodes to its true dimensions; without it the call raises the
+    documented NotImplementedError (never a bare ImportError)."""
+    from transe_pyspark_spark.operators import multimodal as MM
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="fake_meta"):
+            MM.decode_image_real(b"\x89PNG\r\n\x1a\n not a real image")
+        return
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 3)).save(buf, format="PNG")
+    meta = MM.decode_image_real(buf.getvalue())
+    assert (meta["width"], meta["height"], meta["channels"]) == (7, 3, 3)
+
+
 def test_json_source_roundtrip(spark, tmp_path):
     """R1 JSON-lines scan with explicit schema."""
     import json as _json
@@ -392,3 +414,73 @@ def test_ann_ivf_pq_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+
+
+def test_chunk_docs_partitions_tokens(spark):
+    """Chunking invariants: with stride == size the chunks tile the
+    document exactly (concatenation in chunk_id order reconstructs the
+    token stream); with overlap each chunk starts stride tokens after
+    the previous and only the starts change. Empty docs yield no
+    chunks."""
+    from transe_pyspark_spark.functions.text import chunk_docs
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(11))), (2, "a b c"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    tiled = chunk_docs(docs, size=4, stride=4).collect()
+    by_doc = {}
+    for r in sorted(tiled, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # whitespace-only doc: no chunks
+    rebuilt = " ".join(r.chunk_text for r in by_doc[1])
+    assert rebuilt == " ".join(f"w{i}" for i in range(11))
+    assert [r.n_tokens for r in by_doc[1]] == [4, 4, 3]
+    assert [r.n_tokens for r in by_doc[2]] == [3]
+
+    overlapped = sorted(
+        chunk_docs(docs.filter("doc_id = 1"), size=4, stride=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts 0,2,4,6,8,10 → six chunks, consecutive ones share size-stride tokens
+    assert len(overlapped) == 6
+    for a, b in zip(overlapped, overlapped[1:]):
+        assert a.chunk_text.split()[2:] == b.chunk_text.split()[: a.n_tokens - 2]
+
+
+def test_stratified_mod_sample_exact_rates(spark):
+    """The deterministic mixer keeps exactly the rows whose key mod
+    denom clears the per-stratum threshold — verified row-by-row
+    against a driver-side reproduction, including the default rate."""
+    from transe_pyspark_spark.operators.relational import stratified_mod_sample
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    got = {r.k for r in stratified_mod_sample(
+        df, strata_col="lang", key_col="k",
+        fractions={"en": 0.5, "zh": 0.2}, default=0.1,
+    ).collect()}
+    thresholds = {"en": 50, "zh": 20, "de": 10}
+    want = {k for k, lang in rows if k % 100 < thresholds[lang]}
+    assert got == want
+
+
+def test_scrub_pii_idempotent_and_counted(spark):
+    """Scrubbing is idempotent (placeholders never re-match) and the
+    audit counts agree with the number of replacements made."""
+    from transe_pyspark_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob99@site.org or ann@x.io, call 555-0199 x2")],
+        "id long, text string",
+    )
+    emails, phones = pii_counts("text")
+    once = df.select(
+        emails.alias("e"), phones.alias("p"), scrub_pii("text").alias("s")
+    ).first()
+    assert (once.e, once.p) == (2, 1)
+    assert once.s.count("<EMAIL>") == 2 and once.s.count("<PHONE>") == 1
+    twice = spark.createDataFrame([(1, once.s)], "id long, text string").select(
+        scrub_pii("text").alias("s")
+    ).first()
+    assert twice.s == once.s

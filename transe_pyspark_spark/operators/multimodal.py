@@ -35,17 +35,24 @@ def with_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload"
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decode path — STUB.
+    """Real decode path — optional-import Pillow, stub fallback.
 
-    Intended implementation (library not in this container)::
+    When Pillow is installed the payload is decoded for real (unit
+    test is ``importorskip``-gated so it runs wherever the lib
+    exists); in codec-less environments this raises a documented
+    ``NotImplementedError`` and callers use ``fake_meta``, which keeps
+    the Spark-side plumbing (binary columns, Arrow batch shapes,
+    schemas) fully exercised either way."""
+    try:
+        import io
 
         from PIL import Image
-        import io
-        img = Image.open(io.BytesIO(payload))
-        return {"width": img.width, "height": img.height,
-                "channels": len(img.getbands())}
-    """
-    raise NotImplementedError("image codecs unavailable in this environment; use fake_meta")
+    except ImportError as e:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; use fake_meta"
+        ) from e
+    img = Image.open(io.BytesIO(payload))
+    return {"width": img.width, "height": img.height, "channels": len(img.getbands())}
 
 
 def fake_meta(n_bytes: int) -> tuple[int, int, int]:
