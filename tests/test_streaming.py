@@ -145,3 +145,27 @@ def test_streaming_dedup_twin(spark, sf_dir):
         dedup_within_watermark(read_events_stream(spark, sf_dir)), spark, output_mode="append"
     )
     assert stream.count() == batch_n == ev.select("event_id").distinct().count()
+
+
+def test_corpus_clean_stream_twin(spark, sf_dir):
+    """Streaming corpus clean (doubled input → fp dedup → quality gate)
+    equals its batch twin on the single documents table."""
+    from transe_pyspark_spark.streaming.windows import (
+        corpus_clean_stream,
+        read_documents_stream,
+        run_available_now,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {tuple(r) for r in corpus_clean_stream(docs).collect()}
+    doubled = read_documents_stream(spark, sf_dir).unionAll(
+        read_documents_stream(spark, sf_dir)
+    )
+    stream = {
+        tuple(r)
+        for r in run_available_now(
+            corpus_clean_stream(doubled), spark, output_mode="append"
+        ).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0

@@ -244,3 +244,18 @@ def chunk_docs(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def gopher_keep(text: Column | str) -> Column:
+    """The combined Gopher-rule keep verdict (word-count band 10..1000,
+    mean word length 2..10, stopword fraction ≥ 0.05, duplicate-word
+    fraction ≤ 0.6) — shared by the batch quality query and the
+    streaming corpus-clean pipeline so both gates are one expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    nw = F.size(words(c)).cast("long")
+    return (
+        nw.between(10, 1000)
+        & avg_word_len(c).between(2.0, 10.0)
+        & (stopword_ratio(c) >= 0.05)
+        & (dup_word_ratio(c) <= 0.6)
+    )

@@ -1593,12 +1593,7 @@ def q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     awl = X.avg_word_len("text")
     swf = X.stopword_ratio("text")
     dwf = X.dup_word_ratio("text")
-    keep = (
-        nw.between(10, 1000)
-        & awl.between(2.0, 10.0)
-        & (swf >= 0.05)
-        & (dwf <= 0.6)
-    )
+    keep = X.gopher_keep("text")
     return d.select(
         "doc_id",
         nw.alias("n_words"),
@@ -2192,6 +2187,57 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_corpus_clean",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS fp,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS lws
+      FROM documents)
+    SELECT doc_id, lang, fp,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+    FROM t
+    WHERE len(ws) BETWEEN 10 AND 1000
+      AND (CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(ws, x -> CAST(length(x) AS DOUBLE))),
+                     (a, b) -> a + b) / len(ws) END) BETWEEN 2.0 AND 10.0
+      AND (CASE WHEN len(lws) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(lws, x -> list_contains(
+                       ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+                     / CAST(len(lws) AS DOUBLE) END) >= 0.05
+      AND (CASE WHEN len(ws) = 0 THEN 0.0
+                ELSE CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE)
+                     / CAST(len(ws) AS DOUBLE) END) <= 0.6
+    """,
+    tags=("streaming", "text", "dedup"),
+)
+def q_stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus ingestion (R23 × R18 × R19): the documents
+    drop-directory is read twice and unioned — every doc arrives twice
+    — then content-fingerprint dedup (watermark-bounded state) must
+    restore exactly one copy before the shared Gopher quality gate and
+    token accounting. The streaming face of ``corpus_clean_pipeline``;
+    oracle = the batch quality filter (fp is collision-free on the
+    fixture, verified 0 collisions at sf0.001/0.01, so dedup exactly
+    undoes the doubling)."""
+    from transe_pyspark_spark.streaming.windows import (
+        corpus_clean_stream,
+        read_documents_stream,
+        run_available_now,
+    )
+
+    doubled = read_documents_stream(spark, sf_dir).unionAll(
+        read_documents_stream(spark, sf_dir)
+    )
+    return run_available_now(corpus_clean_stream(doubled), spark, output_mode="append")
+
+
+@_register(
     "stream_tumbling_counts",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -2259,6 +2305,7 @@ _OVERFLOW_ORACLE = [
     "gopher_quality_docs",       # LLM pipeline: Gopher-rule quality filter
     "pii_scrub_docs",            # LLM pipeline: PII audit + scrub
     "stratified_sample_mix",     # LLM pipeline: per-language mixing sample
+    "stream_corpus_clean",       # LLM pipeline × streaming: dedup+quality ingest
 ]
 
 

@@ -134,3 +134,59 @@ def run_available_now(stream_df: DataFrame, spark: SparkSession, output_mode: st
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the shape of a
+    continuously-landing corpus drop directory (at 100 TB: each landed
+    file becomes a micro-batch; ``maxFilesPerTrigger`` paces it)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def corpus_clean_stream(docs: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming corpus ingestion: content-fingerprint dedup →
+    Gopher-rule quality gate → token accounting, in one pass.
+
+    The streaming face of ``corpus_clean_pipeline``: documents landing
+    continuously are deduplicated against watermark-bounded seen-
+    fingerprint state (``dropDuplicatesWithinWatermark`` — the state
+    store holds only fingerprints newer than the watermark, so a
+    forever-running ingest never accumulates unbounded keys), then
+    pass the shared ``gopher_keep`` gate, then get token counts. All
+    per-doc work is narrow column expressions; the only stateful op is
+    the dedup. Ingest time is synthesized deterministically from
+    doc_id (the fixture has no arrival timestamp) so twin equivalence
+    is exact. Batch frames take the stateless twin path.
+    """
+    from transe_pyspark_spark.functions import text as X
+
+    d = docs.withColumn(
+        "ts", F.timestamp_micros((F.lit(1_600_000_000) + F.col("doc_id")) * 1_000_000)
+    ).withColumn("fp", X.fingerprint("text"))
+    if d.isStreaming:
+        d = d.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["fp"])
+    else:
+        d = d.dropDuplicates(["fp"])
+    return d.filter(X.gopher_keep("text")).select(
+        "doc_id",
+        "lang",
+        "fp",
+        X.word_count("text").alias("n_words"),
+        X.token_count("text").alias("n_tokens"),
+    )
