@@ -119,6 +119,8 @@ MAX_EXCHANGES = {
     "pii_scrub_docs": 0,
     "stratified_sample_mix": 0,
     "text_stats": 0,
+    "mapinarrow_name_stats": 0,
+    "repetition_ngrams": 2,
 }
 
 

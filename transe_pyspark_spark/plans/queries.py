@@ -1672,6 +1672,95 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@_register(
+    "repetition_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+      FROM documents),
+    b AS (
+      SELECT doc_id, len(ws) AS n,
+             unnest(list_transform(list_slice(ws, 1, len(ws) - 1),
+                                   (x, i) -> x || ' ' || ws[i + 1])) AS bigram
+      FROM t WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, n, bigram, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+    r AS (SELECT doc_id, n, bigram, cnt,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn
+          FROM c)
+    SELECT doc_id, bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_count,
+           CAST(cnt AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS top_bigram_frac
+    FROM r WHERE rn = 1
+    """,
+    tags=("text", "quality"),
+)
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition signal (the Gopher rules' actual top-n-gram
+    fraction, Rae et al. 2021 A1.1): per doc, the most frequent word
+    bigram and the fraction of all bigram slots it occupies. Bigrams
+    are built with an indexed array transform (JVM-side, no UDF),
+    exploded, counted, and the per-doc winner picked with ``min_by``
+    over a (−count, bigram) struct — one aggregation instead of a
+    window, deterministic ties (lexicographically first bigram). Two
+    hash-partial aggregations; no window state, no skew pinch beyond
+    the doc key itself."""
+    d = _T(spark, sf_dir, "documents")
+    ws = X.words(F.col("text"))
+    base = d.select("doc_id", ws.alias("__ws")).filter(F.size("__ws") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        F.size("__ws").alias("__n"),
+        F.explode(
+            F.transform(
+                F.slice("__ws", 1, F.size("__ws") - 1),
+                lambda w, i: F.concat(w, F.lit(" "), F.element_at(F.col("__ws"), i + 2)),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("doc_id", "__n", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        F.min_by("bigram", F.struct((-F.col("cnt")).alias("a"), F.col("bigram").alias("b"))).alias("top_bigram"),
+        F.max("cnt").cast("long").alias("top_count"),
+        (F.max("cnt").cast("double") / (F.first("__n") - 1).cast("double")).alias("top_bigram_frac"),
+    )
+
+
+@_register(
+    "mapinarrow_name_stats",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS BIGINT) AS name_words
+    FROM part
+    """,
+    tags=("udf", "arrow"),
+)
+def q_mapinarrow_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20's fifth face: ``mapInArrow`` — the UDF surface below pandas
+    (raw ``pyarrow.RecordBatch`` in, RecordBatch out, no pandas
+    conversion at all). The kernel runs Arrow compute functions
+    per batch; zero-copy columnar both directions, the cheapest
+    possible Python hop for kernels that are already columnar. Narrow
+    map — pipelines with the scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            names = batch.column("p_name")
+            n_len = pc.utf8_length(names)
+            n_words = pc.add(
+                pc.count_substring(names, pattern=" "), 1
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("p_partkey"), pc.cast(n_len, pa.int64()), pc.cast(n_words, pa.int64())],
+                ["p_partkey", "name_len", "name_words"],
+            )
+
+    p = _T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return p.mapInArrow(stats, "p_partkey long, name_len long, name_words long")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word/script language-ID heuristic; rows-only check (the
     argmax CASE tree is SQL-expressible but the value is in the operator,
@@ -2306,6 +2395,8 @@ _OVERFLOW_ORACLE = [
     "pii_scrub_docs",            # LLM pipeline: PII audit + scrub
     "stratified_sample_mix",     # LLM pipeline: per-language mixing sample
     "stream_corpus_clean",       # LLM pipeline × streaming: dedup+quality ingest
+    "repetition_ngrams",         # LLM pipeline: top-bigram repetition signal
+    "mapinarrow_name_stats",     # UDF surface: mapInArrow (R20 fifth face)
 ]
 
 
