@@ -40,6 +40,8 @@ HEADLINE = [
     "jaccard3_near_pairs",
     "knn_brute_force",
     "text_stats",
+    "doc_chunks",
+    "gopher_quality_docs",
     "stream_tumbling_counts",
     "transe_rank_eval",
 ]

@@ -1673,6 +1673,55 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_report",
+    oracle="""
+    WITH t AS (
+      SELECT lang, source, length(text) AS n_chars,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS lws
+      FROM documents),
+    m AS (
+      SELECT lang, source, n_chars, len(ws) AS nw,
+             (len(ws) BETWEEN 10 AND 1000
+              AND (CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(ws, x -> CAST(length(x) AS DOUBLE))),
+                             (a, b) -> a + b) / len(ws) END) BETWEEN 2.0 AND 10.0
+              AND (CASE WHEN len(lws) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(lws, x -> list_contains(
+                               ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+                             / CAST(len(lws) AS DOUBLE) END) >= 0.05
+              AND (CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / CAST(len(ws) AS DOUBLE) END) <= 0.6) AS keep
+      FROM t)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS total_words,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep
+    FROM m GROUP BY lang, source
+    """,
+    tags=("text", "agg", "quality"),
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture dashboard: per (lang, source) document counts, word
+    and char volume, and how many docs survive the Gopher gate — the
+    numbers a pretraining mixture spec is written against (and the
+    input that would set ``stratified_sample_mix``'s rates). One
+    hash-partial aggregation over narrow per-doc expressions; the
+    group key space is tiny (languages × sources), so the final agg is
+    broadcast-sized at any corpus scale."""
+    d = _T(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(X.word_count("text")).cast("long").alias("total_words"),
+        F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
+        F.sum(F.when(X.gopher_keep("text"), 1).otherwise(0)).cast("long").alias("n_keep"),
+    )
+
+
+@_register(
     "repetition_ngrams",
     oracle="""
     WITH t AS (
@@ -2397,6 +2446,7 @@ _OVERFLOW_ORACLE = [
     "stream_corpus_clean",       # LLM pipeline × streaming: dedup+quality ingest
     "repetition_ngrams",         # LLM pipeline: top-bigram repetition signal
     "mapinarrow_name_stats",     # UDF surface: mapInArrow (R20 fifth face)
+    "corpus_report",             # LLM pipeline: per-(lang,source) mixture dashboard
 ]
 
 
