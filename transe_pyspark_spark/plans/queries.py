@@ -1673,6 +1673,86 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "percentile_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(cents, 0.5) AS p50_cents,
+           quantile_cont(cents, 0.9) AS p90_cents,
+           quantile_cont(cents, 0.99) AS p99_cents
+    FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 exact percentiles: continuous (interpolated — the definition
+    DuckDB calls quantile_cont; Spark's exact ``percentile`` computes
+    the identical ``lower + (upper−lower)·frac`` on the sorted group)
+    p50/p90/p99 of order value per priority, in integer cents so the
+    interpolation arithmetic is bit-identical across engines.
+    (Discrete-element quantiles are deliberately absent: Spark
+    ``median``/``percentile`` interpolate while DuckDB quantile_disc
+    selects an element — the definitions differ, so there is no
+    honest shared oracle.) Exact percentile sorts within each (small)
+    group state; for monster groups the approx_percentile sketch is
+    the scale door (tolerance-checked like approx_distinct)."""
+    o = _T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select("o_orderpriority", cents.alias("__c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("__c", F.lit(0.5)).alias("p50_cents"),
+            F.percentile("__c", F.lit(0.9)).alias("p90_cents"),
+            F.percentile("__c", F.lit(0.99)).alias("p99_cents"),
+        )
+    )
+
+
+@_register(
+    "udtf_word_positions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ws[CAST(u.i AS INT)] AS word
+    FROM t, unnest(generate_series(1, len(ws))) AS u(i)
+    """,
+    tags=("udf", "udtf", "text"),
+)
+def q_udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20's table-function face: a Python UDTF (one input row → many
+    output rows) positioned via LATERAL — the row-expanding UDF shape
+    (tokenizers, parsers, chunkers) that neither scalar nor grouped
+    UDFs express. Runs per-partition in Python workers; bounded here
+    to 50 docs because per-row Python generators are the slow path —
+    the JVM `posexplode` twin (`doc_chunks`, `token_frequencies`) is
+    what production uses; this query exists to verify the UDTF surface
+    itself against the same oracle semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, word string")
+    class WordPositions:
+        def eval(self, text: str):
+            pos = 0
+            for w in (text or "").strip().split():
+                if w:
+                    yield pos, w
+                    pos += 1
+
+    spark.udtf.register("word_positions", WordPositions)
+    docs = _T(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") < 50).select("doc_id", "text").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, w.pos, w.word FROM __udtf_docs d, LATERAL word_positions(d.text) w"
+    )
+
+
+@_register(
     "corpus_report",
     oracle="""
     WITH t AS (
@@ -2447,6 +2527,8 @@ _OVERFLOW_ORACLE = [
     "repetition_ngrams",         # LLM pipeline: top-bigram repetition signal
     "mapinarrow_name_stats",     # UDF surface: mapInArrow (R20 fifth face)
     "corpus_report",             # LLM pipeline: per-(lang,source) mixture dashboard
+    "percentile_prices",         # agg family: exact cont/disc percentiles
+    "udtf_word_positions",       # UDF surface: Python UDTF via LATERAL
 ]
 
 
