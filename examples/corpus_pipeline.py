@@ -1,0 +1,88 @@
+"""End-to-end training-corpus pipeline — the LLM-data workflow this
+engine adds beyond the reference's KG surface, composed entirely from
+operator-library calls (each stage is the same code the oracle-checked
+queries run).
+
+    raw documents
+      → exact + near dedup (fingerprint, then MinHash-LSH candidates
+        verified by exact Jaccard, connected components, canonical keep)
+      → Gopher-rule quality gate
+      → PII scrub
+      → per-language stratified mixing
+      → token-window chunking into training sequences
+      → mixture report
+
+Usage:
+    python examples/corpus_pipeline.py [sf_dir]      # default sf0.001
+
+Every stage prints its surviving-row count so the funnel is visible.
+At 100 TB the same plan holds: dedup joins are bucketed by
+shingle/band keys, everything else is narrow column work that
+pipelines with the scan.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from transe_pyspark_spark.functions import text as X  # noqa: E402
+from transe_pyspark_spark.operators import dedup as D  # noqa: E402
+from transe_pyspark_spark.operators.relational import stratified_mod_sample  # noqa: E402
+from transe_pyspark_spark.session import get_spark  # noqa: E402
+from transe_pyspark_spark.sources.readers import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("corpus-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"raw docs: {docs.count()}")
+
+    # 1. exact dedup by content fingerprint (cheap, catches byte-dups)
+    docs = docs.withColumn("__fp", X.fingerprint("text")).dropDuplicates(["__fp"]).drop("__fp")
+    print(f"after exact dedup: {docs.count()}")
+
+    # 2. near dedup: MinHash-LSH candidates → exact-Jaccard verify →
+    #    connected components → keep the min-id doc per duplicate group
+    keep = D.near_dedup_canonical(docs, threshold=0.8, shingle_n=3, method="minhash")
+    docs = docs.join(keep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    print(f"after near dedup: {docs.count()}")
+
+    # 3. quality gate (Gopher rules, shared expression with the oracle query)
+    docs = docs.filter(X.gopher_keep("text"))
+    print(f"after quality gate: {docs.count()}")
+
+    # 4. PII scrub (audit counts + redaction)
+    emails, phones = X.pii_counts(F.col("text"))
+    docs = docs.withColumn("__emails", emails).withColumn("__phones", phones).withColumn(
+        "text", X.scrub_pii("text")
+    )
+    audited = docs.agg(F.sum("__emails").alias("e"), F.sum("__phones").alias("p")).first()
+    print(f"pii scrubbed: {audited.e} emails, {audited.p} phones")
+
+    # 5. per-language mixing (data-mixture rates)
+    docs = stratified_mod_sample(
+        docs, strata_col="lang", key_col="doc_id", fractions={"en": 0.5, "zh": 0.2}, default=0.1
+    )
+    print(f"after stratified mix: {docs.count()}")
+
+    # 6. chunk into overlapping training sequences
+    chunks = X.chunk_docs(docs, size=32, stride=24)
+    print(f"training sequences: {chunks.count()}")
+
+    # 7. mixture report
+    report = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(X.word_count("text")).alias("words"))
+        .orderBy("lang")
+    )
+    for r in report.collect():
+        print(f"  {r.lang}: {r.n_docs} docs, {r.words} words")
+
+
+if __name__ == "__main__":
+    main()
