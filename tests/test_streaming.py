@@ -169,3 +169,25 @@ def test_corpus_clean_stream_twin(spark, sf_dir):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_stream_static_enrich_twin(spark, sf_dir):
+    """Stream-static dimension join equals the batch join + rollup."""
+    from transe_pyspark_spark.streaming.windows import (
+        enriched_nation_counts,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    batch = {tuple(r) for r in enriched_nation_counts(ev, cust).collect()}
+    stream = {
+        tuple(r)
+        for r in run_available_now(
+            enriched_nation_counts(read_events_stream(spark, sf_dir), cust),
+            spark,
+            output_mode="complete",
+        ).collect()
+    }
+    assert stream == batch and len(batch) > 0

@@ -2405,6 +2405,36 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (R23): the event stream enriched against the
+    static customer dimension (broadcast, stateless) then rolled up
+    per (hour window, nation) — "join the firehose to reference data",
+    the most common production streaming join. Oracle = the batch
+    join + time-bucket aggregation."""
+    from transe_pyspark_spark.streaming.windows import (
+        enriched_nation_counts,
+        read_events_stream,
+        run_available_now,
+    )
+
+    customers = _T(spark, sf_dir, "customer")
+    stream = enriched_nation_counts(read_events_stream(spark, sf_dir), customers)
+    out = run_available_now(stream, spark, output_mode="complete")
+    return out.withColumn("nation", F.col("nation").cast("long"))
+
+
+@_register(
     "stream_corpus_clean",
     oracle="""
     WITH t AS (
@@ -2529,6 +2559,7 @@ _OVERFLOW_ORACLE = [
     "corpus_report",             # LLM pipeline: per-(lang,source) mixture dashboard
     "percentile_prices",         # agg family: exact cont/disc percentiles
     "udtf_word_positions",       # UDF surface: Python UDTF via LATERAL
+    "stream_static_enrich",      # streaming: stream-static dim join + rollup
 ]
 
 

@@ -190,3 +190,31 @@ def corpus_clean_stream(docs: DataFrame, watermark: str = "2 hours") -> DataFram
         X.word_count("text").alias("n_words"),
         X.token_count("text").alias("n_tokens"),
     )
+
+
+def enriched_nation_counts(
+    events: DataFrame,
+    customers: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup (R23): the event
+    stream joins the static customer dimension (broadcast into every
+    micro-batch — stream-static joins are stateless, no watermark
+    needed on the dim side), then aggregates per (window, nation).
+    The canonical "enrich the firehose against reference data" shape:
+    at 100 TB/day the dim broadcast is per-executor-constant while
+    stream state stays bounded by the watermark."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("nation")
+    )
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "nation", "n_events", "value_cents")
+    )
