@@ -484,3 +484,24 @@ def test_scrub_pii_idempotent_and_counted(spark):
         scrub_pii("text").alias("s")
     ).first()
     assert twice.s == once.s
+
+
+def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
+    """R1/R2 ORC: write → read-back preserves rows and values, and a
+    pushed filter prunes correctly (same contract as the parquet
+    sink)."""
+    from transe_pyspark_spark.sources.readers import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum((F.col("o_totalprice") * 100).cast("long"))).collect()[0][0]
+    b = back.agg(F.sum((F.col("o_totalprice") * 100).cast("long"))).collect()[0][0]
+    assert a == b
+    one = orders.select("o_orderstatus").first()[0]
+    assert (
+        read_orc(spark, out).filter(F.col("o_orderstatus") == one).count()
+        == orders.filter(F.col("o_orderstatus") == one).count()
+    )

@@ -139,3 +139,18 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = "\t"
     """CSV/TSV sink (R2) — the interchange format the reference's
     datasets arrive in (``README.md:86-87``)."""
     df.write.mode(mode).options(sep=sep, header=header).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """ORC sink (R2) — the other columnar warehouse format Spark ships
+    natively; same pushdown/pruning story as parquet."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (R1): schema from file footers, predicate pushdown and
+    column pruning exactly as with parquet."""
+    return spark.read.orc(path)
