@@ -505,3 +505,22 @@ def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
         read_orc(spark, out).filter(F.col("o_orderstatus") == one).count()
         == orders.filter(F.col("o_orderstatus") == one).count()
     )
+
+
+def test_join_strategy_invariance(spark, sf_dir):
+    """Physical-plan robustness: disabling broadcast joins entirely
+    (autoBroadcastJoinThreshold=-1 → Catalyst picks sort-merge/shuffled
+    hash) must not change any query result. Results are plan-invariant;
+    only the shuffle bill changes."""
+    from transe_pyspark_spark.plans.queries import REGISTRY
+
+    names = ["region_revenue", "top_revenue_orders", "customer_order_stats"]
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = {n: sorted(map(tuple, REGISTRY[n].fn(spark, sf_dir).collect())) for n in names}
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        after = {n: sorted(map(tuple, REGISTRY[n].fn(spark, sf_dir).collect())) for n in names}
+    finally:
+        spark.conf.set(key, old)
+    assert before == after
