@@ -1673,6 +1673,64 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pivot_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS notspec,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 pivot: long→wide via ``groupBy().pivot()`` with EXPLICIT
+    pivot values (the scale rule: without the value list Spark runs an
+    extra distinct job over the pivot column and caps it at 10k
+    values; with it, pivot compiles to plain conditional aggregation —
+    the same CASE/FILTER plan the oracle spells out)."""
+    o = _T(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(zip(prios, ["urgent", "high", "medium", "notspec", "low"]))
+    out = wide
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in renames.values()],
+    )
+
+
+@_register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS BIGINT) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retail_cents' AS measure, CAST(round(p_retailprice * 100) AS BIGINT) AS value
+    FROM part
+    """,
+    tags=("agg", "pivot"),
+)
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 unpivot/melt: wide→long via ``df.unpivot`` (Spark's melt) —
+    two measure columns become (measure, value) rows. Narrow map-side
+    transform; the declarative inverse of pivot."""
+    p = _T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_cents"),
+    )
+    return p.unpivot("p_partkey", ["size", "retail_cents"], "measure", "value")
+
+
+@_register(
     "percentile_prices",
     oracle="""
     SELECT o_orderpriority,
@@ -2560,6 +2618,8 @@ _OVERFLOW_ORACLE = [
     "percentile_prices",         # agg family: exact cont/disc percentiles
     "udtf_word_positions",       # UDF surface: Python UDTF via LATERAL
     "stream_static_enrich",      # streaming: stream-static dim join + rollup
+    "pivot_status_priority",     # agg family: explicit-values pivot
+    "unpivot_part_measures",     # agg family: unpivot/melt
 ]
 
 
