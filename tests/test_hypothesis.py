@@ -86,3 +86,60 @@ def test_vector_norms_match_python(spark, batch):
         v = batch[r.i]
         assert math.isclose(r.l1, sum(abs(float(x)) for x in v), rel_tol=1e-9, abs_tol=1e-9)
         assert math.isclose(r.l2, math.sqrt(sum(float(x) * float(x) for x in v)), rel_tol=1e-9, abs_tol=1e-9)
+
+
+word_soup = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=8).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(word_soup)
+def test_jaccard_pairs_match_bruteforce(spark, corpus):
+    """Inverted-index exact Jaccard == all-pairs brute force on random
+    small corpora (shared-word overlap by construction; exercises
+    empty docs, identical docs, threshold boundary)."""
+    from transe_pyspark_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.3, shingle_n=1).collect()
+    }
+    sets = [set(_py_words(t)) for t in corpus]
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.3:
+                # the operator rounds to 6 decimals (its oracle contract)
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_chunk_docs_match_python(spark, batch):
+    """Token-window chunking == the obvious Python slicing on random
+    text (empty docs yield nothing; last chunk may be short)."""
+    from transe_pyspark_spark.functions.text import chunk_docs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_docs(docs, size=5, stride=3).collect()
+    }
+    want = {}
+    for i, t in enumerate(batch):
+        ws = _py_words(t)
+        for ci, s in enumerate(range(0, len(ws), 3)):
+            chunk = ws[s : s + 5]
+            want[(i, ci)] = (len(chunk), " ".join(chunk))
+    assert got == want
