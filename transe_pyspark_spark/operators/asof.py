@@ -96,3 +96,60 @@ def range_join_count(
     return joined.groupBy(*[F.col(f"l.{c}") for c in left.columns]).agg(
         F.count(F.col(f"r.{right_ts}")).alias(out_count)
     )
+
+
+def gap_fill_resample(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Resample an event stream onto a regular time grid with
+    forward-fill (R7/R8 family: the gap-fill every time-series
+    warehouse exposes — TimescaleDB ``time_bucket_gapfill``/``locf``,
+    kdb ``fills``).
+
+    Per key: bucket observations (integer-cents SUM per bucket — exact
+    across engines), span the key's [first, last] bucket with
+    ``sequence``+``explode`` (each key's grid generates map-side from
+    2 values — never a driver loop), left-join observations onto the
+    grid, and forward-fill empty buckets with ``last(value,
+    ignorenulls)`` over the key's time-ordered window.
+
+    Scale: one shuffle for the bucket agg, one for the grid↔obs join,
+    one window sort per key — all hash-partitioned on the key. Grid
+    size is bounded by span/bucket per key; a key with a pathological
+    span yields a long grid but stays spill-able (window is a running
+    last, O(1) state). Output: (key, bucket_ts, value_cents, observed).
+    """
+    b = F.date_trunc("hour", F.col(ts_col)) if bucket == "1 hour" else F.date_trunc(
+        "day", F.col(ts_col)
+    )
+    obs = (
+        events.select(F.col(key), b.alias("__b"),
+                      F.round(F.col(value_col) * 100).cast("long").alias("__c"))
+        .groupBy(key, "__b")
+        .agg(F.sum("__c").alias("__v"))
+    )
+    spans = obs.groupBy(key).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    grid = spans.select(
+        key,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(
+        obs.withColumnRenamed("__b", "bucket_ts"), [key, "bucket_ts"], "left"
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key,
+        "bucket_ts",
+        F.last("__v", ignorenulls=True).over(w).alias("value_cents"),
+        F.col("__v").isNotNull().alias("observed"),
+    )

@@ -1673,6 +1673,42 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gap_fill_hourly",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans),
+    j AS (
+      SELECT g.user_id, g.bucket_ts, o.v
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.bucket_ts)
+    SELECT user_id, bucket_ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents,
+           v IS NOT NULL AS observed
+    FROM j
+    """,
+    tags=("asof", "timeseries"),
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + resample (TimescaleDB
+    ``time_bucket_gapfill``+``locf`` semantics): per user, hourly
+    value-cents buckets over the user's own [first, last] span, empty
+    buckets forward-filled from the last observation. Grids generate
+    map-side from per-key (lo, hi) pairs — no driver loop, no
+    cross join."""
+    from transe_pyspark_spark.operators.asof import gap_fill_resample
+
+    ev = _T(spark, sf_dir, "events")
+    return gap_fill_resample(ev, key="user_id", ts_col="ts", value_col="value")
+
+
+@_register(
     "pivot_status_priority",
     oracle="""
     SELECT o_orderstatus,
@@ -2620,6 +2656,7 @@ _OVERFLOW_ORACLE = [
     "stream_static_enrich",      # streaming: stream-static dim join + rollup
     "pivot_status_priority",     # agg family: explicit-values pivot
     "unpivot_part_measures",     # agg family: unpivot/melt
+    "gap_fill_hourly",           # time-series: resample + forward-fill
 ]
 
 
