@@ -93,6 +93,14 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         ["BroadcastHashJoin"],
         "model-sized vector tables broadcast into the candidate scoring join",
     ),
+    "pivot_status_priority": (
+        ["HashAggregate"],
+        "explicit pivot values compile to one conditional aggregation — no distinct pre-job",
+    ),
+    "gap_fill_hourly": (
+        ["Window", "Generate"],
+        "per-key grids generate map-side (explode of sequence); forward fill is a running window",
+    ),
 }
 
 #: plan nodes that must NOT appear (quadratic shapes the rewrite removed)
@@ -104,6 +112,10 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "jaccard_prefix_near_pairs": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "prefix filtering exists to keep the candidate join an equi-join",
+    ),
+    "gap_fill_hourly": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "grid generation must stay per-key explode, never a time-range cross join",
     ),
 }
 

@@ -25,6 +25,26 @@ MUST_BE_IN_WINDOW = {
     "stream_interval_join",
 }
 
+#: the r03 rotation: never-driver-checked + new queries that MUST earn
+#: their driver-green row this round (VERDICT r02 task 1)
+ROTATED_IN_R03 = {
+    "jaccard_near_pairs",
+    "jaccard_prefix_near_pairs",
+    "stream_dedup_events",
+    "distinct_counts",
+    "customer_order_distribution",
+    "json_extract_events",
+    "priority_count_exists",
+    "scalar_udf_price_band",
+    "transe_rank_eval_filtered",
+}
+
+
+def test_r03_rotation_inside_window():
+    window = set(list(REGISTRY)[:_DRIVER_WINDOW])
+    missing = ROTATED_IN_R03 - window
+    assert not missing, f"r03-rotated queries fell out of the driver window: {missing}"
+
 
 def test_driver_window_is_all_oracle_backed():
     window = list(REGISTRY)[:_DRIVER_WINDOW]
