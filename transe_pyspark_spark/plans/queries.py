@@ -1673,6 +1673,43 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "approx_percentile_sketch",
+    oracle="""
+    SELECT quantile_cont(cents, 0.5) AS exact_p50,
+           quantile_cont(cents, 0.99) AS exact_p99,
+           TRUE AS approx_p50_ok,
+           TRUE AS approx_p99_ok
+    FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    """,
+    tags=("agg", "approx", "percentile"),
+)
+def q_approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch — the percentile that
+    scales to monster groups where an exact sort-based percentile
+    spills) with the tolerance assertion IN the verified result, the
+    same pattern as ``approx_distinct``: raw sketch outputs are
+    engine-specific, so the contract is the exact interpolated
+    percentiles plus booleans stating the sketch landed within 1% of
+    exact at accuracy=10000 — the oracle expects TRUE, a hard driver
+    signal for the sketch's error bound."""
+    o = _T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    agg = o.select(cents.alias("__c")).agg(
+        F.percentile("__c", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("__c", F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx("__c", F.lit(0.5), F.lit(10000)).alias("__a50"),
+        F.percentile_approx("__c", F.lit(0.99), F.lit(10000)).alias("__a99"),
+    )
+    tol = 0.01
+    return agg.select(
+        "exact_p50",
+        "exact_p99",
+        (F.abs(F.col("__a50") - F.col("exact_p50")) <= F.abs(F.col("exact_p50")) * tol).alias("approx_p50_ok"),
+        (F.abs(F.col("__a99") - F.col("exact_p99")) <= F.abs(F.col("exact_p99")) * tol).alias("approx_p99_ok"),
+    )
+
+
+@_register(
     "gap_fill_hourly",
     oracle="""
     WITH obs AS (
@@ -2657,6 +2694,7 @@ _OVERFLOW_ORACLE = [
     "pivot_status_priority",     # agg family: explicit-values pivot
     "unpivot_part_measures",     # agg family: unpivot/melt
     "gap_fill_hourly",           # time-series: resample + forward-fill
+    "approx_percentile_sketch",  # agg family: GK sketch with in-result tolerance
 ]
 
 
