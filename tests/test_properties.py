@@ -524,3 +524,28 @@ def test_join_strategy_invariance(spark, sf_dir):
     finally:
         spark.conf.set(key, old)
     assert before == after
+
+
+def test_pack_by_running_total_matches_python(spark):
+    """Distributed prefix-sum packing == the sequential greedy fill:
+    pack ids are a pure function of (order, weights, budget), monotone
+    in order, and each pack's weight never exceeds budget + one item."""
+    from transe_pyspark_spark.operators.relational import pack_by_running_total
+
+    weights = [7, 1, 9, 3, 3, 8, 2, 5, 4, 6, 10, 1, 1, 12, 2]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "k long, w long"
+    )
+    got = {
+        r.k: r.pack_id
+        for r in pack_by_running_total(df, "k", "w", budget=10, num_partitions=4).collect()
+    }
+    acc, want = 0, {}
+    for i, w in enumerate(weights):
+        want[i] = acc // 10
+        acc += w
+    assert got == want
+    per_pack: dict[int, int] = {}
+    for i, w in enumerate(weights):
+        per_pack[want[i]] = per_pack.get(want[i], 0) + w
+    assert all(v <= 10 + max(weights) for v in per_pack.values())

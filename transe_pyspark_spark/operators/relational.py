@@ -180,3 +180,53 @@ def stratified_mod_sample(
     for s, t in thresholds.items():
         expr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(expr)
     return df.filter(F.pmod(F.col(key_col), F.lit(denom)) < expr)
+
+
+def pack_by_running_total(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing: assign each row (a tokenized training sequence)
+    to the pack holding the first ``budget`` units of running
+    ``weight_col`` after it, in ``order_col`` order —
+    ``pack = floor(exclusive_prefix_sum(weight) / budget)``. The
+    greedy fill every LLM batch-builder runs; packs can overflow by at
+    most one row's weight (rows are not split), which is the standard
+    contract when sequences already fit the context window.
+
+    Scale path is the ``dict_encode`` prefix pattern generalized from
+    counts to sums: range-repartition by ``order_col``, per-partition
+    running sums under a partition-local window, plus each partition's
+    broadcast total-weight offset — a global running total with no
+    single-partition window, exact at any row count (integer weights;
+    the only driver data is one sum per partition)."""
+    n_part = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    part = (
+        df.repartitionByRange(int(n_part), F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    sizes = {
+        r["__pid"]: r["w"]
+        for r in part.groupBy("__pid").agg(F.sum(weight_col).alias("w")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+        )
+    )
+    w_in = Window.partitionBy("__pid").orderBy(order_col)
+    excl = F.sum(weight_col).over(w_in) - F.col(weight_col) + F.col("__off")
+    return (
+        part.join(off_df, "__pid")
+        .withColumn(pack_col, F.floor(excl / F.lit(budget)).cast("long"))
+        .drop("__pid", "__off")
+    )

@@ -1673,6 +1673,36 @@ def q_stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(floor(COALESCE(sum(n_tokens) OVER (
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2048.0) AS BIGINT) AS pack_id
+    FROM t
+    """,
+    tags=("text", "pack"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (the LLM batch-builder's greedy fill): docs in
+    id order are packed into 2048-token bins by exclusive running
+    token count. Runs on the DISTRIBUTED prefix-sum path
+    (``pack_by_running_total``: range-partition + partition-local
+    windows + broadcast offsets — no single-partition window at any
+    corpus size); the oracle is the equivalent single global window,
+    which DuckDB can afford at fixture scale."""
+    d = _T(spark, sf_dir, "documents")
+    toks = d.select("doc_id", X.token_count("text").alias("n_tokens"))
+    return R.pack_by_running_total(
+        toks, order_col="doc_id", weight_col="n_tokens", budget=2048
+    ).select("doc_id", "n_tokens", "pack_id")
+
+
+@_register(
     "approx_percentile_sketch",
     oracle="""
     SELECT quantile_cont(cents, 0.5) AS exact_p50,
@@ -2695,6 +2725,7 @@ _OVERFLOW_ORACLE = [
     "unpivot_part_measures",     # agg family: unpivot/melt
     "gap_fill_hourly",           # time-series: resample + forward-fill
     "approx_percentile_sketch",  # agg family: GK sketch with in-result tolerance
+    "sequence_packing",          # LLM pipeline: token-budget bin packing
 ]
 
 
