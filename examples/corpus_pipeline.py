@@ -10,6 +10,7 @@ queries run).
       → PII scrub
       → per-language stratified mixing
       → token-window chunking into training sequences
+      → token-budget sequence packing (distributed prefix sum)
       → mixture report
 
 Usage:
@@ -74,7 +75,19 @@ def main() -> None:
     chunks = X.chunk_docs(docs, size=32, stride=24)
     print(f"training sequences: {chunks.count()}")
 
-    # 7. mixture report
+    # 7. pack sequences into 2048-token training bins (distributed prefix sum)
+    from transe_pyspark_spark.operators.relational import pack_by_running_total
+
+    packed = pack_by_running_total(
+        chunks.withColumn("__ord", F.col("doc_id") * 10_000 + F.col("chunk_id")),
+        order_col="__ord",
+        weight_col="n_tokens",
+        budget=2048,
+    )
+    n_packs = packed.agg(F.countDistinct("pack_id")).first()[0]
+    print(f"packed into {n_packs} bins of <=2048 tokens (+1 seq overflow)")
+
+    # 8. mixture report
     report = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(X.word_count("text")).alias("words"))
