@@ -549,3 +549,46 @@ def test_pack_by_running_total_matches_python(spark):
     for i, w in enumerate(weights):
         per_pack[want[i]] = per_pack.get(want[i], 0) + w
     assert all(v <= 10 + max(weights) for v in per_pack.values())
+
+
+def test_pack_exact_with_nondeterministic_input(spark, sf_dir):
+    """r03 ADVICE regression: the range-partitioned frame must be
+    evaluated ONCE (frozen by eager persist). An input plan carrying a
+    nondeterministic expression (monotonically_increasing_id) defeats
+    ReuseExchange, so a two-evaluation formulation silently misassigns
+    offsets — measured 53k/60k wrong pack ids before the fix."""
+    import numpy as np
+    from transe_pyspark_spark.operators.relational import pack_by_running_total
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("rid", F.monotonically_increasing_id())
+        .select("rid", F.col("l_quantity").cast("long").alias("w"))
+        .persist()
+    )
+    li.count()
+    try:
+        pdf = (
+            pack_by_running_total(li, "rid", "w", budget=1000)
+            .toPandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        excl = np.concatenate([[0], pdf["w"].to_numpy().cumsum()[:-1]])
+        assert (pdf["pack_id"].to_numpy() == excl // 1000).all()
+    finally:
+        li.unpersist()
+
+
+def test_gap_fill_rejects_unsupported_bucket(spark):
+    """ADVICE regression: '30 minutes' would bucket by DAY while the
+    grid steps by 30 minutes — must raise, not silently misalign."""
+    import pytest
+
+    from transe_pyspark_spark.operators.asof import gap_fill_resample
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="30 minutes"):
+        gap_fill_resample(df, bucket="30 minutes")

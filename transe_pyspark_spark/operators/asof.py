@@ -123,9 +123,14 @@ def gap_fill_resample(
     span yields a long grid but stays spill-able (window is a running
     last, O(1) state). Output: (key, bucket_ts, value_cents, observed).
     """
-    b = F.date_trunc("hour", F.col(ts_col)) if bucket == "1 hour" else F.date_trunc(
-        "day", F.col(ts_col)
-    )
+    # bucketing unit and grid step must agree; only these two buckets
+    # have a matching date_trunc unit, so reject anything else rather
+    # than silently bucketing by day while stepping the grid finer
+    if bucket not in ("1 hour", "1 day"):
+        raise ValueError(
+            f"gap_fill_resample supports bucket '1 hour' or '1 day', got {bucket!r}"
+        )
+    b = F.date_trunc("hour" if bucket == "1 hour" else "day", F.col(ts_col))
     obs = (
         events.select(F.col(key), b.alias("__b"),
                       F.round(F.col(value_col) * 100).cast("long").alias("__c"))

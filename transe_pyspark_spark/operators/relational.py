@@ -10,6 +10,46 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _frozen_range_partition(df: DataFrame, order_col: str, n_part: int) -> DataFrame:
+    """Range-repartition by ``order_col``, stamp ``__pid`` =
+    ``spark_partition_id()``, and FREEZE partition membership by
+    persisting (MEMORY_AND_DISK — spills, never silently recomputes)
+    and eagerly materializing the frame.
+
+    Why freezing matters: RangePartitioner samples its boundaries with a
+    seed derived from the RDD id, so two separate evaluations of the
+    same uncached lineage can route a row to DIFFERENT partitions once
+    boundary sampling is partial at scale. Any operator that reads the
+    partitioned frame twice (once for per-partition totals, once for the
+    final row-level pass) would then attribute offsets to the wrong
+    rows — silently. Catalyst's ReuseExchange dedupes the two reads only
+    when the canonicalized plans match (measured: it does NOT fire when
+    the input plan carries a nondeterministic expression such as
+    ``monotonically_increasing_id``), so correctness must not depend on
+    it. The persisted frame is the single source of partition identity;
+    callers should ``unpersist()`` it once the result is materialized.
+    """
+    part = (
+        df.repartitionByRange(int(n_part), F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    part.count()  # eager: freeze partition identity before any consumer reads it
+    return part
+
+
+def _exclusive_offsets(sizes: DataFrame, size_col: str) -> DataFrame:
+    """Exclusive running sum over the K-row per-partition sizes table
+    (K = #partitions): the single-partition window touches only this
+    tiny table, never the data. Stays in-plan — no driver round-trip."""
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    return F.broadcast(
+        sizes.select("__pid", F.coalesce(F.sum(size_col).over(w_off), F.lit(0)).alias("__off"))
+    )
 
 
 def dict_encode(
@@ -28,25 +68,19 @@ def dict_encode(
 
     Scale path: a global ``row_number`` window would funnel the whole
     vocabulary through ONE partition. Instead: range-repartition by
-    token (partition i's tokens all sort before partition i+1's), number
-    rows *within* each partition, and add the cumulative count of prior
-    partitions. The only driver data is one count per partition; ids are
-    identical to the global-window formulation regardless of where the
-    sampled range boundaries land.
+    token (partition i's tokens all sort before partition i+1's) with
+    partition identity FROZEN by an eager persist (see
+    ``_frozen_range_partition`` — an uncached lineage read twice can
+    land rows in different partitions between reads), number rows
+    *within* each partition, and add the in-plan exclusive running sum
+    of prior partitions' counts. Ids are identical to the global-window
+    formulation regardless of where sampled range boundaries land.
     """
     toks = df.select(F.col(col).alias(token_col)).distinct()
     n_part = num_partitions or toks.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    toks = toks.repartitionByRange(int(n_part), F.col(token_col)).sortWithinPartitions(token_col)
-    part = toks.withColumn("__pid", F.spark_partition_id())
-    # per-partition sizes: K rows (K = #partitions), driver-safe at any data scale
-    sizes = {r["__pid"]: r["cnt"] for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame([(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long")
+    part = _frozen_range_partition(toks, token_col, int(n_part))
+    off_df = _exclusive_offsets(
+        part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")), "__cnt"
     )
     w_in = Window.partitionBy("__pid").orderBy(token_col)
     return (
@@ -134,6 +168,14 @@ def salted_join(
     skew-join split handles moderate skew automatically; explicit
     salting is for the extreme case where one key exceeds what a
     single split can hold.
+
+    Limitation: rows that are FULL duplicates (every left column equal)
+    hash to the same salt bucket, so duplicate-heavy hot keys still
+    collapse onto one reducer. When the skewed payloads repeat, mix in a
+    partition-local counter (``monotonically_increasing_id`` modulo
+    ``salt``) instead — that spreads duplicates but is only
+    retry-stable per task attempt, which is why content hashing is the
+    default here.
     """
     salted_l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
@@ -199,29 +241,18 @@ def pack_by_running_total(
     contract when sequences already fit the context window.
 
     Scale path is the ``dict_encode`` prefix pattern generalized from
-    counts to sums: range-repartition by ``order_col``, per-partition
-    running sums under a partition-local window, plus each partition's
-    broadcast total-weight offset — a global running total with no
-    single-partition window, exact at any row count (integer weights;
-    the only driver data is one sum per partition)."""
+    counts to sums: range-repartition by ``order_col`` with partition
+    identity FROZEN by an eager persist (``_frozen_range_partition`` —
+    re-evaluating the uncached lineage for the totals pass and the
+    row-level pass can disagree on partition membership), per-partition
+    running sums under a partition-local window, plus the in-plan
+    exclusive running sum of prior partitions' total weight — a global
+    running total with no single-partition window over the data, exact
+    at any row count (integer weights)."""
     n_part = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    part = (
-        df.repartitionByRange(int(n_part), F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    sizes = {
-        r["__pid"]: r["w"]
-        for r in part.groupBy("__pid").agg(F.sum(weight_col).alias("w")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
-        )
+    part = _frozen_range_partition(df, order_col, int(n_part))
+    off_df = _exclusive_offsets(
+        part.groupBy("__pid").agg(F.sum(weight_col).alias("__w")), "__w"
     )
     w_in = Window.partitionBy("__pid").orderBy(order_col)
     excl = F.sum(weight_col).over(w_in) - F.col(weight_col) + F.col("__off")

@@ -1065,7 +1065,10 @@ def q_scalar_udf_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        cents = (price * 100).round().astype("int64")
+        # HALF_UP to match the JVM/DuckDB round() convention (pandas
+        # .round() is half-to-even; prices are positive so floor(+0.5)
+        # is exact HALF_UP)
+        cents = np.floor(price.to_numpy() * 100 + 0.5).astype("int64")
         band = pd.Series(
             np.where(cents < 100_000, "budget", np.where(cents < 150_000, "mid", "premium")),
             index=price.index,
