@@ -8,7 +8,11 @@ contract — these tests pin it.
 
 from transe_pyspark_spark.plans.queries import _DRIVER_WINDOW, REGISTRY
 
-#: queries the round-1 judge explicitly requires driver-green rows for
+#: queries that must always hold a driver slot (flagship + the one
+#: family representative the rotation never retires). r04: the r01
+#: judge's original list minus token_frequencies / stream_sliding /
+#: stream_session — those earned driver-green rows in BOTH r02 and r03
+#: and were rotated out per the r03 VERDICT's rotation ask.
 MUST_BE_IN_WINDOW = {
     "transe_rank_eval",
     "asof_purchase_click",
@@ -16,18 +20,36 @@ MUST_BE_IN_WINDOW = {
     "corpus_clean_pipeline",
     "doc_fingerprint",
     "purchase_funnel",
-    "token_frequencies",
     "multimodal_meta",
     "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
     "stream_stateful_profiles",
     "stream_interval_join",
 }
 
-#: the r03 rotation: never-driver-checked + new queries that MUST earn
-#: their driver-green row this round (VERDICT r02 task 1)
-ROTATED_IN_R03 = {
+#: the r04 rotation (VERDICT r03 ask #1): the 16 r03-era oracle queries
+#: that were only ever mirror-checked MUST earn driver rows this round,
+#: and the 9 entries first driver-checked in r03 stay in until they are
+#: twice-green.
+ROTATED_IN_R04 = {
+    "doc_chunks",
+    "gopher_quality_docs",
+    "pii_scrub_docs",
+    "stratified_sample_mix",
+    "stream_corpus_clean",
+    "repetition_ngrams",
+    "mapinarrow_name_stats",
+    "corpus_report",
+    "percentile_prices",
+    "udtf_word_positions",
+    "stream_static_enrich",
+    "pivot_status_priority",
+    "unpivot_part_measures",
+    "gap_fill_hourly",
+    "approx_percentile_sketch",
+    "sequence_packing",
+}
+
+ONCE_GREEN_R03 = {
     "jaccard_near_pairs",
     "jaccard_prefix_near_pairs",
     "stream_dedup_events",
@@ -40,10 +62,10 @@ ROTATED_IN_R03 = {
 }
 
 
-def test_r03_rotation_inside_window():
+def test_r04_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = ROTATED_IN_R03 - window
-    assert not missing, f"r03-rotated queries fell out of the driver window: {missing}"
+    missing = (ROTATED_IN_R04 | ONCE_GREEN_R03) - window
+    assert not missing, f"r04-rotated queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():

@@ -2689,66 +2689,72 @@ _DRIVER_WINDOW = 50
 
 #: oracle-backed entries intentionally ordered past the window — the
 #: window is ROTATED each round so every oracle query earns a
-#: driver-green row across rounds. r03 rotation: the 7 entries that sat
-#: here in r02 (jaccard_near_pairs, jaccard_prefix_near_pairs,
-#: stream_dedup_events, distinct_counts, customer_order_distribution,
-#: json_extract_events, priority_count_exists) move INTO the window,
-#: plus the two new queries (scalar_udf_price_band,
-#: transe_rank_eval_filtered); the nine entries below move out — every
-#: one driver-green in BOTH r01 and r02 (CORRECTNESS_r0{1,2}.json), and
-#: every operator family keeps ≥1 in-window oracle row (strings/dates/
-#: math via filter_predicates+pricing+date-bearing streams; sampling
-#: via mod-hash determinism pytest; rollup/cube via
-#: grouping_sets_revenue; RANGE frames via window_order_seq +
-#: rank_functions; JSON via json_extract_events).
+#: driver-green row across rounds. r04 rotation (VERDICT r03 ask #1):
+#: the 16 r03-era entries that had never been driver-checked
+#: (doc_chunks … sequence_packing) move INTO the window; the 16 entries
+#: below them move OUT — every one driver-green in BOTH r02 and r03
+#: (CORRECTNESS_r0{2,3}.json), and every family keeps ≥1 in-window
+#: oracle row: streaming keeps tumbling/stateful/interval/dedup +
+#: corpus_clean/static_enrich; text keeps corpus_clean_pipeline +
+#: doc_fingerprint + the five new corpus ops; joins keep
+#: semi_anti/salted/full_outer/purchase_funnel; window fns keep
+#: top3_orders_per_customer (row_number/WindowGroupLimit) +
+#: sequence_packing's partition-local frames; aggs keep
+#: pricing_summary/grouping_sets + the four new percentile/pivot
+#: faces; scalar fns keep json_extract_events; vectors keep
+#: knn_brute_force + cosine_near_pairs; Jaccard keeps
+#: jaccard_near_pairs + jaccard_prefix_near_pairs; UDFs keep
+#: scalar/grouped-map/mapInArrow/UDTF.
 _OVERFLOW_ORACLE = [
+    # r02-era overflow (driver-green r01+r02):
     "string_funcs",              # scalar fns: twice-green
     "date_funcs",                # scalar fns: twice-green
     "math_funcs",                # scalar fns: green after r01 fix, green r02
-    "mod_sample_orders",         # sampling: twice-green
-    "small_quantity_parts",      # EXISTS/anti shape: priority_count_exists rotates in
+    "mod_sample_orders",         # sampling: stratified_sample_mix rotates in
+    "small_quantity_parts",      # EXISTS/anti: priority_count_exists stays in
     "cube_flags",                # multi-dim agg: grouping_sets_revenue stays
     "rollup_status_priority",    # multi-dim agg: grouping_sets_revenue stays
-    "range_frame_spend",         # window frames: window_order_seq + rank_functions stay
-    "json_struct_events",        # JSON: json_extract_events rotates in
-    # NEW in r03 (mirror-green this round; first in line for the r04
-    # rotation — never driver-checked):
-    "doc_chunks",                # LLM pipeline: doc→training-sequence chunking
-    "gopher_quality_docs",       # LLM pipeline: Gopher-rule quality filter
-    "pii_scrub_docs",            # LLM pipeline: PII audit + scrub
-    "stratified_sample_mix",     # LLM pipeline: per-language mixing sample
-    "stream_corpus_clean",       # LLM pipeline × streaming: dedup+quality ingest
-    "repetition_ngrams",         # LLM pipeline: top-bigram repetition signal
-    "mapinarrow_name_stats",     # UDF surface: mapInArrow (R20 fifth face)
-    "corpus_report",             # LLM pipeline: per-(lang,source) mixture dashboard
-    "percentile_prices",         # agg family: exact cont/disc percentiles
-    "udtf_word_positions",       # UDF surface: Python UDTF via LATERAL
-    "stream_static_enrich",      # streaming: stream-static dim join + rollup
-    "pivot_status_priority",     # agg family: explicit-values pivot
-    "unpivot_part_measures",     # agg family: unpivot/melt
-    "gap_fill_hourly",           # time-series: resample + forward-fill
-    "approx_percentile_sketch",  # agg family: GK sketch with in-result tolerance
-    "sequence_packing",          # LLM pipeline: token-budget bin packing
+    "range_frame_spend",         # window frames: top3 + packing windows stay
+    "json_struct_events",        # JSON: json_extract_events stays in
+    # rotated out in r04 (driver-green r02+r03):
+    "stream_sliding_counts",     # streaming windowed agg: tumbling stays
+    "stream_session_windows",    # streaming windowed agg: tumbling stays
+    "token_frequencies",         # text: five new corpus ops rotate in
+    "text_stats",                # text: five new corpus ops rotate in
+    "doc_quality",               # text: gopher_quality_docs rotates in
+    "top_revenue_orders",        # joins: semi_anti/salted/full_outer stay
+    "region_revenue",            # joins: semi_anti/salted/full_outer stay
+    "customer_order_stats",      # joins: semi_anti/salted/full_outer stay
+    "rank_functions",            # window fns: top3_orders_per_customer stays
+    "window_order_seq",          # window fns: top3_orders_per_customer stays
+    "stddev_exact",              # agg: pricing_summary/grouping_sets stay
+    "approx_distinct",           # agg: distinct_counts stays in
+    "array_funcs",               # scalar fns: json_extract_events stays
+    "vector_norms",              # vectors: knn_brute_force/cosine stay
+    "jaccard3_near_pairs",       # Jaccard: jaccard_near_pairs/prefix stay
+    "grouped_agg_price_range",   # UDFs: scalar/grouped-map/arrow/UDTF stay
 ]
 
 
 def _reorder_registry() -> None:
     front = [
-        # flagship + r01-unseen families first
+        # flagship + one representative per family the driver should
+        # always see first (r04: sliding/session/token_frequencies
+        # rotated to overflow after two driver-green rounds)
         "transe_rank_eval",
         "asof_purchase_click",
         "range_count_views",
         "purchase_funnel",
         "corpus_clean_pipeline",
-        "token_frequencies",
         "doc_fingerprint",
         "multimodal_meta",
         "stream_tumbling_counts",
-        "stream_sliding_counts",
-        "stream_session_windows",
         "stream_stateful_profiles",
         "stream_interval_join",
     ]
+    overlap = set(front) & set(_OVERFLOW_ORACLE)
+    if overlap:
+        raise AssertionError(f"front entries also listed as overflow: {sorted(overlap)}")
     oracle_backed = [n for n, s in REGISTRY.items() if s.oracle is not None]
     rows_only = [n for n, s in REGISTRY.items() if s.oracle is None]
     middle = [n for n in oracle_backed if n not in front and n not in _OVERFLOW_ORACLE]
