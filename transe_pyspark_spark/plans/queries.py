@@ -1361,17 +1361,71 @@ def q_jaccard_prefix_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_pairs(_T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=3)
 
 
+@_register(
+    "minhash_near_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+               FROM documents),
+         g AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(ws) - 1),
+                                                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+               FROM w WHERE len(ws) >= 3),
+         s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+               FROM g a, g b WHERE a.doc_id < b.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    FROM s WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "approx"),
+)
 def q_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup (scale path): shingle → signature → band
-    buckets → candidate join → exact verify. Not SQL-expressible ⇒
-    rows-only driver check; recall vs `jaccard_near_pairs` is asserted
-    in pytest."""
+    """MinHash-LSH near-dup, oracle-ified via the in-result-boolean
+    pattern (same as ``approx_percentile_sketch``): the emitted pair
+    SET is hash-dependent, so the driver-checkable contract is
+    (1) ``n_exact_pairs`` — the exact 3-gram Jaccard ≥ 0.6 pair count,
+    a hard value the oracle recomputes independently; (2) ``subset_ok``
+    — every LSH-found verified pair is a true exact pair (zero false
+    positives after the verify stage); (3) ``recall_ok`` — LSH found
+    ≥ 90% of the exact pairs (measured 1.0 at sf0.001 AND sf0.01 with
+    64 hashes / 16 bands: the S-curve midpoint ≈0.5 sits far below the
+    0.6 threshold). Signatures are seed-deterministic (CRC32 shingles,
+    seeded affine permutations), so the booleans are stable across
+    runs. One FULL OUTER join of the two (tiny) pair sets feeds a
+    single-row aggregate, so each pair generator is evaluated exactly
+    once. The raw pair listing stays available as
+    ``minhash_pairs_raw``."""
+    docs = _T(spark, sf_dir, "documents")
+    exact = D.jaccard_prefix_pairs(docs, threshold=0.6, shingle_n=3).select(
+        "doc_a", "doc_b", F.lit(1).alias("__e")
+    )
+    found = D.minhash_lsh_pairs(
+        docs, threshold=0.6, shingle_n=3, num_hashes=64, bands=16
+    ).select("doc_a", "doc_b", F.lit(1).alias("__f"))
+    j = exact.join(found, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("bigint").alias("n_exact_pairs"),
+        (F.coalesce(F.sum(F.when(F.col("__e").isNull(), 1)), F.lit(0)) == 0).alias("subset_ok"),
+        (
+            F.coalesce(F.sum(F.when(F.col("__e").isNotNull() & F.col("__f").isNotNull(), 1)), F.lit(0))
+            >= F.coalesce(F.sum("__e"), F.lit(0)) * F.lit(0.9)
+        ).alias("recall_ok"),
+    )
+
+
+def q_minhash_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash-LSH verified pair listing (rows-only: the pair
+    subset is hash-dependent, not SQL-reproducible; the summary
+    contract is driver-checked as ``minhash_near_pairs``)."""
     return D.minhash_lsh_pairs(
         _T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=3, num_hashes=64, bands=16
     )
 
 
-REGISTRY["minhash_near_pairs"] = QuerySpec("minhash_near_pairs", q_minhash_near_pairs, None, ("dedup",))
+REGISTRY["minhash_pairs_raw"] = QuerySpec("minhash_pairs_raw", q_minhash_pairs_raw, None, ("dedup",))
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2733,6 +2787,9 @@ _OVERFLOW_ORACLE = [
     "vector_norms",              # vectors: knn_brute_force/cosine stay
     "jaccard3_near_pairs",       # Jaccard: jaccard_near_pairs/prefix stay
     "grouped_agg_price_range",   # UDFs: scalar/grouped-map/arrow/UDTF stay
+    "exact_dedup_docs",          # dedup: slot ceded to the NEW oracle-backed
+                                 # minhash_near_pairs summary (never
+                                 # driver-checked; exact_dedup is r02+r03 green)
 ]
 
 
