@@ -1,0 +1,50 @@
+"""Time the relational TransE trainer epoch at the reference's
+published scale (FB15k-237 shape: 483,142 triples, V=14,541, L=237,
+k=50, 2 batches) — the same shape bench.py times for the broadcast
+path (VERDICT r03 item 2: 'convergence-tested but never timed').
+
+Usage: python scripts/bench_relational_epoch.py [n_epochs]
+Prints per-epoch wall seconds; the bench.py section records the median.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from transe_pyspark_spark.session import get_spark
+from transe_pyspark_spark.transe.train_relational import RelationalTransETrainer
+
+
+def main() -> None:
+    n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    V, L, N, K = 14541, 237, 483142, 50
+    spark = get_spark("bench-relational")
+    rng = np.random.default_rng(42)
+    pdf = pd.DataFrame(
+        {"h": rng.integers(0, V, N), "l": rng.integers(0, L, N), "t": rng.integers(0, V, N)}
+    )
+    triples = spark.createDataFrame(pdf).repartition(32)
+
+    tr = RelationalTransETrainer(k=K, n_epochs=n_epochs, n_batches=2, learning_rate=0.01, seed=1)
+    t0 = time.time()
+    ent, lab = tr.fit(spark, triples, n_entities=V, n_labels=L)
+    total = time.time() - t0
+    times = getattr(tr, "epoch_times", [])
+    print(f"total {total:.2f}s for {n_epochs} epochs")
+    for i, t in enumerate(times):
+        print(f"epoch {i}: {t:.2f}s")
+    if times:
+        later = sorted(times[1:]) or times
+        print(f"median(after-first): {later[len(later) // 2]:.2f}s")
+    print("loss history:", [round(x, 1) for x in tr.loss_history])
+
+
+if __name__ == "__main__":
+    main()

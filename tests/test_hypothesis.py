@@ -122,6 +122,121 @@ def test_jaccard_pairs_match_bruteforce(spark, corpus):
     assert got == want
 
 
+# --- as-of join vs pandas merge_asof (VERDICT r03 item 8) ------------
+# The union-window trick has tie/equal-ts edge cases the fixtures never
+# hit: a right row exactly simultaneous with a left row (must match),
+# an empty right side (all nulls), right rows strictly after every left
+# row ("all-late" — also all nulls), duplicate left timestamps.
+
+_KEYS = st.integers(0, 2)
+_TS = st.integers(0, 40)
+
+asof_sides = st.tuples(
+    st.lists(st.tuples(_KEYS, _TS, st.integers(0, 999)), min_size=1, max_size=25),
+    # right side: may be EMPTY; (key, ts) made unique below — pandas
+    # merge_asof resolves duplicate right ts by input order, the
+    # window formulation by (ts, side) only, so duplicates are
+    # legitimately tie-broken differently (documented nondeterminism)
+    st.lists(st.tuples(_KEYS, _TS, st.integers(0, 999)), min_size=0, max_size=25),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_sides)
+def test_asof_join_matches_merge_asof(spark, sides):
+    import pandas as pd
+
+    from transe_pyspark_spark.operators.asof import asof_join
+
+    left_rows, right_rows = sides
+    right_rows = list({(k, ts): v for k, ts, v in right_rows}.items())
+    right_rows = [(k, ts, v) for (k, ts), v in right_rows]
+    left = spark.createDataFrame(
+        [(i, k, ts, v) for i, (k, ts, v) in enumerate(left_rows)],
+        "i long, k long, ts long, lval long",
+    )
+    right = spark.createDataFrame(right_rows, "k long, ts long, rval long") if right_rows else (
+        spark.createDataFrame([], "k long, ts long, rval long")
+    )
+    got = {
+        r.i: (r.ts_right, r.rval_right)
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+
+    lpdf = pd.DataFrame(
+        [(i, k, ts, v) for i, (k, ts, v) in enumerate(left_rows)],
+        columns=["i", "k", "ts", "lval"],
+    ).sort_values("ts", kind="stable")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "rval"]).astype(
+        {"k": "int64", "ts": "int64", "rval": "int64"}
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lpdf, rpdf.rename(columns={"ts": "ts_right", "rval": "rval_right"}),
+        left_on="ts", right_on="ts_right", by="k",
+        direction="backward", allow_exact_matches=True,
+    )
+    want = {
+        int(r.i): (
+            None if pd.isna(r.ts_right) else int(r.ts_right),
+            None if pd.isna(r.rval_right) else int(r.rval_right),
+        )
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+# --- gap-fill resample vs a pure-Python forward-fill twin ------------
+
+gap_events = st.lists(
+    st.tuples(_KEYS, st.integers(0, 72), st.integers(0, 59), st.integers(0, 99999)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(gap_events)
+def test_gap_fill_resample_matches_python(spark, events):
+    """Hourly gap-fill == the obvious Python twin: bucket cents-sums by
+    hour, span [first, last] hour per key, forward-fill the holes.
+    Exercises single-event keys (1-bucket grid), multi-event buckets,
+    long gaps, and value 0 (must still count as observed)."""
+    import datetime as dt
+
+    from transe_pyspark_spark.operators.asof import gap_fill_resample
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, base + dt.timedelta(hours=h, minutes=m), cents / 100.0)
+        for k, h, m, cents in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.bucket_ts): (r.value_cents, r.observed)
+        for r in gap_fill_resample(df, key="user_id", ts_col="ts", value_col="value").collect()
+    }
+
+    sums: dict[tuple[int, dt.datetime], int] = {}
+    for k, ts, v in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        # HALF_UP like F.round on the engine side; values are positive
+        sums[(k, b)] = sums.get((k, b), 0) + int(v * 100 + 0.5)
+    want = {}
+    for k in {k for k, _ in sums}:
+        buckets = sorted(b for kk, b in sums if kk == k)
+        lo, hi = buckets[0], buckets[-1]
+        fill = None
+        b = lo
+        while b <= hi:
+            if (k, b) in sums:
+                fill = sums[(k, b)]
+                want[(k, b)] = (fill, True)
+            else:
+                want[(k, b)] = (fill, False)
+            b += dt.timedelta(hours=1)
+    assert got == want
+
+
 @settings(max_examples=5, deadline=None)
 @given(texts)
 def test_chunk_docs_match_python(spark, batch):

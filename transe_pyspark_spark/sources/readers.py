@@ -62,18 +62,25 @@ def ensure_session_conf(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided fixture table (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as
-    int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we
-    convert to a microsecond timestamp here (the fixture's values are
-    µs-precision, so the ``div 1000`` is lossless).
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: TIMESTAMP(NANOS) (int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — converted to µs here;
+    the values are µs-precision so ``div 1000`` is lossless) and plain
+    TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ — cast to TIMESTAMP so
+    watermarks/windows accept it; session tz is UTC so the instant is
+    unchanged). Normalizing here keeps every downstream plan and the
+    streaming twin on one ts type.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

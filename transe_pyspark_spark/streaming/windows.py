@@ -18,33 +18,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.ts is TIMESTAMP(NANOS) in parquet → int64 under
-#: spark.sql.legacy.parquet.nanosAsLong; converted to µs below.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
-    micro-batch under AvailableNow)."""
+    micro-batch under AvailableNow).
+
+    The stream schema is taken from the batch footer, because the
+    fixture's ``ts`` physical type has shipped BOTH as TIMESTAMP(NANOS)
+    (int64 under ``nanosAsLong`` — converted to µs here) and as plain
+    TIMESTAMP(MICROS) (native TimestampType, no conversion). Pinning
+    either layout silently mis-scales the other by 1000× — a 1970-epoch
+    stream every watermark/window then happily processes."""
+    import os
+
+    from pyspark.sql import types as T
+
     from transe_pyspark_spark.sources.readers import ensure_session_conf
 
     ensure_session_conf(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # NTZ is not a valid event-time column for watermarks; the
+        # session tz is UTC so the cast preserves the instant
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

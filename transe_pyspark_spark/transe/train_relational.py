@@ -51,16 +51,6 @@ from transe_pyspark_spark.functions import vector as V
 from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows
 
 
-def _sum_vec_udf():
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
-    def sum_vec(vecs):
-        return np.array(vecs.tolist(), dtype=np.float64).sum(axis=0).tolist()
-
-    return sum_vec
-
-
 class RelationalTransETrainer:
     """Same hyperparameter surface as ``TransETrainer``; model state is
     a pair of DataFrames instead of driver ndarrays."""
@@ -89,6 +79,7 @@ class RelationalTransETrainer:
         #: dropped from the batch rather than looping unboundedly.
         self.reject_rounds = reject_rounds
         self.loss_history: list[float] = []
+        self.epoch_times: list[float] = []
 
     # ------------------------------------------------------------------
     def _init_embeddings(
@@ -125,9 +116,19 @@ class RelationalTransETrainer:
     def _corrupt(self, batch: DataFrame, train: DataFrame, n_entities: int, seed: int) -> DataFrame:
         """Head-or-tail corruption with anti-join rejection (relational
         F2). Each round: sample replacements for the still-colliding
-        triples, anti-join against the trainset."""
+        triples, anti-join against the trainset.
+
+        The loop is fully LAZY — no per-round ``isEmpty()`` driver job
+        (r03 profile: each one forced the whole semi-join chain eagerly,
+        3 extra jobs per batch). After ``reject_rounds`` rounds the
+        still-colliding remainder is dropped from the batch: at
+        collision probability p ≈ N/V² per candidate, the dropped
+        fraction is p^rounds (FB15k shape: (2.3e-3)³ ≈ 1e-8 of rows)."""
         good = None
         pending = batch
+        t2 = train.select(
+            F.col("h").alias("__th"), F.col("l").alias("__tl"), F.col("t").alias("__tt")
+        )
         for rnd in range(self.reject_rounds):
             s = seed * 7919 + rnd
             cand = (F.rand(s + 1) * n_entities).cast("long")
@@ -137,9 +138,6 @@ class RelationalTransETrainer:
                 .withColumn("ct", F.when(F.col("__head"), F.col("t")).otherwise(cand))
                 .drop("__head")
             )
-            t2 = train.select(
-                F.col("h").alias("__th"), F.col("l").alias("__tl"), F.col("t").alias("__tt")
-            )
             cond = (
                 (F.col("ch") == F.col("__th"))
                 & (F.col("l") == F.col("__tl"))
@@ -147,9 +145,8 @@ class RelationalTransETrainer:
             )
             ok = c.join(t2, cond, "left_anti")
             good = ok if good is None else good.unionByName(ok)
-            pending = c.join(t2, cond, "left_semi").select("h", "l", "t")
-            if pending.isEmpty():
-                break
+            if rnd < self.reject_rounds - 1:
+                pending = c.join(t2, cond, "left_semi").select("h", "l", "t")
         return good
 
     def fit(
@@ -160,9 +157,10 @@ class RelationalTransETrainer:
         n_labels: int,
     ) -> tuple[DataFrame, DataFrame]:
         """Returns (entity_df, label_df) as [id, vec] DataFrames."""
+        import time as _time
+
         lr, margin = self.learning_rate, self.margin
         dist_fn = V.l1 if self.distance == "L1" else V.l2_sq
-        sum_vec = _sum_vec_udf()
 
         train = triples.select("h", "l", "t").cache()
         ent = self._init_embeddings(spark, n_entities, self.k, self.seed, normalize=True)
@@ -172,6 +170,7 @@ class RelationalTransETrainer:
 
         fraction = 1.0 / self.n_batches
         for epoch in range(self.n_epochs):
+            _t0 = _time.time()
             epoch_loss = 0.0
             for batch_i in range(self.n_batches):
                 step_seed = self.seed * 1_000_003 + epoch * self.n_batches + batch_i
@@ -259,8 +258,32 @@ class RelationalTransETrainer:
 
                 # X3 relational: order-free grouped SUM of deltas —
                 # minibatch SGD exactly (the per-partition kernel also
-                # accumulates, not averages, within a partition)
-                deltas = contrib.groupBy("id", "kind").agg(sum_vec("delta").alias("delta")).persist()
+                # accumulates, not averages, within a partition).
+                # The sum runs SCALAR-WISE: posexplode each delta to
+                # (id, kind, pos, val) and hash-agg the doubles. Unlike
+                # a grouped-agg pandas UDF over array cells (the r03
+                # shape: no partial aggregation, every raw vector row
+                # shuffles, then Arrow → Python per group), scalar SUM
+                # gets whole-stage codegen + map-side combine, so each
+                # task ships at most |touched ids|×k partial sums
+                # regardless of batch size — the same reduction a
+                # 1000-executor cluster relies on. Vectors re-assemble
+                # with array_sort(collect_list(struct(pos,val))).
+                flat = contrib.select(
+                    "id", "kind", F.posexplode("delta").alias("pos", "val")
+                )
+                deltas = (
+                    flat.groupBy("id", "kind", "pos")
+                    .agg(F.sum("val").alias("val"))
+                    .groupBy("id", "kind")
+                    .agg(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                            lambda s: s["val"],
+                        ).alias("delta")
+                    )
+                    .persist()
+                )
 
                 e_delta = deltas.filter(F.col("kind") == "e").select("id", "delta")
                 l_delta = deltas.filter(F.col("kind") == "l").select("id", "delta")
@@ -289,6 +312,7 @@ class RelationalTransETrainer:
                 viol.unpersist()
                 deltas.unpersist()
             self.loss_history.append(epoch_loss)
+            self.epoch_times.append(_time.time() - _t0)
         train.unpersist()
         return ent, lab
 
