@@ -592,3 +592,41 @@ def test_gap_fill_rejects_unsupported_bucket(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     with pytest.raises(ValueError, match="30 minutes"):
         gap_fill_resample(df, bucket="30 minutes")
+
+
+def test_incremental_dedup_restart_and_idempotency(spark, sf_dir, tmp_path):
+    """Incremental dedup state survives a 'restart' (every call reads
+    state from disk — nothing lives in the session), admitted drops
+    partition the distinct-fingerprint space, and relanding a drop
+    admits ZERO rows (at-least-once shard delivery cannot double-admit
+    content)."""
+    from transe_pyspark_spark.functions.text import fingerprint
+    from transe_pyspark_spark.operators.incremental import dedup_drop, seen_fingerprints
+    from transe_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = str(tmp_path / "state")
+    drop1 = docs.filter(F.col("doc_id") % 2 == 0)
+    drop2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    a1 = dedup_drop(spark, drop1, state)
+    n1 = a1.count()
+    assert n1 == drop1.select(fingerprint("text")).distinct().count()
+
+    # restart: a fresh operator call against the same path sees drop1's
+    # fingerprints (state is the parquet, not session memory)
+    assert seen_fingerprints(spark, state).count() == n1
+
+    a2 = dedup_drop(spark, drop2, state)
+    n2 = a2.count()
+    # admitted sets are disjoint by fp and together cover exactly the
+    # distinct fingerprints of the union
+    total = docs.select(fingerprint("text")).distinct().count()
+    assert n1 + n2 == total
+    assert a1.select("fp").intersect(a2.select("fp")).count() == 0
+
+    # reland drop1: everything already admitted -> zero new rows,
+    # state unchanged
+    again = dedup_drop(spark, drop1, state)
+    assert again.count() == 0
+    assert seen_fingerprints(spark, state).count() == total

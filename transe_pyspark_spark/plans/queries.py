@@ -2192,6 +2192,45 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "incremental_dedup_drop",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      FROM documents),
+    d1 AS (SELECT fp FROM f WHERE doc_id % 2 = 0),
+    d2 AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 = 0),
+    canon AS (SELECT fp, min(doc_id) AS doc_id FROM d2 GROUP BY fp)
+    SELECT c.doc_id, c.fp
+    FROM canon c
+    WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.fp = c.fp)
+    """,
+    tags=("dedup", "incremental", "pipeline"),
+)
+def q_incremental_dedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup across two corpus drops (the 100 TB ingest
+    story): drop 1 (even doc_ids) is admitted into a fresh persisted
+    seen-fingerprint state; drop 2 (doc_ids % 3 == 0) then lands and is
+    deduplicated against ALL previously admitted content via one
+    anti-join on the state table — drop 1's text is never rescanned.
+    Returns drop 2's admitted (doc_id, fp) rows: within-drop canonical
+    minus everything drop 1 already admitted (doc_id % 6 == 0 overlap
+    plus any cross-drop duplicate text)."""
+    import tempfile
+
+    from transe_pyspark_spark.operators.incremental import dedup_drop
+
+    d = _T(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="dedup_state_")
+    dedup_drop(spark, d.filter(F.col("doc_id") % 2 == 0), state)
+    admitted = dedup_drop(spark, d.filter(F.col("doc_id") % 3 == 0), state)
+    return admitted.select("doc_id", "fp")
+
+
 # ---------------------------------------------------------------------------
 # As-of / range joins (R7, R8)
 # ---------------------------------------------------------------------------
@@ -2790,6 +2829,9 @@ _OVERFLOW_ORACLE = [
     "exact_dedup_docs",          # dedup: slot ceded to the NEW oracle-backed
                                  # minhash_near_pairs summary (never
                                  # driver-checked; exact_dedup is r02+r03 green)
+    "near_dup_components",       # dedup: slot ceded to the NEW oracle-backed
+                                 # incremental_dedup_drop (r02+r03 green;
+                                 # near_dedup_keep + jaccard pairs stay in)
 ]
 
 
