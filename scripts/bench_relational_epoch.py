@@ -44,6 +44,7 @@ def main() -> None:
         later = sorted(times[1:]) or times
         print(f"median(after-first): {later[len(later) // 2]:.2f}s")
     print("loss history:", [round(x, 1) for x in tr.loss_history])
+    print("phase times:", {k: round(v, 1) for k, v in getattr(tr, "phase_times", {}).items()})
 
 
 if __name__ == "__main__":

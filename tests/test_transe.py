@@ -184,6 +184,28 @@ def test_train_then_eval_quality_band(spark, toy_triples):
     assert metrics["hits_at_10"] > 0.3, metrics
 
 
+def test_overlap_trainer_quality_band(spark, toy_triples):
+    """Overlapped (pipelined) trainer: pairs of batches run their
+    kernels concurrently against one snapshot — a documented deviation
+    from strict batch order. The end-to-end quality band must hold
+    exactly as for the sequential trainer, and loss must decrease."""
+    from transe_pyspark_spark.transe.data import load_triples
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv).cache()
+    n_ent, n_lab = ev.count(), lv.count()
+    tr = TransETrainer(k=24, n_epochs=30, n_batches=2, learning_rate=0.05, seed=3,
+                       overlap=True)
+    model = tr.fit(spark, enc, n_ent, n_lab)
+    head, tail = np.mean(tr.loss_history[:3]), np.mean(tr.loss_history[-3:])
+    assert tail < head, f"overlap trainer loss did not decrease: {tr.loss_history}"
+    metrics = evaluate_link_prediction(spark, model, enc)
+    random_expectation = n_ent / 2
+    assert metrics["mean_rank"] < random_expectation * 0.7, metrics
+    assert metrics["hits_at_10"] > 0.3, metrics
+
+
 def test_relational_trainer_converges(spark, toy_triples):
     """The beyond-broadcastable-model path (train_relational): model
     state stays distributed; loss must decrease and per-touch entity

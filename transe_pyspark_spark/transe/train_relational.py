@@ -22,16 +22,21 @@ reference dataflow becomes its relational form:
 
 No driver round-trip of model state anywhere in the loop; per-batch
 lineage is truncated with ``localCheckpoint`` so the plan doesn't grow
-with epochs. The five per-role embedding gathers are FUSED into one
-join: each triple row melts to five ``(role, kind, id)`` rows, joins
-the union-of-embedding-tables once on ``(kind, id)``, and pivots back
-to one row per triple via ``map_from_entries(collect_list(...))``.
-Shuffle per batch = 1 melted gather join + 1 pivot-back aggregation +
-1 delta aggregation + 1 update join, all hash-partitioned on id —
-exactly the joins a 1000-executor cluster distributes; nothing is
-sized by V on any single node, and the shuffled vector volume is ~5N
-vectors per batch versus ~9N for the unfused five-join chain (each
-successive join re-shuffled every vector already attached).
+with epochs. The four ENTITY-role embedding gathers are FUSED into one
+join: each triple row melts to four ``(role, id)`` rows, joins the
+entity table once on id, and pivots back to one row per triple via
+``map_from_entries(collect_list(...))``; the LABEL table (L×k —
+relations number in the hundreds even when entities are billions)
+broadcast-joins after the pivot with zero Exchange, and the corruption
+anti-joins broadcast their 24 B/triple rejection table below
+``broadcast_rejection_limit`` (above it they shuffle — the honest
+beyond-broadcast plan). Shuffle per batch = 1 melted gather join +
+1 pivot-back aggregation + 1 delta partial-combine (Arrow scatter-add
+per partition, then a grouped zip_with fold of ≤P partials per id) +
+1 update join, all hash-partitioned on id — exactly the joins a
+1000-executor cluster distributes; nothing is sized by V on any
+single node, and the shuffled vector volume is ~4N + |touched| vectors
+per batch versus ~9N for the unfused five-join chain.
 
 Trade-off: per-epoch latency is much higher than the broadcast path at
 small V (joins vs one broadcast), so selection is by model size; the
@@ -65,6 +70,7 @@ class RelationalTransETrainer:
         distance: str = "L2",
         seed: int = 42,
         reject_rounds: int = 3,
+        broadcast_rejection_limit: int = 100_000_000,
     ):
         assert distance in ("L1", "L2")
         self.k = k
@@ -78,8 +84,18 @@ class RelationalTransETrainer:
         #: rounds the still-colliding triples (P ≈ (N/V²)^rounds) are
         #: dropped from the batch rather than looping unboundedly.
         self.reject_rounds = reject_rounds
+        #: triples up to which the rejection table (3 longs/row) is
+        #: broadcast for the corruption anti-joins; above it they shuffle
+        self.broadcast_rejection_limit = broadcast_rejection_limit
+        self._broadcast_reject = False
         self.loss_history: list[float] = []
         self.epoch_times: list[float] = []
+        #: cumulative driver-side wall per phase (profiling aid)
+        self.phase_times: dict[str, float] = {
+            "corrupt_build": 0.0, "corrupt_exec": 0.0,
+            "gather_partials": 0.0, "gather_loss": 0.0,
+            "delta_ent_update": 0.0, "lab_update": 0.0,
+        }
 
     # ------------------------------------------------------------------
     def _init_embeddings(
@@ -113,7 +129,7 @@ class RelationalTransETrainer:
             .mapInPandas(gen, "id long, vec array<double>")
         )
 
-    def _corrupt(self, batch: DataFrame, train: DataFrame, n_entities: int, seed: int) -> DataFrame:
+    def _corrupt(self, batch: DataFrame, n_entities: int, seed: int) -> DataFrame:
         """Head-or-tail corruption with anti-join rejection (relational
         F2). Each round: sample replacements for the still-colliding
         triples, anti-join against the trainset.
@@ -124,30 +140,44 @@ class RelationalTransETrainer:
         still-colliding remainder is dropped from the batch: at
         collision probability p ≈ N/V² per candidate, the dropped
         fraction is p^rounds (FB15k shape: (2.3e-3)³ ≈ 1e-8 of rows)."""
-        good = None
-        pending = batch
-        t2 = train.select(
-            F.col("h").alias("__th"), F.col("l").alias("__tl"), F.col("t").alias("__tt")
+        # FLAT formulation of "resample until unseen, max R rounds":
+        # draw all R candidate corruptions per triple up front (explode
+        # — narrow), reject them against the trainset with ONE
+        # anti-join, keep the earliest surviving round via min_by. Same
+        # distribution as the sequential rejection loop (each row takes
+        # candidate 1 unless it collided, else 2, ...); rows whose R
+        # candidates ALL collide (p ≈ (N/V²)^R — FB15k: 1e-8) drop out.
+        # The round-chained formulations were driver-bound, not
+        # executor-bound: a loop of anti/semi joins re-ran Catalyst
+        # analysis on an ever-deeper tree at every DataFrame call, and
+        # a WITH-chain re-analyzed every CTE reference inline
+        # (superlinear: 0.9 s at 1 round → 5.8 s at 3). This plan's
+        # depth is constant in R; one shuffle (the min_by hash-agg,
+        # with map-side partials) regardless of R.
+        s = seed * 7919
+        cand = (F.rand(s + 1) * n_entities).cast("long")
+        c = (
+            batch.withColumn("__rid", F.monotonically_increasing_id())
+            .select(
+                "__rid", "h", "l", "t",
+                F.explode(F.array(*[F.lit(r) for r in range(self.reject_rounds)])).alias("__rnd"),
+            )
+            .withColumn("__chead", F.rand(s) < 0.5)
+            .withColumn("ch", F.when(F.col("__chead"), cand).otherwise(F.col("h")))
+            .withColumn("ct", F.when(F.col("__chead"), F.col("t")).otherwise(cand))
         )
-        for rnd in range(self.reject_rounds):
-            s = seed * 7919 + rnd
-            cand = (F.rand(s + 1) * n_entities).cast("long")
-            c = (
-                pending.withColumn("__head", F.rand(s) < 0.5)
-                .withColumn("ch", F.when(F.col("__head"), cand).otherwise(F.col("h")))
-                .withColumn("ct", F.when(F.col("__head"), F.col("t")).otherwise(cand))
-                .drop("__head")
-            )
-            cond = (
-                (F.col("ch") == F.col("__th"))
-                & (F.col("l") == F.col("__tl"))
-                & (F.col("ct") == F.col("__tt"))
-            )
-            ok = c.join(t2, cond, "left_anti")
-            good = ok if good is None else good.unionByName(ok)
-            if rnd < self.reject_rounds - 1:
-                pending = c.join(t2, cond, "left_semi").select("h", "l", "t")
-        return good
+        surviving = c.join(
+            self._t2,
+            (F.col("ch") == F.col("__th"))
+            & (F.col("l") == F.col("__tl"))
+            & (F.col("ct") == F.col("__tt")),
+            "left_anti",
+        )
+        return (
+            surviving.groupBy("__rid", "h", "l", "t")
+            .agg(F.min_by(F.struct("ch", "ct"), "__rnd").alias("__c"))
+            .select("h", "l", "t", F.col("__c.ch").alias("ch"), F.col("__c.ct").alias("ct"))
+        )
 
     def fit(
         self,
@@ -160,9 +190,19 @@ class RelationalTransETrainer:
         import time as _time
 
         lr, margin = self.learning_rate, self.margin
-        dist_fn = V.l1 if self.distance == "L1" else V.l2_sq
 
         train = triples.select("h", "l", "t").cache()
+        self._broadcast_reject = train.count() <= self.broadcast_rejection_limit
+        # The rejection table is constant across every batch and epoch —
+        # build it (and its broadcast wrapper) ONCE. 24 B/triple: up to
+        # ~10⁸ train triples it broadcasts and the rejection anti-join
+        # is a narrow map-side probe (zero Exchange); past the limit it
+        # pays the shuffle — the honest beyond-broadcast plan.
+        self._t2 = train.select(
+            F.col("h").alias("__th"), F.col("l").alias("__tl"), F.col("t").alias("__tt")
+        )
+        if self._broadcast_reject:
+            self._t2 = F.broadcast(self._t2)
         ent = self._init_embeddings(spark, n_entities, self.k, self.seed, normalize=True)
         lab = self._init_embeddings(spark, n_labels, self.k, self.seed + 1, normalize=True)
         ent = ent.localCheckpoint()
@@ -175,16 +215,29 @@ class RelationalTransETrainer:
             for batch_i in range(self.n_batches):
                 step_seed = self.seed * 1_000_003 + epoch * self.n_batches + batch_i
                 batch = train.sample(False, fraction, seed=step_seed)
-                c = self._corrupt(batch, train, n_entities, step_seed)
+                # localCheckpoint: corrupt rows are 5 longs each — tiny.
+                # Materializing them gives the gather a leaf input (its
+                # ~6 construction calls then analyze a shallow tree) and
+                # lets the corrupt job's shuffle overlap scheduling with
+                # the gather job instead of fusing into one long stage
+                # graph (measured faster both ways than fusing).
+                _tA = _time.time()
+                c = self._corrupt(batch, n_entities, step_seed)
+                self.phase_times["corrupt_build"] += _time.time() - _tA
+                _tA = _time.time()
+                c = c.localCheckpoint()
+                self.phase_times["corrupt_exec"] += _time.time() - _tA
 
-                # Fused gather (J2 relational): melt each triple to five
-                # (role, kind, id) rows, join the union of both embedding
-                # tables ONCE on (kind, id), pivot back per triple. One
-                # gather shuffle instead of five; __rid preserves
+                # Fused gather (J2 relational): melt each triple to FOUR
+                # (role, id) rows — the entity roles h/t/ch/ct — join the
+                # entity table ONCE on id, pivot back per triple. One
+                # gather shuffle instead of four; __rid preserves
                 # duplicate-triple multiplicity through the pivot groupBy.
-                roles = [("__hv", "e", "h"), ("__tv", "e", "t"),
-                         ("__chv", "e", "ch"), ("__ctv", "e", "ct"),
-                         ("__lv", "l", "l")]
+                # Label vectors do NOT ride the melt: the label table is
+                # L×k (hundreds of rows for any real KG — relations are
+                # few even when entities are billions), so it broadcast-
+                # joins after the pivot with zero Exchange.
+                roles = [("__hv", "h"), ("__tv", "t"), ("__chv", "ch"), ("__ctv", "ct")]
                 melted = (
                     c.withColumn("__rid", F.monotonically_increasing_id())
                     .select(
@@ -192,97 +245,134 @@ class RelationalTransETrainer:
                         F.explode(F.array(*[
                             F.struct(
                                 F.lit(role).alias("__role"),
-                                F.lit(kind).alias("__kind"),
                                 F.col(src).alias("__id"),
                             )
-                            for role, kind, src in roles
+                            for role, src in roles
                         ])).alias("__r"),
                     )
                     .select("__rid", "h", "l", "t", "ch", "ct",
-                            "__r.__role", "__r.__kind", "__r.__id")
-                )
-                emb = ent.select(
-                    F.lit("e").alias("__kind"), F.col("id").alias("__id"), "vec"
-                ).unionByName(
-                    lab.select(F.lit("l").alias("__kind"), F.col("id").alias("__id"), "vec")
+                            "__r.__role", "__r.__id")
                 )
                 g = (
-                    melted.join(emb, ["__kind", "__id"])
+                    melted.join(ent.select(F.col("id").alias("__id"), "vec"), ["__id"])
                     .groupBy("__rid", "h", "l", "t", "ch", "ct")
                     .agg(F.map_from_entries(
                         F.collect_list(F.struct("__role", "vec"))
                     ).alias("__m"))
                     .select(
                         "h", "l", "t", "ch", "ct",
-                        *[F.col("__m")[role].alias(role) for role, _, _ in roles],
+                        *[F.col("__m")[role].alias(role) for role, _ in roles],
+                    )
+                    .join(
+                        F.broadcast(
+                            lab.select(F.col("id").alias("l"), F.col("vec").alias("__lv"))
+                        ),
+                        "l",
                     )
                 )
 
-                pos = V.add("__hv", "__lv")
-                scored = g.select(
-                    "h", "l", "t", "ch", "ct", "__hv", "__lv", "__tv", "__chv", "__ctv",
-                    dist_fn(pos, F.col("__tv")).alias("__dp"),
-                    dist_fn(V.add("__chv", "__lv"), F.col("__ctv")).alias("__dn"),
-                ).withColumn("__viol", margin + F.col("__dp") - F.col("__dn") > 0)
+                # Fused score→hinge→gradient→combine kernel: ONE Arrow
+                # pass over the pivot output does, in NumPy, what four
+                # chained relational stages did in r04a — distances,
+                # hinge filter (F3), gradient kernel g = 2(t−h−l) / its
+                # L1 sign (ref ``TransE.py:352-369``), the five per-role
+                # contributions (h:+g, t:−g, ch:−g′, ct:+g′, l:g−g′),
+                # and the map-side scatter-add combine into one partial
+                # vector per touched (id, kind). Catalyst HOF chains
+                # (zip_with/transform) are interpreted per element — at
+                # 5×50-dim doubles per row they were the dominant batch
+                # cost — while this kernel is the same vectorized math
+                # the broadcast trainer runs, applied to RELATIONALLY
+                # gathered rows. Spark has no partial-aggregating vector
+                # SUM, so the explicit combine is what gives the delta
+                # aggregation the ≤|touched|×P-row shuffle a scalar
+                # partial agg would get for free. Each partition also
+                # emits one (id=−1, kind='loss') row carrying Σhinge —
+                # the A4 loss accumulator rides the same pass.
+                k_dim, lr_, margin_, dist_ = self.k, lr, margin, self.distance
 
-                # One gather per batch: the violating rows feed both the
-                # loss scalar and the gradient pass, so persist them
-                # instead of recomputing the melt-join-pivot twice.
-                viol = scored.filter("__viol").persist()
-                loss_row = viol.agg(
-                    F.sum(margin + F.col("__dp") - F.col("__dn")).alias("loss")
-                ).collect()[0]
-                epoch_loss += float(loss_row.loss or 0.0)
-                # gradient g = 2(t−h−l) (or sign for L1); corrupted uses −g' (M5)
-                grad = V.sub(V.sub("__tv", "__hv"), F.col("__lv"))
-                gradc = V.sub(V.sub("__ctv", "__chv"), F.col("__lv"))
-                if self.distance == "L1":
-                    sgn = lambda col: F.transform(col, lambda x: F.when(x >= 0, 1.0).otherwise(-1.0))
-                    gpos, gneg = sgn(grad), sgn(gradc)
-                else:
-                    gpos = F.transform(grad, lambda x: 2.0 * x)
-                    gneg = F.transform(gradc, lambda x: 2.0 * x)
+                def _kernel(batches):
+                    import pyarrow as pa
 
-                scale = lambda col, s: F.transform(col, lambda x: x * s)
-                contrib = viol.select(
-                    F.explode(
-                        F.array(
-                            F.struct(F.col("h").alias("id"), F.lit("e").alias("kind"), scale(gpos, lr).alias("delta")),
-                            F.struct(F.col("t").alias("id"), F.lit("e").alias("kind"), scale(gpos, -lr).alias("delta")),
-                            F.struct(F.col("ch").alias("id"), F.lit("e").alias("kind"), scale(gneg, -lr).alias("delta")),
-                            F.struct(F.col("ct").alias("id"), F.lit("e").alias("kind"), scale(gneg, lr).alias("delta")),
-                            F.struct(F.col("l").alias("id"), F.lit("l").alias("kind"), F.zip_with(scale(gpos, lr), scale(gneg, -lr), lambda a, b: a + b).alias("delta")),
+                    id_cols = ("h", "t", "ch", "ct", "l")
+                    vec_cols = ("__hv", "__tv", "__chv", "__ctv", "__lv")
+                    acc_ids: dict[str, list[np.ndarray]] = {c: [] for c in id_cols}
+                    acc_vecs: dict[str, list[np.ndarray]] = {c: [] for c in vec_cols}
+                    for rb in batches:
+                        for c in id_cols:
+                            acc_ids[c].append(rb.column(c).to_numpy(zero_copy_only=False))
+                        for c in vec_cols:
+                            flat = rb.column(c).flatten().to_numpy(zero_copy_only=False)
+                            acc_vecs[c].append(flat.reshape(-1, k_dim))
+                    if not acc_vecs["__hv"]:
+                        return
+                    h, t, ch, ct, l = (np.concatenate(acc_ids[c]) for c in id_cols)
+                    H, T, CH, CT, L = (np.concatenate(acc_vecs[c]) for c in vec_cols)
+                    dpos_vec = H + L - T
+                    dneg_vec = CH + L - CT
+                    if dist_ == "L1":
+                        dp = np.abs(dpos_vec).sum(axis=1)
+                        dn = np.abs(dneg_vec).sum(axis=1)
+                    else:
+                        dp = (dpos_vec * dpos_vec).sum(axis=1)
+                        dn = (dneg_vec * dneg_vec).sum(axis=1)
+                    hinge = margin_ + dp - dn
+                    viol = hinge > 0
+                    loss = float(hinge[viol].sum())
+                    # grad = t−h−l (= −dpos_vec); ×2 for L2, sign for L1
+                    if dist_ == "L1":
+                        gp = np.where(dpos_vec[viol] <= 0, 1.0, -1.0) * lr_
+                        gn = np.where(dneg_vec[viol] <= 0, 1.0, -1.0) * lr_
+                    else:
+                        gp = (-2.0 * lr_) * dpos_vec[viol]
+                        gn = (-2.0 * lr_) * dneg_vec[viol]
+
+                    def pack(kind: str, ids: np.ndarray, mat: np.ndarray):
+                        n, width = mat.shape
+                        delta_arr = pa.ListArray.from_arrays(
+                            pa.array(np.arange(n + 1, dtype=np.int32) * width),
+                            pa.array(np.ascontiguousarray(mat).ravel(), type=pa.float64()),
                         )
-                    ).alias("c")
-                ).select("c.id", "c.kind", "c.delta")
+                        return pa.RecordBatch.from_arrays(
+                            [pa.array(ids, type=pa.int64()), pa.array([kind] * n), delta_arr],
+                            ["id", "kind", "delta"],
+                        )
 
-                # X3 relational: order-free grouped SUM of deltas —
-                # minibatch SGD exactly (the per-partition kernel also
-                # accumulates, not averages, within a partition).
-                # The sum runs SCALAR-WISE: posexplode each delta to
-                # (id, kind, pos, val) and hash-agg the doubles. Unlike
-                # a grouped-agg pandas UDF over array cells (the r03
-                # shape: no partial aggregation, every raw vector row
-                # shuffles, then Arrow → Python per group), scalar SUM
-                # gets whole-stage codegen + map-side combine, so each
-                # task ships at most |touched ids|×k partial sums
-                # regardless of batch size — the same reduction a
-                # 1000-executor cluster relies on. Vectors re-assemble
-                # with array_sort(collect_list(struct(pos,val))).
-                flat = contrib.select(
-                    "id", "kind", F.posexplode("delta").alias("pos", "val")
-                )
+                    for kind, ids4, deltas4 in (
+                        ("e", np.concatenate([h[viol], t[viol], ch[viol], ct[viol]]),
+                         np.concatenate([gp, -gp, -gn, gn])),
+                        ("l", l[viol], gp - gn),
+                    ):
+                        uniq, inv = np.unique(ids4, return_inverse=True)
+                        part = np.zeros((len(uniq), k_dim), dtype=np.float64)
+                        np.add.at(part, inv, deltas4)
+                        yield pack(kind, uniq, part)
+                    # A4 loss accumulator: a 1-element delta on a sentinel id
+                    yield pack("loss", np.array([-1], dtype=np.int64),
+                               np.array([[loss]], dtype=np.float64))
+
+                _tA = _time.time()
+                partials = g.mapInArrow(
+                    _kernel, "id long, kind string, delta array<double>"
+                ).localCheckpoint()
+                self.phase_times["gather_partials"] += _time.time() - _tA
+                _tA = _time.time()
+                loss_row = partials.filter(F.col("kind") == "loss").agg(
+                    F.sum(F.element_at("delta", 1)).alias("loss")
+                ).collect()[0]
+                self.phase_times["gather_loss"] += _time.time() - _tA
+                epoch_loss += float(loss_row.loss or 0.0)
+                partials = partials.filter(F.col("kind") != "loss")
                 deltas = (
-                    flat.groupBy("id", "kind", "pos")
-                    .agg(F.sum("val").alias("val"))
-                    .groupBy("id", "kind")
+                    partials.groupBy("id", "kind")
                     .agg(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                            lambda s: s["val"],
+                        F.aggregate(
+                            F.collect_list("delta"),
+                            F.array_repeat(F.lit(0.0), k_dim),
+                            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
                         ).alias("delta")
                     )
-                    .persist()
+                    .localCheckpoint()  # ≤V+L tiny rows; truncates the combiner subtree
                 )
 
                 e_delta = deltas.filter(F.col("kind") == "e").select("id", "delta")
@@ -307,10 +397,12 @@ class RelationalTransETrainer:
                     )
                 )
                 # truncate lineage: the loop must not grow the plan
+                _tA = _time.time()
                 ent = new_ent.localCheckpoint()
+                self.phase_times["delta_ent_update"] += _time.time() - _tA
+                _tA = _time.time()
                 lab = new_lab.localCheckpoint()
-                viol.unpersist()
-                deltas.unpersist()
+                self.phase_times["lab_update"] += _time.time() - _tA
             self.loss_history.append(epoch_loss)
             self.epoch_times.append(_time.time() - _t0)
         train.unpersist()
