@@ -227,6 +227,18 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Skew mitigation reference points (same hot-key join three ways;
+    # the executed-plan skew=true gate lives in explain_plans.py and
+    # test_aqe_skew_join_splits)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import skew_demo
+
+    for mode in ("plain", "aqe", "salted"):
+        med, samples, _ = skew_demo.run_variant(spark, sf_dir, mode)
+        scale_paths[f"skew_join_{mode}"] = med
+        runs[f"skew_join_{mode}"] = samples
+        print(f"# skew_join_{mode}: {med}s", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_total_runtime",

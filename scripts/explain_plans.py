@@ -196,6 +196,16 @@ def main() -> int:
             failures += 1
         print(f"{'OK' if ok else 'FAIL':40s} {name}: {n} exchange(s) (max {max_ex})")
         lines += [f"## {name} — shuffle budget", "", f"{n} Exchange node(s), budget {max_ex}: {'OK' if ok else 'FAIL'}", ""]
+    # skewed-join demonstration (AQE split vs salting) — executed-plan
+    # evidence, not just explain: the skew=true marker only exists on
+    # the finalized adaptive plan after a run
+    import skew_demo
+
+    _, skew_lines, skew_failures = skew_demo.demo(spark, sf_dir)
+    failures += skew_failures
+    print(f"{'OK' if not skew_failures else 'FAIL':40s} skewed join (AQE skew=true + salted)")
+    lines += skew_lines
+
     with open("PLANS.md", "w") as f:
         f.write("\n".join(lines))
     print(f"\n{failures} plan violations; PLANS.md written")

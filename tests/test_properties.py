@@ -4,6 +4,8 @@ against their exact counterparts."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -630,3 +632,23 @@ def test_incremental_dedup_restart_and_idempotency(spark, sf_dir, tmp_path):
     again = dedup_drop(spark, drop1, state)
     assert again.count() == 0
     assert seen_fingerprints(spark, state).count() == total
+
+
+def test_aqe_skew_join_splits(spark):
+    """Skew demonstration gate (VERDICT r03 item 5): on the hot-key
+    join fixture the FINALIZED adaptive plan must carry skew=true (AQE
+    split the oversized partition) while the AQE-off plan must not —
+    executed-plan evidence, since the marker only exists after a run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "skew_demo",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "skew_demo.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    _, _, plan_aqe = mod.run_variant(spark, "/root/testdata/sf0.01", "aqe", n_runs=1)
+    assert "skew=true" in plan_aqe, "AQE did not split the skewed partition"
+    _, _, plan_plain = mod.run_variant(spark, "/root/testdata/sf0.01", "plain", n_runs=1)
+    assert "skew=true" not in plan_plain
