@@ -41,7 +41,7 @@ def main() -> None:
         "exact (brute force)": lambda: S.knn_relational(q, emb, k=K),
         "LSH (5 tables)": lambda: S.ann_lsh(q, emb, k=K, num_hash_tables=5),
         "IVF (16 cells, probe 6)": lambda: S.ann_ivf(q, emb, k=K, n_cells=16, n_probe=6),
-        "IVF-PQ (16c/6p, 8x64 codes, refine 8)": lambda: S.ann_ivf_pq(
+        "IVF-PQ (16c/6p, 8x64 codes, refine 16)": lambda: S.ann_ivf_pq(
             q, emb, k=K, n_cells=16, n_probe=6, m_subvectors=8, n_codes=64
         ),
     }

@@ -415,7 +415,9 @@ def test_ann_ivf_pq_recall(spark, sf_dir):
         for r in S.ann_ivf_pq(q, emb, k=10, n_cells=16, n_probe=6).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+    # r04: refine_factor default 16 closes to within ~0.015 of the
+    # probe-budget (cell-miss) bound — gate raised from 0.6
+    assert recall >= 0.72, f"IVF-PQ recall too low: {recall}"
 
 
 def test_chunk_docs_partitions_tokens(spark):

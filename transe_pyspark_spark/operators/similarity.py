@@ -265,7 +265,8 @@ def ann_ivf_pq(
     m_subvectors: int = 8,
     n_codes: int = 64,
     train_sample: int = 4096,
-    refine_factor: int = 8,
+    refine_factor: int = 16,
+    rotate: bool = False,
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
@@ -299,9 +300,16 @@ def ann_ivf_pq(
     same probe budget (the residual loss is cell-miss, not
     quantization — measured in ``scripts/ann_tradeoff.py``: 0.545 →
     0.690 → 0.725 at factors 4/8/16 vs IVF 0.740 on the sf0.1
-    fixture); the default 8 buys most of that for a re-rank join that
-    stays shortlist-sized. Recall vs brute force is the quality
-    metric (pytest)."""
+    fixture); the default 16 closes to within 0.015 of the cell-miss
+    bound while the re-rank join stays shortlist-sized (k·16 rows per
+    query — latency measured unchanged vs factor 8). Recall vs brute
+    force is the quality metric (pytest).
+
+    ``rotate`` applies an OPQ-lite random orthonormal rotation to the
+    residuals before the subspace split (Ge et al., CVPR 2013's
+    non-iterative baseline): worthwhile when embedding dimensions are
+    correlated or unevenly scaled; the synthetic fixture is isotropic,
+    where it measures neutral-to-negative, so it defaults off."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -323,12 +331,26 @@ def ann_ivf_pq(
     samp = binned.orderBy("neighbor_id").limit(train_sample).collect()
     resid = np.array([np.asarray(r["__cv"], np.float64) - cent[r["cell"]] for r in samp])
     rng = np.random.default_rng(seed)
+    # OPQ-lite rotation (Ge et al., "Optimized Product Quantization",
+    # CVPR 2013 — the non-iterative baseline): residuals are rotated by
+    # a seeded random orthonormal matrix before the subspace split.
+    # Correlated/unevenly-scaled dimensions make some subspaces carry
+    # most of the quantization error; a rotation spreads variance
+    # across subspaces, cutting ADC error at ZERO query-time cost (the
+    # LUT is built from rotated residuals; distances are preserved
+    # because R is orthonormal).
+    if rotate:
+        R, _ = np.linalg.qr(rng.standard_normal((d, d)))
+        resid = resid @ R
+    else:
+        R = None
     books = np.stack(
         [_kmeans_np(resid[:, m * ds : (m + 1) * ds], n_codes, 15, rng) for m in range(m_subvectors)]
     )  # (M, n_codes≤, ds)
 
     sc = candidates.sparkSession.sparkContext
     b_cent, b_books = sc.broadcast(cent), sc.broadcast(books)
+    b_rot = sc.broadcast(R)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B = b_books.value
@@ -340,6 +362,8 @@ def ann_ivf_pq(
                 continue
             vecs = np.stack(pdf["__cv"].map(lambda v: np.asarray(v, np.float64)))
             res = vecs - b_cent.value[pdf["cell"].to_numpy()]
+            if b_rot.value is not None:
+                res = res @ b_rot.value
             codes = np.empty((len(pdf), B.shape[0]), dtype=np.int64)
             for m in range(B.shape[0]):
                 sub = res[:, m * ds : (m + 1) * ds]
@@ -371,6 +395,8 @@ def ann_ivf_pq(
     def score(key, pdf):
         B = b_books.value
         qv = np.asarray(pdf["__qv"].iloc[0], np.float64) - b_cent.value[key[1]]
+        if b_rot.value is not None:
+            qv = qv @ b_rot.value
         lut = np.empty((B.shape[0], B.shape[1]))
         for m in range(B.shape[0]):
             diff = B[m] - qv[m * ds : (m + 1) * ds][None, :]
