@@ -53,6 +53,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "distinct (hash agg), range-repartition by token, per-partition row_number + "
         "broadcast partition offsets — no single-partition window at any vocab size",
     ),
+    "benchmark_decontaminate": (
+        ["BroadcastHashJoin"],
+        "eval-set n-grams broadcast; the corpus n-gram stream is probed map-side, "
+        "never shuffled by gram — only the per-doc count aggregates exchange",
+    ),
     "semi_anti_join_customers": (
         ["LeftSemi", "LeftAnti"],
         "EXISTS as a semi join, NOT EXISTS as an anti join (no row multiplication)",

@@ -258,3 +258,21 @@ def test_chunk_docs_match_python(spark, batch):
             chunk = ws[s : s + 5]
             want[(i, ci)] = (len(chunk), " ".join(chunk))
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts)
+def test_word_ngrams_match_python(spark, batch):
+    """word_ngrams == the obvious Python sliding window (short docs
+    yield an empty array, not null — decontamination's explode must
+    drop them silently)."""
+    from transe_pyspark_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.gs for r in df.select("doc_id", word_ngrams("text", 3).alias("gs")).collect()}
+    for i, t in enumerate(batch):
+        ws = _py_words(t.lower())
+        want = [" ".join(ws[s : s + 3]) for s in range(len(ws) - 2)] if len(ws) >= 3 else []
+        assert got[i] == want, (t, got[i], want)

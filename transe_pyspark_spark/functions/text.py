@@ -203,6 +203,23 @@ def dup_word_ratio(text: Column | str) -> Column:
     )
 
 
+def word_ngrams(text: Column | str, n: int, lowercase: bool = True) -> Column:
+    """All word n-grams of a document as space-joined strings — the
+    unit of benchmark decontamination (an n-gram shared with an eval
+    set flags the document). Narrow expression: tokenize, explode the
+    n-gram starts with ``sequence``, slice — no UDF, pipelines with
+    the scan. Documents shorter than ``n`` words yield an empty array."""
+    src = F.col(text) if isinstance(text, str) else text
+    ws = words(F.lower(src) if lowercase else src)
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda s: F.array_join(F.slice(ws, s + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def chunk_docs(
     df,
     text_col: str = "text",

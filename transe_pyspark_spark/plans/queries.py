@@ -2193,6 +2193,50 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "benchmark_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(ws, s + 1, s + 8), ' ') AS g
+      FROM toks, unnest(generate_series(0, len(ws) - 8, 1)) AS u(s)
+      WHERE len(ws) >= 8),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 3),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 3)
+    SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared
+    FROM corpus c JOIN eval_grams e ON c.g = e.g
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "pipeline", "decontamination"),
+)
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-leak audit every training
+    corpus needs): flag corpus documents sharing any 8-word-gram with
+    the held-out eval set (docs with doc_id % 7 == 3 stand in for the
+    benchmark). Scale shape: the eval side's distinct n-grams are
+    orders of magnitude smaller than the corpus, so they BROADCAST and
+    the overlap test is a map-side join against the exploded corpus
+    n-grams — the corpus is scanned once, never shuffled by n-gram;
+    the only Exchange is the per-doc count aggregation (map-side
+    partials). Returns (doc_id, n_shared) for contaminated docs."""
+    d = _T(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(X.word_ngrams("text", 8)).alias("g")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 7 == 3).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 7 != 3)
+    return (
+        corpus.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("long").alias("n_shared"))
+    )
+
+
+@_register(
     "incremental_dedup_drop",
     oracle="""
     WITH f AS (
@@ -2832,6 +2876,9 @@ _OVERFLOW_ORACLE = [
     "near_dup_components",       # dedup: slot ceded to the NEW oracle-backed
                                  # incremental_dedup_drop (r02+r03 green;
                                  # near_dedup_keep + jaccard pairs stay in)
+    "grouped_map_demean",        # UDFs: slot ceded to the NEW oracle-backed
+                                 # benchmark_decontaminate (r02+r03 green;
+                                 # scalar/mapInArrow/UDTF faces stay in)
 ]
 
 
