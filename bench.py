@@ -205,6 +205,15 @@ def main() -> None:
     times["transe_train_epoch"], runs["transe_train_epoch"] = _train_epoch_seconds(spark)
     print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)
 
+    # Drop the trainer's dead references (localCheckpoint blocks free
+    # via ContextCleaner only after Python GC releases them) so the
+    # next sections aren't timed under the previous one's block/GC
+    # pressure — measured 2× on the relational epoch without this.
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+
     # Scale-path reference point, NOT summed into ``value``: the
     # relational trainer deliberately pays per-batch shuffles to keep
     # model state distributed (the beyond-broadcastable-V path), so its
@@ -219,6 +228,8 @@ def main() -> None:
         f"# transe_train_epoch_overlap: {scale_paths['transe_train_epoch_overlap']}s/epoch",
         file=sys.stderr,
     )
+    gc.collect()
+    spark.catalog.clearCache()
     scale_paths["transe_train_epoch_relational"], runs["transe_train_epoch_relational"] = (
         _train_epoch_relational_seconds(spark)
     )
