@@ -654,3 +654,45 @@ def test_aqe_skew_join_splits(spark):
     assert "skew=true" in plan_aqe, "AQE did not split the skewed partition"
     _, _, plan_plain = mod.run_variant(spark, "/root/testdata/sf0.01", "plain", n_runs=1)
     assert "skew=true" not in plan_plain
+
+
+def test_incremental_neardedup_rejects_exact_and_near(spark, tmp_path):
+    """Cross-drop NEAR-dedup: drop 2 documents that are exact copies or
+    light edits of drop 1 content must be rejected via the persisted
+    signature state (drop 1's text is never re-read); novel documents
+    are admitted. Relanding drop 1 admits nothing (exact copies agree
+    on every minhash component)."""
+    from transe_pyspark_spark.operators.incremental import neardedup_drop
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other = "completely different words about spark shuffles and partitions at scale"
+    drop1 = spark.createDataFrame(
+        [(0, base), (1, other)], "doc_id long, text string"
+    )
+    state = str(tmp_path / "nd")
+    a1 = neardedup_drop(spark, drop1, state)
+    assert {r.doc_id for r in a1.collect()} == {0, 1}
+
+    drop2 = spark.createDataFrame(
+        [
+            (10, base),                       # exact copy of doc 0 -> reject
+            (11, base + " indeed"),           # near copy of doc 0 -> reject
+            (12, "entirely new content on llm training corpora and quality filtering rules"),
+        ],
+        "doc_id long, text string",
+    )
+    a2 = neardedup_drop(spark, drop2, state)
+    assert {r.doc_id for r in a2.collect()} == {12}
+
+    # reland drop 1 -> nothing admitted
+    again = neardedup_drop(spark, drop1, state)
+    assert again.count() == 0
+
+    # within-drop: two near-identical docs in ONE drop keep the min id
+    drop3 = spark.createDataFrame(
+        [(20, "fresh sentence about window functions and watermarks in streams ok"),
+         (21, "fresh sentence about window functions and watermarks in streams ok fine")],
+        "doc_id long, text string",
+    )
+    a3 = neardedup_drop(spark, drop3, state)
+    assert {r.doc_id for r in a3.collect()} == {20}

@@ -389,6 +389,28 @@ def minhash_signatures_arrow(
     return df.select(id_col, text_col).mapInPandas(sig_batches, schema=schema)
 
 
+def band_keys(sigs: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id") -> DataFrame:
+    """Explode a ``[id, signature]`` frame into LSH band-bucket keys:
+    one row per (id, band) with ``bucket`` = hash of that band's
+    signature slice. Shared by the one-shot pair finder and the
+    incremental cross-drop near-dedup (the state side re-derives its
+    bands from stored signatures with this same expression, so bucket
+    values stay comparable across drops)."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(F.concat_ws(",", F.transform(F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -420,19 +442,7 @@ def minhash_lsh_pairs(
         ).cache()
     else:
         sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed).cache()
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.concat_ws(",", F.transform(F.slice("signature", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_keys(sigs, bands, rows_per_band, id_col)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -85,3 +85,100 @@ def dedup_drop(
     fresh = fresh.localCheckpoint(eager=True)
     fresh.select(FP_COL).write.mode("append").parquet(state_path)
     return fresh
+
+
+def neardedup_drop(
+    spark: SparkSession,
+    drop: DataFrame,
+    state_path: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental NEAR-dedup across drops: admit one newly-landed drop,
+    rejecting documents that are near-duplicates (estimated Jaccard ≥
+    ``threshold``) of anything previously admitted — or of an
+    earlier-id document within the same drop — using MinHash-LSH state.
+
+    State is one parquet row per admitted document: ``(id, signature)``
+    — ``num_hashes`` longs however long the document is, so the state
+    table stays a fixed-width sketch of the whole corpus (a 10⁹-doc
+    corpus at 64 hashes is ~0.5 TB — scannable; the documents
+    themselves are never re-read). Per drop: signatures are one narrow
+    Arrow pass over the NEW rows; candidate pairs come from joining the
+    drop's band-bucket keys against the state's (re-derived from stored
+    signatures by the same ``band_keys`` expression — a shuffle on
+    bucket keys only, never all-pairs); candidates are confirmed by
+    SIGNATURE AGREEMENT (the fraction of equal minhash components is an
+    unbiased estimator of Jaccard — exact shingle verification would
+    require re-reading prior drops' text, which is exactly what this
+    operator exists to avoid). Exact duplicates agree on every
+    component, so they are always rejected at any threshold ≤ 1 —
+    relanding a shard admits nothing.
+
+    Returns the admitted rows (id, signature); their signatures are
+    appended to the state. Docs shorter than ``shingle_n`` words have
+    no signature and are dropped (same rule as ``minhash_lsh_pairs``).
+    """
+    from transe_pyspark_spark.operators.dedup import band_keys, minhash_signatures_arrow
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_arrow(
+        drop, text_col, id_col, num_hashes, shingle_n, seed
+    ).localCheckpoint()
+
+    agree = lambda a, b: (
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda eq: eq))
+        / F.lit(float(num_hashes))
+    )
+
+    # within-drop: reject any doc whose band collides with an
+    # EARLIER-id doc of this drop that estimates ≥ threshold (keep
+    # first seen — the same canonical rule as the exact path)
+    new_bands = band_keys(sigs, bands, rows_per_band, id_col)
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    intra = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("__keep"), F.col(f"b.{id_col}").alias("__cand")
+        )
+        .distinct()
+        .join(sigs.select(F.col(id_col).alias("__keep"), F.col("signature").alias("__sa")), "__keep")
+        .join(sigs.select(F.col(id_col).alias("__cand"), F.col("signature").alias("__sb")), "__cand")
+        .filter(agree(F.col("__sa"), F.col("__sb")) >= threshold)
+        .select(F.col("__cand").alias(id_col))
+        .distinct()
+    )
+    kept = sigs.join(intra, id_col, "left_anti")
+
+    # cross-drop: band-join against the persisted signatures
+    if _state_exists(spark, state_path + "_sigs"):
+        state = spark.read.parquet(state_path + "_sigs")
+        state_bands = band_keys(state, bands, rows_per_band, id_col).select(
+            F.col(id_col).alias("__old"), "band", "bucket"
+        )
+        cand = (
+            band_keys(kept, bands, rows_per_band, id_col)
+            .join(state_bands, ["band", "bucket"])
+            .select(id_col, "__old")
+            .distinct()
+            .join(kept.select(F.col(id_col), F.col("signature").alias("__sb")), id_col)
+            .join(state.select(F.col(id_col).alias("__old"), F.col("signature").alias("__sa")), "__old")
+            .filter(agree(F.col("__sa"), F.col("__sb")) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        kept = kept.join(cand, id_col, "left_anti")
+
+    kept = kept.localCheckpoint(eager=True)
+    kept.write.mode("append").parquet(state_path + "_sigs")
+    return kept

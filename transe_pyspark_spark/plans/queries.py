@@ -2193,6 +2193,30 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_neardedup_drop",
+    oracle=None,  # minhash signatures are seed-deterministic but not
+                  # SQL-expressible; correctness is pytest-gated
+                  # (test_incremental_neardedup_rejects_exact_and_near)
+    tags=("dedup", "incremental", "minhash"),
+)
+def q_incremental_neardedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup across two drops: drop 1 (even doc_ids)
+    seeds the persisted signature state; drop 2 (odd doc_ids) is
+    admitted against it — exact copies and near-duplicates of drop 1
+    content are rejected by band-join + signature agreement without
+    re-reading drop 1's text. Returns drop 2's admitted doc_ids."""
+    import tempfile
+
+    from transe_pyspark_spark.operators.incremental import neardedup_drop
+
+    d = _T(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="neardedup_state_")
+    neardedup_drop(spark, d.filter(F.col("doc_id") % 2 == 0), state)
+    admitted = neardedup_drop(spark, d.filter(F.col("doc_id") % 2 == 1), state)
+    return admitted.select("doc_id")
+
+
+@_register(
     "benchmark_decontaminate",
     oracle="""
     WITH toks AS (
