@@ -2108,15 +2108,41 @@ def q_mapinarrow_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInArrow(stats, "p_partkey long, name_len long, name_words long")
 
 
+@_register(
+    "lang_id_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS ws
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','and','of','to','is'], x))) AS DOUBLE) / len(ws) END AS en,
+        CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['der','die','und','das','ist'], x))) AS DOUBLE) / len(ws) END AS de,
+        CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['el','la','los','que','es'], x))) AS DOUBLE) / len(ws) END AS es,
+        CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['le','la','les','des','est'], x))) AS DOUBLE) / len(ws) END AS fr,
+        CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 1.0 ELSE 0.0 END AS zh
+      FROM w)
+    SELECT doc_id,
+           CASE WHEN greatest(en, de, es, fr, zh) <= 0.0 THEN 'und'
+                WHEN zh = greatest(en, de, es, fr, zh) THEN 'zh'
+                WHEN fr = greatest(en, de, es, fr, zh) THEN 'fr'
+                WHEN es = greatest(en, de, es, fr, zh) THEN 'es'
+                WHEN en = greatest(en, de, es, fr, zh) THEN 'en'
+                ELSE 'de' END AS lang_guess
+    FROM s
+    """,
+    tags=("text",),
+)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word/script language-ID heuristic; rows-only check (the
-    argmax CASE tree is SQL-expressible but the value is in the operator,
-    not the oracle — accuracy is property-tested in pytest)."""
+    """Marker-word/script language-ID heuristic. The oracle replays the
+    exact argmax: per-language marker-word fraction (same double
+    division on both engines), CJK by script regex, ties broken toward
+    the LEXICOGRAPHICALLY LARGEST language code (Spark's array_max over
+    (value, key) structs — the oracle's CASE tests codes in descending
+    order), 'und' when every score is 0."""
     d = _T(spark, sf_dir, "documents")
     return d.select("doc_id", X.lang_id("text").alias("lang_guess"))
-
-
-REGISTRY["lang_id_docs"] = QuerySpec("lang_id_docs", q_lang_id, None, ("text",))
 
 
 def q_tfidf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2903,6 +2929,9 @@ _OVERFLOW_ORACLE = [
     "grouped_map_demean",        # UDFs: slot ceded to the NEW oracle-backed
                                  # benchmark_decontaminate (r02+r03 green;
                                  # scalar/mapInArrow/UDTF faces stay in)
+    "cosine_near_pairs",         # vectors: slot ceded to the NEWLY
+                                 # oracle-ified lang_id_docs (r02+r03 green;
+                                 # knn_brute_force stays in for the family)
 ]
 
 
