@@ -11,14 +11,17 @@ from transe_pyspark_spark.plans.queries import _DRIVER_WINDOW, REGISTRY
 #: queries that must always hold a driver slot (flagship + the one
 #: family representative the rotation never retires). r04: the r01
 #: judge's original list minus token_frequencies / stream_sliding /
-#: stream_session — those earned driver-green rows in BOTH r02 and r03
-#: and were rotated out per the r03 VERDICT's rotation ask.
+#: stream_session (twice-green, rotated out per the r03 VERDICT), and
+#: late-r04 minus corpus_clean_pipeline / doc_fingerprint (also
+#: twice-green — their front slots went to the never-driver-checked
+#: benchmark_decontaminate / incremental_dedup_drop; the text and
+#: pipeline families stay represented by the r04 corpus faces).
 MUST_BE_IN_WINDOW = {
     "transe_rank_eval",
     "asof_purchase_click",
     "range_count_views",
-    "corpus_clean_pipeline",
-    "doc_fingerprint",
+    "benchmark_decontaminate",
+    "incremental_dedup_drop",
     "purchase_funnel",
     "multimodal_meta",
     "stream_tumbling_counts",

@@ -261,3 +261,81 @@ def pack_by_running_total(
         .withColumn(pack_col, F.floor(excl / F.lit(budget)).cast("long"))
         .drop("__pid", "__off")
     )
+
+
+def profile_columns(df: DataFrame, numeric_cols: list[str], string_cols: list[str]) -> DataFrame:
+    """Column profile — the data-quality sweep a warehouse runs before
+    trusting a new table: per column, row count, null count, EXACT
+    distinct count, min/max (as strings, so mixed types share one
+    schema), and for numerics an exact integer-cents mean.
+
+    One aggregate job computes every statistic as parallel expressions
+    over a single scan (count/count_distinct get map-side partial
+    aggregation), then the single result row melts to one row per
+    column with ``stack`` — no per-column passes, no driver loop. The
+    exact ``count_distinct`` per column is the honest profile cost; the
+    cheap variant at 100 TB swaps in ``approx_count_distinct`` (the
+    ``approx_distinct`` query face) without changing this shape.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in numeric_cols + string_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    for c in numeric_cols:
+        aggs.append(
+            F.sum(F.round(F.col(c) * 100).cast("long")).alias(f"__cents_{c}")
+        )
+    row = df.agg(*aggs)
+    stacked = []
+    for c in numeric_cols + string_cols:
+        mean_cents = (
+            (F.col(f"__cents_{c}") / (F.col("__n") - F.col(f"__null_{c}")))
+            if c in numeric_cols
+            else F.lit(None).cast("double")
+        )
+        stacked.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__null_{c}").cast("long").alias("n_null"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+                F.round(mean_cents, 6).alias("mean_cents"),
+            )
+        )
+    return row.select(F.explode(F.array(*stacked)).alias("p")).select("p.*")
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram over ``[lo, hi)``: bucket =
+    ``floor((x − lo) / width)`` clamped into [0, n_bins), under-range
+    rows clamp to bin 0 and over-range to the last bin (SQL
+    ``width_bucket`` overflow semantics folded inward). One hash-agg
+    shuffle of at most ``n_bins`` groups — map-side partials reduce
+    each task to its touched bins, so the histogram of a 100 TB column
+    ships kilobytes. Empty bins are absent (a grid join adds them if a
+    dense vector is wanted)."""
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("long")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("bucket_lo"),
+            "n",
+        )
+    )

@@ -2219,6 +2219,76 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "table_profile",
+    oracle="""
+    WITH base AS (SELECT * FROM lineitem)
+    SELECT 'l_quantity' AS column_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_value,
+           CAST(max(l_quantity) AS VARCHAR) AS max_value,
+           round(CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE) / count(l_quantity), 6) AS mean_cents
+    FROM base
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_extendedprice),
+           CAST(min(l_extendedprice) AS VARCHAR), CAST(max(l_extendedprice) AS VARCHAR),
+           round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / count(l_extendedprice), 6)
+    FROM base
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR),
+           NULL
+    FROM base
+    UNION ALL
+    SELECT 'l_linestatus', count(*),
+           CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT l_linestatus),
+           CAST(min(l_linestatus) AS VARCHAR), CAST(max(l_linestatus) AS VARCHAR),
+           NULL
+    FROM base
+    """,
+    tags=("agg", "profile"),
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of lineitem (R9 family — the data-quality sweep
+    before trusting a new table): rows, nulls, exact distincts, min/max
+    (stringified), exact integer-cents mean for numerics. One scan, one
+    aggregate, melted to a row per column via explode."""
+    li = _T(spark, sf_dir, "lineitem")
+    return R.profile_columns(
+        li, numeric_cols=["l_quantity", "l_extendedprice"],
+        string_cols=["l_returnflag", "l_linestatus"],
+    )
+
+
+@_register(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(least(greatest(floor((p_retailprice - 900.0) / 55.0), 0), 19) AS BIGINT) AS bucket,
+           round(900.0 + least(greatest(floor((p_retailprice - 900.0) / 55.0), 0), 19) * 55.0, 6) AS bucket_lo,
+           count(*) AS n
+    FROM part
+    WHERE p_retailprice IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "histogram"),
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of part.p_retailprice: 20 bins over
+    [900, 2000), out-of-range clamped inward (width_bucket overflow
+    folded). One hash-agg shuffle of ≤20 groups — map-side partials
+    make the 100 TB histogram ship kilobytes."""
+    return R.fixed_width_histogram(
+        _T(spark, sf_dir, "part"), "p_retailprice", lo=900.0, hi=2000.0, n_bins=20
+    )
+
+
+@_register(
     "incremental_neardedup_drop",
     oracle=None,  # minhash signatures are seed-deterministic but not
                   # SQL-expressible; correctness is pytest-gated
@@ -2932,6 +3002,11 @@ _OVERFLOW_ORACLE = [
     "cosine_near_pairs",         # vectors: slot ceded to the NEWLY
                                  # oracle-ified lang_id_docs (r02+r03 green;
                                  # knn_brute_force stays in for the family)
+    "doc_fingerprint",           # text: slot ceded to the NEW table_profile
+                                 # (r02+r03 green; corpus ops keep the family)
+    "corpus_clean_pipeline",     # pipeline: slot ceded to histogram_prices
+                                 # (r02+r03 green; incremental_dedup_drop +
+                                 # benchmark_decontaminate represent pipeline)
 ]
 
 
@@ -2944,8 +3019,11 @@ def _reorder_registry() -> None:
         "asof_purchase_click",
         "range_count_views",
         "purchase_funnel",
-        "corpus_clean_pipeline",
-        "doc_fingerprint",
+        # r04: corpus_clean_pipeline/doc_fingerprint rotate to overflow
+        # after two driver-green rounds; the never-driver-checked new
+        # pipeline faces take their front slots
+        "benchmark_decontaminate",
+        "incremental_dedup_drop",
         "multimodal_meta",
         "stream_tumbling_counts",
         "stream_stateful_profiles",
