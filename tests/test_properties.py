@@ -696,3 +696,25 @@ def test_incremental_neardedup_rejects_exact_and_near(spark, tmp_path):
     )
     a3 = neardedup_drop(spark, drop3, state)
     assert {r.doc_id for r in a3.collect()} == {20}
+
+
+def test_time_weighted_avg_edges(spark):
+    """TWA edges: a single-observation key has no span and is omitted;
+    a constant-valued key averages to exactly that value; a step
+    change weights by duration (10 cents for 3us, 20 for 1us -> 12.5)."""
+    import datetime as dt
+
+    from transe_pyspark_spark.operators.asof import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (1, t0, 0.10), (1, t0 + 3 * us, 0.20), (1, t0 + 4 * us, 0.99),
+        (2, t0, 5.0),
+        (3, t0, 0.07), (3, t0 + 10 * us, 0.07), (3, t0 + 20 * us, 0.07),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: (r.twa_cents, r.span_us) for r in time_weighted_avg(df).collect()}
+    assert 2 not in got
+    assert got[1] == ((10 * 3 + 20 * 1) / 4.0, 4)
+    assert got[3] == (7.0, 20)

@@ -158,3 +158,43 @@ def gap_fill_resample(
         F.last("__v", ignorenulls=True).over(w).alias("value_cents"),
         F.col("__v").isNotNull().alias("observed"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per key (TimescaleDB ``time_weight('locf')``
+    semantics): each observation's value holds until the next
+    observation, so the average is ∫value·dt / total span —
+    Σ vᵢ·(tᵢ₊₁−tᵢ) / (tₙ−t₀). Keys with fewer than two observations
+    have no span and are omitted.
+
+    Exact across engines: values in integer cents, durations in whole
+    microseconds — both sums are exact BIGINTs folded map-side; the
+    single double division happens once at the end. One shuffle
+    (window by key) + the final per-key aggregation, both
+    hash-partitioned on the key; window state is O(1) per row (lead)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    stepped = events.select(
+        F.col(key),
+        F.col(ts_col),
+        F.round(F.col(value_col) * 100).cast("long").alias("__c"),
+        (
+            F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+        ).alias("__dur_us"),
+    ).filter(F.col("__dur_us").isNotNull())
+    return (
+        stepped.groupBy(key)
+        .agg(
+            F.sum(F.col("__c") * F.col("__dur_us")).alias("__num"),
+            F.sum("__dur_us").alias("__den"),
+        )
+        .select(
+            key,
+            F.round(F.col("__num") / F.col("__den"), 6).alias("twa_cents"),
+            F.col("__den").alias("span_us"),
+        )
+    )

@@ -2219,6 +2219,32 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) - ts) AS BIGINT) AS dur_us
+      FROM events)
+    SELECT user_id,
+           round(CAST(sum(c * dur_us) AS DOUBLE) / sum(dur_us), 6) AS twa_cents,
+           CAST(sum(dur_us) AS BIGINT) AS span_us
+    FROM stepped WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of event value per user (LOCF weighting —
+    TimescaleDB ``time_weight``): Σ v·Δt / span, exact integer
+    cents × whole-microsecond durations, one double division at the
+    end. Single-observation users are omitted (no span)."""
+    from transe_pyspark_spark.operators.asof import time_weighted_avg
+
+    return time_weighted_avg(_T(spark, sf_dir, "events"))
+
+
+@_register(
     "table_profile",
     oracle="""
     WITH base AS (SELECT * FROM lineitem)
@@ -3007,6 +3033,10 @@ _OVERFLOW_ORACLE = [
     "corpus_clean_pipeline",     # pipeline: slot ceded to histogram_prices
                                  # (r02+r03 green; incremental_dedup_drop +
                                  # benchmark_decontaminate represent pipeline)
+    "pricing_summary",           # agg: slot ceded to time_weighted_avg_value
+                                 # (r02+r03 green + still benched headline;
+                                 # grouping_sets/distinct_counts/stddev/
+                                 # profile/histogram keep the family)
 ]
 
 
