@@ -138,6 +138,12 @@ MAX_EXCHANGES = {
     "text_stats": 0,
     "mapinarrow_name_stats": 0,
     "repetition_ngrams": 2,
+    # one scan, one (multi-distinct) aggregate; melt is narrow
+    "table_profile": 2,
+    # one hash-agg of <= n_bins groups
+    "histogram_prices": 1,
+    # lead() window and the per-key agg share one hash partitioning
+    "time_weighted_avg_value": 1,
 }
 
 
