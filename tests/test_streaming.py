@@ -227,3 +227,28 @@ def test_foreach_batch_exactly_once_replay(spark, sf_dir, tmp_path):
     assert total == load_table(spark, sf_dir, "events").count()
     run_once()  # same checkpoint, unchanged source: nothing replays
     assert seen == first, f"committed batches replayed: {seen[len(first):]}"
+
+
+def test_stream_incremental_dedup_restart(spark, sf_dir, tmp_path):
+    """Streaming incremental dedup is restart-safe two ways: the
+    checkpoint skips committed batches (a re-run with the same
+    checkpoint admits nothing new), and even WITHOUT the checkpoint a
+    fresh stream over the same landed files admits nothing because the
+    persisted fingerprint state already contains every admitted fp."""
+    from transe_pyspark_spark.operators.incremental import stream_dedup_drops
+    from transe_pyspark_spark.sources.readers import load_table
+
+    state = str(tmp_path / "state")
+    out1 = str(tmp_path / "out1")
+    got = stream_dedup_drops(spark, sf_dir, state, out1)
+    n1 = got.count()
+    docs = load_table(spark, sf_dir, "documents")
+    from transe_pyspark_spark.functions.text import fingerprint as fp
+
+    assert n1 == docs.select(fp("text")).distinct().count()
+
+    # fresh stream (new checkpoint + sink) over the same files: the
+    # state makes every row a duplicate -> zero admitted
+    out2 = str(tmp_path / "out2")
+    again = stream_dedup_drops(spark, sf_dir, state, out2)
+    assert again.count() == 0

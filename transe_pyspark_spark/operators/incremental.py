@@ -87,6 +87,58 @@ def dedup_drop(
     return fresh
 
 
+def stream_dedup_drops(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    out_path: str,
+    path_glob: str = "documents.parquet",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming face of the incremental dedup: a continuously-landing
+    drop directory consumed as a file stream, each micro-batch admitted
+    through ``dedup_drop`` against the SAME persisted seen-fingerprint
+    state inside ``foreachBatch``, admitted rows appended to a parquet
+    sink. Returns the sink contents after an AvailableNow run.
+
+    Exactly-once story: Structured Streaming replays a failed batch
+    (at-least-once), and ``dedup_drop`` is idempotent under replay —
+    every fingerprint the failed attempt appended makes the replayed
+    rows "already seen", so a document is ADMITTED (returned + counted)
+    at most once however many times its batch runs. The checkpoint
+    additionally skips fully-committed batches on restart
+    (``test_stream_incremental_dedup_restart``)."""
+    import tempfile
+    import uuid
+
+    from transe_pyspark_spark.streaming.windows import DOCUMENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", path_glob)
+        .load(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = dedup_drop(spark, batch_df, state_path, id_col, text_col)
+        admitted.select(id_col, FP_COL).write.mode("append").parquet(out_path)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_incdedup_")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(f"incdedup_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if _state_exists(spark, out_path):
+        return spark.read.parquet(out_path)
+    return spark.createDataFrame([], f"{id_col} long, {FP_COL} long")
+
+
 def neardedup_drop(
     spark: SparkSession,
     drop: DataFrame,

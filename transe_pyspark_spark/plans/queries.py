@@ -2219,6 +2219,38 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_incremental_dedup",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+      FROM documents)
+    SELECT min(doc_id) AS doc_id, fp FROM f GROUP BY fp
+    """,
+    tags=("streaming", "dedup", "incremental"),
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: the documents parquet consumed as a
+    file stream (one micro-batch under AvailableNow), each batch
+    admitted against the persisted seen-fingerprint state inside
+    foreachBatch — the ingest pipeline a continuously-landing corpus
+    runs forever. Oracle = canonical (min doc_id) per fingerprint over
+    the whole table, which is exactly what admitting every drop in
+    order must produce."""
+    import tempfile
+
+    from transe_pyspark_spark.operators.incremental import stream_dedup_drops
+
+    base = tempfile.mkdtemp(prefix="incdedup_q_")
+    return stream_dedup_drops(
+        spark, sf_dir, state_path=f"{base}/state", out_path=f"{base}/out"
+    )
+
+
+@_register(
     "time_weighted_avg_value",
     oracle="""
     WITH stepped AS (
@@ -3037,6 +3069,9 @@ _OVERFLOW_ORACLE = [
                                  # (r02+r03 green + still benched headline;
                                  # grouping_sets/distinct_counts/stddev/
                                  # profile/histogram keep the family)
+    "full_outer_supplier_customer",  # joins: slot ceded to the NEW
+                                 # stream_incremental_dedup (r02+r03 green;
+                                 # semi_anti + salted keep the family)
 ]
 
 
