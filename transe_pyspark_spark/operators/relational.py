@@ -339,3 +339,38 @@ def fixed_width_histogram(
             "n",
         )
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — the split
+    every ML dataset needs to be REPRODUCIBLE and STABLE under
+    re-partitioning, retries, and appends (a random split is none of
+    those; a row's split must be a pure function of its key).
+
+    Two MINSTD rounds over the Mersenne prime M31 mix the key into a
+    percentile bucket: h = ((id mod M)·48271 + salt) mod M, twice.
+    All intermediates stay < 2^48 — exact BIGINT arithmetic on any
+    engine (the reason for MINSTD's small multiplier rather than a
+    64-bit avalanche: the SQL oracle must reproduce it without
+    overflow). Narrow projection; nothing shuffles.
+    """
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    assert abs(sum(fractions.values()) - 1.0) < 1e-9
+    m = 2147483647
+    h = F.pmod(F.pmod(F.col(id_col), m) * 48271 + salt, m)
+    h = F.pmod(h * 48271, m)
+    bucket = F.pmod(h, 100)
+    expr = None
+    edge = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        edge += frac * 100
+        cond = bucket < F.lit(int(round(edge)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0]))
+    return df.withColumn("split", expr)

@@ -2219,6 +2219,30 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dataset_split_docs",
+    oracle="""
+    WITH h1 AS (
+      SELECT doc_id,
+             ((doc_id % 2147483647) * 48271 + 1) % 2147483647 AS h
+      FROM documents),
+    h2 AS (SELECT doc_id, ((h * 48271) % 2147483647) % 100 AS b FROM h1)
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM h2
+    """,
+    tags=("sampling", "pipeline"),
+)
+def q_dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus by key
+    hash — reproducible and stable under repartitioning, retries, and
+    appends (a row's split is a pure function of doc_id). Two MINSTD
+    rounds mod M31 keep every intermediate exact in BIGINT on both
+    engines."""
+    d = _T(spark, sf_dir, "documents")
+    return R.hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@_register(
     "stream_incremental_dedup",
     oracle="""
     WITH f AS (
@@ -3072,6 +3096,13 @@ _OVERFLOW_ORACLE = [
     "full_outer_supplier_customer",  # joins: slot ceded to the NEW
                                  # stream_incremental_dedup (r02+r03 green;
                                  # semi_anti + salted keep the family)
+    "stddev_exact",              # agg: slot ceded to dataset_split_docs
+                                 # (r02+r03 green; the agg family keeps
+                                 # grouping_sets/distinct_counts/profile/
+                                 # histogram/percentiles in-window)
+    "salted_join_revenue",       # joins: r02+r03 green; semi_anti keeps the
+                                 # family in-window and the skew story is now
+                                 # carried by the AQE demo + PLANS.md section
 ]
 
 
