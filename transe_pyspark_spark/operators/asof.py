@@ -198,3 +198,42 @@ def time_weighted_avg(
             F.col("__den").alias("span_us"),
         )
     )
+
+
+def ewma_last(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    e₀ = v₀, eᵢ = (1−α)·eᵢ₋₁ + α·vᵢ over the key's time-ordered
+    values — the classic irregular-series smoother whose recursion is
+    inherently SEQUENTIAL per key. The distributed unit is therefore
+    the KEY (applyInPandas: every key's fold runs independently across
+    executors, one shuffle); within a key the fold is honest
+    per-row recursion, which is the operator's semantics, not a
+    missed vectorization.
+
+    Cross-engine determinism: rows order by (ts, value) — ties carry
+    identical contributions — and the fold is written with the exact
+    expression shape ``(1−α)·acc + α·x`` on both engines, so IEEE
+    doubles match bit-for-bit when α is dyadic (the default 0.25).
+    Returns (key, ewma_last, n_obs)."""
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        e = None
+        for v in pdf[value_col]:
+            e = float(v) if e is None else one_minus * e + alpha * float(v)
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "ewma_last": [round(e, 6)], "n_obs": [len(pdf)]}
+        )
+
+    return events.select(key, ts_col, value_col).groupBy(key).applyInPandas(
+        fold, f"{key} long, ewma_last double, n_obs long"
+    )

@@ -2219,6 +2219,32 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ewma_value",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             list_transform(list_sort(list({'t': ts, 'v': value})), r -> r.v) AS vs,
+             count(*) AS n_obs
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           round(list_reduce(vs, (acc, x) -> 0.75 * acc + 0.25 * x), 6) AS ewma_last,
+           CAST(n_obs AS BIGINT) AS n_obs
+    FROM g
+    """,
+    tags=("timeseries", "udf"),
+)
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.25) of event values — the inherently
+    per-key-sequential smoother, distributed by key via applyInPandas.
+    The oracle folds the same (1−α)·acc + α·x expression with
+    list_reduce over the same (ts, value)-sorted list: identical IEEE
+    doubles because α is dyadic and the op shapes match."""
+    from transe_pyspark_spark.operators.asof import ewma_last
+
+    return ewma_last(_T(spark, sf_dir, "events"))
+
+
+@_register(
     "dataset_split_docs",
     oracle="""
     WITH h1 AS (
@@ -3103,6 +3129,9 @@ _OVERFLOW_ORACLE = [
     "salted_join_revenue",       # joins: r02+r03 green; semi_anti keeps the
                                  # family in-window and the skew story is now
                                  # carried by the AQE demo + PLANS.md section
+    "grouping_sets_revenue",     # agg: slot ceded to ewma_value (r02+r03
+                                 # green; profile/histogram/TWA/percentiles/
+                                 # distinct_counts keep the family in-window)
 ]
 
 
