@@ -8,9 +8,11 @@ queries run).
         verified by exact Jaccard, connected components, canonical keep)
       → Gopher-rule quality gate
       → PII scrub
+      → benchmark decontamination (8-gram overlap vs the eval set)
       → per-language stratified mixing
       → token-window chunking into training sequences
       → token-budget sequence packing (distributed prefix sum)
+      → deterministic train/val/test split
       → mixture report
 
 Usage:
@@ -57,6 +59,19 @@ def main() -> None:
     docs = docs.filter(X.gopher_keep("text"))
     print(f"after quality gate: {docs.count()}")
 
+    # 3b. benchmark decontamination: drop docs sharing any 8-gram with
+    #     the held-out eval set (docs with doc_id % 7 == 3 stand in)
+    grams = docs.select("doc_id", F.explode(X.word_ngrams("text", 8)).alias("g"))
+    eval_grams = grams.filter(F.col("doc_id") % 7 == 3).select("g").distinct()
+    dirty = (
+        grams.filter(F.col("doc_id") % 7 != 3)
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = docs.filter(F.col("doc_id") % 7 != 3).join(dirty, "doc_id", "left_anti")
+    print(f"after decontamination: {docs.count()}")
+
     # 4. PII scrub (audit counts + redaction)
     emails, phones = X.pii_counts(F.col("text"))
     docs = docs.withColumn("__emails", emails).withColumn("__phones", phones).withColumn(
@@ -87,7 +102,17 @@ def main() -> None:
     n_packs = packed.agg(F.countDistinct("pack_id")).first()[0]
     print(f"packed into {n_packs} bins of <=2048 tokens (+1 seq overflow)")
 
-    # 8. mixture report
+    # 8. deterministic train/val/test split (stable under repartition,
+    #    retry, and append — a pure function of doc_id)
+    from transe_pyspark_spark.operators.relational import hash_split
+
+    split_counts = {
+        r.split: r.n
+        for r in hash_split(docs, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(f"split: {split_counts}")
+
+    # 9. mixture report
     report = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(X.word_count("text")).alias("words"))

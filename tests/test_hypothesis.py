@@ -276,3 +276,42 @@ def test_word_ngrams_match_python(spark, batch):
         ws = _py_words(t.lower())
         want = [" ".join(ws[s : s + 3]) for s in range(len(ws) - 2)] if len(ws) >= 3 else []
         assert got[i] == want, (t, got[i], want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_sides)
+def test_range_join_count_matches_python(spark, sides):
+    """range_join_count == the obvious Python double loop: per left
+    row, count right rows with equal key and ts in [l.ts - 5, l.ts)
+    (half-open lookback). Exercises empty right side, boundary
+    equality at both ends, duplicate timestamps."""
+    import datetime as dt
+
+    from transe_pyspark_spark.operators.asof import range_join_count
+
+    left_rows, right_rows = sides
+    base = dt.datetime(2024, 1, 1)
+    mins = lambda m: base + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(i, k, mins(ts)) for i, (k, ts, _) in enumerate(left_rows)],
+        "i long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, mins(ts)) for k, ts, _ in right_rows] or [],
+        "k long, ts timestamp",
+    )
+    got = {
+        r.i: r.n_in_range
+        for r in range_join_count(
+            left, right, on="k", window_expr="INTERVAL 5 MINUTES"
+        ).collect()
+    }
+    want = {
+        i: sum(
+            1
+            for rk, rts, _ in right_rows
+            if rk == k and (ts - 5) <= rts < ts
+        )
+        for i, (k, ts, _) in enumerate(left_rows)
+    }
+    assert got == want
