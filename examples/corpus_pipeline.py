@@ -60,16 +60,13 @@ def main() -> None:
     print(f"after quality gate: {docs.count()}")
 
     # 3b. benchmark decontamination: drop docs sharing any 8-gram with
-    #     the held-out eval set (docs with doc_id % 7 == 3 stand in)
-    grams = docs.select("doc_id", F.explode(X.word_ngrams("text", 8)).alias("g"))
-    eval_grams = grams.filter(F.col("doc_id") % 7 == 3).select("g").distinct()
-    dirty = (
-        grams.filter(F.col("doc_id") % 7 != 3)
-        .join(F.broadcast(eval_grams), "g")
-        .select("doc_id")
-        .distinct()
-    )
-    docs = docs.filter(F.col("doc_id") % 7 != 3).join(dirty, "doc_id", "left_anti")
+    #     the held-out eval set (docs with doc_id % 7 == 3 stand in) —
+    #     same operator the oracle-checked query runs
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    dirty = X.contaminated_docs(
+        corpus, docs.filter(F.col("doc_id") % 7 == 3), n=8
+    ).select("doc_id")
+    docs = corpus.join(dirty, "doc_id", "left_anti")
     print(f"after decontamination: {docs.count()}")
 
     # 4. PII scrub (audit counts + redaction)

@@ -220,6 +220,34 @@ def word_ngrams(text: Column | str, n: int, lowercase: bool = True) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def contaminated_docs(
+    corpus,
+    eval_docs,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark decontamination core: corpus documents sharing any
+    word ``n``-gram with the eval set, with the shared-gram count.
+    The eval side's distinct n-grams BROADCAST (eval sets are orders of
+    magnitude smaller than a training corpus), so the corpus n-gram
+    stream is probed map-side and never shuffles by gram; the only
+    Exchange is the per-doc count aggregation. Returns
+    ``(id_col, n_shared)``. Single definition shared by the
+    ``benchmark_decontaminate`` query and the example pipeline."""
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("__g")
+    )
+    eval_grams = eval_docs.select(
+        F.explode(word_ngrams(text_col, n)).alias("__g")
+    ).distinct()
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__g").cast("long").alias("n_shared"))
+    )
+
+
 def chunk_docs(
     df,
     text_col: str = "text",

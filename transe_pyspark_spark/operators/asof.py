@@ -176,8 +176,11 @@ def time_weighted_avg(
     microseconds — both sums are exact BIGINTs folded map-side; the
     single double division happens once at the end. One shuffle
     (window by key) + the final per-key aggregation, both
-    hash-partitioned on the key; window state is O(1) per row (lead)."""
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    hash-partitioned on the key; window state is O(1) per row (lead).
+    The window orders by (ts, value): with ts alone, duplicate
+    timestamps would make which value carries the interval
+    tie-order-nondeterministic (and engine-dependent vs the oracle)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(value_col).asc())
     stepped = events.select(
         F.col(key),
         F.col(ts_col),
@@ -234,6 +237,7 @@ def ewma_last(
             {key: [pdf[key].iloc[0]], "ewma_last": [round(e, 6)], "n_obs": [len(pdf)]}
         )
 
+    key_type = events.schema[key].dataType.simpleString()
     return events.select(key, ts_col, value_col).groupBy(key).applyInPandas(
-        fold, f"{key} long, ewma_last double, n_obs long"
+        fold, f"{key} {key_type}, ewma_last double, n_obs long"
     )

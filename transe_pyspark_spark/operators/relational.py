@@ -10,14 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def _frozen_range_partition(df: DataFrame, order_col: str, n_part: int) -> DataFrame:
     """Range-repartition by ``order_col``, stamp ``__pid`` =
     ``spark_partition_id()``, and FREEZE partition membership by
-    persisting (MEMORY_AND_DISK — spills, never silently recomputes)
-    and eagerly materializing the frame.
+    eagerly materializing the frame with ``localCheckpoint``.
 
     Why freezing matters: RangePartitioner samples its boundaries with a
     seed derived from the RDD id, so two separate evaluations of the
@@ -29,17 +27,25 @@ def _frozen_range_partition(df: DataFrame, order_col: str, n_part: int) -> DataF
     when the canonicalized plans match (measured: it does NOT fire when
     the input plan carries a nondeterministic expression such as
     ``monotonically_increasing_id``), so correctness must not depend on
-    it. The persisted frame is the single source of partition identity;
-    callers should ``unpersist()`` it once the result is materialized.
+    it.
+
+    localCheckpoint rather than persist: both materialize eagerly and
+    freeze partition identity (the checkpoint truncates lineage, so
+    re-evaluation is impossible by construction), but a persisted frame
+    is pinned by the cache manager until an explicit ``unpersist()``
+    that no caller can issue (the frame is internal to this helper) —
+    one leaked cached dataset per dict_encode/pack call. Checkpoint
+    blocks are GC-managed: they free when the result's references die.
+    Trade-off: a lost block fails the job loudly instead of
+    recomputing (acceptable — silent recomputation is exactly the bug
+    this helper exists to prevent).
     """
-    part = (
+    return (
         df.repartitionByRange(int(n_part), F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    part.count()  # eager: freeze partition identity before any consumer reads it
-    return part
 
 
 def _exclusive_offsets(sizes: DataFrame, size_col: str) -> DataFrame:
@@ -69,7 +75,7 @@ def dict_encode(
     Scale path: a global ``row_number`` window would funnel the whole
     vocabulary through ONE partition. Instead: range-repartition by
     token (partition i's tokens all sort before partition i+1's) with
-    partition identity FROZEN by an eager persist (see
+    partition identity FROZEN by an eager localCheckpoint (see
     ``_frozen_range_partition`` — an uncached lineage read twice can
     land rows in different partitions between reads), number rows
     *within* each partition, and add the in-plan exclusive running sum
@@ -242,7 +248,7 @@ def pack_by_running_total(
 
     Scale path is the ``dict_encode`` prefix pattern generalized from
     counts to sums: range-repartition by ``order_col`` with partition
-    identity FROZEN by an eager persist (``_frozen_range_partition`` —
+    identity FROZEN by an eager localCheckpoint (``_frozen_range_partition`` —
     re-evaluating the uncached lineage for the totals pass and the
     row-level pass can disagree on partition membership), per-partition
     running sums under a partition-local window, plus the in-plan
@@ -326,6 +332,11 @@ def fixed_width_histogram(
     each task to its touched bins, so the histogram of a 100 TB column
     ships kilobytes. Empty bins are absent (a grid join adds them if a
     dense vector is wanted)."""
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError(
+            f"fixed_width_histogram requires lo < hi and n_bins > 0, "
+            f"got lo={lo}, hi={hi}, n_bins={n_bins}"
+        )
     width = (hi - lo) / n_bins
     b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width))
     bucket = F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).cast("long")

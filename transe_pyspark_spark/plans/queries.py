@@ -2306,7 +2306,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH stepped AS (
       SELECT user_id,
              CAST(round(value * 100) AS BIGINT) AS c,
-             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) - ts) AS BIGINT) AS dur_us
+             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, value) - ts) AS BIGINT) AS dur_us
       FROM events)
     SELECT user_id,
            round(CAST(sum(c * dur_us) AS DOUBLE) / sum(dur_us), 6) AS twa_cents,
@@ -2450,17 +2450,10 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only Exchange is the per-doc count aggregation (map-side
     partials). Returns (doc_id, n_shared) for contaminated docs."""
     d = _T(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(X.word_ngrams("text", 8)).alias("g")
-    )
-    eval_grams = (
-        grams.filter(F.col("doc_id") % 7 == 3).select("g").distinct()
-    )
-    corpus = grams.filter(F.col("doc_id") % 7 != 3)
-    return (
-        corpus.join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g").cast("long").alias("n_shared"))
+    return X.contaminated_docs(
+        corpus=d.filter(F.col("doc_id") % 7 != 3),
+        eval_docs=d.filter(F.col("doc_id") % 7 == 3),
+        n=8,
     )
 
 
@@ -3122,13 +3115,13 @@ _OVERFLOW_ORACLE = [
     "full_outer_supplier_customer",  # joins: slot ceded to the NEW
                                  # stream_incremental_dedup (r02+r03 green;
                                  # semi_anti + salted keep the family)
-    "stddev_exact",              # agg: slot ceded to dataset_split_docs
-                                 # (r02+r03 green; the agg family keeps
-                                 # grouping_sets/distinct_counts/profile/
-                                 # histogram/percentiles in-window)
-    "salted_join_revenue",       # joins: r02+r03 green; semi_anti keeps the
-                                 # family in-window and the skew story is now
-                                 # carried by the AQE demo + PLANS.md section
+    "salted_join_revenue",       # joins: slot ceded to dataset_split_docs
+                                 # (r02+r03 green; semi_anti keeps the family
+                                 # in-window and the skew story is now carried
+                                 # by the AQE demo + PLANS.md section).
+                                 # NOTE: stddev_exact was listed here twice by
+                                 # mistake (it already rotated out above) —
+                                 # this slot is the one that actually ceded.
     "grouping_sets_revenue",     # agg: slot ceded to ewma_value (r02+r03
                                  # green; profile/histogram/TWA/percentiles/
                                  # distinct_counts keep the family in-window)

@@ -296,13 +296,13 @@ class TransETrainer:
         # kernel's partitioning: sampling a batch then reads each cached
         # partition 1:1 — the per-batch coalesce read-merge (4 cached
         # partitions funneled per task) was ~15% of batch wall.
-        n_parts = self.train_partitions or 8
-        train = (
-            triples.select("h", "l", "t")
-            .orderBy(F.rand(self.seed))
-            .repartition(n_parts)
-            .cache()
-        )
+        # train_partitions=None keeps the source partitioning (the
+        # pre-r04 contract — e.g. a cluster input already sized to its
+        # executors).
+        train = triples.select("h", "l", "t").orderBy(F.rand(self.seed))
+        if self.train_partitions:
+            train = train.repartition(self.train_partitions)
+        train = train.cache()
         # Rejection filter: the trainset doubles as the negative-sampling
         # filter (TransE.py:95). Below the limit it is the reference's
         # exact frozenset; above it (or on request) a distributed Bloom
