@@ -315,3 +315,40 @@ def test_range_join_count_matches_python(spark, sides):
         for i, (k, ts, _) in enumerate(left_rows)
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_ewm_kernel_bit_identical_to_explicit_fold(vals):
+    """ewma_last's pandas ``ewm(adjust=False)`` kernel is bit-for-bit
+    the explicit fold e₀=v₀, eᵢ=(1−α)·eᵢ₋₁+α·vᵢ for dyadic α: the C
+    kernel evaluates ((1−α)·acc + α·x) / ((1−α)+α) and the divisor is
+    exactly 1.0. Pure-pandas twin — no Spark session needed, so this
+    covers long sequences cheaply."""
+    import pandas as pd
+
+    alpha = 0.25
+    e = None
+    for v in vals:
+        e = v if e is None else (1.0 - alpha) * e + alpha * v
+    ew = float(pd.Series(vals, dtype="float64").ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+    assert ew == e, (vals[:5], ew, e)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False))
+def test_half_away_round_matches_duckdb(v):
+    """The explicit half-away-from-zero round in ewma_last matches
+    DuckDB ROUND(x, 6) exactly — Python's built-in round() is banker's
+    and diverges on 6th-decimal ties (e.g. 5e-07 → 0.0 vs 1e-06)."""
+    import duckdb
+
+    got = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+    want = duckdb.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
+    assert got == want, (v, got, want)

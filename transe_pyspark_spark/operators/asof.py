@@ -215,26 +215,32 @@ def ewma_last(
     values — the classic irregular-series smoother whose recursion is
     inherently SEQUENTIAL per key. The distributed unit is therefore
     the KEY (applyInPandas: every key's fold runs independently across
-    executors, one shuffle); within a key the fold is honest
-    per-row recursion, which is the operator's semantics, not a
-    missed vectorization.
+    executors, one shuffle); within a key the fold runs in pandas'
+    C-implemented ``Series.ewm(adjust=False)``, which computes the
+    identical recursion vectorized — no per-row Python loop, so a
+    million-row key costs a C pass, not a Python one.
 
     Cross-engine determinism: rows order by (ts, value) — ties carry
-    identical contributions — and the fold is written with the exact
-    expression shape ``(1−α)·acc + α·x`` on both engines, so IEEE
-    doubles match bit-for-bit when α is dyadic (the default 0.25).
-    Returns (key, ewma_last, n_obs)."""
-    import pandas as pd
+    identical contributions — and both engines evaluate the same
+    ``(1−α)·acc + α·x`` shape (pandas' adjust=False kernel divides by
+    ``(1−α)+α``, exactly 1.0 for dyadic α, an identity), so IEEE
+    doubles match bit-for-bit when α is dyadic (the default 0.25);
+    the final round is explicit half-away-from-zero to match the SQL
+    oracle's ROUND (Python's built-in round() is banker's and would
+    diverge on exact 6th-decimal ties). Returns
+    (key, ewma_last, n_obs)."""
+    import math
 
-    one_minus = 1.0 - alpha
+    import pandas as pd
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
-        e = None
-        for v in pdf[value_col]:
-            e = float(v) if e is None else one_minus * e + alpha * float(v)
+        e = float(
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        )
+        e6 = math.copysign(math.floor(abs(e) * 1e6 + 0.5), e) / 1e6
         return pd.DataFrame(
-            {key: [pdf[key].iloc[0]], "ewma_last": [round(e, 6)], "n_obs": [len(pdf)]}
+            {key: [pdf[key].iloc[0]], "ewma_last": [e6], "n_obs": [len(pdf)]}
         )
 
     key_type = events.schema[key].dataType.simpleString()
