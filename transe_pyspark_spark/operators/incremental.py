@@ -38,10 +38,15 @@ FP_COL = "fp"
 
 def _state_exists(spark: SparkSession, state_path: str) -> bool:
     # local/posix path probe — sufficient for file: warehouses; on an
-    # object store the caller passes a path whose existence it manages
-    return os.path.isdir(state_path) and any(
-        n.startswith("part-") for n in os.listdir(state_path)
-    )
+    # object store the caller passes a path whose existence it manages.
+    # Walks into partition subdirs (commit=<key>/part-…) as well as the
+    # flat layout the batch API appends.
+    if not os.path.isdir(state_path):
+        return False
+    for _root, _dirs, files in os.walk(state_path):
+        if any(n.startswith("part-") for n in files):
+            return True
+    return False
 
 
 def seen_fingerprints(spark: SparkSession, state_path: str) -> DataFrame:
@@ -87,6 +92,43 @@ def dedup_drop(
     return fresh
 
 
+def commit_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_path: str,
+    out_path: str,
+    key: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One replay-idempotent admission commit: compute the batch's
+    admitted set against all state EXCEPT the batch's own ``commit=key``
+    partition, then overwrite that partition in the sink first and the
+    state second. Calling this any number of times with the same
+    (batch, key) — including after a crash that landed only one of the
+    two writes — converges both tables to the same contents, which is
+    what lets ``stream_dedup_drops`` claim exactly-once admission on
+    top of Structured Streaming's at-least-once foreachBatch replay."""
+    fp = batch_df.select(
+        F.col(id_col), F.col(text_col), fingerprint(text_col).alias(FP_COL)
+    )
+    canon = fp.groupBy(FP_COL).agg(F.min(id_col).alias(id_col))
+    survivors = fp.join(canon, [FP_COL, id_col], "left_semi")
+    if _state_exists(spark, state_path):
+        prior = (
+            spark.read.parquet(state_path)
+            .filter(F.col("commit") != key)  # partition-pruned
+            .select(FP_COL)
+        )
+    else:
+        prior = spark.createDataFrame([], f"{FP_COL} long")
+    fresh = survivors.join(prior, FP_COL, "left_anti").localCheckpoint(eager=True)
+    fresh.select(id_col, FP_COL).write.mode("overwrite").parquet(
+        f"{out_path}/commit={key}"
+    )
+    fresh.select(FP_COL).write.mode("overwrite").parquet(f"{state_path}/commit={key}")
+
+
 def stream_dedup_drops(
     spark: SparkSession,
     source_dir: str,
@@ -95,37 +137,53 @@ def stream_dedup_drops(
     path_glob: str = "documents.parquet",
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_location: str | None = None,
 ) -> DataFrame:
     """Streaming face of the incremental dedup: a continuously-landing
     drop directory consumed as a file stream, each micro-batch admitted
-    through ``dedup_drop`` against the SAME persisted seen-fingerprint
-    state inside ``foreachBatch``, admitted rows appended to a parquet
-    sink. Returns the sink contents after an AvailableNow run.
+    against the persisted seen-fingerprint state inside ``foreachBatch``,
+    admitted rows landed in a parquet sink. Returns the sink contents
+    after an AvailableNow run.
 
-    Exactly-once story: Structured Streaming replays a failed batch
-    (at-least-once), and ``dedup_drop`` is idempotent under replay —
-    every fingerprint the failed attempt appended makes the replayed
-    rows "already seen", so a document is ADMITTED (returned + counted)
-    at most once however many times its batch runs. The checkpoint
-    additionally skips fully-committed batches on restart
-    (``test_stream_incremental_dedup_restart``)."""
-    import tempfile
+    Exactly-once story (sink AND state): each batch commits to
+    deterministic ``commit=<key>`` partitions of both tables, where the
+    key hashes (checkpoint, batch_id) — the pair Structured Streaming
+    guarantees maps to the same input rows on replay. The admission
+    anti-join reads the state EXCLUDING the batch's own partition, so a
+    replayed batch recomputes the identical admitted set regardless of
+    how far the failed attempt got, then OVERWRITES its two partitions
+    (sink first, then state — a crash between them re-lands the same
+    rows on replay instead of losing them). Admitted rows therefore
+    reach the sink exactly once however many times the batch runs, and
+    a crash after the state write but before the sink write cannot
+    silently drop documents — the failure mode of the naive
+    append-state-then-append-sink ordering. ``checkpoint_location``
+    defaults to ``state_path + "_ckpt"`` so a restarted caller actually
+    resumes (committed batches skip); pass a fresh path to force a full
+    re-read, which admits nothing because the state already holds every
+    fingerprint. The streaming state layout is partitioned by commit
+    key — give the streaming face its own ``state_path``, not one the
+    flat-append batch ``dedup_drop`` writes to. Long-running ingests
+    accumulate one partition per batch; compact offline by rewriting
+    the state table (fps are a plain column — layout is not semantic).
+    """
+    import hashlib
     import uuid
 
-    from transe_pyspark_spark.streaming.windows import DOCUMENTS_SCHEMA
+    from transe_pyspark_spark.streaming.windows import documents_schema
 
     stream = (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        spark.readStream.schema(documents_schema(spark, source_dir))
         .format("parquet")
         .option("pathGlobFilter", path_glob)
         .load(source_dir)
     )
+    ckpt = checkpoint_location or (state_path.rstrip("/") + "_ckpt")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        admitted = dedup_drop(spark, batch_df, state_path, id_col, text_col)
-        admitted.select(id_col, FP_COL).write.mode("append").parquet(out_path)
+        key = hashlib.sha1(f"{ckpt}|{batch_id}".encode()).hexdigest()[:16]
+        commit_batch(spark, batch_df, state_path, out_path, key, id_col, text_col)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_incdedup_")
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
@@ -135,7 +193,7 @@ def stream_dedup_drops(
     )
     q.awaitTermination()
     if _state_exists(spark, out_path):
-        return spark.read.parquet(out_path)
+        return spark.read.parquet(out_path).select(id_col, FP_COL)
     return spark.createDataFrame([], f"{id_col} long, {FP_COL} long")
 
 

@@ -140,15 +140,29 @@ def run_available_now(stream_df: DataFrame, spark: SparkSession, output_mode: st
     return spark.table(name)
 
 
-DOCUMENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
+def documents_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The documents stream schema, taken from the landed parquet's own
+    footer rather than pinned in code: the fixture is regenerated
+    per-round and physical types drift (the events ``ts`` column has
+    already shipped as both int64-nanos and TIMESTAMP(MICROS)); a
+    pinned schema silently mis-reads the other layout. Falls back to
+    the documented logical shape when the directory has no parquet yet
+    (a stream may start before the first drop lands)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:
+        return T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +170,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously-landing corpus drop directory (at 100 TB: each landed
     file becomes a micro-batch; ``maxFilesPerTrigger`` paces it)."""
     return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        spark.readStream.schema(documents_schema(spark, sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "documents.parquet")
         .load(sf_dir)
