@@ -306,3 +306,38 @@ def test_commit_batch_replay_idempotent(spark, sf_dir, tmp_path):
     commit_batch(spark, b1, state, out, "k1")
     got = {(r.doc_id, r[FP_COL]) for r in spark.read.parquet(out).select("doc_id", FP_COL).collect()}
     assert got == want
+
+
+def test_events_stream_survives_retyped_parquet(spark, sf_dir, tmp_path):
+    """The fixture is regenerated per round and the events ``ts``
+    physical type has shipped as int64-nanos, TIMESTAMP_NTZ, and plain
+    TIMESTAMP across rounds. read_events_stream derives its schema from
+    the landed footer and normalizes — all three layouts must stream
+    to the same windowed counts (a pinned schema mis-scales nanos by
+    1000x into 1970-epoch garbage that still 'passes' row counts)."""
+    from transe_pyspark_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = _rows(tumbling_counts(ev), ["window_start", "event_type", "n_events"])
+
+    variants = {
+        "nanos": ev.withColumn("ts", (F.unix_micros("ts") * 1000)),
+        "ntz": ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")),
+        "native": ev,
+    }
+    for name, df in variants.items():
+        d = tmp_path / name
+        df.coalesce(1).write.parquet(str(d / "_tmp"))
+        d.joinpath("events.parquet").write_bytes(
+            next(d.glob("_tmp/part-*.parquet")).read_bytes()
+        )  # the fixture layout is one FILE named events.parquet
+        got = run_available_now(
+            tumbling_counts(read_events_stream(spark, str(d))), spark
+        )
+        assert (
+            _rows(got, ["window_start", "event_type", "n_events"]) == want
+        ), f"layout {name} streamed wrong windows"
