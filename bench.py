@@ -172,12 +172,52 @@ def _bucketed_join_seconds(spark, sf_dir: str) -> float:
     return sorted(samples)[len(samples) // 2], samples
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Machine-speed probes on FIXED synthetic work — no testdata, no
+    repo code — so a cross-round shift in these numbers measures the
+    ENVIRONMENT, not the engine. Motivated by r03→r04: every shared
+    query slowed 9-51% with unchanged plans and the per-round PROGRESS
+    log shows the VM was rebuilt between those rounds; without a
+    calibration row that looked like a code regression. Probes: one
+    whole-stage-codegen scan (JVM integer throughput), one fixed
+    32-partition shuffle (exchange machinery), one numpy matmul (BLAS /
+    Python-side speed). Each is the median of 3."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def med(fn):
+        fn()  # warmup
+        s = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            s.append(round(time.time() - t0, 3))
+        return sorted(s)[1]
+
+    out = {}
+    out["jvm_codegen"] = med(
+        lambda: spark.range(500_000_000).selectExpr("sum(id * 2 + 7)").collect()
+    )
+    out["jvm_shuffle"] = med(
+        lambda: spark.range(20_000_000)
+        .groupBy((F.col("id") % 100_000).alias("k"))
+        .agg(F.sum("id"))
+        .count()
+    )
+    a = np.random.default_rng(0).random((2000, 2000))
+    out["numpy_matmul"] = med(lambda: a @ a)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
     # Warm the JVM + parquet footers so q1 doesn't pay session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    calibration = _calibration(spark)
+    print(f"# calibration: {calibration}", file=sys.stderr)
 
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -257,6 +297,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "scale_paths": scale_paths,
+        "calibration": calibration,
         "runs": runs,
         "sf": sf,
     }))

@@ -12,6 +12,17 @@ contamination tracking.
 State is bounded: one fixed-width row per active user; with an event-
 time timeout idle users are evicted once the watermark passes, so
 state size tracks the *active* key cardinality, not history length.
+
+``transformWithStateInPandas`` (the Spark 4 successor with typed state
+and timers) remains ENVIRONMENT-BLOCKED in this container: the
+StatefulProcessor API imports fine, but starting a query crashes the
+TransformWithStateInPySpark driver worker with ``ImportError: cannot
+import name 'descriptor' from 'google.protobuf' (unknown location)``
+(STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, re-verified
+2026-08-14 — the runner needs protobuf-generated message classes the
+installed protobuf cannot load). Everything here uses
+``applyInPandasWithState``, which covers the same arbitrary-stateful
+semantics minus timers.
 """
 
 from __future__ import annotations

@@ -48,8 +48,9 @@ class ExactRejection:
     Python tuple-in-frozenset loop per row (the r03 kernel's largest
     non-NumPy cost). Model-scale KGs only: the whole trainset lives on
     the driver and in the broadcast. Falls back to a frozenset when
-    the key space overflows int64 (unreachable below the
-    exact-rejection row cap, kept for safety)."""
+    the key SPACE overflows int64 — that depends on V²·L reaching 2⁶³
+    (e.g. V=10⁹ entities at L=100 labels), not on the triple count, so
+    a tiny trainset over a huge vocabulary takes the fallback too."""
 
     __slots__ = ("keys", "frozen", "n_entities", "n_labels")
 
