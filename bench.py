@@ -49,6 +49,23 @@ HEADLINE = [
     "transe_rank_eval",
 ]
 
+#: The most expensive headline queries re-run at sf1 (10× sf0.1,
+#: built by scripts/make_sf1.py) — the measured 10× point behind every
+#: "survives 100×" claim. Timed with 1 warmup + 2 samples (the tables
+#: are 10× — the third sample buys little at this runtime).
+#: ``jaccard3_near_pairs`` is deliberately ABSENT: it is the guarded
+#: bounded ground-truth face (all-candidate inverted index), and at
+#: 50k docs its quadratic guard correctly refuses — the exact-Jaccard
+#: scale path benched here is the prefix-filtered PPJoin variant,
+#: which returns the identical pair set without the blowup.
+SF1_HEADLINE = [
+    "jaccard_prefix_near_pairs",
+    "stream_tumbling_counts",
+    "region_revenue",
+    "top_revenue_orders",
+    "minhash_pairs_raw",
+]
+
 
 def _train_epoch_seconds(spark) -> float:
     """Per-epoch TransE training time at the reference's published
@@ -290,6 +307,41 @@ def main() -> None:
         runs[f"skew_join_{mode}"] = samples
         print(f"# skew_join_{mode}: {med}s", file=sys.stderr)
 
+    # sf1 scale-proof section (VERDICT r04 ask #6): the 5 most
+    # expensive headline queries at 10× the bench scale, NOT summed
+    # into ``value`` (cross-round headline comparability). Linear-ish
+    # scaling here is the measured evidence behind the PLANS.md
+    # "survives 100×" arguments; the executed-plan gate at sf1 lives in
+    # scripts/explain_plans.py --sf1.
+    sf1: dict[str, float] = {}
+    if abs(sf - 0.1) < 1e-9:
+        # never let the scale section cost the round its headline JSON
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import make_sf1
+
+            t0 = time.time()
+            sf1_path = make_sf1.ensure_sf1(spark, sf_dir)
+            print(f"# sf1 fixture ready in {round(time.time() - t0, 1)}s", file=sys.stderr)
+            gc.collect()
+            spark.catalog.clearCache()
+            for name in SF1_HEADLINE:
+                fn = REGISTRY[name].fn
+                n = fn(spark, sf1_path).count()
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, sf1_path).count()
+                    samples.append(round(time.time() - t0, 3))
+                runs[f"sf1_{name}"] = samples
+                sf1[name] = sorted(samples)[len(samples) // 2]
+                print(f"# sf1_{name}: {n} rows, {sf1[name]}s of {samples}", file=sys.stderr)
+                gc.collect()
+                spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            sf1["error"] = str(e)[:200]
+            print(f"# sf1 section failed: {e}", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_total_runtime",
@@ -297,6 +349,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "scale_paths": scale_paths,
+        "sf1": sf1,
         "calibration": calibration,
         "runs": runs,
         "sf": sf,

@@ -106,6 +106,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         ["Window", "Generate"],
         "per-key grids generate map-side (explode of sequence); forward fill is a running window",
     ),
+    "sessionize_events": (
+        ["Window", "HashAggregate"],
+        "lag→flag→running-sum windows and the session rollup share ONE user_id "
+        "hash partitioning (rollup keys are a superset of the window key)",
+    ),
 }
 
 #: plan nodes that must NOT appear (quadratic shapes the rewrite removed)
@@ -121,6 +126,10 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "gap_fill_hourly": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "grid generation must stay per-key explode, never a time-range cross join",
+    ),
+    "minhash_pairs_raw": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "LSH candidates come from band-bucket equi-joins only — never all pairs",
     ),
 }
 
@@ -144,7 +153,15 @@ MAX_EXCHANGES = {
     "histogram_prices": 1,
     # lead() window and the per-key agg share one hash partitioning
     "time_weighted_avg_value": 1,
+    # lag/cumsum windows + session rollup: one user_id partitioning
+    "sessionize_events": 1,
 }
+
+#: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
+#: fixture scripts/make_sf1.py builds) — scale must not change the
+#: strategy. stream_tumbling_counts is benched at sf1 but its explain
+#: is a sink read, so it is gated by runtime behavior instead.
+SF1_STABLE = ["jaccard_prefix_near_pairs", "region_revenue", "top_revenue_orders", "minhash_pairs_raw"]
 
 
 def plan_of(spark, name: str, sf_dir: str) -> str:
@@ -207,6 +224,26 @@ def main() -> int:
             failures += 1
         print(f"{'OK' if ok else 'FAIL':40s} {name}: {n} exchange(s) (max {max_ex})")
         lines += [f"## {name} — shuffle budget", "", f"{n} Exchange node(s), budget {max_ex}: {'OK' if ok else 'FAIL'}", ""]
+    # sf1 plan stability: 10× the data must not change the strategy —
+    # the same marker/forbidden-node gates re-run against the sf1
+    # fixture (built lazily by make_sf1 if absent)
+    import make_sf1
+
+    sf1_dir = make_sf1.ensure_sf1(spark)
+    lines += ["## sf1 plan stability (10× scale, same plans)", ""]
+    for name in SF1_STABLE:
+        plan = plan_of(spark, name, sf1_dir)
+        missing = [m for m in EXPECTATIONS[name][0] if m not in plan] if name in EXPECTATIONS else []
+        present = [m for m in FORBIDDEN[name][0] if m in plan] if name in FORBIDDEN else []
+        n_ex = count_exchange_nodes(plan)
+        ok = not missing and not present
+        if not ok:
+            failures += 1
+        status = "OK" if ok else f"FAIL (missing {missing}, forbidden {present})"
+        print(f"{status:40s} {name} @ sf1")
+        lines += [f"- `{name}` @ sf1: {status}; {n_ex} Exchange node(s)"]
+    lines += [""]
+
     # skewed-join demonstration (AQE split vs salting) — executed-plan
     # evidence, not just explain: the skew=true marker only exists on
     # the finalized adaptive plan after a run

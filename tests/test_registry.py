@@ -29,11 +29,10 @@ MUST_BE_IN_WINDOW = {
     "stream_interval_join",
 }
 
-#: the r04 rotation (VERDICT r03 ask #1): the 16 r03-era oracle queries
-#: that were only ever mirror-checked MUST earn driver rows this round,
-#: and the 9 entries first driver-checked in r03 stay in until they are
-#: twice-green.
-ROTATED_IN_R04 = {
+#: the r05 window invariant: everything first driver-checked in r04
+#: (once-green) stays in until twice-green, plus the queries new or
+#: newly-oracle-ified in r05 which have never been driver-checked.
+ONCE_GREEN_R04 = {
     "doc_chunks",
     "gopher_quality_docs",
     "pii_scrub_docs",
@@ -50,25 +49,26 @@ ROTATED_IN_R04 = {
     "gap_fill_hourly",
     "approx_percentile_sketch",
     "sequence_packing",
+    "ewma_value",
+    "time_weighted_avg_value",
+    "table_profile",
+    "histogram_prices",
+    "dataset_split_docs",
+    "stream_incremental_dedup",
+    "minhash_near_pairs",
+    "lang_id_docs",
 }
 
-ONCE_GREEN_R03 = {
-    "jaccard_near_pairs",
-    "jaccard_prefix_near_pairs",
-    "stream_dedup_events",
-    "distinct_counts",
-    "customer_order_distribution",
-    "json_extract_events",
-    "priority_count_exists",
-    "scalar_udf_price_band",
-    "transe_rank_eval_filtered",
+NEW_IN_R05 = {
+    "incremental_neardedup_drop",
+    "sessionize_events",
 }
 
 
-def test_r04_rotation_inside_window():
+def test_r05_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (ROTATED_IN_R04 | ONCE_GREEN_R03) - window
-    assert not missing, f"r04-rotated queries fell out of the driver window: {missing}"
+    missing = (ONCE_GREEN_R04 | NEW_IN_R05) - window
+    assert not missing, f"r05 must-check queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():

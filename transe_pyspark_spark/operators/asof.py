@@ -247,3 +247,58 @@ def ewma_last(
     return events.select(key, ts_col, value_col).groupBy(key).applyInPandas(
         fold, f"{key} {key_type}, ewma_last double, n_obs long"
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: str = "event_id",
+    agg_value_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: assign every event to a session of its key
+    where consecutive events more than ``gap_seconds`` apart start a
+    new session, then roll each session up to one summary row — the
+    batch twin of the streaming ``session_window`` face (R23), and the
+    canonical lag→flag→running-sum window composition.
+
+    Scale posture: ONE shuffle on the key. The lag/running-sum window
+    partitions by key; the session rollup groups by (key, session_seq),
+    which hash-partitioning on key already clusters, so Catalyst's
+    EnsureRequirements inserts no second Exchange — lag, cumulative
+    sum, and the final aggregation all run inside the key's partition
+    (asserted in PLANS.md). Skewed keys spill through the sort, never
+    blow up state.
+
+    Ordering is (ts, tiebreak) so equal timestamps are deterministic.
+    ``agg_value_col`` additionally sums that column EXACTLY via integer
+    cents (the oracle-parity trick the profiler uses). Returns
+    (key, session_seq, session_start, session_end, n_events[,
+    sum_value_cents]).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    # exact integer microseconds — a seconds cast truncates sub-second
+    # components and disagrees with the oracle's epoch_us on gap ties
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy(key).orderBy(ts_col, order_tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessioned = events.withColumn("__new", is_new).withColumn(
+        "session_seq", F.sum("__new").over(running).cast("long")
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if agg_value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(agg_value_col) * 100).cast("long")).alias("sum_value_cents")
+        )
+    return sessioned.groupBy(key, "session_seq").agg(*aggs)

@@ -2245,6 +2245,44 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sessionize_events",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM x)
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM s GROUP BY user_id, session_seq
+    """,
+    tags=("timeseries", "window", "sessionize"),
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event stream: per-user sessions cut
+    at 8-hour inactivity gaps (lag → new-session flag → running sum →
+    rollup), the batch twin of the streaming ``session_window`` face.
+    ONE shuffle: the session rollup's (user_id, session_seq) grouping
+    is already clustered by the window's user_id hash partitioning, so
+    EnsureRequirements adds no second Exchange (PLANS.md). Gap compare
+    and value sum are exact integer µs / cents on both engines."""
+    from transe_pyspark_spark.operators.asof import sessionize
+
+    return sessionize(
+        _T(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        gap_seconds=28800, order_tiebreak="event_id", agg_value_col="value",
+    )
+
+
+@_register(
     "dataset_split_docs",
     oracle="""
     WITH h1 AS (
@@ -2398,17 +2436,79 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "incremental_neardedup_drop",
-    oracle=None,  # minhash signatures are seed-deterministic but not
-                  # SQL-expressible; correctness is pytest-gated
-                  # (test_incremental_neardedup_rejects_exact_and_near)
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> '') AS ws
+               FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_drop2_eligible,
+           TRUE AS eligibility_ok,
+           TRUE AS exact_dups_rejected_ok,
+           TRUE AS reland_admits_zero
+    FROM w WHERE doc_id % 2 = 1 AND len(ws) >= 3
+    """,
     tags=("dedup", "incremental", "minhash"),
 )
 def q_incremental_neardedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental NEAR-dedup across two drops: drop 1 (even doc_ids)
-    seeds the persisted signature state; drop 2 (odd doc_ids) is
-    admitted against it — exact copies and near-duplicates of drop 1
-    content are rejected by band-join + signature agreement without
-    re-reading drop 1's text. Returns drop 2's admitted doc_ids."""
+    """Incremental NEAR-dedup across two drops, oracle-ified via the
+    in-result-boolean pattern (same as ``minhash_near_pairs``): the
+    admitted SET is minhash-dependent, but the admission-contract
+    invariants are not. Drop 1 (even doc_ids) seeds the persisted
+    signature state; drop 2 (odd doc_ids) is admitted against it; drop
+    1 is then RELANDED. The driver-checkable row is (1)
+    ``n_drop2_eligible`` — a hard value: how many drop-2 docs have ≥
+    shingle_n whitespace words (the signature-eligibility rule), which
+    the oracle recomputes independently, cross-checking the operator's
+    tokenizer; (2) ``eligibility_ok`` — every admitted doc is eligible
+    (admitted ∪ rejected partitions the eligible drop); (3)
+    ``exact_dups_rejected_ok`` — no admitted drop-2 doc has text
+    identical to any drop-1 doc (identical text ⇒ identical signature
+    ⇒ same band buckets + agreement 1.0, so exact copies are always
+    rejected at any threshold ≤ 1, even when the drop-1 original was
+    itself rejected in favor of a near-dup keeper — agreement to the
+    keeper is signature-identical); (4) ``reland_admits_zero`` —
+    relanding drop 1 admits nothing, the at-least-once-delivery
+    guarantee. Raw admitted listing: ``incremental_neardedup_raw``."""
+    import tempfile
+
+    from transe_pyspark_spark.operators.incremental import neardedup_drop
+
+    d = _T(spark, sf_dir, "documents")
+    drop1 = d.filter(F.col("doc_id") % 2 == 0)
+    drop2 = d.filter(F.col("doc_id") % 2 == 1)
+    state = tempfile.mkdtemp(prefix="neardedup_state_")
+    neardedup_drop(spark, drop1, state)
+    admitted = neardedup_drop(spark, drop2, state).select("doc_id")
+    reland = neardedup_drop(spark, drop1, state).select("doc_id")
+
+    eligible = drop2.filter(
+        F.size(F.filter(F.split(F.col("text"), r"[ \t\n\r]+"), lambda w: w != "")) >= 3
+    ).select("doc_id")
+    dup2 = (
+        drop2.select("doc_id", "text")
+        .join(drop1.select("text").distinct(), "text", "left_semi")
+        .select("doc_id")
+    )
+    return (
+        eligible.agg(F.count("*").cast("bigint").alias("n_drop2_eligible"))
+        .crossJoin(
+            admitted.join(eligible, "doc_id", "left_anti").agg(
+                (F.count("*") == 0).alias("eligibility_ok")
+            )
+        )
+        .crossJoin(
+            dup2.join(admitted, "doc_id", "left_semi").agg(
+                (F.count("*") == 0).alias("exact_dups_rejected_ok")
+            )
+        )
+        .crossJoin(reland.agg((F.count("*") == 0).alias("reland_admits_zero")))
+    )
+
+
+def q_incremental_neardedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw admitted listing of the incremental near-dedup's second drop
+    (rows-only: the admitted subset is minhash-dependent, not
+    SQL-reproducible; the contract is driver-checked as
+    ``incremental_neardedup_drop``)."""
     import tempfile
 
     from transe_pyspark_spark.operators.incremental import neardedup_drop
@@ -2416,8 +2516,12 @@ def q_incremental_neardedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _T(spark, sf_dir, "documents")
     state = tempfile.mkdtemp(prefix="neardedup_state_")
     neardedup_drop(spark, d.filter(F.col("doc_id") % 2 == 0), state)
-    admitted = neardedup_drop(spark, d.filter(F.col("doc_id") % 2 == 1), state)
-    return admitted.select("doc_id")
+    return neardedup_drop(spark, d.filter(F.col("doc_id") % 2 == 1), state).select("doc_id")
+
+
+REGISTRY["incremental_neardedup_raw"] = QuerySpec(
+    "incremental_neardedup_raw", q_incremental_neardedup_raw, None, ("dedup", "incremental")
+)
 
 
 @_register(
@@ -3125,6 +3229,21 @@ _OVERFLOW_ORACLE = [
     "grouping_sets_revenue",     # agg: slot ceded to ewma_value (r02+r03
                                  # green; profile/histogram/TWA/percentiles/
                                  # distinct_counts keep the family in-window)
+    # rotated out in r05 (driver-green r03+r04) — slack for the new
+    # r05 oracle faces; every family keeps ≥1 in-window member:
+    "customer_order_distribution",  # agg: profile/histogram/percentiles/
+                                    # TWA/approx-sketch stay in
+    "distinct_counts",           # agg: same family members stay in
+    "jaccard_near_pairs",        # dedup: jaccard_prefix stays (cheap);
+                                 # minhash/incremental faces stay in
+    "near_dedup_keep",           # dedup: same; components story carried
+                                 # by incremental + minhash faces
+    "scalar_udf_price_band",     # UDFs: mapinarrow + UDTF faces stay in
+    "stream_dedup_events",       # streaming: tumbling/stateful/interval
+                                 # + corpus_clean/static_enrich stay in
+    "transe_rank_eval_filtered", # evaluator: flagship transe_rank_eval
+                                 # keeps the family in front
+    "priority_count_exists",     # filters: filter_predicates keeps R4
 ]
 
 
@@ -3142,6 +3261,9 @@ def _reorder_registry() -> None:
         # pipeline faces take their front slots
         "benchmark_decontaminate",
         "incremental_dedup_drop",
+        # r05: the newly oracle-ified incremental near-dedup contract
+        # has never been driver-checked — front slot until green
+        "incremental_neardedup_drop",
         "multimodal_meta",
         "stream_tumbling_counts",
         "stream_stateful_profiles",

@@ -497,11 +497,27 @@ class TransETrainer:
                     # assignment IS last-writer-wins (TransE.py:159-170)
                     store[ids] = mat
                 else:
-                    acc = np.zeros_like(store)
-                    np.add.at(acc, ids, mat)
-                    counts = np.bincount(ids, minlength=store.shape[0])
-                    touched = counts > 0
-                    store[touched] = acc[touched] / counts[touched, None]
+                    # mean over the vectors shipped per touched id.
+                    # Two scatter shapes: when the batch touches most
+                    # of V (small-vocab trainings like the bench
+                    # shape), a dense V×k accumulator + bincount is
+                    # cheapest — no sort. When touched ≪ V (the large-
+                    # vocab regime), sorting the touched ids into a
+                    # compact buffer keeps merge cost scaled by the
+                    # BATCH, not the vocabulary (a V×k zeros alloc per
+                    # batch at V=10⁸ would dominate the merge).
+                    if len(ids) * 4 >= store.shape[0]:
+                        acc = np.zeros_like(store)
+                        np.add.at(acc, ids, mat)
+                        counts = np.bincount(ids, minlength=store.shape[0])
+                        touched = counts > 0
+                        store[touched] = acc[touched] / counts[touched, None]
+                    else:
+                        uniq, inv = np.unique(ids, return_inverse=True)
+                        acc = np.zeros((uniq.size, dim), dtype=store.dtype)
+                        np.add.at(acc, inv, mat)
+                        counts = np.bincount(inv, minlength=uniq.size)
+                        store[uniq] = acc / counts[:, None]
             return loss
 
         for epoch in range(self.n_epochs):

