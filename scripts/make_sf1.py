@@ -96,8 +96,10 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
         return spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
 
     plans = {
-        "lineitem": _replicate(load("lineitem"), {"l_orderkey": ORDERKEY_OFF}),
-        "orders": _replicate(load("orders"), {"o_orderkey": ORDERKEY_OFF, "o_custkey": CUSTKEY_OFF}),
+        # facts repartition to 32 so the written layout gives the same
+        # read parallelism a real warehouse's file sizing would
+        "lineitem": _replicate(load("lineitem"), {"l_orderkey": ORDERKEY_OFF}).repartition(32),
+        "orders": _replicate(load("orders"), {"o_orderkey": ORDERKEY_OFF, "o_custkey": CUSTKEY_OFF}).repartition(32),
         "customer": _replicate(load("customer"), {"c_custkey": CUSTKEY_OFF}),
         "nation": load("nation"),
         "region": load("region"),
@@ -105,7 +107,24 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
         "events": _replicate(load("events"), {"event_id": EVENTID_OFF, "user_id": USERID_OFF}),
     }
     for name, df in plans.items():
-        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+        dest = os.path.join(out, f"{name}.parquet")
+        if name == "events":
+            # the streaming faces read {dir}/events.parquet as a FILE
+            # via pathGlobFilter, so mirror the driver fixture's flat
+            # single-file layout (1M rows — one file is fine)
+            import glob as _glob
+            import shutil as _shutil
+
+            tmp = os.path.join(out, "_events_tmp")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            _shutil.rmtree(dest, ignore_errors=True)
+            if os.path.exists(dest):
+                os.remove(dest)
+            _shutil.move(part, dest)
+            _shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            df.write.mode("overwrite").parquet(dest)
     with open(marker, "w") as f:
         f.write("ok\n")
     return out

@@ -1,0 +1,132 @@
+"""Property tests for the r05 operators: batch sessionization, SCD2
+merge, and bigram familiarity — each compared against an independent
+pure-Python model (the DuckDB oracle covers the fixture shapes; these
+cover edges the fixtures don't hit)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _python_sessionize(rows, gap_s):
+    """(user, ts_µs, event_id, value) → {(user, seq): [rows]}"""
+    out = {}
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r[1], r[2]))
+        seq = 0
+        prev = None
+        for r in rs:
+            if prev is None or r[1] - prev > gap_s * 1_000_000:
+                seq += 1
+            prev = r[1]
+            out.setdefault((u, seq), []).append(r)
+    return out
+
+
+def test_sessionize_matches_python_model(spark):
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(400):
+        u = rng.randrange(8)
+        ts = base + dt.timedelta(seconds=rng.randrange(0, 3 * 86400), microseconds=rng.randrange(1_000_000))
+        rows.append((u, ts, i, round(rng.uniform(0, 50), 2)))
+    # duplicate-timestamp edge: same user, same ts, distinct event ids
+    rows.append((1, rows[0][1], 9001, 1.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+
+    from transe_pyspark_spark.operators.asof import sessionize
+
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["sum_value_cents"],
+                                           r["session_start"], r["session_end"])
+        for r in sessionize(df, gap_seconds=3600, agg_value_col="value").collect()
+    }
+    model = _python_sessionize(
+        [(u, int(ts.timestamp() * 1_000_000), e, v) for u, ts, e, v in rows], 3600
+    )
+    assert set(got) == set(model)
+    for key, rs in model.items():
+        n, cents, start, end = got[key]
+        assert n == len(rs)
+        assert cents == sum(round(r[3] * 100) for r in rs)
+        assert int(start.timestamp() * 1_000_000) == min(r[1] for r in rs)
+        assert int(end.timestamp() * 1_000_000) == max(r[1] for r in rs)
+
+
+def test_scd2_merge_invariants(spark):
+    from transe_pyspark_spark.operators.relational import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: open, will change; key 2: open, unchanged snapshot;
+            # key 3: open, absent from changes; key 4: already-closed history
+            (1, 100, "A", dt.date(2024, 1, 1), None),
+            (2, 200, "B", dt.date(2024, 1, 1), None),
+            (3, 300, "C", dt.date(2024, 1, 1), None),
+            (4, 400, "D", dt.date(2023, 1, 1), dt.date(2024, 1, 1)),
+            (4, 410, "D", dt.date(2024, 1, 1), None),
+            # key 6: NULL attribute transitioning to a value — must count as a change
+            (6, None, "F", dt.date(2024, 1, 1), None),
+        ],
+        "k long, bal long, seg string, valid_from date, valid_to date",
+    )
+    changes = spark.createDataFrame(
+        [(1, 150, "A"), (2, 200, "B"), (5, 500, "E"), (6, 600, "F")],
+        "k long, bal long, seg string",
+    )
+    eff = F.to_date(F.lit("2024-06-01"))
+    out = scd2_merge(dim, changes, ["k"], ["bal", "seg"], eff).collect()
+    rows = {(r["k"], r["bal"], str(r["valid_from"]), str(r["valid_to"])) for r in out}
+    assert rows == {
+        (1, 100, "2024-01-01", "2024-06-01"),   # closed
+        (1, 150, "2024-06-01", "None"),          # new version
+        (2, 200, "2024-01-01", "None"),          # no-op stays open
+        (3, 300, "2024-01-01", "None"),          # untouched key stays open
+        (4, 400, "2023-01-01", "2024-01-01"),   # history passes through
+        (4, 410, "2024-01-01", "None"),
+        (5, 500, "2024-06-01", "None"),          # brand-new key
+        (6, None, "2024-01-01", "2024-06-01"),  # NULL→600 is a change
+        (6, 600, "2024-06-01", "None"),
+    }
+    # exactly one open row per live key
+    open_by_key = {}
+    for r in out:
+        if r["valid_to"] is None:
+            open_by_key[r["k"]] = open_by_key.get(r["k"], 0) + 1
+    assert all(v == 1 for v in open_by_key.values())
+
+
+def test_bigram_familiarity_matches_python(spark):
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "zzz qqq"),          # unique bigram: familiarity 1.0
+        (3, "one"),              # < 2 words: dropped
+        (4, "The CAT sat"),      # case-folds onto doc 1's bigrams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from transe_pyspark_spark.functions.text import bigram_familiarity
+
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_freq"]) for r in bigram_familiarity(df).collect()}
+
+    from collections import Counter
+
+    grams = {}
+    for i, t in docs:
+        ws = t.lower().split()
+        grams[i] = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+    lm = Counter(g for gs in grams.values() for g in gs)
+    expect = {
+        i: (len(gs), sum(lm[g] for g in gs)) for i, gs in grams.items() if gs
+    }
+    assert got == expect
+    assert 3 not in got

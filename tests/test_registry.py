@@ -62,6 +62,8 @@ ONCE_GREEN_R04 = {
 NEW_IN_R05 = {
     "incremental_neardedup_drop",
     "sessionize_events",
+    "scd2_merge_customers",
+    "bigram_familiarity_docs",
 }
 
 

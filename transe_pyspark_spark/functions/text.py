@@ -304,3 +304,44 @@ def gopher_keep(text: Column | str) -> Column:
         & (stopword_ratio(c) >= 0.05)
         & (dup_word_ratio(c) <= 0.6)
     )
+
+
+def bigram_familiarity(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Count-based language-model familiarity score per document: the
+    mean corpus frequency of the document's word bigrams — the exact-
+    arithmetic analogue of LM-perplexity quality scoring (documents
+    whose n-grams the corpus has never seen score low: gibberish,
+    boilerplate mutations, OCR noise; documents of common constructions
+    score high). All integers until the final division, so the score is
+    engine-reproducible (sum and count are exact; the one double
+    division of two BIGINTs yields identical IEEE results everywhere).
+
+    Plan: one narrow n-gram explode, one hash-agg building the corpus
+    bigram table (the "LM"), one equi-join of the gram stream back
+    against it, one per-doc aggregation — every shuffle keyed on gram
+    or doc id, nothing quadratic, no UDF. At 100 TB the bigram table is
+    itself corpus-sized; it hash-partitions by gram and the join
+    co-partitions with the aggregate that built it (exchange reuse), so
+    the scoring pass costs ~2 gram-keyed shuffles. Docs with < 2 words
+    have no bigrams and are dropped (no LM evidence either way).
+    """
+    from pyspark.sql import functions as F
+
+    grams = docs.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g"))
+    lm = grams.groupBy("g").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        grams.join(lm, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+        )
+        .select(
+            id_col, "n_bigrams", "sum_freq",
+            F.round(F.col("sum_freq").cast("double") / F.col("n_bigrams").cast("double"), 6).alias("familiarity"),
+        )
+    )

@@ -385,3 +385,83 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0]))
     return df.withColumn("split", expr)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    effective: "Column",
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge — the warehouse
+    dimension-maintenance operator: apply a change snapshot to a
+    versioned dimension, closing superseded rows and opening new ones,
+    without ever rewriting history.
+
+    ``dim`` carries one row per (key, version) with ``valid_from`` and
+    ``valid_to`` (NULL = current). ``changes`` carries the new snapshot
+    attributes per key, effective at ``effective``. Semantics:
+
+    * closed history rows pass through untouched;
+    * an open row whose key is absent from ``changes``, or whose
+      ``compare_cols`` all match, passes through still open;
+    * an open row superseded by a differing change row is CLOSED
+      (``valid_to`` = effective) and the change row opens a new version
+      (``valid_from`` = effective);
+    * a change row with no open match (a brand-new key) opens its
+      first version.
+
+    Scale posture: ONE equi-join of the open slice against the change
+    batch on the key (broadcast when the batch is small — the nightly-
+    ingest case — else a hash join co-partitioned on key), plus unions
+    that are plan-only. History (the bulk of an SCD2 table) is touched
+    only by the ``valid_to IS NULL`` partition filter, which prunes at
+    the scan on a table partitioned by open/closed status.
+
+    NULL-safe comparison: attribute equality uses ``eqNullSafe`` per
+    column, so NULL→value and value→NULL transitions count as changes.
+    """
+    open_rows = dim.filter(F.col(valid_to_col).isNull())
+    closed_rows = dim.filter(F.col(valid_to_col).isNotNull())
+    ch = changes.select(
+        *[F.col(c).alias(f"__ch_{c}") for c in key_cols + compare_cols]
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(c) == F.col(f"__ch_{c}")
+        cond = eq if cond is None else cond & eq
+    j = open_rows.join(ch, cond, "left")
+    differs = None
+    for c in compare_cols:
+        ne = ~F.col(c).eqNullSafe(F.col(f"__ch_{c}"))
+        differs = ne if differs is None else differs | ne
+    matched = F.col(f"__ch_{key_cols[0]}").isNotNull()
+    dim_cols = dim.columns
+    # open rows: keep as-is when unmatched or unchanged; close when superseded
+    kept_open = j.filter(~matched | ~differs).select(*dim_cols)
+    closed_now = j.filter(matched & differs).select(
+        *[F.col(c) for c in dim_cols if c != valid_to_col],
+        effective.alias(valid_to_col),
+    ).select(*dim_cols)
+    # change rows that open a new version: differing match or brand-new key
+    new_keys = j.filter(matched & differs).select(
+        *[F.col(f"__ch_{c}").alias(c) for c in key_cols]
+    )
+    brand_new = changes.join(
+        open_rows.select(*key_cols), key_cols, "left_anti"
+    ).select(*key_cols, *compare_cols)
+    opened = (
+        changes.join(new_keys, key_cols, "left_semi")
+        .select(*key_cols, *compare_cols)
+        .unionByName(brand_new)
+        .select(
+            *key_cols, *compare_cols,
+            effective.alias(valid_from_col),
+            F.lit(None).cast(dim.schema[valid_to_col].dataType).alias(valid_to_col),
+        )
+        .select(*dim_cols)
+    )
+    return closed_rows.unionByName(kept_open).unionByName(closed_now).unionByName(opened)

@@ -2283,6 +2283,106 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bigram_familiarity_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(ws, s + 1, s + 2), ' ') AS g
+      FROM toks, unnest(generate_series(0, len(ws) - 2, 1)) AS u(s)
+      WHERE len(ws) >= 2),
+    lm AS (SELECT g, count(*) AS freq FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(freq) AS BIGINT) AS sum_freq,
+           round(CAST(sum(freq) AS DOUBLE) / count(*), 6) AS familiarity
+    FROM grams JOIN lm USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def q_bigram_familiarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based LM familiarity per document: mean corpus frequency
+    of the doc's word bigrams — the exact-integer analogue of
+    perplexity quality scoring (never-seen constructions score low).
+    Gram explode → corpus bigram hash-agg → gram-keyed join back →
+    per-doc agg; all shuffles keyed on gram/doc, exact until one final
+    BIGINT/BIGINT division both engines round identically."""
+    from transe_pyspark_spark.functions.text import bigram_familiarity
+
+    return bigram_familiarity(_T(spark, sf_dir, "documents"))
+
+
+@_register(
+    "scd2_merge_customers",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             c_mktsegment, DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+      FROM customer),
+    ch AS (
+      SELECT c_custkey, acctbal_cents + 10000 AS acctbal_cents, c_mktsegment
+      FROM dim WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, acctbal_cents, c_mktsegment FROM dim WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT c_custkey + 10000000, acctbal_cents, 'NEW' FROM dim WHERE c_custkey % 97 = 5)
+    SELECT d.c_custkey, d.acctbal_cents, d.c_mktsegment, d.valid_from,
+           CASE WHEN c.c_custkey IS NOT NULL
+                     AND (c.acctbal_cents <> d.acctbal_cents OR c.c_mktsegment <> d.c_mktsegment)
+                THEN DATE '2024-06-01' END AS valid_to
+    FROM dim d LEFT JOIN ch c ON d.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT c.c_custkey, c.acctbal_cents, c.c_mktsegment, DATE '2024-06-01', CAST(NULL AS DATE)
+    FROM ch c LEFT JOIN dim d ON c.c_custkey = d.c_custkey
+    WHERE d.c_custkey IS NULL
+          OR c.acctbal_cents <> d.acctbal_cents OR c.c_mktsegment <> d.c_mktsegment
+    """,
+    tags=("warehouse", "join", "scd2"),
+)
+def q_scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge on customer: a change batch (+100.00 to
+    every custkey ≡ 3 mod 10, a NO-OP snapshot for ≡ 7 mod 10, and
+    brand-new offset keys for ≡ 5 mod 97) merges into a freshly
+    versioned dimension — superseded versions close at the effective
+    date, unchanged and no-op rows stay open, new keys open their first
+    version. One key equi-join + plan-only unions (PLANS-gated via the
+    operator's design); everything exact (integer cents, dates)."""
+    from transe_pyspark_spark.operators.relational import scd2_merge
+
+    cust = _T(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    changes = (
+        dim.filter(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey", (F.col("acctbal_cents") + 10000).alias("acctbal_cents"), "c_mktsegment")
+        .unionByName(
+            dim.filter(F.col("c_custkey") % 10 == 7)
+            .select("c_custkey", "acctbal_cents", "c_mktsegment")
+        )
+        .unionByName(
+            dim.filter(F.col("c_custkey") % 97 == 5)
+            .select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                "acctbal_cents", F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_merge(
+        dim, changes,
+        key_cols=["c_custkey"], compare_cols=["acctbal_cents", "c_mktsegment"],
+        effective=F.to_date(F.lit("2024-06-01")),
+    )
+
+
+@_register(
     "dataset_split_docs",
     oracle="""
     WITH h1 AS (
