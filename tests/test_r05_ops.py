@@ -130,3 +130,48 @@ def test_bigram_familiarity_matches_python(spark):
     }
     assert got == expect
     assert 3 not in got
+
+
+def test_heavy_hitters_exactness(spark):
+    """Skewed synthetic stream: the candidate pass must not lose any
+    true heavy hitter across partition layouts, and the verified output
+    must equal the exact answer."""
+    rng = random.Random(11)
+    items = (
+        ["alpha"] * 400 + ["beta"] * 150 + ["gamma"] * 60
+        + [f"tail{i}" for i in range(2000) for _ in (0,)]
+    )
+    rng.shuffle(items)
+    from collections import Counter
+
+    exact = Counter(items)
+    n = len(items)
+    phi = 0.02
+    want = {(k, v) for k, v in exact.items() if v > phi * n}
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame([(x,) for x in items], "token string").repartition(parts)
+        from transe_pyspark_spark.operators.relational import heavy_hitters
+
+        got = {(r["item"], r["n"]) for r in heavy_hitters(df, "token", phi=phi).collect()}
+        assert got == want, f"parts={parts}"
+
+
+def test_token_budget_sample_stable_under_repartition(spark):
+    rows = [(i, ["en", "de"][i % 2], f"doc {i} " + "w " * (i % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from transe_pyspark_spark.functions.text import word_count
+    from transe_pyspark_spark.operators.relational import token_budget_sample
+
+    budgets = {"en": 250, "de": 120}
+
+    def run(d):
+        out = token_budget_sample(d, "lang", word_count("text"), budgets)
+        return {(r["doc_id"], r["lang"], r["n_tokens"], r["cum_tokens"]) for r in out.collect()}
+
+    a = run(df)
+    b = run(df.repartition(13))
+    assert a == b and len(a) > 0
+    # budgets respected per stratum
+    for lang, cap in budgets.items():
+        tot = sum(t for (_, l, t, _) in a if l == lang)
+        assert tot <= cap

@@ -64,6 +64,9 @@ NEW_IN_R05 = {
     "sessionize_events",
     "scd2_merge_customers",
     "bigram_familiarity_docs",
+    "stream_interval_join_outer",
+    "token_budget_mix",
+    "heavy_hitter_words",
 }
 
 

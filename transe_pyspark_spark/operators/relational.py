@@ -465,3 +465,101 @@ def scd2_merge(
         .select(*dim_cols)
     )
     return closed_rows.unionByName(kept_open).unionByName(closed_now).unionByName(opened)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: Column | str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    salt: int = 1,
+) -> DataFrame:
+    """Deterministic token-budget mixture sampling — the pretraining
+    mixture op: fill each stratum's TOKEN budget (not row count) in a
+    stable pseudo-random order, so "200 B tokens of code, 50 B of
+    wiki" is a declarative spec, reproducible across runs, retries,
+    and repartitioning.
+
+    Per stratum, rows order by an exact-BIGINT MINSTD double-step hash
+    of ``id_col`` (the same engine-reproducible generator as
+    ``hash_split``; id ties broken by id) and survive while the
+    running token sum stays within the stratum's budget — so the
+    selected set is a pure function of (ids, budgets), never of
+    physical layout. Strata missing from ``budgets`` are dropped.
+
+    ONE shuffle: the cumulative-sum window partitions by stratum; the
+    filter is a projection on top. Skewed strata spill through the
+    window sort rather than blowing up memory. Returns the surviving
+    rows with ``n_tokens`` and the running ``cum_tokens``.
+    """
+    m = 2147483647
+    h = F.pmod(F.pmod(F.col(id_col), m) * 48271 + salt, m)
+    h = F.pmod(h * 48271, m)
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = None
+    for name, b in budgets.items():
+        cond = F.col(stratum_col) == name
+        budget = F.when(cond, b) if budget is None else budget.when(cond, b)
+    return (
+        df.select("*", tok.cast("long").alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi: float = 0.005,
+) -> DataFrame:
+    """EXACT φ-heavy hitters (all items with frequency > φ·n) at
+    streaming-sketch cost: a per-partition candidate pass with the
+    Misra-Gries bound, then exact verification of candidates only —
+    the raw item stream is never shuffled.
+
+    Soundness: if an item's global count exceeds φ·n, its count in at
+    least one partition exceeds φ·n_p (otherwise the total would be
+    ≤ φ·Σn_p = φ·n), so emitting each partition's items with local
+    count > φ·n_p yields a superset of the true heavy hitters — at
+    most ⌈1/φ⌉ candidates per partition, ~KBs however large the data.
+    Candidates then broadcast back as a semi-join filter and only
+    their occurrences aggregate (exact counts), so the final
+    ``count > φ·n`` filter returns the exact answer — hash-checkable
+    against a plain GROUP BY oracle, unlike an estimate.
+
+    The local pass is a vectorized pandas ``value_counts`` per
+    partition (Arrow batches accumulated per partition, one C pass —
+    no per-item Python loop)."""
+    import pandas as pd
+
+    items = df.select(F.col(item_col).alias("item"))
+
+    def local_candidates(batches):
+        counts: pd.Series | None = None
+        for pdf in batches:
+            c = pdf["item"].value_counts()
+            counts = c if counts is None else counts.add(c, fill_value=0)
+        if counts is None:
+            return
+        n_p = int(counts.sum())
+        keep = counts[counts > phi * n_p]
+        yield pd.DataFrame({"item": keep.index.astype(str)})
+
+    cand = items.mapInPandas(local_candidates, "item string").distinct()
+    exact = (
+        items.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = items.agg(F.count(F.lit(1)).cast("bigint").alias("__total"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n") > F.lit(phi) * F.col("__total"))
+        .select("item", "n")
+    )

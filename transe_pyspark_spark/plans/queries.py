@@ -2283,6 +2283,72 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "heavy_hitter_words",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '')) AS item
+      FROM documents),
+    tot AS (SELECT count(*) AS n FROM w)
+    SELECT item, CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY item
+    HAVING count(*) > 0.005 * (SELECT n FROM tot)
+    """,
+    tags=("agg", "sketch", "text"),
+)
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 0.5%-heavy-hitter words of the corpus at sketch cost: a
+    per-partition Misra-Gries-bounded candidate pass (≤1/φ candidates
+    per partition, vectorized value_counts — the raw token stream is
+    never shuffled), then exact counting of candidates only. The
+    result is the exact answer, so the oracle is a plain GROUP BY."""
+    from transe_pyspark_spark.functions.text import words
+    from transe_pyspark_spark.operators.relational import heavy_hitters
+
+    d = _T(spark, sf_dir, "documents")
+    toks = d.select(F.explode(words(F.lower(F.col("text")))).alias("token"))
+    return heavy_hitters(toks, "token", phi=0.005).select(
+        F.col("item"), F.col("n")
+    )
+
+
+@_register(
+    "token_budget_mix",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             ((doc_id % 2147483647) * 48271 + 1) % 2147483647 AS h1
+      FROM documents),
+    hashed AS (SELECT doc_id, lang, n_tokens, (h1 * 48271) % 2147483647 AS h FROM base),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM hashed)
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                                  WHEN 'zh' THEN 2000 WHEN 'fr' THEN 2000 END
+    """,
+    tags=("sampling", "pipeline", "mixture"),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling — fill per-language TOKEN budgets
+    (en 5000 / de 2000 / zh 2000 / fr 2000; es unbudgeted → dropped) in
+    a deterministic MINSTD-hash order: the declarative "N tokens of X"
+    pretraining-mixture spec, reproducible under repartitioning and
+    retries. One stratum-partitioned window cumsum + filter."""
+    from transe_pyspark_spark.functions.text import word_count
+    from transe_pyspark_spark.operators.relational import token_budget_sample
+
+    d = _T(spark, sf_dir, "documents")
+    return token_budget_sample(
+        d, "lang", word_count("text"),
+        budgets={"en": 5000, "de": 2000, "zh": 2000, "fr": 2000},
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+@_register(
     "bigram_familiarity_docs",
     oracle="""
     WITH toks AS (
@@ -3045,6 +3111,53 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = click_purchase_interval_join(clicks, purchases)
+    return run_available_now(joined, spark, output_mode="append")
+
+
+@_register(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                             (SELECT max(purchase_ts) FROM p)) - INTERVAL 2 HOURS AS w)
+    SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts
+    FROM c JOIN p ON p.user_id = c.user_id
+                  AND p.purchase_ts >= c.click_ts
+                  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT), c.click_ts, CAST(NULL AS TIMESTAMP)
+    FROM c
+    WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                        AND p.purchase_ts >= c.click_ts
+                        AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+      AND c.click_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — the
+    abandoned-funnel stream (clicks that never converted inside the
+    horizon emit with null purchase columns once the watermark proves
+    no match can arrive). The oracle replicates BOTH halves: the batch
+    interval join, and Spark's null-emission gate — a click emits null
+    only when ``click_ts + horizon`` is strictly before the global
+    watermark ``min(max(click_ts), max(purchase_ts)) − delay`` — so
+    stream-head clicks stay withheld exactly as the engine withholds
+    them (boundary verified empirically: 1966/1973 unmatched clicks
+    emit at sf0.01, max emitted click matches the engine's)."""
+    from transe_pyspark_spark.streaming.windows import (
+        click_purchase_interval_join_outer,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = click_purchase_interval_join_outer(clicks, purchases)
     return run_available_now(joined, spark, output_mode="append")
 
 

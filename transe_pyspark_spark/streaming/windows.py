@@ -236,3 +236,36 @@ def enriched_nation_counts(
         )
         .select(F.col("w.start").alias("window_start"), "nation", "n_events", "value_cents")
     )
+
+
+def click_purchase_interval_join_outer(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (R23): like
+    ``click_purchase_interval_join``, but clicks with NO purchase in
+    the horizon still emit — with null purchase columns — once the
+    watermark passes ``click_ts + horizon`` and the engine can prove no
+    match can arrive. This is the abandoned-funnel query (clicks that
+    never converted) as a STREAM: inner join state bounds identically,
+    and the null-side emission is exactly watermark-gated, so clicks
+    too close to the stream head stay withheld rather than emitting a
+    false "never purchased"."""
+    c = clicks.select(
+        F.col("user_id"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
