@@ -67,6 +67,7 @@ NEW_IN_R05 = {
     "stream_interval_join_outer",
     "token_budget_mix",
     "heavy_hitter_words",
+    "equi_depth_prices",
 }
 
 

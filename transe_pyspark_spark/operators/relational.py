@@ -563,3 +563,50 @@ def heavy_hitters(
         .filter(F.col("n") > F.lit(phi) * F.col("__total"))
         .select("item", "n")
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: Column | str,
+    n_buckets: int = 8,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram — the complement of
+    ``fixed_width_histogram`` for skewed columns, where fixed bins put
+    99% of rows in one bar.
+
+    NOT the naive global-``ntile`` plan (a single-partition window that
+    dies at scale): bucket BOUNDARIES come from one interpolated-
+    percentile aggregate (k−1 doubles — bytes), broadcast back, and
+    rows assign themselves with a narrow k-comparison projection; the
+    final rollup is a ≤k-group agg that ships kilobytes. Rows equal to
+    a boundary go to the upper bucket.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (sorts the column
+    in agg state — fine to ~10⁸ rows and the only oracle-comparable
+    definition: DuckDB ``quantile_cont`` interpolates identically on
+    integer inputs). ``exact=False`` swaps in ``approx_percentile``
+    (GK sketch, bounded memory) — the 100 TB door, same plan shape.
+    Returns (bucket, n, min_value, max_value)."""
+    c = F.col(col) if isinstance(col, str) else col
+    qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    perc = F.percentile(c, qs) if exact else F.approx_percentile(c, qs, F.lit(accuracy)).cast("array<double>")
+    bounds = df.agg(perc.alias("__bs"))
+    return (
+        df.select(c.alias("__v"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "__v",
+            F.aggregate(
+                "__bs", F.lit(0),
+                lambda acc, b: acc + F.when(F.col("__v") >= b, 1).otherwise(0),
+            ).cast("long").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("__v").alias("min_value"),
+            F.max("__v").alias("max_value"),
+        )
+    )

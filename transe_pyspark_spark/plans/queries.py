@@ -2283,6 +2283,31 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "equi_depth_prices",
+    oracle="""
+    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    b AS (SELECT quantile_cont(cents, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM c)
+    SELECT CAST(len(list_filter(bs, x -> cents >= x)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS min_value, max(cents) AS max_value
+    FROM c, b GROUP BY 1
+    """,
+    tags=("agg", "histogram", "percentile"),
+)
+def q_equi_depth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth 8-bucket histogram of order value (integer cents):
+    boundaries from ONE interpolated-percentile aggregate broadcast
+    back, narrow k-comparison bucket assignment, ≤8-group rollup — no
+    global ntile window, so the plan survives any row count (swap in
+    the approx_percentile sketch via exact=False past ~10⁸ rows)."""
+    from transe_pyspark_spark.operators.relational import equi_depth_histogram
+
+    o = _T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return equi_depth_histogram(o.select(cents.alias("cents")), "cents", n_buckets=8)
+
+
+@_register(
     "heavy_hitter_words",
     oracle="""
     WITH w AS (
