@@ -259,32 +259,19 @@ def main() -> None:
     )
     print(f"# bucketed_orders_lineitem: {times['bucketed_orders_lineitem']}s", file=sys.stderr)
 
-    times["transe_train_epoch"], runs["transe_train_epoch"] = _train_epoch_seconds(spark)
-    print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)
-
-    # Drop the trainer's dead references (localCheckpoint blocks free
-    # via ContextCleaner only after Python GC releases them) so the
-    # next sections aren't timed under the previous one's block/GC
-    # pressure — measured 2× on the relational epoch without this.
-    import gc
-
-    gc.collect()
-    spark.catalog.clearCache()
-
-    # Scale-path reference point, NOT summed into ``value``: the
+    # Scale-path reference points, NOT summed into ``value``: the
     # relational trainer deliberately pays per-batch shuffles to keep
     # model state distributed (the beyond-broadcastable-V path), so its
     # epoch time is reported alongside — comparable across rounds —
     # without drowning the headline total that tracks the operator
-    # library round over round.
+    # library round over round. The relational section runs FIRST of
+    # the trainer sections: it is the most sensitive to block-manager/
+    # GC churn left behind by other trainers (r05: 9.4 s on a fresh
+    # JVM vs 15.8 s measured after two broadcast-trainer sections),
+    # and the broadcast trainers are far less state-sensitive.
+    import gc
+
     scale_paths: dict[str, float] = {}
-    scale_paths["transe_train_epoch_overlap"], runs["transe_train_epoch_overlap"] = (
-        _train_epoch_overlap_seconds(spark)
-    )
-    print(
-        f"# transe_train_epoch_overlap: {scale_paths['transe_train_epoch_overlap']}s/epoch",
-        file=sys.stderr,
-    )
     gc.collect()
     spark.catalog.clearCache()
     scale_paths["transe_train_epoch_relational"], runs["transe_train_epoch_relational"] = (
@@ -292,6 +279,26 @@ def main() -> None:
     )
     print(
         f"# transe_train_epoch_relational: {scale_paths['transe_train_epoch_relational']}s/epoch",
+        file=sys.stderr,
+    )
+    gc.collect()
+    spark.catalog.clearCache()
+
+    times["transe_train_epoch"], runs["transe_train_epoch"] = _train_epoch_seconds(spark)
+    print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)
+
+    # Drop the trainer's dead references (localCheckpoint blocks free
+    # via ContextCleaner only after Python GC releases them) so the
+    # next sections aren't timed under the previous one's block/GC
+    # pressure — measured 2× on the relational epoch without this.
+    gc.collect()
+    spark.catalog.clearCache()
+
+    scale_paths["transe_train_epoch_overlap"], runs["transe_train_epoch_overlap"] = (
+        _train_epoch_overlap_seconds(spark)
+    )
+    print(
+        f"# transe_train_epoch_overlap: {scale_paths['transe_train_epoch_overlap']}s/epoch",
         file=sys.stderr,
     )
 

@@ -175,3 +175,22 @@ def test_token_budget_sample_stable_under_repartition(spark):
     for lang, cap in budgets.items():
         tot = sum(t for (_, l, t, _) in a if l == lang)
         assert tot <= cap
+
+
+def test_equi_depth_histogram_edges(spark):
+    from transe_pyspark_spark.operators.relational import equi_depth_histogram
+
+    # all-equal column: every boundary equals the value, all rows land
+    # in the top bucket (>= sends ties up) — one bucket, full count
+    same = spark.createDataFrame([(5,)] * 100, "v long")
+    rows = equi_depth_histogram(same, "v", n_buckets=4).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 100 and rows[0]["bucket"] == 3
+
+    # uniform ints: buckets within ±1 of equal depth
+    uni = spark.createDataFrame([(i,) for i in range(1000)], "v long")
+    out = {r["bucket"]: r["n"] for r in equi_depth_histogram(uni, "v", n_buckets=8).collect()}
+    assert len(out) == 8
+    assert all(abs(n - 125) <= 1 for n in out.values()), out
+    # approx variant returns the same bucket count on uniform data
+    out2 = equi_depth_histogram(uni, "v", n_buckets=8, exact=False).collect()
+    assert len(out2) == 8
