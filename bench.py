@@ -349,6 +349,13 @@ def main() -> None:
             sf1["error"] = str(e)[:200]
             print(f"# sf1 section failed: {e}", file=sys.stderr)
 
+    # second calibration sample: machine speed can drift WITHIN a run
+    # (r05 observed numpy_matmul 0.076 vs 0.331 across two runs an hour
+    # apart on an idle machine — host-level noise); start+end samples
+    # bound which sections a drift window could have touched
+    calibration_end = _calibration(spark)
+    print(f"# calibration_end: {calibration_end}", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_total_runtime",
@@ -358,6 +365,7 @@ def main() -> None:
         "scale_paths": scale_paths,
         "sf1": sf1,
         "calibration": calibration,
+        "calibration_end": calibration_end,
         "runs": runs,
         "sf": sf,
     }))

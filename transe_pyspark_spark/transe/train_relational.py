@@ -47,7 +47,8 @@ exactly the joins a 1000-executor cluster distributes; nothing is
 sized by V on any single node, and the shuffled vector volume is
 ~3N + |touched| vectors per batch versus ~9N for the unfused
 five-join chain. Measured at the FB15k bench shape: 16.7 s/epoch
-(r04) → 9.4 s/epoch with bit-identical loss history.
+(r04) → 9-11 s/epoch on a fresh JVM (≈13.6 s when run inside the
+full bench session's JVM), with bit-identical loss history.
 
 Trade-off: per-epoch latency is much higher than the broadcast path at
 small V (joins vs one broadcast), so selection is by model size; the
