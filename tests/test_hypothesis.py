@@ -352,3 +352,99 @@ def test_half_away_round_matches_duckdb(v):
     got = math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
     want = duckdb.execute("SELECT round(?::DOUBLE, 6)", [v]).fetchone()[0]
     assert got == want, (v, got, want)
+
+
+# --- r05: sessionize fuzz -------------------------------------------------
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),             # user
+        st.integers(min_value=0, max_value=10_000),        # seconds offset
+        st.integers(min_value=0, max_value=999_999),       # microseconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(session_events)
+def test_sessionize_fuzz_vs_python(spark, evs):
+    """Gap-boundary exactness: events exactly gap_seconds apart stay in
+    ONE session (strict > semantics), one microsecond more splits —
+    generated offsets include exact collisions and 1µs-off boundaries."""
+    import datetime as dt
+
+    gap_s = 100
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s, microseconds=us), i)
+        for i, (u, s, us) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+
+    from transe_pyspark_spark.operators.asof import sessionize
+
+    got = {
+        (r["user_id"], r["session_seq"]): r["n_events"]
+        for r in sessionize(df, gap_seconds=gap_s).collect()
+    }
+
+    model: dict = {}
+    by_user: dict = {}
+    for u, ts, e in rows:
+        by_user.setdefault(u, []).append((int(ts.timestamp() * 1_000_000), e))
+    for u, rs in by_user.items():
+        rs.sort()
+        seq, prev = 0, None
+        for t_us, _ in rs:
+            if prev is None or t_us - prev > gap_s * 1_000_000:
+                seq += 1
+            prev = t_us
+            model[(u, seq)] = model.get((u, seq), 0) + 1
+    assert got == model
+
+
+# --- r05: SCD2 merge fuzz -------------------------------------------------
+
+scd2_state = st.tuples(
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=10),  # open dim: key → attr
+    st.dictionaries(st.integers(0, 12), st.integers(0, 3), max_size=10),  # changes: key → attr
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(scd2_state)
+def test_scd2_merge_fuzz(spark, state):
+    import datetime as dt
+
+    open_attrs, changes = state
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dim_schema = "k long, a long, valid_from date, valid_to date"
+    dim_rows = [(k, a, dt.date(2024, 1, 1), None) for k, a in open_attrs.items()]
+    ch_rows = [(k, a) for k, a in changes.items()]
+    dim = spark.createDataFrame(dim_rows, dim_schema) if dim_rows else spark.createDataFrame(
+        [], T.StructType([T.StructField("k", T.LongType()), T.StructField("a", T.LongType()),
+                          T.StructField("valid_from", T.DateType()), T.StructField("valid_to", T.DateType())])
+    )
+    ch = spark.createDataFrame(ch_rows, "k long, a long") if ch_rows else spark.createDataFrame(
+        [], T.StructType([T.StructField("k", T.LongType()), T.StructField("a", T.LongType())])
+    )
+    from transe_pyspark_spark.operators.relational import scd2_merge
+
+    out = scd2_merge(dim, ch, ["k"], ["a"], F.to_date(F.lit("2024-06-01"))).collect()
+
+    expect = set()
+    for k, a in open_attrs.items():
+        if k in changes and changes[k] != a:
+            expect.add((k, a, "2024-01-01", "2024-06-01"))
+            expect.add((k, changes[k], "2024-06-01", "None"))
+        else:
+            expect.add((k, a, "2024-01-01", "None"))
+    for k, a in changes.items():
+        if k not in open_attrs:
+            expect.add((k, a, "2024-06-01", "None"))
+    got = {(r["k"], r["a"], str(r["valid_from"]), str(r["valid_to"])) for r in out}
+    assert got == expect
