@@ -718,3 +718,31 @@ def test_time_weighted_avg_edges(spark):
     assert 2 not in got
     assert got[1] == ((10 * 3 + 20 * 1) / 4.0, 4)
     assert got[3] == (7.0, 20)
+
+
+def test_ivf_persisted_matches_inline_and_prunes(spark, sf_dir):
+    """Build-once/probe-many IVF: the persisted index returns the SAME
+    (query, neighbor, rank) set as the inline ann_ivf at the same seed
+    (the index is a layout, not a different algorithm), and the probe
+    scan prunes unprobed cell partitions."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    S.ivf_build(emb, idx, n_cells=16, seed=42)
+    persisted = S.ivf_query(spark, q, idx, k=10, n_probe=6)
+    inline = S.ann_ivf(q, emb, k=10, n_cells=16, n_probe=6, seed=42)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in persisted.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
+    assert a == b and a
+    # partition pruning: the postings scan must carry a filter on the
+    # cell partition column (dynamic pruning from the probe join)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        persisted.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "dynamicpruning" in plan.lower(), plan[:2000]

@@ -1469,6 +1469,26 @@ def q_ann_ivf_pq_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["ann_ivf_pq_neighbors"] = QuerySpec("ann_ivf_pq_neighbors", q_ann_ivf_pq_neighbors, None, ("knn",))
 
 
+def q_ann_ivf_persisted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once/probe-many IVF (r05): the index persists as a
+    centroid table + cell-PARTITIONED postings, and the probe's cell
+    join dynamically prunes unprobed cell directories at the scan.
+    Rows-only check; equality with inline ann_ivf at the same seed and
+    the PartitionFilters/dynamicpruning plan markers are pytest-gated
+    (``test_ivf_persisted_matches_inline_and_prunes``)."""
+    import tempfile
+
+    e = _T(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_idx_q_")
+    S.ivf_build(e, idx, n_cells=16, seed=42)
+    return S.ivf_query(spark, e.filter(F.col("vec_id") < 5), idx, k=10, n_probe=6)
+
+
+REGISTRY["ann_ivf_persisted_neighbors"] = QuerySpec(
+    "ann_ivf_persisted_neighbors", q_ann_ivf_persisted_neighbors, None, ("knn",)
+)
+
+
 @_register(
     "text_stats",
     oracle="""
