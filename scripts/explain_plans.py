@@ -111,7 +111,25 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "lag→flag→running-sum windows and the session rollup share ONE user_id "
         "hash partitioning (rollup keys are a superset of the window key)",
     ),
+    "token_budget_mix": (
+        ["__pid", "BroadcastHashJoin"],
+        "per-stratum cumsum via the distributed prefix-sum: windows key on "
+        "(stratum, __pid) — never on the stratum alone — with the exclusive "
+        "per-stratum offsets broadcast back; a stratum's rows spread over "
+        "every range partition instead of one task",
+    ),
 }
+
+def check_no_stratum_only_window(plan: str) -> list[str]:
+    """token_budget_mix: every window spec that partitions on the
+    stratum (lang) must ALSO partition on __pid — a window keyed on the
+    tiny-cardinality stratum alone is the one-task-per-stratum shape
+    VERDICT r05 flagged. Returns the violating plan lines."""
+    return [
+        line.strip()[:120]
+        for line in plan.splitlines()
+        if "windowspecdefinition(lang#" in line and "__pid#" not in line
+    ]
 
 #: plan nodes that must NOT appear (quadratic shapes the rewrite removed)
 FORBIDDEN: dict[str, tuple[list[str], str]] = {
@@ -216,6 +234,19 @@ def main() -> int:
             failures += 1
         print(f"{status:40s} {name} (forbidden nodes)")
         lines += [f"## {name} — forbidden nodes", "", f"**Requirement:** {why}", f"**Status:** {status}", ""]
+    # token_budget_mix: no window may partition on the stratum alone
+    viol = check_no_stratum_only_window(plan_of(spark, "token_budget_mix", sf_dir))
+    status = "OK" if not viol else f"FAIL (stratum-only windows: {viol})"
+    if viol:
+        failures += 1
+    print(f"{status:40s} token_budget_mix (no stratum-only window)")
+    lines += [
+        "## token_budget_mix — no stratum-cardinality window", "",
+        "**Requirement:** every cumsum window keys on (lang, __pid), never lang "
+        "alone — the distributed prefix-sum spreads each stratum over all range "
+        "partitions instead of one task",
+        f"**Status:** {status}", "",
+    ]
     for name, max_ex in MAX_EXCHANGES.items():
         plan = plan_of(spark, name, sf_dir)
         n = count_exchange_nodes(plan)

@@ -448,3 +448,58 @@ def test_scd2_merge_fuzz(spark, state):
             expect.add((k, a, "2024-06-01", "None"))
     got = {(r["k"], r["a"], str(r["valid_from"]), str(r["valid_to"])) for r in out}
     assert got == expect
+
+
+# --- r06: token-budget mixture twin ---------------------------------------
+
+token_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),        # doc_id (deduped)
+        st.sampled_from(["en", "de", "zh"]),             # stratum
+        st.integers(min_value=0, max_value=50),          # n_tokens
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(token_rows, st.integers(1, 500), st.integers(1, 500))
+def test_token_budget_sample_matches_window_model(spark, rows, b_en, b_de):
+    """The distributed prefix-sum formulation (r06: range-partitioned by
+    (stratum, hash, id), per-(stratum, partition) offsets) is
+    row-identical to the naive per-stratum-window model VERDICT r05
+    flagged — same survivors, same cum_tokens — on random strata and
+    budgets, including zero-token rows and unbudgeted strata."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import token_budget_sample
+
+    seen = {}
+    for i, s, t in rows:
+        seen[i] = (s, t)
+    data = [(i, s, t) for i, (s, t) in seen.items()]
+    budgets = {"en": b_en, "de": b_de}  # zh unbudgeted -> dropped
+
+    m = 2147483647
+
+    def h(i):
+        return (((i % m) * 48271 + 1) % m) * 48271 % m
+
+    model = {}
+    for s in ("en", "de"):
+        cum = 0
+        for i, _, t in sorted(
+            (r for r in data if r[1] == s), key=lambda r: (h(r[0]), r[0])
+        ):
+            cum += t
+            if cum <= budgets[s]:
+                model[i] = (s, t, cum)
+
+    df = spark.createDataFrame(data, "doc_id long, lang string, n long")
+    out = token_budget_sample(df, "lang", F.col("n"), budgets, num_partitions=5)
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["cum_tokens"])
+        for r in out.collect()
+    }
+    assert got == model

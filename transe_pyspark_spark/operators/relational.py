@@ -12,8 +12,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _frozen_range_partition(df: DataFrame, order_col: str, n_part: int) -> DataFrame:
-    """Range-repartition by ``order_col``, stamp ``__pid`` =
+def _frozen_range_partition(
+    df: DataFrame, order_col: str | list[str], n_part: int
+) -> DataFrame:
+    """Range-repartition by ``order_col`` (a column name or a composite
+    key as a list of names), stamp ``__pid`` =
     ``spark_partition_id()``, and FREEZE partition membership by
     eagerly materializing the frame with ``localCheckpoint``.
 
@@ -40,21 +43,31 @@ def _frozen_range_partition(df: DataFrame, order_col: str, n_part: int) -> DataF
     recomputing (acceptable — silent recomputation is exactly the bug
     this helper exists to prevent).
     """
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
     return (
-        df.repartitionByRange(int(n_part), F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(int(n_part), *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
 
 
-def _exclusive_offsets(sizes: DataFrame, size_col: str) -> DataFrame:
+def _exclusive_offsets(
+    sizes: DataFrame, size_col: str, partition_cols: list[str] | None = None
+) -> DataFrame:
     """Exclusive running sum over the K-row per-partition sizes table
-    (K = #partitions): the single-partition window touches only this
-    tiny table, never the data. Stays in-plan — no driver round-trip."""
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    (K = #partitions, times #groups when ``partition_cols`` restart the
+    sum per group): the window touches only this tiny table, never the
+    data. Stays in-plan — no driver round-trip."""
+    w_off = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    ).orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     return F.broadcast(
-        sizes.select("__pid", F.coalesce(F.sum(size_col).over(w_off), F.lit(0)).alias("__off"))
+        sizes.select(
+            *(partition_cols or []),
+            "__pid",
+            F.coalesce(F.sum(size_col).over(w_off), F.lit(0)).alias("__off"),
+        )
     )
 
 
@@ -474,6 +487,7 @@ def token_budget_sample(
     budgets: dict[str, int],
     id_col: str = "doc_id",
     salt: int = 1,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic token-budget mixture sampling — the pretraining
     mixture op: fill each stratum's TOKEN budget (not row count) in a
@@ -488,18 +502,39 @@ def token_budget_sample(
     selected set is a pure function of (ids, budgets), never of
     physical layout. Strata missing from ``budgets`` are dropped.
 
-    ONE shuffle: the cumulative-sum window partitions by stratum; the
-    filter is a projection on top. Skewed strata spill through the
-    window sort rather than blowing up memory. Returns the surviving
-    rows with ``n_tokens`` and the running ``cum_tokens``.
+    Scale path — the ``pack_by_running_total`` distributed prefix-sum,
+    applied per stratum. A ``Window.partitionBy(stratum)`` cumsum would
+    funnel EVERY row of a stratum through one task (stratum cardinality
+    is tiny by construction — languages, sources — so "200 B tokens of
+    code" becomes a single-reducer sort). Instead: range-repartition by
+    the composite (stratum, hash, id) key with partition identity FROZEN
+    (``_frozen_range_partition``), so each stratum's rows spread over
+    many partitions in global hash order; aggregate per-(stratum, __pid)
+    token totals (tiny — #strata × #partitions rows); broadcast back the
+    per-stratum EXCLUSIVE prefix of prior partitions' totals; and finish
+    with a partition-local window keyed on (stratum, __pid). The running
+    sum — hence the selected set and every ``cum_tokens`` value — is
+    identical to the single-window formulation at any partition count.
+    Returns the surviving rows with ``n_tokens`` and the running
+    ``cum_tokens``.
     """
     m = 2147483647
     h = F.pmod(F.pmod(F.col(id_col), m) * 48271 + salt, m)
     h = F.pmod(h * 48271, m)
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    w = (
-        Window.partitionBy(stratum_col)
-        .orderBy(h, id_col)
+    base = df.select("*", tok.cast("long").alias("n_tokens"), h.alias("__h"))
+    n_part = num_partitions or base.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    part = _frozen_range_partition(base, [stratum_col, "__h", id_col], int(n_part))
+    off_df = _exclusive_offsets(
+        part.groupBy(stratum_col, "__pid").agg(F.sum("n_tokens").alias("__w")),
+        "__w",
+        partition_cols=[stratum_col],
+    )
+    w_in = (
+        Window.partitionBy(stratum_col, "__pid")
+        .orderBy("__h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     budget = None
@@ -507,9 +542,12 @@ def token_budget_sample(
         cond = F.col(stratum_col) == name
         budget = F.when(cond, b) if budget is None else budget.when(cond, b)
     return (
-        df.select("*", tok.cast("long").alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        part.join(off_df, [stratum_col, "__pid"])
+        .withColumn(
+            "cum_tokens", (F.sum("n_tokens").over(w_in) + F.col("__off")).cast("long")
+        )
         .filter(F.col("cum_tokens") <= budget)
+        .select(*df.columns, "n_tokens", "cum_tokens")
     )
 
 

@@ -2382,7 +2382,9 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en 5000 / de 2000 / zh 2000 / fr 2000; es unbudgeted → dropped) in
     a deterministic MINSTD-hash order: the declarative "N tokens of X"
     pretraining-mixture spec, reproducible under repartitioning and
-    retries. One stratum-partitioned window cumsum + filter."""
+    retries. Distributed per-stratum prefix-sum (range-partitioned by
+    (stratum, hash, id) + broadcast offsets) — no stratum-cardinality
+    window, so a 200-B-token stratum spreads over every task."""
     from transe_pyspark_spark.functions.text import word_count
     from transe_pyspark_spark.operators.relational import token_budget_sample
 
