@@ -156,6 +156,64 @@ def test_heavy_hitters_exactness(spark):
         assert got == want, f"parts={parts}"
 
 
+def test_heavy_hitters_all_unique_adversarial(spark):
+    """The r05 local pass accumulated an exact value_counts over the
+    whole partition — O(distinct) memory. The Misra-Gries pass must
+    stay exact on the adversarial shape that broke that claim: a
+    high-cardinality all-unique tail (40k distinct across few
+    partitions, multiple small Arrow batches each) hiding a handful of
+    true heavy hitters, with nulls sprinkled in (excluded by
+    contract)."""
+    from transe_pyspark_spark.operators.relational import heavy_hitters
+
+    items = ["hot"] * 3000 + ["warm"] * 1500 + [f"u{i}" for i in range(40_000)]
+    items += [None] * 100  # NULLs excluded by contract
+    n = len(items) - 100
+    phi = 0.02
+    want = {("hot", 3000), ("warm", 1500)}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
+    try:
+        df = spark.createDataFrame([(x,) for x in items], "token string").repartition(4)
+        got = {(r["item"], r["n"]) for r in heavy_hitters(df, "token", phi=phi).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want
+    assert all(v > phi * n for _, v in got)
+
+
+def test_mg_summary_bounded_and_superset():
+    """Direct unit test of the Misra-Gries fold: the summary never
+    exceeds k counters after any batch, and every item with true
+    partition count > n_p/(k+1) survives with a positive estimate no
+    more than n_p/(k+1) below its true count."""
+    import pandas as pd
+
+    from transe_pyspark_spark.operators.relational import _mg_shrink, _mg_summary
+
+    rng = random.Random(3)
+    stream = ["a"] * 900 + ["b"] * 400 + [f"t{i}" for i in range(5000)]
+    rng.shuffle(stream)
+    k = 50
+    n_p = len(stream)
+    batches = [
+        pd.DataFrame({"item": stream[i:i + 500]}) for i in range(0, n_p, 500)
+    ]
+    # bound holds after every prefix of batches
+    for end in range(1, len(batches) + 1):
+        assert len(_mg_summary(batches[:end], k)) <= k
+    summary = _mg_summary(batches, k)
+    exact = {"a": 900, "b": 400}
+    for item, true_n in exact.items():
+        assert true_n > n_p / (k + 1)
+        est = summary.get(item, 0)
+        assert 0 < est <= true_n
+        assert true_n - est <= n_p / (k + 1)
+    # shrink is a no-op at or under the cap
+    s = pd.Series({"x": 5, "y": 3})
+    assert _mg_shrink(s, 2).to_dict() == {"x": 5, "y": 3}
+
+
 def test_token_budget_sample_stable_under_repartition(spark):
     rows = [(i, ["en", "de"][i % 2], f"doc {i} " + "w " * (i % 17)) for i in range(300)]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")

@@ -551,43 +551,86 @@ def token_budget_sample(
     )
 
 
+def _mg_shrink(counts, cap: int):
+    """One Misra-Gries decrement step on a pandas count Series: if more
+    than ``cap`` counters are tracked, subtract the (cap+1)-th largest
+    count from every counter and drop the non-positive — the batched
+    form of MG's per-item decrement (Agarwal et al., "Mergeable
+    Summaries"). Each step removes ≥ (cap+1)·t total mass for a
+    per-item decrement of t, so across a partition of n_p items the
+    cumulative decrement of ANY item is ≤ n_p/(cap+1)."""
+    if len(counts) > cap:
+        t = counts.nlargest(cap + 1).iloc[-1]
+        counts = counts - t
+        counts = counts[counts > 0]
+    return counts
+
+
+def _mg_summary(batches, cap: int):
+    """Fold Arrow batches of an ``item`` column into a Misra-Gries
+    summary of at most ``cap`` counters: exact vectorized
+    ``value_counts`` per batch (one C pass, no per-item Python loop),
+    merged by addition, shrunk after every batch — peak memory is
+    O(cap + batch_distinct) regardless of the partition's total
+    distinct count. Returns a pandas Series (possibly empty)."""
+    import pandas as pd
+
+    counts = pd.Series(dtype="int64")
+    for pdf in batches:
+        c = pdf["item"].value_counts()
+        counts = c if counts.empty else counts.add(c, fill_value=0)
+        counts = _mg_shrink(counts, cap)
+    return counts
+
+
 def heavy_hitters(
     df: DataFrame,
     item_col: str,
     phi: float = 0.005,
 ) -> DataFrame:
     """EXACT φ-heavy hitters (all items with frequency > φ·n) at
-    streaming-sketch cost: a per-partition candidate pass with the
-    Misra-Gries bound, then exact verification of candidates only —
-    the raw item stream is never shuffled.
+    streaming-sketch cost: a per-partition Misra-Gries candidate pass,
+    then exact verification of candidates only — the raw item stream
+    is never shuffled.
 
     Soundness: if an item's global count exceeds φ·n, its count in at
     least one partition exceeds φ·n_p (otherwise the total would be
-    ≤ φ·Σn_p = φ·n), so emitting each partition's items with local
-    count > φ·n_p yields a superset of the true heavy hitters — at
-    most ⌈1/φ⌉ candidates per partition, ~KBs however large the data.
-    Candidates then broadcast back as a semi-join filter and only
-    their occurrences aggregate (exact counts), so the final
-    ``count > φ·n`` filter returns the exact answer — hash-checkable
-    against a plain GROUP BY oracle, unlike an estimate.
+    ≤ φ·Σn_p = φ·n). Within that partition the MG summary with
+    k = ⌈1/φ⌉ counters decrements any item by at most n_p/(k+1)
+    < φ·n_p (see ``_mg_shrink``), so the item survives with a positive
+    count — each partition's surviving counters are a superset of its
+    heavy hitters, at most k = ⌈1/φ⌉ candidates per partition, ~KBs
+    however large the data, and O(k + Arrow-batch-distinct) worker
+    memory even on an all-unique partition. Candidates then broadcast
+    back as a semi-join filter and only their occurrences aggregate
+    (exact counts), so the final ``count > φ·n`` filter returns the
+    exact answer — hash-checkable against a plain GROUP BY oracle,
+    unlike an estimate.
 
-    The local pass is a vectorized pandas ``value_counts`` per
-    partition (Arrow batches accumulated per partition, one C pass —
-    no per-item Python loop)."""
+    Items must be strings (the summary index round-trips through
+    Arrow as ``string``); NULL items are excluded, matching SQL
+    aggregation of an exploded token stream."""
+    import math
+
     import pandas as pd
 
-    items = df.select(F.col(item_col).alias("item"))
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    item_type = df.schema[item_col].dataType.simpleString()
+    if item_type != "string":
+        raise TypeError(
+            f"heavy_hitters requires a string item column, got {item_type}; "
+            "cast the column first"
+        )
+    items = df.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    k = math.ceil(1.0 / phi)
 
     def local_candidates(batches):
-        counts: pd.Series | None = None
-        for pdf in batches:
-            c = pdf["item"].value_counts()
-            counts = c if counts is None else counts.add(c, fill_value=0)
-        if counts is None:
-            return
-        n_p = int(counts.sum())
-        keep = counts[counts > phi * n_p]
-        yield pd.DataFrame({"item": keep.index.astype(str)})
+        counts = _mg_summary(batches, k)
+        if len(counts):
+            yield pd.DataFrame({"item": counts.index})
 
     cand = items.mapInPandas(local_candidates, "item string").distinct()
     exact = (

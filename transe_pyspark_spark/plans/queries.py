@@ -2342,10 +2342,11 @@ def q_equi_depth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 0.5%-heavy-hitter words of the corpus at sketch cost: a
-    per-partition Misra-Gries-bounded candidate pass (≤1/φ candidates
-    per partition, vectorized value_counts — the raw token stream is
-    never shuffled), then exact counting of candidates only. The
-    result is the exact answer, so the oracle is a plain GROUP BY."""
+    per-partition Misra-Gries candidate pass (≤⌈1/φ⌉ decrement-bounded
+    counters, O(k + batch) memory even on an all-unique partition; the
+    raw token stream is never shuffled), then exact counting of
+    candidates only. The result is the exact answer, so the oracle is
+    a plain GROUP BY."""
     from transe_pyspark_spark.functions.text import words
     from transe_pyspark_spark.operators.relational import heavy_hitters
 
