@@ -29,37 +29,13 @@ MUST_BE_IN_WINDOW = {
     "stream_interval_join",
 }
 
-#: the r05 window invariant: everything first driver-checked in r04
+#: the r06 window invariant: everything first driver-checked in r05
 #: (once-green) stays in until twice-green, plus the queries new or
-#: newly-oracle-ified in r05 which have never been driver-checked.
-ONCE_GREEN_R04 = {
-    "doc_chunks",
-    "gopher_quality_docs",
-    "pii_scrub_docs",
-    "stratified_sample_mix",
-    "stream_corpus_clean",
-    "repetition_ngrams",
-    "mapinarrow_name_stats",
-    "corpus_report",
-    "percentile_prices",
-    "udtf_word_positions",
-    "stream_static_enrich",
-    "pivot_status_priority",
-    "unpivot_part_measures",
-    "gap_fill_hourly",
-    "approx_percentile_sketch",
-    "sequence_packing",
-    "ewma_value",
-    "time_weighted_avg_value",
-    "table_profile",
-    "histogram_prices",
-    "dataset_split_docs",
-    "stream_incremental_dedup",
-    "minhash_near_pairs",
-    "lang_id_docs",
-}
-
-NEW_IN_R05 = {
+#: newly-oracle-ified in r06 which have never been driver-checked.
+#: (The 24-query ONCE_GREEN_R04 set went twice-green in r05 and is the
+#: r06+ rotation pool; members rotate to overflow as new oracle faces
+#: need slots — knn_brute_force ceded to ann_recall_vs_exact.)
+ONCE_GREEN_R05 = {
     "incremental_neardedup_drop",
     "sessionize_events",
     "scd2_merge_customers",
@@ -70,11 +46,15 @@ NEW_IN_R05 = {
     "equi_depth_prices",
 }
 
+NEW_IN_R06 = {
+    "ann_recall_vs_exact",
+}
 
-def test_r05_rotation_inside_window():
+
+def test_r06_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (ONCE_GREEN_R04 | NEW_IN_R05) - window
-    assert not missing, f"r05 must-check queries fell out of the driver window: {missing}"
+    missing = (ONCE_GREEN_R05 | NEW_IN_R06) - window
+    assert not missing, f"r06 must-check queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():

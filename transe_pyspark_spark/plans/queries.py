@@ -1490,6 +1490,68 @@ REGISTRY["ann_ivf_persisted_neighbors"] = QuerySpec(
 
 
 @_register(
+    "ann_recall_vs_exact",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      {_FOLD_SUM.format(terms="list_transform(list_zip(qv, cv), z -> ((z[1]::DOUBLE) - (z[2]::DOUBLE)) * ((z[1]::DOUBLE) - (z[2]::DOUBLE)))")} AS dist
+               FROM q, c WHERE query_id <> neighbor_id),
+         r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+               FROM s)
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN rank = 1 THEN neighbor_id END) AS BIGINT) AS exact_nn_sum,
+           CAST(sum(neighbor_id) AS BIGINT) AS exact_topk_sum,
+           TRUE AS ivf_recall_ok, TRUE AS lsh_recall_ok, TRUE AS pq_recall_ok
+    FROM r WHERE rank <= 10
+    """,
+    tags=("vector", "knn", "approx"),
+)
+def q_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ANN faces (LSH / IVF / IVF-PQ) oracle-ified via the
+    in-result-boolean pattern (same as ``minhash_near_pairs``): the
+    neighbor SETS are seed/centroid-dependent, so the driver-checkable
+    contract is (1) hard values the oracle recomputes independently —
+    the exact brute-force top-10 per query (R16) pinned by its row
+    count, rank-1 neighbor-id sum, and full top-k neighbor-id sum —
+    and (2) ``{{ivf,lsh,pq}}_recall_ok``: each family's recall@10
+    against that exact ranking is ≥ 0.6 (the same bar the pytest
+    recall gates use; measured 0.72-0.82 IVF/PQ and 0.94-0.96 LSH at
+    sf0.001/sf0.01 with n_probe=6 of 16 cells — 4-8 neighbors of
+    margin). Exact top-k evaluates once and left-joins each ANN
+    result, so one aggregate row carries the whole family."""
+    e = _T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = S.knn_relational(q, e, k=10)
+    ivf = S.ann_ivf(q, e, k=10, n_probe=6).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__ivf")
+    )
+    lsh = S.ann_lsh(q, e, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__lsh")
+    )
+    pq = S.ann_ivf_pq(q, e, k=10, n_probe=6).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__pq")
+    )
+    j = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(lsh, ["query_id", "neighbor_id"], "left")
+        .join(pq, ["query_id", "neighbor_id"], "left")
+    )
+    n = F.count(F.lit(1))
+    return j.agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+        n.cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.col("rank") == 1, F.col("neighbor_id"))).cast("bigint").alias("exact_nn_sum"),
+        F.sum("neighbor_id").cast("bigint").alias("exact_topk_sum"),
+        (F.coalesce(F.sum("__ivf"), F.lit(0)) >= n * F.lit(0.6)).alias("ivf_recall_ok"),
+        (F.coalesce(F.sum("__lsh"), F.lit(0)) >= n * F.lit(0.6)).alias("lsh_recall_ok"),
+        (F.coalesce(F.sum("__pq"), F.lit(0)) >= n * F.lit(0.6)).alias("pq_recall_ok"),
+    )
+
+
+@_register(
     "text_stats",
     oracle="""
     WITH w AS (
@@ -3505,6 +3567,14 @@ _OVERFLOW_ORACLE = [
     "transe_rank_eval_filtered", # evaluator: flagship transe_rank_eval
                                  # keeps the family in front
     "priority_count_exists",     # filters: filter_predicates keeps R4
+    # rotated out in r06 (driver-green r04+r05) — slack for the new
+    # r06 oracle faces; every family keeps ≥1 in-window member:
+    "knn_brute_force",           # vectors/knn: slot ceded to the NEW
+                                 # ann_recall_vs_exact, whose hard
+                                 # columns (exact top-10 row count +
+                                 # neighbor-id checksums) pin the same
+                                 # brute-force ranking the oracle
+                                 # recomputes — R16 stays covered
 ]
 
 
@@ -3525,6 +3595,10 @@ def _reorder_registry() -> None:
         # r05: the newly oracle-ified incremental near-dedup contract
         # has never been driver-checked — front slot until green
         "incremental_neardedup_drop",
+        # r06: the newly oracle-ified ANN family contract (LSH/IVF/PQ
+        # recall booleans + exact-kNN hard checksums) has never been
+        # driver-checked — front slot until green
+        "ann_recall_vs_exact",
         "multimodal_meta",
         "stream_tumbling_counts",
         "stream_stateful_profiles",
