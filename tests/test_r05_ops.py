@@ -252,3 +252,71 @@ def test_equi_depth_histogram_edges(spark):
     # approx variant returns the same bucket count on uniform data
     out2 = equi_depth_histogram(uni, "v", n_buckets=8, exact=False).collect()
     assert len(out2) == 8
+
+
+def test_decode_image_bytes_stdlib_formats():
+    """Pure-stdlib decode: PPM/PGM headers + pixel stats parsed from
+    bytes (including multi-digit dims and newline bytes inside the
+    pixel array), a hand-crafted BMP with row padding, truncated-PPM
+    rejection, and the documented NotImplementedError for compressed
+    formats when Pillow is absent."""
+    import struct
+
+    from transe_pyspark_spark.operators.multimodal import decode_image_bytes
+
+    # PPM 12x10, pixels all 0x0A (the newline byte — must not confuse the split)
+    ppm = b"P6\n12 10\n255\n" + bytes([10]) * (12 * 10 * 3)
+    d = decode_image_bytes(ppm)
+    assert (d["fmt"], d["width"], d["height"], d["channels"]) == ("ppm", 12, 10, 3)
+    assert d["n_pixel_bytes"] == 360 and d["mean_pixel"] == 10
+
+    # PGM single-channel
+    pgm = b"P5\n3 2\n255\n" + bytes([7, 7, 7, 9, 9, 9])
+    d = decode_image_bytes(pgm)
+    assert (d["fmt"], d["width"], d["height"], d["channels"]) == ("pgm", 3, 2, 1)
+    assert d["mean_pixel"] == 8
+
+    # BMP 3x2 24bpp: rows pad to 4 bytes (3*3=9 -> 12)
+    row = bytes([5] * 9) + bytes([0] * 3)
+    pixel_data = row * 2
+    off = 54
+    header = (
+        b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    )
+    d = decode_image_bytes(header + pixel_data)
+    assert (d["fmt"], d["width"], d["height"], d["channels"]) == ("bmp", 3, 2, 3)
+    assert d["n_pixel_bytes"] == 24
+
+    # truncated PPM pixel array
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image_bytes(b"P6\n4 4\n255\n" + b"\x00" * 10)
+
+    # compressed format without Pillow -> documented NotImplementedError
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with _pytest.raises(NotImplementedError):
+            decode_image_bytes(b"\xff\xd8\xff\xe0JFIF-not-really")
+
+
+def test_encode_decode_ppm_roundtrip(spark):
+    """encode_ppm -> decode_media recovers the generator formula for
+    every row — the end-to-end contract the multimodal_decode oracle
+    hash-checks at fixture scale."""
+    from transe_pyspark_spark.operators.multimodal import decode_media, encode_ppm
+
+    ids = [0, 1, 15, 16, 255, 256, 1000]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r.asDict() for r in decode_media(encode_ppm(df)).collect()}
+    for i in ids:
+        w, h, v = 8 + i % 16, 8 + i % 13, i % 256
+        r = got[i]
+        assert (r["fmt"], r["width"], r["height"], r["channels"]) == ("ppm", w, h, 3)
+        assert r["n_pixel_bytes"] == w * h * 3
+        assert r["mean_pixel"] == v

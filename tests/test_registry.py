@@ -23,7 +23,10 @@ MUST_BE_IN_WINDOW = {
     "benchmark_decontaminate",
     "incremental_dedup_drop",
     "purchase_funnel",
-    "multimodal_meta",
+    # r06: the multimodal family's in-window face upgraded from the
+    # stubbed multimodal_meta (twice-green, rotated to overflow) to
+    # the real-decode multimodal_decode
+    "multimodal_decode",
     "stream_tumbling_counts",
     "stream_stateful_profiles",
     "stream_interval_join",
@@ -48,6 +51,7 @@ ONCE_GREEN_R05 = {
 
 NEW_IN_R06 = {
     "ann_recall_vs_exact",
+    "multimodal_decode",
 }
 
 

@@ -34,6 +34,123 @@ def with_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload"
     return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
 
 
+def encode_ppm(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Build REAL binary-format image payloads (PPM P6) deterministically
+    from the id: width = 8 + id % 16, height = 8 + id % 13, every pixel
+    byte = id % 256. PPM is uncompressed (header ``P6\\n{w} {h}\\n255\\n``
+    followed by w·h·3 raw bytes), so the payloads are decodable with
+    pure Python — no codec library — while exercising the same
+    binary-column plumbing a JPEG corpus would. The generator formula
+    is plain arithmetic, so a SQL oracle recomputes every decoded value
+    independently."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h, v = 8 + i % 16, 8 + i % 13, i % 256
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + bytes([v]) * (w * h * 3)
+                )
+            out = pdf[[id_col]].copy()
+            out[out_col] = pd.Series(payloads, index=pdf.index, dtype=object)
+            yield out
+
+    return df.select(id_col).mapInPandas(build, schema=f"{id_col} long, {out_col} binary")
+
+
+def decode_image_bytes(payload: bytes) -> dict:
+    """Decode an image header + pixel stats from raw bytes with the
+    STANDARD LIBRARY for uncompressed formats — PPM/PGM (P6/P5) and
+    BMP (BITMAPINFOHEADER) — falling back to Pillow for compressed
+    formats, and raising the documented ``NotImplementedError`` only
+    when the format is compressed AND Pillow is absent. Returns
+    ``{fmt, width, height, channels, n_pixel_bytes, mean_pixel}``
+    (mean_pixel = integer mean of payload pixel bytes; for BMP the
+    stored rows are bottom-up + padded, stats cover the stored pixel
+    array)."""
+    if payload[:3] in (b"P6\n", b"P5\n"):
+        channels = 3 if payload[:2] == b"P6" else 1
+        # header: magic, whitespace-separated width/height/maxval
+        parts = payload.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        pixels = parts[3][: w * h * channels]
+        if len(pixels) != w * h * channels:
+            raise ValueError(f"truncated PPM pixel array: {len(pixels)} bytes")
+        return {
+            "fmt": "ppm" if channels == 3 else "pgm",
+            "width": w,
+            "height": h,
+            "channels": channels,
+            "n_pixel_bytes": len(pixels),
+            "mean_pixel": sum(pixels) // len(pixels),
+        }
+    if payload[:2] == b"BM":
+        import struct
+
+        off, w, h, bpp = (
+            struct.unpack_from("<I", payload, 10)[0],
+            struct.unpack_from("<i", payload, 18)[0],
+            struct.unpack_from("<i", payload, 22)[0],
+            struct.unpack_from("<H", payload, 28)[0],
+        )
+        channels = bpp // 8
+        row = (w * channels + 3) & ~3  # rows pad to 4 bytes
+        pixels = payload[off : off + row * abs(h)]
+        return {
+            "fmt": "bmp",
+            "width": w,
+            "height": abs(h),
+            "channels": channels,
+            "n_pixel_bytes": len(pixels),
+            "mean_pixel": sum(pixels) // max(len(pixels), 1),
+        }
+    meta = decode_image_real(payload)  # Pillow path; raises when absent
+    return {
+        "fmt": "pil",
+        "width": meta["width"],
+        "height": meta["height"],
+        "channels": meta["channels"],
+        "n_pixel_bytes": meta["width"] * meta["height"] * meta["channels"],
+        "mean_pixel": -1,
+    }
+
+
+DECODE_SCHEMA = (
+    "doc_id long, fmt string, width long, height long, channels long, "
+    "n_pixel_bytes long, mean_pixel long"
+)
+
+
+def decode_media(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL decode over binary payloads: every row's width/height/
+    channel count/pixel stats are parsed from the bytes themselves
+    (``decode_image_bytes``), not synthesized from metadata — the
+    stdlib path covers uncompressed formats, so this face runs
+    end-to-end in codec-less environments. Same mapInPandas shape as
+    ``extract_media_meta``: narrow, Arrow-batched, bounded memory."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = decode_image_bytes(bytes(payload))
+                rows.append((int(doc_id), d["fmt"], d["width"], d["height"],
+                             d["channels"], d["n_pixel_bytes"], d["mean_pixel"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "channels",
+                         "n_pixel_bytes", "mean_pixel"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
 def decode_image_real(payload: bytes) -> dict:
     """Real decode path — optional-import Pillow, stub fallback.
 

@@ -2969,6 +2969,35 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_media_meta(d)
 
 
+@_register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           'ppm' AS fmt,
+           CAST(8 + doc_id % 16 AS BIGINT) AS width,
+           CAST(8 + doc_id % 13 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST((8 + doc_id % 16) * (8 + doc_id % 13) * 3 AS BIGINT) AS n_pixel_bytes,
+           CAST(doc_id % 256 AS BIGINT) AS mean_pixel
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode from bytes, no codec library (r06): payloads
+    are genuine PPM (P6) binaries generated deterministically from the
+    doc id (``encode_ppm``), and every output value — width, height,
+    channels, pixel-array length, mean pixel — is parsed out of the
+    byte stream by the pure-stdlib decoder (``decode_image_bytes``),
+    which also handles PGM and BMP and falls back to Pillow only for
+    compressed formats. The oracle recomputes the generator formula
+    independently, so a header-parse or pixel-offset bug shows up as a
+    hard hash mismatch. Narrow end-to-end: two chained Arrow maps, no
+    shuffle."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    return MM.decode_media(MM.encode_ppm(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte histogram +
     entropy) — the 'embed the media' stage shape; rows-only check,
@@ -3575,6 +3604,11 @@ _OVERFLOW_ORACLE = [
                                  # neighbor-id checksums) pin the same
                                  # brute-force ranking the oracle
                                  # recomputes — R16 stays covered
+    "multimodal_meta",           # multimodal: slot ceded to the NEW
+                                 # multimodal_decode, which upgrades
+                                 # the family's in-window face from a
+                                 # stubbed fake_meta to a REAL
+                                 # byte-stream decode (stdlib PPM)
 ]
 
 
@@ -3599,7 +3633,10 @@ def _reorder_registry() -> None:
         # recall booleans + exact-kNN hard checksums) has never been
         # driver-checked — front slot until green
         "ann_recall_vs_exact",
-        "multimodal_meta",
+        # r06: real stdlib PPM decode face — never driver-checked;
+        # takes the front slot multimodal_meta held (meta rotated to
+        # overflow after two green rounds)
+        "multimodal_decode",
         "stream_tumbling_counts",
         "stream_stateful_profiles",
         "stream_interval_join",
