@@ -142,12 +142,24 @@ def _train_epoch_relational_seconds(spark) -> float:
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "bench_relational_epoch.py")
-    out = subprocess.run(
-        [sys.executable, script, "3"], capture_output=True, text=True, timeout=900,
-    ).stdout
-    later = [float(m) for m in re.findall(r"epoch \d+: ([0-9.]+)s", out)][1:]
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, "3"], capture_output=True, text=True, timeout=900,
+        )
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError("relational-epoch subprocess timed out after 900s") from e
+    later = [float(m) for m in re.findall(r"epoch \d+: ([0-9.]+)s", proc.stdout)][1:]
+    if proc.returncode != 0 or not later:
+        raise RuntimeError(
+            f"relational-epoch subprocess failed (rc={proc.returncode}, "
+            f"{len(later)} epochs parsed): {proc.stderr[-300:]}"
+        )
     later = [round(t, 3) for t in later]
-    return sorted(later)[len(later) // 2], later
+    phases = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r"phase (\w+): ([0-9.]+)s", proc.stdout)
+    }
+    return sorted(later)[len(later) // 2], later, phases
 
 
 def _bucketed_join_seconds(spark, sf_dir: str) -> float:
@@ -278,13 +290,25 @@ def main() -> None:
     scale_paths: dict[str, float] = {}
     gc.collect()
     spark.catalog.clearCache()
-    scale_paths["transe_train_epoch_relational"], runs["transe_train_epoch_relational"] = (
-        _train_epoch_relational_seconds(spark)
-    )
-    print(
-        f"# transe_train_epoch_relational: {scale_paths['transe_train_epoch_relational']}s/epoch",
-        file=sys.stderr,
-    )
+    # guarded like the sf1 section: a crashed/timed-out subprocess or an
+    # unparseable transcript records an error entry instead of killing
+    # the whole bench before the headline JSON is emitted
+    try:
+        (
+            scale_paths["transe_train_epoch_relational"],
+            runs["transe_train_epoch_relational"],
+            relational_phases,
+        ) = _train_epoch_relational_seconds(spark)
+        if relational_phases:
+            runs["transe_train_epoch_relational_phases"] = relational_phases
+        print(
+            f"# transe_train_epoch_relational: {scale_paths['transe_train_epoch_relational']}s/epoch"
+            f" phases={relational_phases}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        scale_paths["transe_train_epoch_relational_error"] = str(e)[:200]
+        print(f"# transe_train_epoch_relational FAILED: {e}", file=sys.stderr)
     gc.collect()
     spark.catalog.clearCache()
 

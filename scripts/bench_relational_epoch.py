@@ -44,7 +44,10 @@ def main() -> None:
         later = sorted(times[1:]) or times
         print(f"median(after-first): {later[len(later) // 2]:.2f}s")
     print("loss history:", [round(x, 1) for x in tr.loss_history])
-    print("phase times:", {k: round(v, 1) for k, v in getattr(tr, "phase_times", {}).items()})
+    # one line per phase so bench.py's regex can lift the breakdown
+    # into BENCH_r{N}.json (cumulative seconds across all epochs)
+    for name, v in getattr(tr, "phase_times", {}).items():
+        print(f"phase {name}: {v:.2f}s")
 
 
 if __name__ == "__main__":

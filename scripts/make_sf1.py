@@ -44,6 +44,12 @@ USERID_OFF = 1_000_000
 
 SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "events")
 
+#: bump when the replication logic or its parameters change — the
+#: cached fixture regenerates on mismatch, so sf1 numbers and plan
+#: gates always reflect the CURRENT generator (a bare _DONE marker
+#: silently served stale fixtures across code versions)
+GENERATOR_VERSION = f"v2|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF}"
+
 
 def sf1_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
@@ -89,7 +95,13 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
     out = sf1_dir()
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read().strip() == GENERATOR_VERSION:
+                return out
+        # stale fixture from an older generator: rebuild from scratch
+        import shutil as _shutil
+
+        _shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
     def load(name: str) -> DataFrame:
@@ -126,7 +138,7 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
         else:
             df.write.mode("overwrite").parquet(dest)
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(GENERATOR_VERSION + "\n")
     return out
 
 

@@ -436,7 +436,20 @@ def scd2_merge(
 
     NULL-safe comparison: attribute equality uses ``eqNullSafe`` per
     column, so NULL→value and value→NULL transitions count as changes.
+
+    Column contract: ``dim`` must carry exactly
+    ``key_cols + compare_cols + [valid_from, valid_to]`` — opened
+    versions are rebuilt from the change batch, which has no values for
+    extra dimension attributes (surrogate keys, audit columns); carry
+    those in ``compare_cols`` or derive them after the merge.
     """
+    expected = set(key_cols) | set(compare_cols) | {valid_from_col, valid_to_col}
+    if set(dim.columns) != expected:
+        raise ValueError(
+            "scd2_merge requires dim columns to be exactly key_cols + "
+            f"compare_cols + validity columns; got {sorted(dim.columns)}, "
+            f"expected {sorted(expected)}"
+        )
     open_rows = dim.filter(F.col(valid_to_col).isNull())
     closed_rows = dim.filter(F.col(valid_to_col).isNotNull())
     ch = changes.select(
