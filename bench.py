@@ -136,7 +136,10 @@ def _train_epoch_relational_seconds(spark) -> float:
     that has already executed hundreds of unrelated jobs (13.6 s vs
     9-11 s measured r05), and the number this section exists to track
     is the trainer's cost, not the session's accumulated block-manager
-    state. The bench JVM idles meanwhile, so nothing contends."""
+    state. The bench JVM idles meanwhile, so nothing contends. Returns
+    (median_epoch_s, per_epoch_list, phase_seconds) — the phase
+    breakdown parsed from the subprocess transcript lands in the bench
+    JSON under runs."""
     import re
     import subprocess
 

@@ -46,9 +46,13 @@ hash-repartition on id + one vectorized Arrow scatter-add folding the
 exactly the joins a 1000-executor cluster distributes; nothing is
 sized by V on any single node, and the shuffled vector volume is
 ~3N + |touched| vectors per batch versus ~9N for the unfused
-five-join chain. Measured at the FB15k bench shape: 16.7 s/epoch
-(r04) → 9-11 s/epoch on a fresh JVM (≈13.6 s when run inside the
-full bench session's JVM), with bit-identical loss history.
+five-join chain. Measured at the FB15k bench shape (fresh JVM,
+``scripts/bench_relational_epoch.py``): 16.7 s/epoch (r04) →
+~6.5 s/epoch (r06) with bit-identical loss history — the r06 win is
+DRIVER-side: ``train`` became a leaf plan (see ``fit``), collapsing
+the per-batch re-analysis that serialized ~3 s/epoch of pure plan
+construction in front of the cluster work. Per-phase wall times are
+accumulated in ``phase_times`` and published in the bench JSON.
 
 Trade-off: per-epoch latency is much higher than the broadcast path at
 small V (joins vs one broadcast), so selection is by model size; the
@@ -208,7 +212,16 @@ class RelationalTransETrainer:
 
         lr, margin = self.learning_rate, self.margin
 
-        train = triples.select("h", "l", "t").cache()
+        # localCheckpoint (not cache): besides pinning the triples, it
+        # makes ``train`` a LEAF plan. Every per-batch DataFrame call
+        # re-runs analysis over its input tree, and the corruption
+        # anti-join's condition referenced the rejection table's full
+        # lineage — profiled at ~0.4 s of DRIVER time per construction
+        # (~0.9 s/batch total, the whole corrupt_build phase) against
+        # the cached-but-deep plan vs ~0.05 s against a leaf. Driver
+        # construction time is serial with every job, so at 2 batches
+        # this was ~2 s of each epoch doing no cluster work at all.
+        train = triples.select("h", "l", "t").localCheckpoint(eager=True)
         self._broadcast_reject = train.count() <= self.broadcast_rejection_limit
         # The rejection table is constant across every batch and epoch —
         # build it (and its broadcast wrapper) ONCE. 24 B/triple: up to
@@ -507,7 +520,6 @@ class RelationalTransETrainer:
                 self.phase_times["delta_ent_update"] += _time.time() - _tA
             self.loss_history.append(epoch_loss)
             self.epoch_times.append(_time.time() - _t0)
-        train.unpersist()
         lab = spark.createDataFrame(
             pd.DataFrame({"id": np.arange(n_labels, dtype=np.int64), "vec": list(map(list, lab_np))}),
             schema="id long, vec array<double>",
