@@ -64,6 +64,15 @@ SF1_HEADLINE = [
     "region_revenue",
     "top_revenue_orders",
     "minhash_pairs_raw",
+    # r06: the three shuffle-heavy r05 operators (VERDICT ask #8) —
+    # bigram's corpus-sized gram join is the interesting one at 10× —
+    # plus the two approx percentile/equi-depth scale faces (ask #7),
+    # proving the sketch door is a measured path
+    "sessionize_events",
+    "bigram_familiarity_docs",
+    "heavy_hitter_words",
+    "approx_percentile_sketch",
+    "equi_depth_prices_approx",
 ]
 
 

@@ -111,6 +111,29 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "lag→flag→running-sum windows and the session rollup share ONE user_id "
         "hash partitioning (rollup keys are a superset of the window key)",
     ),
+    "bigram_familiarity_docs": (
+        ["Generate", "HashAggregate"],
+        "grams explode map-side; the corpus LM and per-doc rollups are "
+        "hash aggregates keyed on gram/doc (broadcast of the LM side is a "
+        "size-based choice Catalyst may revisit at scale — not gated)",
+    ),
+    "heavy_hitter_words": (
+        ["MapInPandas", "BroadcastHashJoin"],
+        "the Misra-Gries candidate pass runs as an Arrow map over the raw "
+        "token stream (never shuffled); the ≤⌈1/φ⌉-per-partition candidate "
+        "set broadcasts back as the semi-join filter at any corpus size",
+    ),
+    "approx_percentile_sketch": (
+        ["ObjectHashAggregate"],
+        "GK sketch state aggregates with map-side partials — bounded agg "
+        "memory however large the column",
+    ),
+    "equi_depth_prices_approx": (
+        ["approx_percentile", "BroadcastNestedLoopJoin"],
+        "bucket boundaries come from ONE bounded-state sketch aggregate "
+        "(k−1 doubles), broadcast back as a 1-row build side; assignment "
+        "is a narrow k-comparison projection — no global ntile window",
+    ),
     "token_budget_mix": (
         ["__pid", "BroadcastHashJoin"],
         "per-stratum cumsum via the distributed prefix-sum: windows key on "
@@ -173,13 +196,35 @@ MAX_EXCHANGES = {
     "time_weighted_avg_value": 1,
     # lag/cumsum windows + session rollup: one user_id partitioning
     "sessionize_events": 1,
+    # corpus LM hash-agg + per-doc rollup (gram join exchange-free while
+    # the LM side broadcasts)
+    "bigram_familiarity_docs": 2,
+    # candidate distinct + exact candidate count + total count; the raw
+    # token stream itself never exchanges
+    "heavy_hitter_words": 3,
+    # one bounded-state sketch aggregate
+    "approx_percentile_sketch": 1,
+    # boundary sketch agg + ≤k-group rollup
+    "equi_depth_prices_approx": 2,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
 #: fixture scripts/make_sf1.py builds) — scale must not change the
 #: strategy. stream_tumbling_counts is benched at sf1 but its explain
 #: is a sink read, so it is gated by runtime behavior instead.
-SF1_STABLE = ["jaccard_prefix_near_pairs", "region_revenue", "top_revenue_orders", "minhash_pairs_raw"]
+SF1_STABLE = [
+    "jaccard_prefix_near_pairs",
+    "region_revenue",
+    "top_revenue_orders",
+    "minhash_pairs_raw",
+    # r06: the three shuffle-heavy r05 operators + the two approx
+    # percentile faces — 10× data must keep the same strategy
+    "sessionize_events",
+    "bigram_familiarity_docs",
+    "heavy_hitter_words",
+    "approx_percentile_sketch",
+    "equi_depth_prices_approx",
+]
 
 
 def plan_of(spark, name: str, sf_dir: str) -> str:

@@ -2389,6 +2389,29 @@ def q_equi_depth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equi_depth_histogram(o.select(cents.alias("cents")), "cents", n_buckets=8)
 
 
+def q_equi_depth_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB door of ``equi_depth_prices``: identical plan shape
+    with ``approx_percentile`` (GK sketch, bounded agg state) supplying
+    the bucket boundaries instead of the exact sort-based
+    ``percentile``. Rows-only check (sketch boundaries are not
+    SQL-reproducible); sanity invariants are pytest-gated
+    (``test_equi_depth_histogram_edges``) and the face is benched +
+    plan-gated at sf1 so the scale path is measured, not a
+    docstring."""
+    from transe_pyspark_spark.operators.relational import equi_depth_histogram
+
+    o = _T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return equi_depth_histogram(
+        o.select(cents.alias("cents")), "cents", n_buckets=8, exact=False
+    )
+
+
+REGISTRY["equi_depth_prices_approx"] = QuerySpec(
+    "equi_depth_prices_approx", q_equi_depth_prices_approx, None, ("agg", "approx", "histogram")
+)
+
+
 @_register(
     "heavy_hitter_words",
     oracle="""
