@@ -111,6 +111,16 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "lag→flag→running-sum windows and the session rollup share ONE user_id "
         "hash partitioning (rollup keys are a superset of the window key)",
     ),
+    "reservoir_sample_docs": (
+        ["TakeOrderedAndProject"],
+        "exactly-k sample as per-task O(k) heaps + driver merge — no global "
+        "sort, no window, no shuffle of the data",
+    ),
+    "dup_ngram_docs": (
+        ["Generate", "HashAggregate"],
+        "positioned grams explode map-side; the document-frequency table and "
+        "per-doc rollup are hash aggregates keyed on gram/doc",
+    ),
     "bigram_familiarity_docs": (
         ["Generate", "HashAggregate"],
         "grams explode map-side; the corpus LM and per-doc rollups are "
@@ -202,6 +212,11 @@ MAX_EXCHANGES = {
     # candidate distinct + exact candidate count + total count; the raw
     # token stream itself never exchanges
     "heavy_hitter_words": 3,
+    # exactly-k sample: TakeOrderedAndProject merges per-task heaps at
+    # the driver — the data itself never exchanges
+    "reservoir_sample_docs": 0,
+    # gram DF hash-agg + gram-keyed join + per-doc rollup
+    "dup_ngram_docs": 3,
     # one bounded-state sketch aggregate
     "approx_percentile_sketch": 1,
     # boundary sketch agg + ≤k-group rollup

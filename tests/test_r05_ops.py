@@ -320,3 +320,61 @@ def test_encode_decode_ppm_roundtrip(spark):
         assert (r["fmt"], r["width"], r["height"], r["channels"]) == ("ppm", w, h, 3)
         assert r["n_pixel_bytes"] == w * h * 3
         assert r["mean_pixel"] == v
+
+
+def test_sample_exact_k_deterministic(spark):
+    from transe_pyspark_spark.operators.relational import sample_exact_k
+
+    rows = [(i, f"d{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+
+    def run(d, k):
+        return [
+            (r["doc_id"], r["name"])
+            for r in sample_exact_k(d, "doc_id", k=k).collect()
+        ]
+
+    a = run(df, 40)
+    b = run(df.repartition(17), 40)
+    assert len(a) == 40 and sorted(a) == sorted(b)
+    # prefix property: the k=10 sample is a subset of the k=40 sample
+    assert set(run(df, 10)) <= set(a)
+    # exact-k even when k > n
+    assert len(run(df, 1000)) == 500
+
+
+def test_cross_doc_ngram_dup_matches_python(spark):
+    docs = [
+        (0, "a b c d e f g"),        # shares 5-gram "a b c d e" with doc 1
+        (1, "a b c d e x y"),
+        (2, "p q r s t u"),          # unique grams
+        (3, "too short"),            # < 5 words: dropped
+        (4, "A B C D E f g"),        # case-folds onto docs 0/1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from transe_pyspark_spark.functions.text import cross_doc_ngram_dup
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in cross_doc_ngram_dup(df, n=5).collect()
+    }
+
+    grams = {}
+    for i, t in docs:
+        ws = t.lower().split()
+        grams[i] = [" ".join(ws[j:j + 5]) for j in range(len(ws) - 4)]
+    from collections import defaultdict
+
+    docs_per_gram = defaultdict(set)
+    for i, gs in grams.items():
+        for g in gs:
+            docs_per_gram[g].add(i)
+    expect = {
+        i: (len(gs), sum(1 for g in gs if len(docs_per_gram[g]) > 1))
+        for i, gs in grams.items()
+        if gs
+    }
+    assert got == expect
+    assert 3 not in got
+    assert got[2][1] == 0 and got[0][1] > 0

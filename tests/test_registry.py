@@ -52,6 +52,8 @@ ONCE_GREEN_R05 = {
 NEW_IN_R06 = {
     "ann_recall_vs_exact",
     "multimodal_decode",
+    "reservoir_sample_docs",
+    "dup_ngram_docs",
 }
 
 

@@ -345,3 +345,48 @@ def bigram_familiarity(
             F.round(F.col("sum_freq").cast("double") / F.col("n_bigrams").cast("double"), 6).alias("familiarity"),
         )
     )
+
+
+def cross_doc_ngram_dup(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+):
+    """Cross-document repeated n-gram audit — the declarative signal
+    behind exact-substring deduplication (a word n-gram occurring in
+    more than one document marks boilerplate, templates, and copied
+    spans; documents dominated by such grams are the ones substring
+    dedup would trim). Complements ``repetition_ngrams`` (WITHIN-doc
+    repetition) and ``bigram_familiarity`` (corpus frequency): this is
+    the BETWEEN-doc duplication measure.
+
+    Per document: ``n_grams`` (n-gram positions), ``n_dup_grams``
+    (positions whose gram occurs in >1 DISTINCT document), and their
+    ratio ``dup_fraction`` — exact integers until one final division.
+    Documents shorter than ``n`` words drop (no spans to audit).
+
+    Plan: narrow positioned-gram explode → gram-keyed
+    ``count_distinct(doc)`` hash-agg (the corpus document-frequency
+    table) → gram-keyed join back → per-doc agg. Every shuffle keys on
+    gram or doc id; the DF table co-partitions with the aggregate that
+    built it. Nothing quadratic, no UDF — the same shape that holds
+    ``bigram_familiarity`` to ~2 gram-keyed shuffles at 100 TB."""
+    from pyspark.sql import functions as F
+
+    grams = docs.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+    df_tab = grams.groupBy("g").agg(F.count_distinct(id_col).alias("df"))
+    return (
+        grams.join(df_tab, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            id_col, "n_grams", "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -596,6 +596,37 @@ def _mg_summary(batches, cap: int):
     return counts
 
 
+def sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: int = 1,
+) -> DataFrame:
+    """Exactly-k deterministic uniform sample — the distributed
+    reservoir. A fraction-based ``df.sample`` cannot promise an exact
+    row count, and a true streaming reservoir is order-dependent
+    (irreproducible under repartitioning); instead, rank every row by
+    the exact-BIGINT MINSTD double-step hash of its id (the
+    ``hash_split`` generator; ties broken by id) and keep the first k.
+    The selected set is a pure function of (ids, k, salt) — stable
+    under retries, repartitioning, and appends-to-the-tail — and any
+    SQL engine replays it.
+
+    Scale: ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject —
+    each task keeps an O(k) heap of its local winners and the driver
+    merges P partial lists; no global sort, no single-partition window,
+    no shuffle of the data."""
+    m = 2147483647
+    h = F.pmod(F.pmod(F.col(id_col), m) * 48271 + salt, m)
+    h = F.pmod(h * 48271, m)
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", id_col)
+        .limit(k)
+        .drop("__h")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     item_col: str,

@@ -2515,6 +2515,62 @@ def q_bigram_familiarity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "reservoir_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 ((((doc_id % 2147483647) * 48271 + 1) % 2147483647) * 48271) % 2147483647 AS h
+          FROM documents)
+    ORDER BY h, doc_id LIMIT 50
+    """,
+    tags=("sampling", "reservoir"),
+)
+def q_reservoir_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 deterministic uniform document sample (the
+    distributed reservoir, R13): rank by the MINSTD double-step id
+    hash, keep the first 50 — reproducible on any engine, planned as
+    TakeOrderedAndProject (per-task O(k) heaps, no global sort — the
+    plan gate asserts it)."""
+    from transe_pyspark_spark.operators.relational import sample_exact_k
+
+    d = _T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sample_exact_k(d, "doc_id", k=50)
+
+
+@_register(
+    "dup_ngram_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), ' +'), x -> x <> '') AS ws
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(ws, s + 1, s + 5), ' ') AS g
+      FROM toks, unnest(generate_series(0, len(ws) - 5, 1)) AS u(s)
+      WHERE len(ws) >= 5),
+    dft AS (SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction
+    FROM grams JOIN dft USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "quality"),
+)
+def q_dup_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram audit — the exact-substring-dedup
+    signal (boilerplate/template/copied spans shared BETWEEN documents;
+    complements within-doc `repetition_ngrams` and corpus-frequency
+    `bigram_familiarity`). Positioned-gram explode → gram-keyed
+    document-frequency hash-agg → co-partitioned join back → per-doc
+    agg; exact integers until one final division."""
+    from transe_pyspark_spark.functions.text import cross_doc_ngram_dup
+
+    return cross_doc_ngram_dup(_T(spark, sf_dir, "documents"), n=5)
+
+
+@_register(
     "scd2_merge_customers",
     oracle="""
     WITH dim AS (
@@ -3632,6 +3688,15 @@ _OVERFLOW_ORACLE = [
                                  # the family's in-window face from a
                                  # stubbed fake_meta to a REAL
                                  # byte-stream decode (stdlib PPM)
+    "stratified_sample_mix",     # sampling: slot ceded to the NEW
+                                 # reservoir_sample_docs; family keeps
+                                 # dataset_split_docs + token_budget_mix
+                                 # + the new reservoir face in-window
+    "repetition_ngrams",         # text: slot ceded to the NEW
+                                 # dup_ngram_docs (cross-doc dedup
+                                 # audit); doc_chunks/gopher/pii/
+                                 # corpus_report/lang_id/bigram keep
+                                 # the family amply covered
 ]
 
 
@@ -3660,6 +3725,10 @@ def _reorder_registry() -> None:
         # takes the front slot multimodal_meta held (meta rotated to
         # overflow after two green rounds)
         "multimodal_decode",
+        # r06: exactly-k reservoir sample + cross-doc n-gram dedup
+        # audit — never driver-checked
+        "reservoir_sample_docs",
+        "dup_ngram_docs",
         "stream_tumbling_counts",
         "stream_stateful_profiles",
         "stream_interval_join",
