@@ -155,8 +155,11 @@ def _train_epoch_relational_seconds(spark) -> float:
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "bench_relational_epoch.py")
     try:
+        # 4 epochs → 3 after-warmup samples: a median of TWO picks the
+        # larger (r06: [12.84, 10.01] recorded 12.84), a median of
+        # three is robust to one slow-window epoch
         proc = subprocess.run(
-            [sys.executable, script, "3"], capture_output=True, text=True, timeout=900,
+            [sys.executable, script, "4"], capture_output=True, text=True, timeout=900,
         )
     except subprocess.TimeoutExpired as e:
         raise RuntimeError("relational-epoch subprocess timed out after 900s") from e

@@ -48,7 +48,7 @@ SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents",
 #: cached fixture regenerates on mismatch, so sf1 numbers and plan
 #: gates always reflect the CURRENT generator (a bare _DONE marker
 #: silently served stale fixtures across code versions)
-GENERATOR_VERSION = f"v2|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF}"
+GENERATOR_VERSION = f"v3|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF}"
 
 
 def sf1_dir() -> str:
@@ -115,7 +115,11 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
         "customer": _replicate(load("customer"), {"c_custkey": CUSTKEY_OFF}),
         "nation": load("nation"),
         "region": load("region"),
-        "documents": _replicate_documents(load("documents")),
+        # documents repartition like the facts: the text operators'
+        # map side (gram explode, MG candidate pass) parallelizes by
+        # input FILE — a 2-file layout ran the sf1 bigram explode on 2
+        # of 32 cores (89 s; 32-file layout ~9 s, same plan)
+        "documents": _replicate_documents(load("documents")).repartition(32),
         "events": _replicate(load("events"), {"event_id": EVENTID_OFF, "user_id": USERID_OFF}),
     }
     for name, df in plans.items():
