@@ -418,3 +418,26 @@ def test_eval_progress_replay(spark, toy_triples):
     n_emits = len(range(0, enc.count(), 3))
     assert len(lines) == 3 * n_emits
     assert lines[0].startswith("Mean: ") and lines[1].startswith("Hit: ") and lines[2] == "0"
+
+
+def test_relational_corrupt_regimes_identical(spark, toy_triples):
+    """The exchange-free earliest-survivor pick (broadcast-rejection
+    regime, r06) must train IDENTICALLY to the shuffled min_by
+    reduction (beyond-broadcast regime, forced via
+    broadcast_rejection_limit=0): same corruption choices → the same
+    loss history to the last bit."""
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.train_relational import RelationalTransETrainer
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv)
+    hist = {}
+    for name, limit in (("narrow", 100_000_000), ("shuffled", 0)):
+        tr = RelationalTransETrainer(
+            k=8, n_epochs=2, n_batches=2, learning_rate=0.01, seed=7,
+            broadcast_rejection_limit=limit,
+        )
+        tr.fit(spark, enc, ev.count(), lv.count())
+        hist[name] = tr.loss_history
+    assert hist["narrow"] == hist["shuffled"], hist

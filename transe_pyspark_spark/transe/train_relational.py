@@ -48,10 +48,13 @@ sized by V on any single node, and the shuffled vector volume is
 ~3N + |touched| vectors per batch versus ~9N for the unfused
 five-join chain. Measured at the FB15k bench shape (fresh JVM,
 ``scripts/bench_relational_epoch.py``): 16.7 s/epoch (r04) →
-~6.5 s/epoch (r06) with bit-identical loss history — the r06 win is
-DRIVER-side: ``train`` became a leaf plan (see ``fit``), collapsing
-the per-batch re-analysis that serialized ~3 s/epoch of pure plan
-construction in front of the cluster work. Per-phase wall times are
+~5.8 s/epoch (r06) with bit-identical loss history. The r06 wins:
+``train`` became a leaf plan (see ``fit``), collapsing the per-batch
+re-analysis that serialized ~3 s/epoch of pure driver-side plan
+construction in front of the cluster work, and the corruption's
+min-by-round reduction is exchange-free in the broadcast-rejection
+regime (a partition-local Arrow pass — the shuffled hash-agg remains
+the honest beyond-broadcast form, equivalence pytest-pinned). Per-phase wall times are
 accumulated in ``phase_times`` and published in the bench JSON.
 
 Trade-off: per-epoch latency is much higher than the broadcast path at
@@ -194,6 +197,46 @@ class RelationalTransETrainer:
             & (F.col("ct") == F.col("__tt")),
             "left_anti",
         )
+        if self._broadcast_reject:
+            # Exchange-free earliest-survivor pick: with a BROADCAST
+            # rejection table the whole chain above is narrow (sample →
+            # project → explode → map-side anti probe), so every
+            # __rid's candidate rows sit in ONE partition — the min-by-
+            # round reduction is a partition-local vectorized pass, not
+            # a 3N-row hash-agg shuffle. Identical output to the
+            # groupBy/min_by form (same survivors, same ch/ct; loss
+            # history bit-identical — pytest-pinned by the convergence
+            # band and checked against the shuffled form's history).
+            def _pick_first(batches):
+                import pyarrow as pa
+
+                cols = ("__rid", "h", "l", "t", "__rnd", "ch", "ct")
+                acc: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+                for rb in batches:
+                    for cname in cols:
+                        acc[cname].append(
+                            rb.column(cname).to_numpy(zero_copy_only=False)
+                        )
+                if not acc["__rid"]:
+                    return
+                a = {cname: np.concatenate(acc[cname]) for cname in cols}
+                order = np.lexsort((a["__rnd"], a["__rid"]))
+                rid_sorted = a["__rid"][order]
+                first = np.ones(len(rid_sorted), dtype=bool)
+                first[1:] = rid_sorted[1:] != rid_sorted[:-1]
+                sel = order[first]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(a[cname][sel], type=pa.int64())
+                     for cname in ("h", "l", "t", "ch", "ct")],
+                    ["h", "l", "t", "ch", "ct"],
+                )
+
+            return surviving.mapInArrow(
+                _pick_first, "h long, l long, t long, ch long, ct long"
+            )
+        # shuffled-rejection regime (beyond broadcast_rejection_limit):
+        # candidate rows scatter across partitions, so the reduction is
+        # the honest hash-agg
         return (
             surviving.groupBy("__rid", "h", "l", "t")
             .agg(F.min_by(F.struct("ch", "ct"), "__rnd").alias("__c"))
@@ -389,8 +432,15 @@ class RelationalTransETrainer:
                             pa.array(np.arange(n + 1, dtype=np.int32) * width),
                             pa.array(np.ascontiguousarray(mat).ravel(), type=pa.float64()),
                         )
+                        # kind MUST be explicitly string-typed: with
+                        # zero violating rows in a partition n == 0 and
+                        # an untyped pa.array([]) infers NULL type — a
+                        # different schema from the other yields, which
+                        # kills the Arrow stream writer
                         return pa.RecordBatch.from_arrays(
-                            [pa.array(ids, type=pa.int64()), pa.array([kind] * n), delta_arr],
+                            [pa.array(ids, type=pa.int64()),
+                             pa.array([kind] * n, type=pa.string()),
+                             delta_arr],
                             ["id", "kind", "delta"],
                         )
 
