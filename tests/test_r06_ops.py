@@ -1,0 +1,379 @@
+"""Property tests for the r06 second-wave operators: CDC apply, cohort
+retention, MAD outliers, keyword lift, blocked linkage, containment
+pairs, and the chained streaming aggregation — each checked against an
+independent pure-Python model or hand-computed edge cases the fixture
+oracles don't hit."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply
+# ---------------------------------------------------------------------------
+
+def _python_cdc(snapshot, changes):
+    """snapshot: {key: attrs}; changes: [(key, op, seq, attrs)] →
+    applied {key: attrs} with highest-seq-wins and D removing."""
+    latest = {}
+    for key, op, seq, attrs in changes:
+        if key not in latest or seq > latest[key][1] or (
+            seq == latest[key][1] and op < latest[key][0]
+        ):
+            latest[key] = (op, seq, attrs)
+    out = dict(snapshot)
+    for key, (op, _seq, attrs) in latest.items():
+        if op == "D":
+            out.pop(key, None)
+        else:
+            out[key] = attrs
+    return out
+
+
+def test_cdc_apply_matches_python_model(spark):
+    from transe_pyspark_spark.operators.relational import cdc_apply
+
+    rng = random.Random(11)
+    snapshot = {k: (rng.randrange(100), rng.randrange(1000)) for k in range(50)}
+    changes = []
+    for i in range(120):
+        key = rng.randrange(80)  # keys beyond the snapshot exercise inserts
+        op = rng.choice(["I", "U", "D"])
+        seq = rng.randrange(1, 6)
+        attrs = (rng.randrange(100), rng.randrange(1000)) if op != "D" else (None, None)
+        changes.append((key, op, seq, attrs))
+    # dedupe (key, seq) collisions: the operator contract requires them unique
+    seen = set()
+    uniq = []
+    for c in changes:
+        if (c[0], c[2]) not in seen:
+            seen.add((c[0], c[2]))
+            uniq.append(c)
+    changes = uniq
+
+    snap_df = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in snapshot.items()], "k long, a long, b long"
+    )
+    ch_df = spark.createDataFrame(
+        [(k, attrs[0], attrs[1], op, seq) for k, op, seq, attrs in changes],
+        "k long, a long, b long, op string, seq long",
+    )
+    got = {r["k"]: (r["a"], r["b"]) for r in cdc_apply(snap_df, ch_df, ["k"]).collect()}
+    model = _python_cdc(snapshot, changes)
+    assert got == model
+
+
+def test_cdc_apply_empty_batch_is_identity(spark):
+    from transe_pyspark_spark.operators.relational import cdc_apply
+
+    snap = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    empty = spark.createDataFrame([], "k long, v long, op string, seq long")
+    got = sorted((r["k"], r["v"]) for r in cdc_apply(snap, empty, ["k"]).collect())
+    assert got == [(1, 10), (2, 20)]
+
+
+def test_cdc_apply_missing_columns_raises(spark):
+    from transe_pyspark_spark.operators.relational import cdc_apply
+
+    snap = spark.createDataFrame([(1, 10)], "k long, v long")
+    bad = spark.createDataFrame([(1, "D", 1)], "k long, op string, seq long")
+    with pytest.raises(ValueError, match="missing"):
+        cdc_apply(snap, bad, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+# ---------------------------------------------------------------------------
+
+def test_cohort_retention_hand_computed(spark):
+    from transe_pyspark_spark.operators.asof import cohort_retention
+
+    # Mondays: 2024-01-01, 2024-01-08, 2024-01-15
+    t = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        # user 1: first Jan 2 (cohort wk Jan 1), active wk0 and wk2
+        (1, t(2)), (1, t(3)), (1, t(16)),
+        # user 2: first Jan 5 (cohort wk Jan 1), active wk0 only
+        (2, t(5)),
+        # user 3: first Jan 9 (cohort wk Jan 8), active wk0 and wk1
+        (3, t(9)), (3, t(15)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"].date(), r["age_weeks"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+    wk1, wk2 = dt.date(2024, 1, 1), dt.date(2024, 1, 8)
+    assert got == {
+        (wk1, 0): (2, 2, 1.0),
+        (wk1, 2): (1, 2, 0.5),
+        (wk2, 0): (1, 1, 1.0),
+        (wk2, 1): (1, 1, 1.0),
+    }
+
+
+def test_cohort_retention_age_zero_is_full(spark):
+    """Every cohort's age-0 cell is by construction the whole cohort."""
+    from transe_pyspark_spark.operators.asof import cohort_retention
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 2, 5)
+    rows = [
+        (rng.randrange(40), base + dt.timedelta(minutes=rng.randrange(0, 40 * 24 * 60)))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    for r in cohort_retention(df).filter(F.col("age_weeks") == 0).collect():
+        assert r["n_active"] == r["n_cohort"]
+        assert r["retention"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_outliers_planted(spark):
+    from transe_pyspark_spark.operators.relational import mad_outliers
+
+    # group "a": tight cluster around 10 plus two wild outliers
+    vals_a = [10.0 + 0.1 * i for i in range(-5, 6)] + [1000.0, -500.0]
+    # group "b": all identical → mad 0, any deviation is an outlier
+    vals_b = [5.0] * 9 + [5.1]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in mad_outliers(df, "g", "v", k=3.0).collect()}
+    assert got["a"]["n"] == 13
+    assert got["a"]["n_outliers"] == 2
+    assert got["a"]["med"] == 10.0
+    assert got["b"]["n_outliers"] == 1  # mad 0 → threshold 0 → 5.1 flagged
+    assert got["b"]["mad"] == 0.0
+
+
+def _python_mad(rows, k=3.0):
+    import statistics
+
+    out = {}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        med = statistics.median(vs)
+        mad = statistics.median([abs(v - med) for v in vs])
+        n_out = sum(1 for v in vs if abs(v - med) > k * 1.4826 * mad)
+        out[g] = (len(vs), n_out)
+    return out
+
+
+def test_mad_outliers_matches_python_model(spark):
+    from transe_pyspark_spark.operators.relational import mad_outliers
+
+    rng = random.Random(23)
+    rows = [
+        (rng.choice(["x", "y", "z"]), round(rng.gauss(50, 10), 2))
+        for _ in range(500)
+    ] + [(g, round(rng.uniform(500, 900), 2)) for g in "xyz" for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: (r["n"], r["n_outliers"]) for r in mad_outliers(df, "g", "v").collect()}
+    assert got == _python_mad(rows)
+
+
+# ---------------------------------------------------------------------------
+# doc_keywords
+# ---------------------------------------------------------------------------
+
+def test_doc_keywords_matches_python_model(spark):
+    from transe_pyspark_spark.functions.text import doc_keywords
+
+    docs = [
+        (0, "apple apple banana cherry"),
+        (1, "banana banana banana date"),
+        (2, "apple cherry cherry cherry elderberry"),
+        (3, "date elderberry fig fig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["kw_rank"]): (r["term"], r["tf"], r["df"])
+        for r in doc_keywords(df, k=2).collect()
+    }
+    n = len(docs)
+    tf = {}
+    for i, text in docs:
+        for w in text.split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dfreq = {}
+    for (_i, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    model = {}
+    for i, _text in docs:
+        terms = [(w, c) for (j, w), c in tf.items() if j == i]
+        scored = sorted(
+            terms, key=lambda wc: (-(wc[1] * (n + 1)) / (dfreq[wc[0]] + 1), wc[0])
+        )
+        for rank, (w, c) in enumerate(scored[:2], start=1):
+            model[(i, rank)] = (w, c, dfreq[w])
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# blocked_levenshtein_pairs
+# ---------------------------------------------------------------------------
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_blocked_levenshtein_matches_python(spark):
+    from transe_pyspark_spark.operators.linkage import blocked_levenshtein_pairs
+
+    names = [
+        (0, "acme widget co"), (1, "acme widgets co"), (2, "acme wadget inc"),
+        (3, "zenith bolt ltd"), (4, "zenith bolts ltd"), (5, "acme completely different"),
+        (6, "apex bolt ltd"),
+    ]
+    df = spark.createDataFrame(names, "id long, nm string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in blocked_levenshtein_pairs(
+            df, "id", "nm", block_expr=F.split(F.col("nm"), " ").getItem(0), max_distance=6
+        ).collect()
+    }
+    by_block = {}
+    for i, nm in names:
+        by_block.setdefault(nm.split()[0], []).append((i, nm))
+    model = {}
+    for blk in by_block.values():
+        for x in range(len(blk)):
+            for y in range(x + 1, len(blk)):
+                (ia, na), (ib, nb) = sorted([blk[x], blk[y]])
+                d = _lev(na, nb)
+                if d <= 6 and abs(len(na) - len(nb)) <= 6:
+                    model[(ia, ib)] = d
+    assert got == model
+    # cross-block pairs never appear even when textually close
+    assert (3, 6) not in got  # "zenith bolt ltd" vs "apex bolt ltd": blocked apart
+
+
+def test_blocked_levenshtein_arg_contract(spark):
+    from transe_pyspark_spark.operators.linkage import blocked_levenshtein_pairs
+
+    df = spark.createDataFrame([(1, "x", "b")], "id long, nm string, blk string")
+    with pytest.raises(ValueError, match="exactly one"):
+        blocked_levenshtein_pairs(df, "id", "nm")
+    with pytest.raises(ValueError, match="exactly one"):
+        blocked_levenshtein_pairs(
+            df, "id", "nm", block_cols=["blk"], block_expr=F.col("blk")
+        )
+
+
+# ---------------------------------------------------------------------------
+# containment_prefix_pairs
+# ---------------------------------------------------------------------------
+
+def _python_containment(docs, t, n=3):
+    def grams(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: grams(tx) for i, tx in docs if len(tx.split()) >= n}
+    out = {}
+    for a, ga in sets.items():
+        for b, gb in sets.items():
+            if a != b and ga:
+                c = len(ga & gb) / len(ga)
+                if c >= t:
+                    out[(a, b)] = round(c, 6)
+    return out
+
+
+def test_containment_matches_python_bruteforce(spark):
+    from transe_pyspark_spark.operators.dedup import containment_prefix_pairs
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(6, 30)))))
+    # plant a strict subset: doc 100 is a contiguous slice of doc 0
+    base = docs[0][1].split()
+    docs.append((100, " ".join(base[2:10])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_prefix_pairs(df, threshold=0.5, shingle_n=3).collect()
+    }
+    model = _python_containment(docs, 0.5)
+    assert got == model
+    assert got[(100, 0)] == 1.0  # the planted subset is fully contained
+
+
+def test_containment_threshold_contract(spark):
+    from transe_pyspark_spark.operators.dedup import containment_prefix_pairs
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        containment_prefix_pairs(df, threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# chained_windowed_counts
+# ---------------------------------------------------------------------------
+
+def test_chained_windowed_counts_batch_twin(spark):
+    from transe_pyspark_spark.streaming.windows import chained_windowed_counts
+
+    t = lambda m, s=0: dt.datetime(2024, 5, 1, 9, m, s)
+    rows = [
+        ("a", t(1)), ("a", t(2)), ("a", t(11)), ("a", t(59, 59)),
+        ("b", t(5)), ("b", t(25)),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["window_start"], r["event_type"]): (r["total_events"], r["peak_10min"], r["n_slices"])
+        for r in chained_windowed_counts(df).collect()
+    }
+    h9 = dt.datetime(2024, 5, 1, 9)
+    # "a": slices 9:00(2), 9:10(1), 9:50(1) → total 4, peak 2, 3 slices
+    assert got[(h9, "a")] == (4, 2, 3)
+    # "b": slices 9:00(1), 9:20(1) → total 2, peak 1, 2 slices
+    assert got[(h9, "b")] == (2, 1, 2)
+
+
+def test_chained_streaming_equals_gated_batch(spark, sf_dir):
+    """The streaming face emits exactly the batch twin restricted to
+    hourly windows finalized by the terminal watermark."""
+    from transe_pyspark_spark.sources.readers import load_table
+    from transe_pyspark_spark.streaming.windows import (
+        chained_windowed_counts,
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    gate = max_ts - dt.timedelta(hours=2)
+    batch = {
+        tuple(r)
+        for r in chained_windowed_counts(events)
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(gate))
+        .collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in run_available_now(
+            chained_windowed_counts(read_events_stream(spark, sf_dir)),
+            spark,
+            output_mode="append",
+        ).collect()
+    }
+    assert streamed == batch

@@ -54,6 +54,14 @@ NEW_IN_R06 = {
     "multimodal_decode",
     "reservoir_sample_docs",
     "dup_ngram_docs",
+    # second r06 wave: analytics / warehouse / linkage / streaming
+    "cohort_retention_weekly",
+    "mad_outlier_values",
+    "cdc_apply_customers",
+    "doc_keywords_lift",
+    "record_linkage_parts",
+    "containment_near_pairs",
+    "stream_chained_agg",
 }
 
 

@@ -390,3 +390,57 @@ def cross_doc_ngram_dup(
             ).alias("dup_fraction"),
         )
     )
+
+
+def doc_keywords(
+    docs,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document keyword extraction by TF-IDF-style lift — the
+    corpus-indexing op behind search snippets, topic labels, and
+    duplicate-cluster naming. Scores each (doc, term) by
+    ``tf · (N + 1) / (df + 1)``: term frequency amplified by rarity
+    across the corpus. This is the multiplicative-idf variant of
+    TF-IDF chosen for EXACT cross-engine arithmetic — ``tf·(N+1)`` is
+    a BIGINT product and the single IEEE division by ``(df+1)`` is
+    correctly rounded on every engine, whereas ``ln(N/df)`` depends on
+    each engine's libm (the orderings agree whenever idf is monotone
+    decreasing in df, which both are).
+
+    Plan: lowercase-word explode → (doc, term) hash-agg (tf) → a
+    term-keyed document-frequency aggregate over the tf table (already
+    distinct per doc — no second distinct) → score join on the term
+    key → per-doc top-k window (WindowGroupLimit pushes a partial
+    top-k below the shuffle, O(k) per doc). The corpus size N rides
+    along as a broadcast single-row aggregate, in-plan. At 100 TB the
+    df table is vocabulary-sized: broadcast when it fits, else the
+    term-keyed join co-partitions with the aggregate that built it
+    (the default here — no broadcast hint — lets AQE choose).
+
+    Ties (same score) break on the term string, so the top-k set is
+    total-ordered and oracle-checkable. Returns
+    (id, term, tf, df, lift, rank) — ``rank`` 1-based.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("lift").desc(), F.col("term").asc())
+    return (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "lift",
+            (F.col("tf") * (F.col("__n") + 1)).cast("double") / (F.col("df") + 1).cast("double"),
+        )
+        .withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= k)
+        .select(id_col, "term", "tf", "df", F.round("lift", 6).alias("lift"), "kw_rank")
+    )

@@ -302,3 +302,56 @@ def sessionize(
             F.sum(F.round(F.col(agg_value_col) * 100).cast("long")).alias("sum_value_cents")
         )
     return sessioned.groupBy(key, "session_seq").agg(*aggs)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix — the product-analytics staple:
+    users are assigned to the cohort of their FIRST event's week, and
+    each cell counts how many of that cohort were active ``age_weeks``
+    weeks later, as a fraction of the cohort.
+
+    Scale posture: the first-event aggregate shuffles once on the user
+    key; the activity join re-uses that same hash partitioning (equi-
+    join on ``user_col`` — EnsureRequirements inserts no new Exchange
+    on the aggregated side), and the cell rollup's ``count_distinct``
+    is a two-phase partial-then-final aggregate on (cohort, age) — a
+    matrix of at most weeks² cells, kilobytes however large the event
+    log. Cohort sizes (one row per week) broadcast into the final
+    ratio. No window functions, nothing per-user on the driver.
+
+    Float parity: ``retention`` divides two BIGINTs in one IEEE
+    division (exact cross-engine); week truncation is Monday-anchored
+    on both Spark and DuckDB ``date_trunc('week', ...)``.
+
+    Returns (cohort_week, age_weeks, n_active, n_cohort, retention).
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    cohort = F.date_trunc("week", F.col("__first_ts")).alias("cohort_week")
+    acts = (
+        events.select(user_col, ts_col)
+        .join(first, user_col)
+        .select(
+            F.col(user_col),
+            cohort,
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col(ts_col)), F.date_trunc("week", F.col("__first_ts"))) / 7
+            ).cast("long").alias("age_weeks"),
+        )
+    )
+    sizes = first.groupBy(cohort).agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        acts.groupBy("cohort_week", "age_weeks")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias("retention"),
+        )
+    )

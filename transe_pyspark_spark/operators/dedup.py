@@ -269,6 +269,96 @@ def jaccard_prefix_pairs(
     )
 
 
+def containment_prefix_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment ``C(A→B) = |A∩B| / |A| ≥ t`` for
+    ordered pairs a ≠ b — the quote/boilerplate/subset-document
+    detector Jaccard misses: a paragraph fully quoted inside a long
+    document has tiny Jaccard (the union is huge) but containment 1.0.
+    Near-dedup pipelines use it to drop documents SUBSUMED by another
+    rather than merely similar.
+
+    One-sided prefix filter (the PPJoin prefix theorem applied to the
+    contained side only): if ``C(A→B) ≥ t`` then ``|A∩B| ≥ ⌈t·|A|⌉``,
+    so under the global rarest-first shingle order A must match B
+    within A's first ``|A| − ⌈t·|A|⌉ + 1`` shingles (pigeonhole — all
+    matches outside that prefix would leave fewer than ``t·|A|``
+    shared). B cannot be prefix-restricted (a containing document
+    matches anywhere), so candidates come from A-prefix rows against
+    the FULL posting side, pruned by
+
+    * the size bound ``|B| ≥ ⌈t·|A|⌉`` (overlap can't exceed |B|), and
+    * the positional bound at the pair's minimal matching positions:
+      remaining overlap ≤ 1 + min(|A|−pa, |B|−pb), required ≥ ⌈t·|A|⌉.
+
+    Candidates then verify EXACTLY with the same replicate-and-probe
+    intersection count as ``jaccard_prefix_pairs``. Shuffles: doc-freq
+    agg, per-doc rank window, prefix⋈full equi-join on the shingle,
+    verify join, pair agg — all keyed, nothing quadratic in the
+    corpus; a stop-shingle sits last in the order so it generates no
+    A-prefix candidates by itself (B-side posting lists stay long, but
+    only pairs seeded by some rare prefix shingle ever materialize).
+
+    Returns (doc_a, doc_b, containment): fraction of A's distinct
+    ``shingle_n``-gram set present in B, ≥ ``threshold``, both
+    directions reported independently. One IEEE division of two
+    integers — hash-exact on any engine.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"containment threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+    eps = 1e-9
+    ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("shingle").asc())
+    pos = ex.join(dfreq, "shingle").withColumn("__pos", F.row_number().over(w))
+    # A side: prefix rows only (see jaccard_prefix_pairs for the
+    # float-nudge rationale on t·n landing just above an integer)
+    pa = pos.filter(
+        F.col("__pos")
+        <= F.col("n_shingles") - F.ceil(F.lit(t) * F.col("n_shingles") - F.lit(eps)) + 1
+    ).select(
+        F.col(id_col).alias("doc_a"), "shingle",
+        F.col("n_shingles").alias("__na"), F.col("__pos").alias("__pa"),
+    )
+    # B side: every row, with positions for the positional bound
+    pb = pos.select(
+        F.col(id_col).alias("doc_b"), "shingle",
+        F.col("n_shingles").alias("__nb"), F.col("__pos").alias("__pb"),
+    )
+    need = F.ceil(F.lit(t) * F.col("__na") - F.lit(eps))
+    cands = (
+        pa.join(pb, "shingle")
+        .filter((F.col("doc_a") != F.col("doc_b")) & (F.col("__nb") >= need))
+        .groupBy("doc_a", "doc_b", "__na", "__nb")
+        .agg(F.min("__pa").alias("__mpa"), F.min("__pb").alias("__mpb"))
+        .filter(
+            F.lit(1) + F.least(F.col("__na") - F.col("__mpa"), F.col("__nb") - F.col("__mpb"))
+            >= F.ceil(F.lit(t) * F.col("__na") - F.lit(eps))
+        )
+        .select("doc_a", "doc_b", "__na")
+    )
+    ea = ex.select(F.col(id_col).alias("doc_a"), "shingle")
+    eb = ex.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "__na")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    cont = F.col("__i").cast("double") / F.col("__na").cast("double")
+    return (
+        inter.select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def _word_hashes(col) -> "F.Column":
     """Deterministic 31-bit polynomial hash per word (base-131 over code
     points, mod 2^31−1) — engine-independent, unlike F.hash/xxhash whose

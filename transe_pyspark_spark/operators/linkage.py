@@ -1,0 +1,90 @@
+"""Fuzzy record linkage / entity resolution (SURVEY §2B R6-adjacent).
+
+The warehouse "are these the same real-world thing?" operator:
+candidate pairs come from a cheap BLOCKING key (never an all-pairs
+cross join), survive a length prefilter, and are scored with exact
+edit distance — the classic block → prune → compare pipeline of
+Fellegi-Sunter-style entity resolution, expressed as two narrow
+projections and one equi-join so Catalyst owns the physical plan.
+
+Reference parity: the reference has no linkage operator; this is part
+of the beyond-reference training-data toolkit (dedup of near-identical
+entity names across sources feeds the same downstream as document
+near-dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str] | None = None,
+    max_distance: int = 8,
+    block_expr=None,
+) -> DataFrame:
+    """All id pairs (a < b) whose ``name_col`` values are within
+    ``max_distance`` edits, restricted to pairs sharing a blocking key.
+
+    Blocking is the scale lever: the equi-self-join on the block key
+    bounds candidates to Σ_b |block_b|² instead of n² — the standard
+    entity-resolution contract that a true match always shares the
+    block (choose keys accordingly: phonetic code, first token, brand,
+    zip). ``block_expr`` computes a derived key (e.g. the name's first
+    word); ``block_cols`` uses existing columns; exactly one must be
+    given.
+
+    Pruning before the O(len²) distance kernel:
+
+    * ``a < b`` on the id halves the candidate count;
+    * the LENGTH filter ``|len(x) − len(y)| ≤ d`` is a provable lower
+      bound on edit distance, evaluated from two cheap ints before the
+      dynamic-programming kernel runs.
+
+    Skewed blocks (one brand holding half the catalog) are ordinary
+    join skew: AQE's skew-join split handles moderate cases, and the
+    repo's ``salted_join`` pattern applies when one block explodes —
+    or re-block with a finer key, the honest fix.
+
+    Returns (id_a, id_b, name_a, name_b, distance), distance ≤
+    ``max_distance``. Levenshtein is the classic unit-cost edit
+    distance on both Spark and DuckDB — values are integers, so the
+    result hash-checks exactly.
+    """
+    if (block_cols is None) == (block_expr is None):
+        raise ValueError("give exactly one of block_cols / block_expr")
+    key = block_expr.alias("__blk") if block_expr is not None else None
+    base_cols = [F.col(id_col), F.col(name_col)]
+    if key is not None:
+        left = df.select(*base_cols, key)
+        blocks = ["__blk"]
+    else:
+        left = df.select(*base_cols, *[F.col(c) for c in block_cols])
+        blocks = list(block_cols)
+    a = left.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.length(name_col).alias("__la"),
+        *[F.col(c) for c in blocks],
+    )
+    b = left.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.length(name_col).alias("__lb"),
+        *[F.col(c) for c in blocks],
+    )
+    d = int(max_distance)
+    return (
+        a.join(b, blocks)
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= d)
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("distance") <= d)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

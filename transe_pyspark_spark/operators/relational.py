@@ -564,6 +564,111 @@ def token_budget_sample(
     )
 
 
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture batch to a snapshot (SCD type-1
+    merge with deletes) — the MERGE INTO every warehouse runs on its
+    latest-state tables: per key, the HIGHEST-``seq`` change wins;
+    ``op`` = 'I'/'U' upserts the change row's attributes, 'D' removes
+    the key; keys absent from the batch pass through untouched.
+    Complements ``scd2_merge`` (which versions history; this keeps only
+    current state).
+
+    Column contract: ``changes`` carries ``key_cols`` + ``op_col`` +
+    ``seq_col`` + exactly the snapshot's non-key columns (NULL-able for
+    deletes). (key, seq) pairs must be unique — the op of a tied seq
+    would be arbitrary, so ties break deterministically on ``op_col``
+    but the contract is uniqueness.
+
+    Scale posture: latest-change-per-key is a key-partitioned window
+    (key cardinality is the table's, not a handful — no single-reducer
+    funnel) over the CHANGE BATCH only, never the snapshot; the
+    snapshot is touched by one co-partitioned anti-join on the key plus
+    a plan-only union with the upserts. Nightly-batch case: Catalyst
+    broadcasts the small batch side of the anti-join automatically.
+    """
+    snap_cols = snapshot.columns
+    missing = set(snap_cols) - set(changes.columns)
+    if missing:
+        raise ValueError(
+            f"cdc_apply requires changes to carry every snapshot column; missing {sorted(missing)}"
+        )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = snapshot.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = latest.filter(F.col(op_col) != "D").select(*snap_cols)
+    return untouched.unionByName(upserts)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier screen via the median/MAD rule: a value
+    is an outlier when ``|x − median| > k · 1.4826 · MAD`` (1.4826
+    scales the median absolute deviation to a normal σ) — the
+    data-quality sweep that survives the heavy tails that break
+    z-scores (mean/stddev are themselves dragged by the outliers they
+    should flag).
+
+    Three aggregation passes over a narrow (group, value) projection —
+    medians are order statistics, so MAD needs the median first and the
+    flags need both; each intermediate is one row per group and
+    broadcasts back, so no pass shuffles the data by anything but the
+    final ≤|groups| rollup. ``exact`` percentile state holds the group's
+    values (the oracle-comparable face); swap ``approx_percentile`` at
+    100 TB for GK-sketch state, same plan shape.
+
+    Float parity: medians interpolate identically on Spark
+    ``percentile`` and DuckDB ``quantile_cont``; the threshold
+    multiplies the same literals left-to-right; counts divide in one
+    IEEE division. Returns
+    (group, n, med, mad, n_outliers, outlier_frac).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(F.percentile(v, F.lit(0.5)).alias("med"))
+    dev = df.select(group_col, value_col).join(F.broadcast(med), group_col)
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = df.select(group_col, value_col).join(F.broadcast(mad), group_col)
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(F.when(F.abs(v - F.col("med")) > thresh, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            g,
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            (F.col("n_outliers").cast("double") / F.col("n").cast("double")).alias("outlier_frac"),
+        )
+    )
+
+
 def _mg_shrink(counts, cap: int):
     """One Misra-Gries decrement step on a pandas count Series: if more
     than ``cap`` counters are tracked, subtract the (cap+1)-th largest

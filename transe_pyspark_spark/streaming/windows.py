@@ -269,3 +269,56 @@ def click_purchase_interval_join_outer(
     return c.join(p, cond, "left_outer").select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
     )
+
+
+def chained_windowed_counts(
+    events: DataFrame,
+    slice_width: str = "10 minutes",
+    roll_width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful streaming aggregation (R23, Spark ≥ 3.4 multiple
+    stateful operators): 10-minute per-type counts roll up into hourly
+    total / peak / slice-count — the downsample-then-rollup cascade
+    every metrics pipeline runs (raw firehose → 10-min pre-agg →
+    hourly dashboard), expressed as TWO windowed aggregations in ONE
+    streaming query instead of an intermediate sink + second job.
+
+    The second aggregation windows over ``window_time(w)`` (the first
+    window's event-time column, end − 1 µs), which lets the engine
+    thread ONE watermark through both stateful operators: a 10-minute
+    slice finalizes when the watermark passes its end, and the hourly
+    window finalizes when the watermark passes ITS end — state for
+    both stays watermark-bounded. Append output mode is required for
+    chained stateful ops, so ONLY FINALIZED hourly windows emit:
+    windows whose end exceeds the final watermark (max event time −
+    ``watermark``) are withheld, exactly like the outer interval
+    join's null-side gate — the batch twin / oracle replicates the
+    gate with a max-ts filter.
+
+    ``peak_10min`` (the max slice count) is the rollup a plain
+    single-window agg cannot express — it needs the finalized slice
+    values as input rows. Batch frames run the identical two-level
+    plan (window_time is an ordinary expression) without the gate.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    slices = src.groupBy(F.window("ts", slice_width).alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        slices.groupBy(
+            F.window(F.window_time("w"), roll_width).alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("long").alias("total_events"),
+            F.max("n").cast("long").alias("peak_10min"),
+            F.count(F.lit(1)).cast("long").alias("n_slices"),
+        )
+        .select(
+            F.col("w2.start").alias("window_start"),
+            "event_type",
+            "total_events",
+            "peak_10min",
+            "n_slices",
+        )
+    )
