@@ -151,6 +151,44 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "per-stratum offsets broadcast back; a stratum's rows spread over "
         "every range partition instead of one task",
     ),
+    "cohort_retention_weekly": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        "first-event and cell rollups are partial+final hash aggs; the "
+        "weeks-cardinality cohort-size table broadcasts into the ratio "
+        "(the user-keyed activity join is size-based — broadcast here, "
+        "co-partitioned SMJ at scale)",
+    ),
+    "mad_outlier_values": (
+        ["ObjectHashAggregate", "BroadcastHashJoin"],
+        "each percentile pass is one bounded-group aggregate; the per-group "
+        "median/MAD statistics broadcast back between passes — the data is "
+        "never shuffled by anything but the group key",
+    ),
+    "cdc_apply_customers": (
+        ["WindowGroupLimit", "LeftAnti"],
+        "latest-change-per-key runs with the partial top-1 pushed below the "
+        "key shuffle (O(1) state per key); the snapshot is touched only by "
+        "one anti join on the key",
+    ),
+    "doc_keywords_lift": (
+        ["Generate", "WindowGroupLimit", "HashAggregate"],
+        "terms explode map-side; tf/df are keyed hash aggs; the per-doc "
+        "top-k window keeps O(k) per doc below the shuffle; the corpus "
+        "count N rides as a 1-row broadcast build side",
+    ),
+    "record_linkage_parts": (
+        ["TakeOrderedAndProject"],
+        "the block self-join is an equi-join (broadcast at this size, "
+        "shuffled-hash on the block key at scale); the length lower bound "
+        "prunes before the O(len²) levenshtein; top-200 merges per-task "
+        "heaps — no global sort",
+    ),
+    "containment_near_pairs": (
+        ["HashAggregate"],
+        "one-sided prefix filter: candidates come from A-prefix rows "
+        "equi-joined to the posting side, verified by a keyed intersection "
+        "count — never an all-pairs comparison",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -181,6 +219,21 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "minhash_pairs_raw": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "LSH candidates come from band-bucket equi-joins only — never all pairs",
+    ),
+    "containment_near_pairs": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "containment candidates come from the prefix/posting equi-join — "
+        "never an all-pairs nested loop",
+    ),
+    "record_linkage_parts": (
+        ["CartesianProduct"],
+        "linkage candidates are bounded by the block equi-join, never a "
+        "cross join (the 1-row broadcast NLJ of scalar subqueries is fine; "
+        "a Cartesian over the entity table is not)",
+    ),
+    "cdc_apply_customers": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the merge is key equi-joins only",
     ),
 }
 
@@ -221,6 +274,21 @@ MAX_EXCHANGES = {
     "approx_percentile_sketch": 1,
     # boundary sketch agg + ≤k-group rollup
     "equi_depth_prices_approx": 2,
+    # first-event agg + activity join + distinct-user cell rollup +
+    # cohort-size agg (the ratio join side broadcasts)
+    "cohort_retention_weekly": 5,
+    # one exchange per percentile pass; statistics broadcast back
+    "mad_outlier_values": 3,
+    # latest-change window + the applied-side exchange; the anti join
+    # broadcasts the batch at this size
+    "cdc_apply_customers": 2,
+    # tf agg + df agg + term join + per-doc top-k window
+    "doc_keywords_lift": 5,
+    # block self-join broadcasts at sf0.01 (0 exchanges); allow the
+    # shuffled-hash form the same join takes at scale
+    "record_linkage_parts": 2,
+    # doc-freq agg + rank window + candidate agg + verify agg
+    "containment_near_pairs": 4,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
@@ -239,6 +307,10 @@ SF1_STABLE = [
     "heavy_hitter_words",
     "approx_percentile_sketch",
     "equi_depth_prices_approx",
+    # r06 second wave: the two candidate-join dedup/linkage faces must
+    # keep their forbidden-node guarantees at 10× (no all-pairs shapes)
+    "containment_near_pairs",
+    "record_linkage_parts",
 ]
 
 

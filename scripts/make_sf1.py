@@ -41,14 +41,15 @@ CUSTKEY_OFF = 1_000_000
 DOCID_OFF = 1_000_000
 EVENTID_OFF = 10_000_000
 USERID_OFF = 1_000_000
+PARTKEY_OFF = 1_000_000
 
-SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "events")
+SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "events", "part")
 
 #: bump when the replication logic or its parameters change — the
 #: cached fixture regenerates on mismatch, so sf1 numbers and plan
 #: gates always reflect the CURRENT generator (a bare _DONE marker
 #: silently served stale fixtures across code versions)
-GENERATOR_VERSION = f"v3|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF}"
+GENERATOR_VERSION = f"v4|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF},{PARTKEY_OFF}"
 
 
 def sf1_dir() -> str:
@@ -121,6 +122,9 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
         # of 32 cores (89 s; 32-file layout ~9 s, same plan)
         "documents": _replicate_documents(load("documents")).repartition(32),
         "events": _replicate(load("events"), {"event_id": EVENTID_OFF, "user_id": USERID_OFF}),
+        # part feeds the linkage face: replicated names keep the same
+        # first-word block distribution at 10× the rows per block
+        "part": _replicate(load("part"), {"p_partkey": PARTKEY_OFF}),
     }
     for name, df in plans.items():
         dest = os.path.join(out, f"{name}.parquet")
