@@ -124,7 +124,7 @@ def _train_epoch_overlap_seconds(spark) -> float:
     return sorted(later)[len(later) // 2], later
 
 
-def _train_epoch_relational_seconds(spark) -> float:
+def _train_epoch_relational_seconds(spark, mode: str = "auto") -> float:
     """Per-epoch time for the RELATIONAL TransE trainer at the same
     FB15k-237 shape as ``_train_epoch_seconds`` (VERDICT r03 item 2).
 
@@ -154,13 +154,18 @@ def _train_epoch_relational_seconds(spark) -> float:
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "bench_relational_epoch.py")
+    args = [sys.executable, script, "4"]
+    if mode == "shuffled":
+        # force broadcast_model_limit=0: the beyond-broadcast regime
+        # (shuffled gather + rid reassembly + shuffled update join) —
+        # recorded alongside the auto regime so BOTH plans stay
+        # measured, not just the one the size check picks at V=14.5k
+        args.append("shuffled")
     try:
         # 4 epochs → 3 after-warmup samples: a median of TWO picks the
         # larger (r06: [12.84, 10.01] recorded 12.84), a median of
         # three is robust to one slow-window epoch
-        proc = subprocess.run(
-            [sys.executable, script, "4"], capture_output=True, text=True, timeout=900,
-        )
+        proc = subprocess.run(args, capture_output=True, text=True, timeout=900)
     except subprocess.TimeoutExpired as e:
         raise RuntimeError("relational-epoch subprocess timed out after 900s") from e
     later = [float(m) for m in re.findall(r"epoch \d+: ([0-9.]+)s", proc.stdout)][1:]
@@ -308,24 +313,23 @@ def main() -> None:
     # guarded like the sf1 section: a crashed/timed-out subprocess or an
     # unparseable transcript records an error entry instead of killing
     # the whole bench before the headline JSON is emitted
-    try:
-        (
-            scale_paths["transe_train_epoch_relational"],
-            runs["transe_train_epoch_relational"],
-            relational_phases,
-        ) = _train_epoch_relational_seconds(spark)
-        if relational_phases:
-            runs["transe_train_epoch_relational_phases"] = relational_phases
-        print(
-            f"# transe_train_epoch_relational: {scale_paths['transe_train_epoch_relational']}s/epoch"
-            f" phases={relational_phases}",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001
-        scale_paths["transe_train_epoch_relational_error"] = str(e)[:200]
-        print(f"# transe_train_epoch_relational FAILED: {e}", file=sys.stderr)
-    gc.collect()
-    spark.catalog.clearCache()
+    for mode, key in (("auto", "transe_train_epoch_relational"),
+                      ("shuffled", "transe_train_epoch_relational_shuffled")):
+        try:
+            scale_paths[key], runs[key], relational_phases = (
+                _train_epoch_relational_seconds(spark, mode)
+            )
+            if relational_phases:
+                runs[f"{key}_phases"] = relational_phases
+            print(
+                f"# {key}: {scale_paths[key]}s/epoch phases={relational_phases}",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            scale_paths[f"{key}_error"] = str(e)[:200]
+            print(f"# {key} FAILED: {e}", file=sys.stderr)
+        gc.collect()
+        spark.catalog.clearCache()
 
     times["transe_train_epoch"], runs["transe_train_epoch"] = _train_epoch_seconds(spark)
     print(f"# transe_train_epoch: {times['transe_train_epoch']}s/epoch", file=sys.stderr)

@@ -3,8 +3,11 @@ published scale (FB15k-237 shape: 483,142 triples, V=14,541, L=237,
 k=50, 2 batches) — the same shape bench.py times for the broadcast
 path (VERDICT r03 item 2: 'convergence-tested but never timed').
 
-Usage: python scripts/bench_relational_epoch.py [n_epochs]
+Usage: python scripts/bench_relational_epoch.py [n_epochs] [shuffled]
 Prints per-epoch wall seconds; the bench.py section records the median.
+``shuffled`` forces broadcast_model_limit=0 — the beyond-broadcast
+regime (shuffled gather + rid reassembly + shuffled update join), so
+the bench records BOTH regimes honestly.
 """
 
 from __future__ import annotations
@@ -32,7 +35,11 @@ def main() -> None:
     )
     triples = spark.createDataFrame(pdf).repartition(32)
 
-    tr = RelationalTransETrainer(k=K, n_epochs=n_epochs, n_batches=2, learning_rate=0.01, seed=1)
+    shuffled = len(sys.argv) > 2 and sys.argv[2] == "shuffled"
+    tr = RelationalTransETrainer(
+        k=K, n_epochs=n_epochs, n_batches=2, learning_rate=0.01, seed=1,
+        broadcast_model_limit=0 if shuffled else 128 * 1024 * 1024,
+    )
     t0 = time.time()
     ent, lab = tr.fit(spark, triples, n_entities=V, n_labels=L)
     total = time.time() - t0

@@ -225,6 +225,34 @@ def test_relational_trainer_converges(spark, toy_triples):
     assert model.k == 16
 
 
+def test_relational_broadcast_and_shuffled_regimes_agree(spark, toy_triples):
+    """The broadcast-model gather (map-side probe, no rid reassembly)
+    and the beyond-broadcast shuffled plan must be the SAME trainer:
+    identical loss history and final entity table, differing only in
+    physical join strategy (the broadcast run at the FB15k bench shape
+    reproduced the shuffled run's loss history bit-for-bit)."""
+    from transe_pyspark_spark.transe.data import load_triples
+    from transe_pyspark_spark.transe.train_relational import RelationalTransETrainer
+
+    raw = load_triples(spark, toy_triples)
+    ev, lv = build_vocab(raw)
+    enc = encode_triples(raw, ev, lv)
+    results = {}
+    for name, limit in (("broadcast", 128 * 1024 * 1024), ("shuffled", 0)):
+        tr = RelationalTransETrainer(
+            k=8, n_epochs=3, n_batches=2, learning_rate=0.01, seed=11,
+            broadcast_model_limit=limit,
+        )
+        ent, lab = tr.fit(spark, enc, ev.count(), lv.count())
+        results[name] = (tr.loss_history, RelationalTransETrainer.to_local(ent, lab))
+        assert tr._broadcast_model == (name == "broadcast")
+    lb, mb = results["broadcast"]
+    ls, ms = results["shuffled"]
+    np.testing.assert_allclose(lb, ls, rtol=1e-12)
+    np.testing.assert_allclose(mb.entity, ms.entity, rtol=1e-12)
+    np.testing.assert_allclose(mb.label, ms.label, rtol=1e-12)
+
+
 def test_relational_init_deterministic(spark):
     """The distributed init is a pure function of (seed, id): the same
     seed yields bit-identical vectors under different partitioning

@@ -48,14 +48,19 @@ sized by V on any single node, and the shuffled vector volume is
 ~3N + |touched| vectors per batch versus ~9N for the unfused
 five-join chain. Measured at the FB15k bench shape (fresh JVM,
 ``scripts/bench_relational_epoch.py``): 16.7 s/epoch (r04) →
-~5.8 s/epoch (r06) with bit-identical loss history. The r06 wins:
-``train`` became a leaf plan (see ``fit``), collapsing the per-batch
-re-analysis that serialized ~3 s/epoch of pure driver-side plan
-construction in front of the cluster work, and the corruption's
-min-by-round reduction is exchange-free in the broadcast-rejection
-regime (a partition-local Arrow pass — the shuffled hash-agg remains
-the honest beyond-broadcast form, equivalence pytest-pinned). Per-phase wall times are
-accumulated in ``phase_times`` and published in the bench JSON.
+single-digit s/epoch (r06). The r06 wins: ``train`` became a leaf
+plan (see ``fit``), collapsing the per-batch re-analysis that
+serialized ~3 s/epoch of pure driver-side plan construction in front
+of the cluster work; the corruption's min-by-round reduction is
+exchange-free in the broadcast-rejection regime (a partition-local
+Arrow pass — the shuffled hash-agg remains the honest
+beyond-broadcast form, equivalence pytest-pinned); and the kernel's
+partials flow straight into the (kind, id)-keyed fold within ONE job,
+so the per-batch localCheckpoint holds the FOLDED ≤(V+L+1)-row delta
+table (~6 MB) instead of the raw ~|touched|×P partials (~190 MB
+measured) — same shuffles, two fewer materializations. Per-phase wall
+times are accumulated in ``phase_times`` and published in the bench
+JSON.
 
 Trade-off: per-epoch latency is much higher than the broadcast path at
 small V (joins vs one broadcast), so selection is by model size; the
@@ -89,6 +94,7 @@ class RelationalTransETrainer:
         seed: int = 42,
         reject_rounds: int = 3,
         broadcast_rejection_limit: int = 100_000_000,
+        broadcast_model_limit: int = 128 * 1024 * 1024,
     ):
         assert distance in ("L1", "L2")
         self.k = k
@@ -106,6 +112,17 @@ class RelationalTransETrainer:
         #: broadcast for the corruption anti-joins; above it they shuffle
         self.broadcast_rejection_limit = broadcast_rejection_limit
         self._broadcast_reject = False
+        #: model bytes (V×k×8) up to which the gather/update joins hint
+        #: the entity table as the broadcast build side — the join
+        #: strategy any optimizer with correct stats would pick for a
+        #: dimension this size (checkpointed frames carry unknown stats,
+        #: so Catalyst can't make the size-based call itself). Past the
+        #: limit both joins take the shuffled beyond-broadcast plan.
+        #: This chooses a JOIN STRATEGY, not the architecture: model
+        #: state stays a DataFrame either way, and the two regimes are
+        #: equivalence-pinned by pytest.
+        self.broadcast_model_limit = broadcast_model_limit
+        self._broadcast_model = False
         self.loss_history: list[float] = []
         self.epoch_times: list[float] = []
         #: cumulative driver-side wall per phase (profiling aid)
@@ -266,6 +283,7 @@ class RelationalTransETrainer:
         # this was ~2 s of each epoch doing no cluster work at all.
         train = triples.select("h", "l", "t").localCheckpoint(eager=True)
         self._broadcast_reject = train.count() <= self.broadcast_rejection_limit
+        self._broadcast_model = n_entities * self.k * 8 <= self.broadcast_model_limit
         # The rejection table is constant across every batch and epoch —
         # build it (and its broadcast wrapper) ONCE. 24 B/triple: up to
         # ~10⁸ train triples it broadcasts and the rejection anti-join
@@ -341,19 +359,36 @@ class RelationalTransETrainer:
                     .when(F.col("__role") == 1, F.col("t"))
                     .otherwise(F.col("c")).alias("__id"),
                 )
-                # Pivot-back = repartition on __rid + in-partition sort
-                # by (__rid, __role): every __rid owns EXACTLY 3 rows
-                # (each role joins exactly one entity row), so the
-                # kernel reassembles triples by reshape(-1, 3, k) —
-                # no hash-agg state per group, no second projection of
-                # vector columns, and the label vector never ships at
-                # all (the kernel fancy-indexes the driver-snapshot
-                # label matrix, ~100 KB in the task closure).
-                g = (
-                    melted.join(ent.select(F.col("id").alias("__id"), "vec"), ["__id"])
-                    .repartition(32, "__rid")
-                    .sortWithinPartitions("__rid", "__role")
-                )
+                # Pivot-back: every __rid owns EXACTLY 3 rows (each
+                # role joins exactly one entity row), so the kernel
+                # reassembles triples by reshape(-1, 3, k) — no
+                # hash-agg state per group, and the label vector never
+                # ships at all (the kernel fancy-indexes the
+                # driver-snapshot label matrix, ~100 KB in the task
+                # closure).
+                #
+                # Broadcast-model regime (V×k×8 ≤ broadcast_model_limit
+                # — the build side any optimizer with real stats would
+                # broadcast): the gather join is a map-side probe, and
+                # because the probe side is NARROW from the checkpointed
+                # corrupt rows (project → explode preserves order, a
+                # broadcast hash join streams probes in order), each
+                # __rid's 3 role rows are already CONSECUTIVE in every
+                # partition — the kernel reshapes directly, no
+                # repartition, no sort: the entire gather pipelines with
+                # the corrupt leaf. Beyond the limit: shuffled equi-join
+                # on id + repartition on __rid + in-partition sort — the
+                # honest beyond-broadcast plan (same kernel; regime
+                # equivalence pytest-pinned).
+                e_side = ent.select(F.col("id").alias("__id"), "vec")
+                if self._broadcast_model:
+                    g = melted.join(F.broadcast(e_side), ["__id"])
+                else:
+                    g = (
+                        melted.join(e_side, ["__id"])
+                        .repartition(32, "__rid")
+                        .sortWithinPartitions("__rid", "__role")
+                    )
 
                 # Fused score→hinge→gradient→combine kernel: ONE Arrow
                 # pass over the pivot output does, in NumPy, what four
@@ -453,21 +488,73 @@ class RelationalTransETrainer:
                         part = np.zeros((len(uniq), k_dim), dtype=np.float64)
                         np.add.at(part, inv, deltas4)
                         yield pack(kind, uniq, part)
-                    # A4 loss accumulator: a 1-element delta on a sentinel id
-                    yield pack("loss", np.array([-1], dtype=np.int64),
-                               np.array([[loss]], dtype=np.float64))
+                    # A4 loss accumulator on a sentinel id; k-wide (loss
+                    # in slot 0, zeros after) so the (kind, id) fold can
+                    # reshape every delta uniformly to (-1, k)
+                    loss_row = np.zeros((1, k_dim), dtype=np.float64)
+                    loss_row[0, 0] = loss
+                    yield pack("loss", np.array([-1], dtype=np.int64), loss_row)
+
+                # Fused partial-combine: the kernel's per-partition
+                # partials flow STRAIGHT into the (kind, id)-keyed fold
+                # inside one job — hash-partition the ≤|touched|×P
+                # partial rows, then ONE vectorized Arrow scatter-add
+                # per partition (NumPy add.at; Catalyst HOF lambdas
+                # never enter codegen and the interpreted zip_with fold
+                # they replaced was the dominant delta-phase cost).
+                # What gets localCheckpoint'ed is the FOLDED table —
+                # ≤ V + L + 1 rows — not the raw partials: r06 profile
+                # showed the old partials checkpoint materializing
+                # ~|touched|×P vector rows (~190 MB/batch at the FB15k
+                # shape) to disk only for the fold to re-shuffle them;
+                # folding first cuts the checkpoint to ~6 MB and drops
+                # one scheduling barrier from every batch.
+                def _fold_by_kind_id(batches):
+                    import pyarrow as pa
+
+                    ids_all, kinds_all, mats = [], [], []
+                    for rb in batches:
+                        ids_all.append(rb.column("id").to_numpy(zero_copy_only=False))
+                        kinds_all.append(rb.column("kind").to_numpy(zero_copy_only=False))
+                        mats.append(
+                            rb.column("delta").flatten().to_numpy(zero_copy_only=False)
+                            .reshape(-1, k_dim)
+                        )
+                    if not ids_all:
+                        return
+                    ids = np.concatenate(ids_all)
+                    kinds = np.concatenate(kinds_all)
+                    M = np.concatenate(mats)
+                    for kind in np.unique(kinds):  # ≤3 distinct kinds
+                        mask = kinds == kind
+                        uniq, inv = np.unique(ids[mask], return_inverse=True)
+                        acc = np.zeros((len(uniq), k_dim), dtype=np.float64)
+                        np.add.at(acc, inv, M[mask])
+                        delta_arr = pa.ListArray.from_arrays(
+                            pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * k_dim),
+                            pa.array(acc.ravel(), type=pa.float64()),
+                        )
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(uniq, type=pa.int64()),
+                             pa.array([str(kind)] * len(uniq), type=pa.string()),
+                             delta_arr],
+                            ["id", "kind", "delta"],
+                        )
 
                 _tA = _time.time()
-                partials = g.mapInArrow(
-                    _kernel, "id long, kind string, delta array<double>"
-                ).localCheckpoint()
+                folded = (
+                    g.mapInArrow(_kernel, "id long, kind string, delta array<double>")
+                    .repartition(32, "kind", "id")
+                    .mapInArrow(_fold_by_kind_id, "id long, kind string, delta array<double>")
+                    .localCheckpoint()
+                )
                 self.phase_times["gather_partials"] += _time.time() - _tA
                 # ONE tiny collect carries BOTH the loss accumulator
-                # and the label deltas (≤P loss rows + ≤L×P label
-                # partials — KBs); the driver folds the label deltas
-                # into its canonical matrix (no renorm — quirk 3)
+                # and the label deltas (1 loss row + ≤L folded label
+                # rows — KBs); the driver folds the label deltas into
+                # its canonical matrix (no renorm — quirk 3)
                 _tA = _time.time()
-                rest = partials.filter(F.col("kind") != "e").toPandas()
+                rest = folded.filter(F.col("kind") != "e").toPandas()
                 self.phase_times["gather_loss"] += _time.time() - _tA
                 _tA = _time.time()
                 loss_mask = rest["kind"] == "loss"
@@ -481,45 +568,7 @@ class RelationalTransETrainer:
                     np.add.at(lab_np, l_ids, l_mat)
                 self.phase_times["lab_update"] += _time.time() - _tA
 
-                # Final delta combine: hash-partition the ≤|touched|×P
-                # partial rows on id, then ONE vectorized Arrow
-                # scatter-add per partition — same shuffle the old
-                # groupBy paid, but the fold itself is a NumPy add.at
-                # instead of a per-element interpreted zip_with chain
-                # (Catalyst HOF lambdas never enter codegen; at V
-                # touched ids × k dims × P partials that interpreted
-                # fold was the dominant delta-phase cost).
-                def _fold_by_id(batches):
-                    import pyarrow as pa
-
-                    ids_all, mats = [], []
-                    for rb in batches:
-                        ids_all.append(rb.column("id").to_numpy(zero_copy_only=False))
-                        mats.append(
-                            rb.column("delta").flatten().to_numpy(zero_copy_only=False)
-                            .reshape(-1, k_dim)
-                        )
-                    if not ids_all:
-                        return
-                    ids = np.concatenate(ids_all)
-                    M = np.concatenate(mats)
-                    uniq, inv = np.unique(ids, return_inverse=True)
-                    acc = np.zeros((len(uniq), k_dim), dtype=np.float64)
-                    np.add.at(acc, inv, M)
-                    delta_arr = pa.ListArray.from_arrays(
-                        pa.array(np.arange(len(uniq) + 1, dtype=np.int32) * k_dim),
-                        pa.array(acc.ravel(), type=pa.float64()),
-                    )
-                    yield pa.RecordBatch.from_arrays(
-                        [pa.array(uniq, type=pa.int64()), delta_arr], ["id", "delta"]
-                    )
-
-                def fold(df: DataFrame) -> DataFrame:
-                    return df.repartition(32, "id").mapInArrow(
-                        _fold_by_id, "id long, delta array<double>"
-                    )
-
-                e_delta = fold(partials.filter(F.col("kind") == "e").select("id", "delta"))
+                e_delta = folded.filter(F.col("kind") == "e").select("id", "delta")
 
                 # Update join + vector math in the same Arrow style:
                 # untouched rows pass through, touched rows get one
@@ -561,7 +610,11 @@ class RelationalTransETrainer:
 
                     return _upd
 
-                new_ent = ent.join(e_delta, "id", "left").mapInArrow(
+                # same regime switch: the folded delta table is ≤V rows
+                # (≤ model bytes), so under the limit it broadcasts into
+                # a build-side-right outer join and ent never shuffles
+                d_side = F.broadcast(e_delta) if self._broadcast_model else e_delta
+                new_ent = ent.join(d_side, "id", "left").mapInArrow(
                     _make_update(renorm=True), "id long, vec array<double>"
                 )
                 # truncate lineage: the loop must not grow the plan
