@@ -189,6 +189,23 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "equi-joined to the posting side, verified by a keyed intersection "
         "count — never an all-pairs comparison",
     ),
+    "pagerank_trading_graph": (
+        ["HashAggregate", "Scan ExistingRDD"],
+        "each iteration is one node-keyed equi-join + one hash agg over "
+        "LEAF edge/degree tables (eagerly checkpointed once — without the "
+        "leaves the edge pipeline re-executed 7× for 3 iterations)",
+    ),
+    "copurchase_parts": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        "candidates come from the basket-keyed self-equi-join (bounded by "
+        "basket size); pair counts hash-aggregate; top-k merges per-task "
+        "heaps, no global sort",
+    ),
+    "key_skew_lineitem": (
+        ["ObjectHashAggregate"],
+        "each key profile is one hash agg on the key + one single-row "
+        "rollup whose percentile state holds per-KEY counts, not rows",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -234,6 +251,14 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "cdc_apply_customers": (
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "the merge is key equi-joins only",
+    ),
+    "pagerank_trading_graph": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "rank propagation is a node-keyed equi-join per iteration",
+    ),
+    "copurchase_parts": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "pair generation must stay inside the basket equi-join",
     ),
 }
 
@@ -289,6 +314,13 @@ MAX_EXCHANGES = {
     "record_linkage_parts": 2,
     # doc-freq agg + rank window + candidate agg + verify agg
     "containment_near_pairs": 4,
+    # ~3 per iteration (edge join both sides + rank agg) + the initial
+    # distinct; edge/degree leaves keep re-scans out of the plan
+    "pagerank_trading_graph": 10,
+    # distinct (basket, item) agg + pair-key agg + the self-join side
+    "copurchase_parts": 3,
+    # 3 key profiles × (per-key count agg + single-row rollup)
+    "key_skew_lineitem": 6,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

@@ -377,3 +377,106 @@ def test_chained_streaming_equals_gated_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# pagerank_integer
+# ---------------------------------------------------------------------------
+
+def _python_pagerank(edges, iterations, scale=1_000_000, damping=85):
+    outdeg = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {n: scale for n in outdeg}
+    base = (100 - damping) * scale // 100
+    for _ in range(iterations):
+        sums = {}
+        for s, d in edges:
+            sums[d] = sums.get(d, 0) + ranks[s] // outdeg[s]
+        ranks = {d: base + (damping * s) // 100 for d, s in sums.items()}
+    return ranks
+
+
+def test_pagerank_matches_python_model(spark):
+    from transe_pyspark_spark.operators.graph import pagerank_integer
+
+    rng = random.Random(17)
+    fwd = {(rng.randrange(20), 100 + rng.randrange(10)) for _ in range(80)}
+    edges = list(fwd) + [(d, s) for s, d in fwd]  # bidirectional: no dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank_integer(df, iterations=4).collect()}
+    assert got == _python_pagerank(edges, 4)
+
+
+def test_pagerank_ring_is_fixed_point(spark):
+    """On a directed ring (outdeg 1 everywhere) every rank stays
+    exactly SCALE: base + damping·SCALE/100 = SCALE."""
+    from transe_pyspark_spark.operators.graph import SCALE, pagerank_integer
+
+    n = 12
+    df = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    # checkpoint_every=2 also exercises the lineage-truncation path
+    out = pagerank_integer(df, iterations=5, checkpoint_every=2).collect()
+    assert len(out) == n
+    assert all(r["rank_micro"] == SCALE for r in out)
+
+
+def test_pagerank_iterations_contract(spark):
+    from transe_pyspark_spark.operators.graph import pagerank_integer
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_integer(df, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# copurchase_pairs
+# ---------------------------------------------------------------------------
+
+def test_copurchase_matches_python_model(spark):
+    from transe_pyspark_spark.operators.graph import copurchase_pairs
+
+    rng = random.Random(29)
+    rows = [(rng.randrange(30), rng.randrange(12)) for _ in range(300)]
+    rows += rows[:50]  # duplicate (basket, item) rows must not inflate support
+    df = spark.createDataFrame(rows, "b long, it long")
+    got = [
+        (r["item_a"], r["item_b"], r["n_baskets"])
+        for r in copurchase_pairs(df, "b", "it", top_k=15).collect()
+    ]
+    baskets = {}
+    for b, it in set(rows):
+        baskets.setdefault(b, set()).add(it)
+    support = {}
+    for items in baskets.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                support[(s[x], s[y])] = support.get((s[x], s[y]), 0) + 1
+    model = sorted(
+        ((a, b, n) for (a, b), n in support.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:15]
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# key_skew_report
+# ---------------------------------------------------------------------------
+
+def test_key_skew_report_hand_computed(spark):
+    from transe_pyspark_spark.operators.relational import key_skew_report
+
+    # key 1 → 6 rows, key 2 → 3 rows, key 3 → 1 row
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_report(df, "k").collect()[0]
+    assert r["key_name"] == "k"
+    assert r["n_rows"] == 10
+    assert r["n_keys"] == 3
+    assert r["max_count"] == 6
+    assert r["p50_count"] == 3.0  # median of [1, 3, 6]
+    assert r["top1_share"] == 0.6
+    assert abs(r["avg_count"] - 10 / 3) < 1e-12

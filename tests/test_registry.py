@@ -62,6 +62,10 @@ NEW_IN_R06 = {
     "record_linkage_parts",
     "containment_near_pairs",
     "stream_chained_agg",
+    # third r06 wave: graph / mining / diagnostics
+    "pagerank_trading_graph",
+    "copurchase_parts",
+    "key_skew_lineitem",
 }
 
 

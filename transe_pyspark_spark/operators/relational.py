@@ -669,6 +669,42 @@ def mad_outliers(
     )
 
 
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    label: str | None = None,
+) -> DataFrame:
+    """One-row skew diagnosis of a join/aggregation key — the report to
+    run BEFORE sizing a shuffle: per-key row counts summarized as
+    total rows, distinct keys, max/avg per key, interpolated p50/p99
+    per-key counts, and the hot-key share (max/total). A top1_share
+    near 1 says one key will funnel the shuffle through one reducer —
+    the signal that picks between a plain join, AQE skew split, and
+    ``salted_join``.
+
+    Cost: one hash aggregate on the key (map-side partials), then one
+    single-row rollup of the count table (grouped percentile state
+    holds per-key counts — one row per DISTINCT key, not per row; the
+    ``approx_percentile`` swap bounds even that at extreme key
+    cardinality). Exact everywhere except the two interpolated
+    percentiles; ratios are single IEEE divisions of BIGINTs.
+
+    Returns (key_name, n_rows, n_keys, max_count, avg_count,
+    p50_count, p99_count, top1_share).
+    """
+    counts = df.groupBy(F.col(key_col)).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    return counts.agg(
+        F.lit(label or key_col).alias("key_name"),
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__cnt").cast("long").alias("max_count"),
+        (F.sum("__cnt").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_count"),
+        F.round(F.percentile(F.col("__cnt"), F.lit(0.5)), 6).alias("p50_count"),
+        F.round(F.percentile(F.col("__cnt"), F.lit(0.99)), 6).alias("p99_count"),
+        (F.max("__cnt").cast("double") / F.sum("__cnt").cast("double")).alias("top1_share"),
+    )
+
+
 def _mg_shrink(counts, cap: int):
     """One Misra-Gries decrement step on a pandas count Series: if more
     than ``cap`` counters are tracked, subtract the (cap+1)-th largest

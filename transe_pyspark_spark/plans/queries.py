@@ -3839,6 +3839,121 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, spark, output_mode="append")
 
 
+@_register(
+    "pagerank_trading_graph",
+    oracle="""
+    WITH fwd AS (SELECT DISTINCT o_custkey AS src, 10000000 + l_suppkey AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+    d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+    r1 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r0.r // d.outdeg)) // 100 AS BIGINT) AS r
+           FROM e JOIN r0 ON e.src = r0.node JOIN d ON e.src = d.src GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r1.r // d.outdeg)) // 100 AS BIGINT) AS r
+           FROM e JOIN r1 ON e.src = r1.node JOIN d ON e.src = d.src GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r2.r // d.outdeg)) // 100 AS BIGINT) AS r
+           FROM e JOIN r2 ON e.src = r2.node JOIN d ON e.src = d.src GROUP BY e.dst)
+    SELECT node, r AS rank_micro FROM r3
+    """,
+    tags=("graph", "join", "iterative"),
+)
+def q_pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three iterations of EXACT-INTEGER PageRank over the bidirectional
+    customer↔supplier trading graph (an edge per distinct pair that
+    traded, both directions — so no dangling nodes). Integer micro-unit
+    ranks with integer division make the result a pure function of the
+    edge set — hash-checkable against a 3×-unrolled SQL oracle, where
+    float PageRank would drift in the last ulp per engine. Each
+    iteration is one node-keyed join + one hash agg."""
+    from transe_pyspark_spark.operators.graph import pagerank_integer
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_integer(edges, iterations=3)
+
+
+@_register(
+    "copurchase_parts",
+    oracle="""
+    WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem)
+    SELECT a.it AS item_a, b.it AS item_b, CAST(count(*) AS BIGINT) AS n_baskets
+    FROM i a JOIN i b ON a.b = b.b AND a.it < b.it
+    GROUP BY a.it, b.it
+    ORDER BY n_baskets DESC, item_a, item_b LIMIT 50
+    """,
+    tags=("join", "agg", "topk", "mining"),
+)
+def q_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-purchased part pairs (2-itemset support counts) —
+    market-basket mining as a basket-keyed self-join bounded by basket
+    size (never corpus²) + a pair-keyed count + per-task top-k heaps.
+    Ties break on the pair so the cut is deterministic."""
+    from transe_pyspark_spark.operators.graph import copurchase_pairs
+
+    return copurchase_pairs(
+        _T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", top_k=50
+    )
+
+
+@_register(
+    "key_skew_lineitem",
+    oracle="""
+    WITH c1 AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+    c2 AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+    c3 AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+    SELECT 'l_orderkey' AS key_name, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_count,
+           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_count,
+           round(quantile_cont(cnt, 0.5), 6) AS p50_count,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_count,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top1_share
+    FROM c1
+    UNION ALL
+    SELECT 'l_suppkey', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(max(cnt) AS BIGINT),
+           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+           round(quantile_cont(cnt, 0.5), 6), round(quantile_cont(cnt, 0.99), 6),
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+    FROM c2
+    UNION ALL
+    SELECT 'l_partkey', CAST(sum(cnt) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(max(cnt) AS BIGINT),
+           CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+           round(quantile_cont(cnt, 0.5), 6), round(quantile_cont(cnt, 0.99), 6),
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+    FROM c3
+    """,
+    tags=("agg", "diagnostics"),
+)
+def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis of lineitem's three join keys in one
+    result — total rows, distinct keys, max/avg/p50/p99 per-key counts
+    and hot-key share. The pre-shuffle report that picks between a
+    plain join, AQE skew split, and ``salted_join``."""
+    from transe_pyspark_spark.operators.relational import key_skew_report
+
+    li = _T(spark, sf_dir, "lineitem")
+    return (
+        key_skew_report(li, "l_orderkey")
+        .unionByName(key_skew_report(li, "l_suppkey"))
+        .unionByName(key_skew_report(li, "l_partkey"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -4008,6 +4123,22 @@ _OVERFLOW_ORACLE = [
                                  # prefix-sum packing story is carried
                                  # in-window by token_budget_mix, and
                                  # window frames by top3_orders
+    # third r06 wave (also driver-green r04+r05) — slack for the
+    # graph/mining/diagnostics faces:
+    "pivot_status_priority",     # agg: slot ceded to the NEW
+                                 # key_skew_lineitem; percentiles/
+                                 # profile/equi-depth/heavy-hitters/
+                                 # unpivot keep the agg family
+    "lang_id_docs",              # text: slot ceded to the NEW
+                                 # copurchase_parts; doc_chunks/
+                                 # gopher/bigram/dup_ngram/keywords
+                                 # keep the text family
+    "stream_static_enrich",      # streaming: slot ceded to the NEW
+                                 # pagerank_trading_graph; tumbling/
+                                 # stateful/interval/interval_outer/
+                                 # corpus_clean/incremental_dedup/
+                                 # chained_agg keep streaming amply
+                                 # covered in-window
 ]
 
 
