@@ -73,6 +73,13 @@ SF1_HEADLINE = [
     "heavy_hitter_words",
     "approx_percentile_sketch",
     "equi_depth_prices_approx",
+    # r06 second/third wave shuffle-heavy faces at 10×. NOT here:
+    # containment_near_pairs — the sf1 fixture's replica construction
+    # makes cross-replica containment pairs ~quadratic in replicas
+    # (~500k result rows, the regime MinHash banding exists for); its
+    # sf1 PLAN stability is still gated in explain_plans.py.
+    "doc_keywords_lift",
+    "pagerank_trading_graph",
 ]
 
 

@@ -343,6 +343,9 @@ SF1_STABLE = [
     # keep their forbidden-node guarantees at 10× (no all-pairs shapes)
     "containment_near_pairs",
     "record_linkage_parts",
+    # r06 third wave: iterative + explode-heavy faces stay same-shape
+    "pagerank_trading_graph",
+    "doc_keywords_lift",
 ]
 
 
