@@ -206,6 +206,18 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "each key profile is one hash agg on the key + one single-row "
         "rollup whose percentile state holds per-KEY counts, not rows",
     ),
+    "weighted_sample_docs": (
+        ["__pid", "Window"],
+        "the running weight is the distributed prefix-sum: windows key on "
+        "__pid (range partitions) with broadcast exclusive offsets — no "
+        "single-partition global cumsum at any corpus size",
+    ),
+    "rolling_wau_events": (
+        ["Generate", "HashAggregate"],
+        "each (day, user) activity explodes map-side into its ≤7 trailing "
+        "windows over the ALREADY-DISTINCT day-user table; rolling "
+        "distincts are then plain two-phase aggs on the day key",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -321,6 +333,10 @@ MAX_EXCHANGES = {
     "copurchase_parts": 3,
     # 3 key profiles × (per-key count agg + single-row rollup)
     "key_skew_lineitem": 6,
+    # range-repartition + per-pid size agg + offsets window + total agg
+    "weighted_sample_docs": 4,
+    # (day,user) distinct + dau agg + wau agg (two-phase distincts)
+    "rolling_wau_events": 6,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

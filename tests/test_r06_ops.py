@@ -466,6 +466,90 @@ def test_copurchase_matches_python_model(spark):
 # key_skew_report
 # ---------------------------------------------------------------------------
 
+def _python_weighted_sample(rows, n_target, salt=1):
+    """rows: [(id, w)] → selected ids via Madow systematic PPS in the
+    MINSTD-hash order."""
+    m = 2147483647
+
+    def h(i):
+        return ((i % m) * 48271 + salt) % m * 48271 % m
+
+    ordered = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    tot = sum(w for _i, w in ordered)
+    out, cum = [], 0
+    for i, w in ordered:
+        prev = cum
+        cum += w
+        if (cum * n_target) // tot > (prev * n_target) // tot:
+            out.append((i, cum))
+    return out
+
+
+def test_weighted_sample_matches_python_model(spark):
+    from transe_pyspark_spark.operators.relational import weighted_systematic_sample
+
+    rng = random.Random(41)
+    rows = [(i, rng.randrange(1, 500)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sorted(
+        (r["doc_id"], r["cum_weight"])
+        for r in weighted_systematic_sample(df, "w", n_target=40).collect()
+    )
+    assert got == sorted(_python_weighted_sample(rows, 40))
+
+
+def test_weighted_sample_heavy_row_and_determinism(spark):
+    """A row heavier than total/n covers several stride points but
+    emits once; the selected set is stable under repartitioning."""
+    from transe_pyspark_spark.operators.relational import weighted_systematic_sample
+
+    rows = [(i, 1) for i in range(50)] + [(999, 10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    sel = weighted_systematic_sample(df, "w", n_target=10)
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert ids.count(999) == 1  # one output row despite covering ~9 points
+    again = weighted_systematic_sample(df.repartition(7), "w", n_target=10)
+    assert sorted(ids) == sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError, match="n_target"):
+        weighted_systematic_sample(df, "w", n_target=0)
+
+
+def _python_rolling_wau(rows, window_days=7):
+    days = {}
+    for d, u in set(rows):
+        days.setdefault(d, set()).add(u)
+    md = max(days)
+    out = {}
+    all_days = sorted({d + dt.timedelta(days=k) for d in days for k in range(window_days)})
+    for day in all_days:
+        if day > md:
+            continue
+        active = set()
+        for k in range(window_days):
+            active |= days.get(day - dt.timedelta(days=k), set())
+        if active:
+            out[day] = (len(days.get(day, set())), len(active))
+    return out
+
+
+def test_rolling_wau_matches_python_model(spark):
+    from transe_pyspark_spark.operators.asof import rolling_active_users
+
+    rng = random.Random(47)
+    base = dt.date(2024, 3, 1)
+    rows = []
+    for _ in range(400):
+        d = base + dt.timedelta(days=rng.randrange(0, 25))
+        rows.append((dt.datetime.combine(d, dt.time(rng.randrange(24))), rng.randrange(30)))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {r["day"]: (r["dau"], r["wau"]) for r in rolling_active_users(df).collect()}
+    model = _python_rolling_wau([(ts.date(), u) for ts, u in rows])
+    assert got == model
+    # gap days (no activity that day, activity within the window) have dau 0
+    for day, (dau, wau) in got.items():
+        assert wau >= dau
+
+
 def test_key_skew_report_hand_computed(spark):
     from transe_pyspark_spark.operators.relational import key_skew_report
 

@@ -66,6 +66,9 @@ NEW_IN_R06 = {
     "pagerank_trading_graph",
     "copurchase_parts",
     "key_skew_lineitem",
+    # fourth r06 wave: weighted PPS sampling + rolling engagement
+    "weighted_sample_docs",
+    "rolling_wau_events",
 }
 
 

@@ -304,6 +304,60 @@ def sessionize(
     return sessioned.groupBy(key, "session_seq").agg(*aggs)
 
 
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling DAU/WAU engagement: per calendar day, the distinct
+    users active THAT day (dau), the distinct users active in the
+    trailing ``window_days`` window ending that day (wau), and the
+    dau/wau stickiness ratio — the daily-engagement report every
+    product-analytics stack publishes.
+
+    Rolling COUNT DISTINCT cannot be a window function (distinctness
+    doesn't decompose over frames); the classic day-range self-join is
+    quadratic in days. Instead each (day, user) activity CONTRIBUTES
+    itself to the ≤``window_days`` trailing windows it falls in — a
+    map-side explode of a ``window_days``-element date sequence,
+    narrow and bounded — and the rolling distinct count becomes a
+    plain per-day ``count_distinct``. Cost: one (day, user) distinct
+    hash-agg to collapse raw events, a ≤``window_days``× explode of
+    that already-collapsed table, and two-phase distinct aggs on the
+    day key. Days before the first full window report partial windows
+    (window_end ≤ max day filters the tail overhang).
+
+    Returns (day, dau, wau, stickiness), one row per day with any
+    activity in its trailing window.
+    """
+    d = F.to_date(F.col(ts_col))
+    du = events.select(d.alias("__d"), F.col(user_col).alias("__u")).distinct()
+    bounds = F.broadcast(du.agg(F.max("__d").alias("__max_d")))
+    contrib = (
+        du.select(
+            F.explode(F.sequence(F.col("__d"), F.date_add(F.col("__d"), window_days - 1)))
+            .alias("day"),
+            "__u",
+        )
+        .crossJoin(bounds)
+        .filter(F.col("day") <= F.col("__max_d"))
+    )
+    wau = contrib.groupBy("day").agg(F.count_distinct("__u").cast("long").alias("wau"))
+    dau = du.groupBy(F.col("__d").alias("day")).agg(
+        F.count_distinct("__u").cast("long").alias("dau")
+    )
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "wau",
+            (F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

@@ -669,6 +669,67 @@ def mad_outliers(
     )
 
 
+def weighted_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n_target: int,
+    id_col: str = "doc_id",
+    salt: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling
+    (Madow's systematic PPS): order rows by the exact-BIGINT MINSTD
+    hash of their id, lay their integer weights end-to-end, and select
+    the row covering each of ``n_target`` evenly-spaced points of the
+    total-weight line — row i is selected iff
+    ``(cum_i·n) div total > ((cum_i − w_i)·n) div total``. Inclusion
+    probability is proportional to weight (rows heavier than
+    total/n_target can cover several points — still one output row),
+    selection is a pure function of (ids, weights, n_target, salt),
+    and every step is integer arithmetic, so any engine replays it —
+    the weighted counterpart of ``sample_exact_k``, and the sampling
+    mode a token-weighted corpus wants ("pick ~1000 docs by token
+    mass") where uniform row sampling over-represents short docs.
+
+    Scale path: the running weight is the ``pack_by_running_total``
+    distributed prefix-sum (range-partition by hash with frozen
+    partition identity, per-partition windows, broadcast exclusive
+    offsets) — no single-partition window; the grand total rides along
+    as a 1-row broadcast aggregate. Returns the selected rows plus
+    ``cum_weight``.
+    """
+    if n_target < 1:
+        raise ValueError(f"n_target must be >= 1, got {n_target}")
+    m = 2147483647
+    h = F.pmod(F.pmod(F.col(id_col), m) * 48271 + salt, m)
+    h = F.pmod(h * 48271, m)
+    base = df.select("*", F.col(weight_col).cast("long").alias("__w"), h.alias("__h"))
+    n_part = num_partitions or base.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    part = _frozen_range_partition(base, ["__h", id_col], int(n_part))
+    off_df = _exclusive_offsets(
+        part.groupBy("__pid").agg(F.sum("__w").alias("__pw")), "__pw"
+    )
+    tot = F.broadcast(base.agg(F.sum("__w").cast("long").alias("__tot")))
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("__w").over(w_in) + F.col("__off")).cast("long")
+    return (
+        part.join(off_df, "__pid")
+        .crossJoin(tot)
+        .withColumn("cum_weight", cum)
+        .filter(
+            F.expr(f"(cum_weight * {int(n_target)}) div __tot")
+            > F.expr(f"((cum_weight - __w) * {int(n_target)}) div __tot")
+        )
+        .select(*df.columns, "cum_weight")
+    )
+
+
 def key_skew_report(
     df: DataFrame,
     key_col: str,
