@@ -1,0 +1,144 @@
+"""End-to-end warehouse + product-analytics workflow — the r06
+analytics layer composed from operator-library calls (each stage is
+the same code the oracle-checked queries run).
+
+    nightly snapshot maintenance
+      → key-skew report on the fact table's join keys (decides plain
+        vs AQE-split vs salted for everything downstream)
+      → CDC apply: the day's change batch (upserts + deletes,
+        last-writer-wins sequencing) merges into the customer snapshot
+      → SCD2 merge: the same batch versions the slowly-changing
+        dimension (history closed, new versions opened)
+    product analytics over the event log
+      → weekly cohort-retention matrix
+      → rolling 7-day DAU/WAU engagement + stickiness
+      → robust median/MAD outlier screen on event values
+      → sessionization + funnel-adjacent co-purchase mining
+      → exact-integer PageRank over the customer↔supplier trading
+        graph (who is structurally central in the order flow)
+
+Usage:
+    python examples/warehouse_pipeline.py [sf_dir]   # default sf0.001
+
+Every stage prints a compact result so the flow is visible. At 100 TB
+the same plans hold: merges touch the snapshot through one key join,
+analytics aggregate on day/cohort/key cells that stay KB-sized however
+large the event log, and the PageRank iterations join checkpointed
+edge leaves.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from transe_pyspark_spark.operators.asof import (  # noqa: E402
+    cohort_retention,
+    rolling_active_users,
+    sessionize,
+)
+from transe_pyspark_spark.operators.graph import (  # noqa: E402
+    copurchase_pairs,
+    pagerank_integer,
+)
+from transe_pyspark_spark.operators.relational import (  # noqa: E402
+    cdc_apply,
+    key_skew_report,
+    mad_outliers,
+    scd2_merge,
+)
+from transe_pyspark_spark.session import get_spark  # noqa: E402
+from transe_pyspark_spark.sources.readers import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("warehouse-pipeline")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    print("== key skew (sizing the night's shuffles) ==")
+    skew = key_skew_report(lineitem, "l_orderkey").unionByName(
+        key_skew_report(orders, "o_custkey")
+    )
+    for r in skew.collect():
+        print(f"  {r['key_name']}: {r['n_keys']} keys, max {r['max_count']}, "
+              f"p99 {r['p99_count']}, top1 share {r['top1_share']:.4f}")
+
+    # the day's change batch: updates for some keys, deletes for others
+    snap = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    null_l = F.lit(None).cast("long")
+    changes = (
+        snap.filter(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey", "c_nationkey",
+                (F.col("acctbal_cents") + 10000).alias("acctbal_cents"),
+                F.lit("U").alias("op"), F.lit(1).alias("seq"))
+        .unionByName(
+            snap.filter(F.col("c_custkey") % 10 == 7)
+            .select("c_custkey", null_l.alias("c_nationkey"),
+                    null_l.alias("acctbal_cents"),
+                    F.lit("D").alias("op"), F.lit(1).alias("seq"))
+        )
+    )
+    applied = cdc_apply(snap, changes, ["c_custkey"])
+    print(f"== CDC apply == {snap.count()} snapshot rows -> {applied.count()} after merge")
+
+    dim = snap.withColumn("valid_from", F.to_date(F.lit("2024-01-01"))).withColumn(
+        "valid_to", F.lit(None).cast("date")
+    )
+    versioned = scd2_merge(
+        dim,
+        changes.filter(F.col("op") != "D").select("c_custkey", "c_nationkey", "acctbal_cents"),
+        key_cols=["c_custkey"],
+        compare_cols=["c_nationkey", "acctbal_cents"],
+        effective=F.to_date(F.lit("2024-06-01")),
+    )
+    open_rows = versioned.filter(F.col("valid_to").isNull()).count()
+    print(f"== SCD2 merge == {versioned.count()} version rows, {open_rows} open")
+
+    print("== weekly cohort retention ==")
+    for r in cohort_retention(events).orderBy("cohort_week", "age_weeks").collect()[:6]:
+        print(f"  cohort {r['cohort_week'].date()} +{r['age_weeks']}w: "
+              f"{r['n_active']}/{r['n_cohort']} = {r['retention']:.2f}")
+
+    print("== rolling DAU/WAU ==")
+    for r in rolling_active_users(events).orderBy("day").collect()[-5:]:
+        print(f"  {r['day']}: dau {r['dau']}, wau {r['wau']}, stickiness {r['stickiness']:.2f}")
+
+    print("== MAD outlier screen on event values ==")
+    for r in mad_outliers(events, "event_type", "value").collect():
+        print(f"  {r['event_type']}: {r['n_outliers']}/{r['n']} outliers "
+              f"(med {r['med']}, mad {r['mad']})")
+
+    n_sessions = sessionize(events).count()
+    print(f"== sessionization == {n_sessions} sessions")
+
+    print("== co-purchase mining (top 5 part pairs) ==")
+    for r in copurchase_pairs(lineitem, "l_orderkey", "l_partkey", top_k=5).collect():
+        print(f"  parts {r['item_a']} + {r['item_b']}: {r['n_baskets']} orders")
+
+    fwd = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("src"),
+                (F.lit(10000000) + F.col("l_suppkey")).alias("dst"))
+        .distinct()
+    )
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank_integer(edges, iterations=3)
+    print("== trading-graph PageRank (top 5 nodes) ==")
+    for r in ranks.orderBy(F.col("rank_micro").desc(), "node").limit(5).collect():
+        kind = "supplier" if r["node"] >= 10000000 else "customer"
+        print(f"  {kind} {r['node'] % 10000000}: rank {r['rank_micro'] / 1_000_000:.3f}")
+
+
+if __name__ == "__main__":
+    main()

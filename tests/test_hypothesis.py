@@ -503,3 +503,97 @@ def test_token_budget_sample_matches_window_model(spark, rows, b_en, b_de):
         for r in out.collect()
     }
     assert got == model
+
+
+containment_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2000),            # doc_id (deduped)
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=20),  # words
+    ),
+    min_size=2,
+    max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(containment_docs, st.sampled_from([0.3, 0.5, 0.8, 1.0]), st.sampled_from([1, 2, 3]))
+def test_containment_prefix_fuzz_vs_bruteforce(spark, docs, threshold, n):
+    """The ONE-SIDED prefix filter (contained side prefix-restricted,
+    posting side full, size + positional bounds) returns EXACTLY the
+    brute-force containment pair set on random corpora — including
+    threshold 1.0 (strict subsets), repeated words, tiny docs, and
+    shingle widths 1-3. This pins the prefix-theorem derivation the
+    operator's candidate pruning rests on."""
+    from transe_pyspark_spark.operators.dedup import containment_prefix_pairs
+
+    seen = {}
+    for i, ws in docs:
+        seen[i] = " ".join(ws)
+    data = [(i, t) for i, t in seen.items()]
+
+    def grams(text):
+        ws = [w for w in text.split(" ") if w]
+        return {tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    sets = {i: grams(t) for i, t in data}
+    model = {}
+    for a, ga in sets.items():
+        if not ga:
+            continue
+        for b, gb in sets.items():
+            if a != b:
+                c = len(ga & gb) / len(ga)
+                if c >= threshold:
+                    model[(a, b)] = round(c, 6)
+
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_prefix_pairs(df, threshold=threshold, shingle_n=n).collect()
+    }
+    assert got == model
+
+
+weighted_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),   # id (deduped)
+        st.integers(min_value=1, max_value=1000),   # weight
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(weighted_rows, st.integers(1, 80))
+def test_weighted_sample_fuzz_vs_python(spark, rows, n_target):
+    """Madow systematic PPS via the distributed prefix-sum matches the
+    sequential single-pass model on random weights and targets —
+    including n_target larger than the row count and single-row
+    inputs."""
+    from transe_pyspark_spark.operators.relational import weighted_systematic_sample
+
+    seen = {}
+    for i, w in rows:
+        seen[i] = w
+    data = [(i, w) for i, w in seen.items()]
+
+    m = 2147483647
+
+    def h(i):
+        return (((i % m) * 48271 + 1) % m) * 48271 % m
+
+    ordered = sorted(data, key=lambda r: (h(r[0]), r[0]))
+    tot = sum(w for _i, w in ordered)
+    model, cum = {}, 0
+    for i, w in ordered:
+        prev, cum = cum, cum + w
+        if (cum * n_target) // tot > (prev * n_target) // tot:
+            model[i] = cum
+
+    df = spark.createDataFrame(data, "doc_id long, w long")
+    got = {
+        r["doc_id"]: r["cum_weight"]
+        for r in weighted_systematic_sample(df, "w", n_target=n_target, num_partitions=5).collect()
+    }
+    assert got == model
