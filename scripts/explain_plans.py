@@ -218,6 +218,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "windows over the ALREADY-DISTINCT day-user table; rolling "
         "distincts are then plain two-phase aggs on the day key",
     ),
+    "zorder_orders": (
+        ["Project"],
+        "the Morton value is a pure bit-interleave projection that "
+        "pipelines with the scan — no shuffle, no UDF",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -337,6 +342,8 @@ MAX_EXCHANGES = {
     "weighted_sample_docs": 4,
     # (day,user) distinct + dau agg + wau agg (two-phase distincts)
     "rolling_wau_events": 6,
+    # narrow bit-interleave projection over the scan
+    "zorder_orders": 0,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

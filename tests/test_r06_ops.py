@@ -550,6 +550,80 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def _py_morton(vals, bits):
+    z = 0
+    ndim = len(vals)
+    for d, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * ndim + d)
+    return z
+
+
+def test_z_order_value_matches_python(spark):
+    from transe_pyspark_spark.operators.relational import z_order_value
+
+    rng = random.Random(53)
+    rows = [(i, rng.randrange(1 << 16), rng.randrange(1 << 16)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", z_order_value(["x", "y"]).alias("z")).collect()
+    }
+    assert got == {i: _py_morton((x, y), 16) for i, x, y in rows}
+    with pytest.raises(ValueError, match="64-bit"):
+        z_order_value(["x", "y"], bits=32)
+
+
+def test_zorder_layout_locality(spark, tmp_path):
+    """The point of z-ordering: every written file has a TIGHT min/max
+    span on BOTH dimensions, so engine min/max skipping prunes on
+    either. A linear sort by x gives tight x-spans but full-range
+    y-spans; the z-sorted layout must bound both."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import write_zordered_parquet
+
+    rng = random.Random(59)
+    n = 1 << 14
+    side = 1 << 8  # x, y uniform in [0, 256)
+    rows = [(i, rng.randrange(side), rng.randrange(side)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    n_files = 16
+    path = str(tmp_path / "zorded")
+    write_zordered_parquet(df, path, ["x", "y"], n_files=n_files, bits=8)
+
+    spans = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .toPandas()
+    )
+    assert len(spans) == n_files
+    # 16 files over a 256×256 z-curve: each file covers ~1/16 of the
+    # curve = a few 64×64 quadrant cells; both per-file spans must stay
+    # well under the full 255 range (a linear x-sort yields sy ≈ 255
+    # for every file). Allow generous slack for range-boundary files.
+    assert spans["sx"].median() <= side // 2
+    assert spans["sy"].median() <= side // 2
+    assert spans["sx"].max() < side - 1 or spans["sy"].max() < side - 1
+
+    # contrast: linear sort by x alone leaves y unclustered
+    lin = str(tmp_path / "linear")
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(lin)
+    lin_spans = (
+        spark.read.parquet(lin)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("y") - F.min("y")).alias("sy"))
+        .toPandas()
+    )
+    assert lin_spans["sy"].median() > spans["sy"].median()
+
+
 def test_key_skew_report_hand_computed(spark):
     from transe_pyspark_spark.operators.relational import key_skew_report
 

@@ -66,9 +66,11 @@ NEW_IN_R06 = {
     "pagerank_trading_graph",
     "copurchase_parts",
     "key_skew_lineitem",
-    # fourth r06 wave: weighted PPS sampling + rolling engagement
+    # fourth r06 wave: weighted PPS sampling + rolling engagement +
+    # z-order layout values
     "weighted_sample_docs",
     "rolling_wau_events",
+    "zorder_orders",
 }
 
 

@@ -669,6 +669,79 @@ def mad_outliers(
     )
 
 
+def z_order_value(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) curve value: interleave the low ``bits`` bits
+    of each column — output bit ``i·ndim + d`` is bit ``i`` of column
+    ``d``. Sorting or range-partitioning a table by this value
+    clusters it along EVERY participating dimension at once, which is
+    what makes multi-column min/max data skipping work: a parquet
+    row group in a z-sorted layout has a tight range on ALL the
+    z-columns, so a predicate on any one of them prunes — a linear
+    sort gives that for its leading column only.
+
+    Inputs must be non-negative and < 2^bits (clamp or dict-encode
+    first — ``dict_encode`` produces exactly the dense non-negative
+    ids this wants); ``bits·ndim`` must fit a signed 64-bit value.
+    Pure bit arithmetic (shifts, masks, additions of disjoint bits) —
+    deterministic on any engine, so the value itself is
+    oracle-checkable. ``write_zordered_parquet`` is the write-side
+    companion; the layout benefit is pytest-asserted as per-file span
+    bounds on every dimension (``test_zorder_layout_locality``).
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    ndim = len(cs)
+    if ndim < 1:
+        raise ValueError("z_order_value needs at least one column")
+    if bits * ndim > 63:
+        raise ValueError(f"bits*ndim must fit a signed 64-bit value, got {bits}*{ndim}")
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cs):
+        cl = c.cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(cl, i).bitwiseAND(F.lit(1)), i * ndim + d)
+    return z
+
+
+def z_order_value_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical Morton computation as an ANSI-SQL expression
+    string (DuckDB/engine-portable ``>> << &`` + addition of disjoint
+    bits) — generated from the same loop so the oracle can't drift
+    from the Spark expression."""
+    ndim = len(cols)
+    terms = [
+        f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * ndim + d})"
+        for d, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered along the Z-order curve of
+    ``zorder_cols``: range-partition by the Morton value into
+    ``n_files`` output files, z-sorted within each. Every file then
+    holds a tight min/max range on EVERY z-column, so engine-side
+    row-group/file skipping prunes on any of them — the layout a
+    100 TB fact table wants for multi-dimension point/range lookups
+    (the single-dimension alternative: bucketed/sorted writes via
+    ``write_bucketed``)."""
+    z = z_order_value(zorder_cols, bits=bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(int(n_files), F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def weighted_systematic_sample(
     df: DataFrame,
     weight_col: str,

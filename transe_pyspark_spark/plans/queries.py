@@ -3954,6 +3954,38 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the Morton oracle expression is GENERATED from the same loop as the
+#: Spark expression (z_order_value_sql), so the two cannot drift
+_ZORDER_SQL = R.z_order_value_sql(["o_custkey", "d"], bits=24)
+
+
+@_register(
+    "zorder_orders",
+    oracle=f"""
+    WITH t AS (SELECT o_orderkey, o_custkey,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+               FROM orders)
+    SELECT o_orderkey, CAST({_ZORDER_SQL} AS BIGINT) AS zval FROM t
+    """,
+    tags=("layout", "scan"),
+)
+def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering value over (custkey, order epoch-day)
+    — the multi-dimension data-skipping layout key: a table
+    range-partitioned and sorted by this value keeps tight min/max
+    ranges on BOTH dimensions in every file, so predicates on either
+    prune at the scan (``write_zordered_parquet`` is the write-side
+    companion; per-file span bounds are pytest-asserted). Pure bit
+    interleave — narrow, no shuffle, oracle-exact."""
+    o = _T(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast("long")
+    return o.select(
+        "o_orderkey",
+        R.z_order_value([F.col("o_custkey"), d], bits=24).alias("zval"),
+    )
+
+
 @_register(
     "weighted_sample_docs",
     oracle="""
@@ -4212,6 +4244,10 @@ _OVERFLOW_ORACLE = [
                                  # rolling_wau_events; percentiles/
                                  # profile/equi-depth/heavy-hitters/
                                  # skew-report keep the agg family
+    "gopher_quality_docs",       # text: slot ceded to the NEW
+                                 # zorder_orders; decontaminate/
+                                 # bigram/dup_ngram/keywords/
+                                 # heavy-hitter keep text in-window
 ]
 
 
