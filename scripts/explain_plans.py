@@ -223,6 +223,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "the Morton value is a pure bit-interleave projection that "
         "pipelines with the scan — no shuffle, no UDF",
     ),
+    "interval_overlap_purchases": (
+        ["Generate", "HashAggregate"],
+        "intervals band map-side into ≤2 buckets each (Generate); "
+        "candidates come from the bucket EQUI-join; the exact overlap "
+        "predicate filters and one distinct collapses multi-bucket pairs",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -272,6 +278,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "pagerank_trading_graph": (
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "rank propagation is a node-keyed equi-join per iteration",
+    ),
+    "interval_overlap_purchases": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the overlap theta predicate must ride the bucket equi-join, "
+        "never plan as a nested-loop theta join",
     ),
     "copurchase_parts": (
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -344,6 +355,8 @@ MAX_EXCHANGES = {
     "rolling_wau_events": 6,
     # narrow bit-interleave projection over the scan
     "zorder_orders": 0,
+    # bucket join (one side broadcasts at this size) + pair distinct
+    "interval_overlap_purchases": 3,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

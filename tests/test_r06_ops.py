@@ -550,6 +550,55 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_interval_overlap_matches_bruteforce(spark):
+    from transe_pyspark_spark.operators.asof import interval_overlap_join
+
+    rng = random.Random(61)
+    base = dt.datetime(2024, 4, 1)
+
+    def mk(n, seed_off):
+        out = []
+        for i in range(n):
+            s = base + dt.timedelta(minutes=rng.randrange(0, 5000))
+            e = s + dt.timedelta(minutes=rng.randrange(1, 90))
+            out.append((i + seed_off, s, e))
+        return out
+
+    lrows, rrows = mk(60, 0), mk(60, 1000)
+    ldf = spark.createDataFrame(lrows, "id long, start timestamp, end timestamp")
+    rdf = spark.createDataFrame(rrows, "id long, start timestamp, end timestamp")
+    got = {
+        (r["id"], r["id_r"])
+        for r in interval_overlap_join(ldf, rdf, bucket_micros=2 * 3600 * 1_000_000).collect()
+    }
+    model = {
+        (a, b)
+        for a, s1, e1 in lrows
+        for b, s2, e2 in rrows
+        if s1 < e2 and s2 < e1
+    }
+    assert got == model
+
+
+def test_interval_overlap_boundary_and_contract(spark):
+    """Half-open semantics: touching endpoints do NOT overlap; a
+    too-small bucket raises instead of silently missing pairs."""
+    from transe_pyspark_spark.operators.asof import interval_overlap_join
+
+    t = lambda m: dt.datetime(2024, 4, 1, 0, m)
+    ldf = spark.createDataFrame([(1, t(0), t(10))], "id long, start timestamp, end timestamp")
+    rdf = spark.createDataFrame(
+        [(2, t(10), t(20)), (3, t(9), t(11))], "id long, start timestamp, end timestamp"
+    )
+    got = {
+        (r["id"], r["id_r"])
+        for r in interval_overlap_join(ldf, rdf, bucket_micros=3600 * 1_000_000).collect()
+    }
+    assert got == {(1, 3)}  # [0,10) vs [10,20) touch but do not overlap
+    with pytest.raises(ValueError, match="longest"):
+        interval_overlap_join(ldf, rdf, bucket_micros=60_000_000)
+
+
 def _py_morton(vals, bits):
     z = 0
     ndim = len(vals)

@@ -71,6 +71,7 @@ NEW_IN_R06 = {
     "weighted_sample_docs",
     "rolling_wau_events",
     "zorder_orders",
+    "interval_overlap_purchases",
 }
 
 

@@ -304,6 +304,81 @@ def sessionize(
     return sessioned.groupBy(key, "session_seq").agg(*aggs)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket_micros: int,
+    start_col: str = "start",
+    end_col: str = "end",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) row pairs whose
+    half-open time intervals ``[start, end)`` intersect — the
+    temporal/genomic workhorse (concurrent sessions, overlapping
+    downtime windows, co-occurring bursts) that a naive theta join
+    makes quadratic.
+
+    Banding plan: each interval explodes to the time buckets of width
+    ``bucket_micros`` it touches; candidates come from the bucket
+    EQUI-join; exact overlap predicates filter; duplicates (pairs
+    sharing several buckets) collapse with one distinct. Candidate
+    volume is Σ_b |left_b|·|right_b| — concurrency-bounded per bucket,
+    never |L|·|R|.
+
+    Contract: ``bucket_micros`` must be ≥ the longest interval on
+    either side (then every interval spans ≤2 buckets and the explode
+    is ≤2×; violated rows would MISS pairs, so the operator asserts
+    the bound with a cheap max aggregate and raises). Choose the
+    bucket generously — a 10× too-wide bucket only admits more
+    candidates for the exact filter to drop.
+
+    Returns left columns + right columns suffixed; overlap is strict
+    (``l.start < r.end AND r.start < l.end`` — touching endpoints of
+    half-open intervals do NOT overlap).
+    """
+    if bucket_micros <= 0:
+        raise ValueError(f"bucket_micros must be positive, got {bucket_micros}")
+    w = int(bucket_micros)
+
+    def us(c):
+        return F.unix_micros(F.col(c))
+
+    for side, name in ((left, "left"), (right, "right")):
+        row = side.agg(
+            F.max(us(end_col) - us(start_col)).alias("__len")
+        ).collect()[0]
+        if row["__len"] is not None and row["__len"] > w:
+            raise ValueError(
+                f"bucket_micros={w} is smaller than the longest {name} "
+                f"interval ({row['__len']} µs) — pairs would be missed; "
+                "raise the bucket width"
+            )
+
+    def banded(df: DataFrame, rename: bool) -> DataFrame:
+        cols = (
+            [F.col(c).alias(f"{c}{suffix}") for c in df.columns] if rename
+            else [F.col(c) for c in df.columns]
+        )
+        b0 = F.floor(us(start_col) / w)
+        # end is exclusive: an interval ending exactly on a bucket
+        # boundary does not touch that bucket
+        b1 = F.floor((us(end_col) - 1) / w)
+        return df.select(
+            *cols, F.explode(F.sequence(b0, b1)).alias("__bucket")
+        )
+
+    la = banded(left, rename=False)
+    rb = banded(right, rename=True)
+    ls, le = us(start_col), us(end_col)
+    rs, re_ = us(f"{start_col}{suffix}"), us(f"{end_col}{suffix}")
+    return (
+        la.join(rb, "__bucket")
+        .filter((ls < re_) & (rs < le))
+        .drop("__bucket")
+        .distinct()
+    )
+
+
 def rolling_active_users(
     events: DataFrame,
     user_col: str = "user_id",

@@ -3954,6 +3954,56 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "interval_overlap_purchases",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+      FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           a.user_id AS user_a, b.user_id AS user_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.s < b.e AND b.s < a.e AND a.event_id < b.event_id
+    """,
+    tags=("join", "timeseries", "interval"),
+)
+def q_interval_overlap_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: purchase 'activity windows' (each
+    purchase holds its user for ``value`` minutes) that overlap IN
+    TIME across the event log — banded into 12-hour buckets (the
+    fixture's value tail reaches ~8 h) so candidates come from a
+    bucket equi-join (concurrency-bounded), never the quadratic theta
+    join the oracle runs."""
+    from transe_pyspark_spark.operators.asof import interval_overlap_join
+
+    ev = _T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("start"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts")) + F.round(F.col("value") * 60000000).cast("long")
+        ).alias("end"),
+    )
+    pairs = interval_overlap_join(iv, iv, bucket_micros=12 * 3600 * 1_000_000)
+    return (
+        pairs.filter(F.col("event_id") < F.col("event_id_r"))
+        .select(
+            F.col("event_id").alias("event_a"),
+            F.col("event_id_r").alias("event_b"),
+            F.col("user_id").alias("user_a"),
+            F.col("user_id_r").alias("user_b"),
+            (
+                F.least(F.unix_micros("end"), F.unix_micros("end_r"))
+                - F.greatest(F.unix_micros("start"), F.unix_micros("start_r"))
+            ).cast("long").alias("overlap_us"),
+        )
+    )
+
+
 #: the Morton oracle expression is GENERATED from the same loop as the
 #: Spark expression (z_order_value_sql), so the two cannot drift
 _ZORDER_SQL = R.z_order_value_sql(["o_custkey", "d"], bits=24)
@@ -4248,6 +4298,10 @@ _OVERFLOW_ORACLE = [
                                  # zorder_orders; decontaminate/
                                  # bigram/dup_ngram/keywords/
                                  # heavy-hitter keep text in-window
+    "time_weighted_avg_value",   # as-of/timeseries: slot ceded to the
+                                 # NEW interval_overlap_purchases;
+                                 # asof (front) + sessionize + cohort
+                                 # + rolling-WAU keep the family
 ]
 
 
