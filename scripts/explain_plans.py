@@ -229,6 +229,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "candidates come from the bucket EQUI-join; the exact overlap "
         "predicate filters and one distinct collapses multi-bucket pairs",
     ),
+    "interpolate_hourly": (
+        ["Window", "Generate"],
+        "per-key grids generate map-side; both interpolation neighbors "
+        "come from two frames of ONE key-partitioned window sort",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -357,6 +362,9 @@ MAX_EXCHANGES = {
     "zorder_orders": 0,
     # bucket join (one side broadcasts at this size) + pair distinct
     "interval_overlap_purchases": 3,
+    # obs bucket agg + grid/obs co-partitioning; both window frames
+    # share the key sort
+    "interpolate_hourly": 2,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

@@ -550,6 +550,29 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_interpolate_resample_hand_computed(spark):
+    """Observations at hours 0 (100.00) and 4 (500.00): the three gap
+    hours fill with the straight line 200/300/400; observed buckets
+    reduce to their own value exactly."""
+    from transe_pyspark_spark.operators.asof import interpolate_resample
+
+    t = lambda h: dt.datetime(2024, 6, 1, h)
+    rows = [(1, t(0), 100.0), (1, t(4), 500.0), (2, t(1), 50.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket_ts"].hour): (r["value_interp"], r["observed"])
+        for r in interpolate_resample(df).collect()
+    }
+    assert got == {
+        (1, 0): (10000.0, True),
+        (1, 1): (20000.0, False),
+        (1, 2): (30000.0, False),
+        (1, 3): (40000.0, False),
+        (1, 4): (50000.0, True),
+        (2, 1): (5000.0, True),  # single-observation key: grid is one bucket
+    }
+
+
 def test_interval_overlap_matches_bruteforce(spark):
     from transe_pyspark_spark.operators.asof import interval_overlap_join
 

@@ -72,6 +72,7 @@ NEW_IN_R06 = {
     "rolling_wau_events",
     "zorder_orders",
     "interval_overlap_purchases",
+    "interpolate_hourly",
 }
 
 

@@ -304,6 +304,85 @@ def sessionize(
     return sessioned.groupBy(key, "session_seq").agg(*aggs)
 
 
+def interpolate_resample(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Resample onto a regular grid with LINEAR interpolation between
+    the surrounding observations — the companion of
+    ``gap_fill_resample``'s forward-fill (TimescaleDB
+    ``interpolate()`` vs ``locf()``): a gap between buckets valued 100
+    and 400 fills with the line between them, not a repeated 100.
+
+    Same plan skeleton as the gap-fill (bucket agg → per-key grid via
+    ``sequence``+explode → grid⨝obs left join): each grid row then
+    takes the last observed (value, bucket) at-or-before it and the
+    first at-or-after it from two frames of ONE key-partitioned
+    window sort, and interpolates
+    ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`` in exact
+    integer cents×µs with one final IEEE division — engine-identical,
+    so the result hash-checks. Grid rows ON an observation reduce to
+    the observation exactly (ratio 0). The grid spans each key's
+    [first, last] observed bucket, so both neighbors always exist —
+    no extrapolation policy to choose.
+
+    Output: (key, bucket_ts, value_interp — interpolated cents as
+    double rounded to 6dp, observed).
+    """
+    if bucket not in ("1 hour", "1 day"):
+        raise ValueError(
+            f"interpolate_resample supports bucket '1 hour' or '1 day', got {bucket!r}"
+        )
+    b = F.date_trunc("hour" if bucket == "1 hour" else "day", F.col(ts_col))
+    obs = (
+        events.select(F.col(key), b.alias("__b"),
+                      F.round(F.col(value_col) * 100).cast("long").alias("__c"))
+        .groupBy(key, "__b")
+        .agg(F.sum("__c").alias("__v"))
+    )
+    spans = obs.groupBy(key).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    grid = spans.select(
+        key,
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(
+        obs.withColumnRenamed("__b", "bucket_ts"), [key, "bucket_ts"], "left"
+    )
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("__v").isNotNull(), F.col("bucket_ts"))
+    prev_v = F.last("__v", ignorenulls=True).over(w_back)
+    prev_t = F.unix_micros(F.last(obs_ts, ignorenulls=True).over(w_back))
+    next_v = F.first("__v", ignorenulls=True).over(w_fwd)
+    next_t = F.unix_micros(F.first(obs_ts, ignorenulls=True).over(w_fwd))
+    t = F.unix_micros(F.col("bucket_ts"))
+    interp = F.when(
+        next_t == prev_t, prev_v.cast("double")
+    ).otherwise(
+        prev_v.cast("double")
+        + ((next_v - prev_v) * (t - prev_t)).cast("double") / (next_t - prev_t).cast("double")
+    )
+    return joined.select(
+        key,
+        "bucket_ts",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("__v").isNotNull().alias("observed"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

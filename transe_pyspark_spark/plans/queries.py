@@ -3955,6 +3955,56 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "interpolate_hourly",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans),
+    j AS (
+      SELECT g.user_id, g.bucket_ts, o.v
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.bucket_ts),
+    n AS (
+      SELECT user_id, bucket_ts, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             epoch_us(last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS pt,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             epoch_us(first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS nt
+      FROM j)
+    SELECT user_id, bucket_ts,
+           round(CASE WHEN nt = pt THEN CAST(pv AS DOUBLE)
+                      ELSE CAST(pv AS DOUBLE)
+                           + CAST((nv - pv) * (epoch_us(bucket_ts) - pt) AS DOUBLE)
+                             / CAST(nt - pt AS DOUBLE) END, 6) AS value_interp,
+           v IS NOT NULL AS observed
+    FROM n
+    """,
+    tags=("asof", "timeseries"),
+)
+def q_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (TimescaleDB ``interpolate()``
+    semantics, the companion of ``gap_fill_hourly``'s LOCF): per user,
+    empty hourly buckets fill with the line between the surrounding
+    observations — exact integer cents×µs with one final IEEE
+    division, so the filled values hash-check."""
+    from transe_pyspark_spark.operators.asof import interpolate_resample
+
+    return interpolate_resample(_T(spark, sf_dir, "events"))
+
+
+@_register(
     "interval_overlap_purchases",
     oracle="""
     WITH iv AS (
@@ -4302,6 +4352,12 @@ _OVERFLOW_ORACLE = [
                                  # NEW interval_overlap_purchases;
                                  # asof (front) + sessionize + cohort
                                  # + rolling-WAU keep the family
+    "percentile_prices",         # agg/percentiles: slot ceded to the
+                                 # NEW interpolate_hourly; the
+                                 # percentile story stays in-window
+                                 # via approx_percentile_sketch,
+                                 # equi_depth_prices, mad_outliers,
+                                 # and key_skew's p50/p99 columns
 ]
 
 
