@@ -234,6 +234,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "per-key grids generate map-side; both interpolation neighbors "
         "come from two frames of ONE key-partitioned window sort",
     ),
+    "attribution_linear": (
+        ["Window", "HashAggregate"],
+        "the touch window rides the user-keyed equi-join; the credit "
+        "split is a conversion-keyed count window (full key cardinality) "
+        "and the rollup is ≤|channels| groups",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:

@@ -550,6 +550,44 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_attribution_linear_matches_python(spark):
+    from transe_pyspark_spark.operators.asof import attribute_conversions
+
+    rng = random.Random(67)
+    base = dt.datetime(2024, 7, 1)
+    convs, touches = [], []
+    for i in range(40):
+        u = rng.randrange(8)
+        cts = base + dt.timedelta(minutes=rng.randrange(0, 7 * 24 * 60))
+        convs.append((u, cts, round(rng.uniform(1, 200), 2)))
+    for i in range(200):
+        u = rng.randrange(8)
+        tts = base + dt.timedelta(minutes=rng.randrange(0, 7 * 24 * 60))
+        touches.append((u, tts, rng.choice(["click", "view", "email"])))
+    cdf = spark.createDataFrame(convs, "user_id long, ts timestamp, value double")
+    tdf = spark.createDataFrame(touches, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["channel"]: (r["n_touches"], r["attributed_microcents"])
+        for r in attribute_conversions(cdf, tdf, horizon_hours=6).collect()
+    }
+    model = {}
+    for u, cts, v in convs:
+        cents = round(v * 100)
+        inw = [
+            ch for (tu, tts, ch) in touches
+            if tu == u and cts - dt.timedelta(hours=6) < tts <= cts
+        ]
+        if not inw:
+            n, credit = model.get("direct", (0, 0))
+            model["direct"] = (n + 1, credit + cents * 1_000_000)
+        else:
+            per = (cents * 1_000_000) // len(inw)
+            for ch in inw:
+                n, credit = model.get(ch, (0, 0))
+                model[ch] = (n + 1, credit + per)
+    assert got == model
+
+
 def test_interpolate_resample_hand_computed(spark):
     """Observations at hours 0 (100.00) and 4 (500.00): the three gap
     hours fill with the straight line 200/300/400; observed buckets

@@ -73,6 +73,7 @@ NEW_IN_R06 = {
     "zorder_orders",
     "interval_overlap_purchases",
     "interpolate_hourly",
+    "attribution_linear",
 }
 
 

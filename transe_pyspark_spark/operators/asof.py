@@ -304,6 +304,71 @@ def sessionize(
     return sessioned.groupBy(key, "session_seq").agg(*aggs)
 
 
+def attribute_conversions(
+    conversions: DataFrame,
+    touches: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    channel_col: str = "event_type",
+    horizon_hours: int = 24,
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value splits
+    EQUALLY across the user's touches in the ``horizon_hours`` before
+    it (inclusive of the conversion instant); conversions with no
+    touch in the window credit a synthetic ``direct`` channel — the
+    marketing-analytics allocator (vs last-touch, which is the
+    existing ``asof_join`` composed with a rollup).
+
+    Exactness contract: per-touch credit is
+    ``(value_cents · 10⁶) div n_touches`` in integer MICRO-CENTS —
+    floor division, so a conversion's attributed total can undershoot
+    by < n_touches µ¢ but sums are BIGINT-exact and order-free. A
+    double division here would make the channel rollup a sum of
+    floats, which is summation-order-dependent and can't hash-check.
+
+    Plan: one user-keyed equi-join (conversions ⨝ touches, LEFT so
+    no-touch conversions survive) with the horizon predicate riding
+    it, a per-conversion count window (keyed on the conversion id —
+    full key cardinality, no hot reducer), and a ≤|channels| rollup.
+    Returns (channel, n_touches, attributed_microcents).
+    """
+    conv = conversions.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        F.round(F.col(value_col) * 100).cast("long").alias("__cents"),
+        F.monotonically_increasing_id().alias("__cid"),
+    ).localCheckpoint(eager=True)  # freeze the nondeterministic id (see
+    # _frozen_range_partition: re-evaluated lineage may re-assign ids)
+    tch = touches.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(channel_col).alias("__ch"),
+    )
+    horizon_us = int(horizon_hours) * 3600 * 1_000_000
+    cond = (
+        (F.unix_micros(F.col("__tts")) > F.unix_micros(F.col("__cts")) - horizon_us)
+        & (F.col("__tts") <= F.col("__cts"))
+    )
+    j = conv.join(tch, on=[conv["__u"] == tch["__u"], cond], how="left").select(
+        "__cid", "__cents", F.col("__ch")
+    )
+    w = Window.partitionBy("__cid")
+    credited = j.withColumn(
+        "__n", F.count("__ch").over(w)
+    ).select(
+        F.coalesce(F.col("__ch"), F.lit("direct")).alias("channel"),
+        F.when(
+            F.col("__n") > 0,
+            F.expr("(__cents * 1000000) div __n"),
+        ).otherwise(F.col("__cents") * 1_000_000).alias("__credit"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("__credit").cast("long").alias("attributed_microcents"),
+    )
+
+
 def interpolate_resample(
     events: DataFrame,
     key: str = "user_id",

@@ -3955,6 +3955,44 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "attribution_linear",
+    oracle="""
+    WITH conv AS (SELECT event_id AS cid, user_id, ts AS cts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events WHERE event_type = 'purchase'),
+    tch AS (SELECT user_id, ts AS tts, event_type AS ch
+            FROM events WHERE event_type IN ('click', 'view')),
+    j AS (SELECT c.cid, c.cents, t.ch
+          FROM conv c LEFT JOIN tch t
+            ON c.user_id = t.user_id
+           AND epoch_us(t.tts) > epoch_us(c.cts) - 86400000000
+           AND t.tts <= c.cts),
+    n AS (SELECT cid, cents, ch, count(ch) OVER (PARTITION BY cid) AS n FROM j)
+    SELECT coalesce(ch, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN n > 0 THEN (cents * 1000000) // n
+                         ELSE cents * 1000000 END) AS BIGINT) AS attributed_microcents
+    FROM n GROUP BY 1
+    """,
+    tags=("join", "timeseries", "analytics"),
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's cents split
+    equally (integer micro-cents, floor division — order-free BIGINT
+    sums, no float rollup) across the user's clicks/views in the 24 h
+    before it; untouched purchases credit 'direct' (whose n_touches
+    counts those conversions). One user-keyed left join + a
+    conversion-keyed count window + a ≤|channels| rollup."""
+    from transe_pyspark_spark.operators.asof import attribute_conversions
+
+    ev = _T(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type").isin("click", "view")),
+    )
+
+
+@_register(
     "interpolate_hourly",
     oracle="""
     WITH obs AS (
@@ -4358,6 +4396,11 @@ _OVERFLOW_ORACLE = [
                                  # via approx_percentile_sketch,
                                  # equi_depth_prices, mad_outliers,
                                  # and key_skew's p50/p99 columns
+    "stream_corpus_clean",       # streaming: slot ceded to the NEW
+                                 # attribution_linear; tumbling/
+                                 # stateful/interval×2/incremental-
+                                 # dedup/chained keep streaming
+                                 # amply covered in-window
 ]
 
 
