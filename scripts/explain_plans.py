@@ -240,6 +240,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "split is a conversion-keyed count window (full key cardinality) "
         "and the rollup is ≤|channels| groups",
     ),
+    "sample_per_lang_docs": (
+        ["WindowGroupLimit"],
+        "per-group exactly-k sampling keeps the partial top-k below the "
+        "shuffle — O(k) state per group per task",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:

@@ -550,6 +550,37 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_sample_k_per_group_matches_python(spark):
+    from transe_pyspark_spark.operators.relational import sample_k_per_group
+
+    rng = random.Random(71)
+    rows = [(i, rng.choice(["en", "de", "zh"])) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        (r["lang"], r["sample_rank"]): r["doc_id"]
+        for r in sample_k_per_group(df, ["lang"], "doc_id", k=5).collect()
+    }
+    m = 2147483647
+
+    def h(i):
+        return (((i % m) * 48271 + 1) % m) * 48271 % m
+
+    model = {}
+    for lang in ("en", "de", "zh"):
+        members = sorted((i for i, l in rows if l == lang), key=lambda i: (h(i), i))
+        for rank, i in enumerate(members[:5], start=1):
+            model[(lang, rank)] = i
+    assert got == model
+    # stable under repartitioning
+    again = {
+        (r["lang"], r["sample_rank"]): r["doc_id"]
+        for r in sample_k_per_group(df.repartition(7), ["lang"], "doc_id", k=5).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError, match="k must"):
+        sample_k_per_group(df, ["lang"], "doc_id", k=0)
+
+
 def test_attribution_linear_matches_python(spark):
     from transe_pyspark_spark.operators.asof import attribute_conversions
 

@@ -74,6 +74,7 @@ NEW_IN_R06 = {
     "interval_overlap_purchases",
     "interpolate_hourly",
     "attribution_linear",
+    "sample_per_lang_docs",
 }
 
 

@@ -902,6 +902,40 @@ def sample_exact_k(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: int = 1,
+) -> DataFrame:
+    """Exactly-k deterministic uniform sample PER GROUP — the
+    stratified counterpart of ``sample_exact_k`` (per-language eval
+    slices, per-source QA samples): within each group, rank rows by
+    the exact-BIGINT MINSTD double-step hash of ``id_col`` (ties by
+    id) and keep the first k. Selection is a pure function of
+    (ids, k, salt) — stable under retries, repartitioning, and
+    appends — and any SQL engine replays it.
+
+    Scale: the row_number window keys on the GROUP columns, and
+    Spark pushes a per-partition partial top-k below the shuffle
+    (WindowGroupLimit) — O(k) state per group per task, the same
+    guarantee ``top_k_per_group`` carries. Returns the selected rows
+    plus ``sample_rank`` (1-based within the group)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = 2147483647
+    h = F.pmod(F.pmod(F.col(id_col), m) * 48271 + salt, m)
+    h = F.pmod(h * 48271, m)
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__h")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     item_col: str,

@@ -3955,6 +3955,35 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sample_per_lang_docs",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             ((((doc_id % 2147483647) * 48271 + 1) % 2147483647) * 48271)
+               % 2147483647 AS hv
+      FROM documents),
+    r AS (SELECT doc_id, text, lang, source, n_chars,
+                 CAST(row_number() OVER (PARTITION BY lang
+                                         ORDER BY hv, doc_id) AS BIGINT) AS sample_rank
+          FROM h)
+    SELECT doc_id, text, lang, source, n_chars, sample_rank
+    FROM r WHERE sample_rank <= 20
+    """,
+    tags=("sampling", "topk"),
+)
+def q_sample_per_lang_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language deterministic document sample — the
+    stratified eval-slice sampler: MINSTD-hash rank within each
+    language, WindowGroupLimit keeps O(k) per group below the
+    shuffle, and the selected set replays on any engine."""
+    from transe_pyspark_spark.operators.relational import sample_k_per_group
+
+    return sample_k_per_group(
+        _T(spark, sf_dir, "documents"), ["lang"], "doc_id", k=20
+    )
+
+
+@_register(
     "attribution_linear",
     oracle="""
     WITH conv AS (SELECT event_id AS cid, user_id, ts AS cts,
@@ -4401,6 +4430,10 @@ _OVERFLOW_ORACLE = [
                                  # stateful/interval×2/incremental-
                                  # dedup/chained keep streaming
                                  # amply covered in-window
+    "dataset_split_docs",        # sampling: slot ceded to the NEW
+                                 # sample_per_lang_docs; reservoir +
+                                 # token-budget + weighted-PPS keep
+                                 # the family in-window
 ]
 
 
