@@ -245,6 +245,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "per-group exactly-k sampling keeps the partial top-k below the "
         "shuffle — O(k) state per group per task",
     ),
+    "trend_per_event_type": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        "per-key t0 broadcasts back; the OLS moment sums are one "
+        "map-side-partial aggregate — regression as an agg, no "
+        "per-key collect",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:

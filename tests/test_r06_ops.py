@@ -550,6 +550,48 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_trend_per_key_exact_line_and_degenerate(spark):
+    """A perfectly linear series recovers its slope/intercept exactly;
+    a single observation and an all-same-timestamp key yield NULL
+    slope (undefined), not a crash or a garbage value."""
+    from transe_pyspark_spark.operators.relational import trend_per_key
+
+    t = lambda s: dt.datetime(2024, 8, 1, 0, 0, s)
+    rows = (
+        # y_cents = 500 + 3·x over x = 0, 10, 20, 30 seconds
+        [("lin", t(x), (500 + 3 * x) / 100.0) for x in (0, 10, 20, 30)]
+        + [("single", t(5), 42.0)]
+        + [("samets", t(7), 1.0), ("samets", t(7), 9.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {r["k"]: r for r in trend_per_key(df, "k", "ts", "v").collect()}
+    assert got["lin"]["slope_cents_per_s"] == 3.0
+    assert got["lin"]["intercept_cents"] == 500.0
+    assert got["single"]["slope_cents_per_s"] is None
+    assert got["samets"]["slope_cents_per_s"] is None
+
+
+def test_trend_per_key_matches_numpy(spark):
+    import numpy as np
+
+    from transe_pyspark_spark.operators.relational import trend_per_key
+
+    rng = random.Random(73)
+    base = dt.datetime(2024, 8, 1)
+    rows = [
+        ("a", base + dt.timedelta(seconds=rng.randrange(0, 100000)), round(rng.uniform(1, 80), 2))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    r = trend_per_key(df, "k", "ts", "v").collect()[0]
+    t0 = min(ts for _k, ts, _v in rows)
+    x = np.array([int((ts - t0).total_seconds()) for _k, ts, _v in rows], dtype=float)
+    y = np.array([round(v * 100) for _k, _ts, v in rows], dtype=float)
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(r["slope_cents_per_s"] - slope) < 1e-6
+    assert abs(r["intercept_cents"] - intercept) < 1e-3
+
+
 def test_sample_k_per_group_matches_python(spark):
     from transe_pyspark_spark.operators.relational import sample_k_per_group
 

@@ -75,6 +75,7 @@ NEW_IN_R06 = {
     "interpolate_hourly",
     "attribution_linear",
     "sample_per_lang_docs",
+    "trend_per_event_type",
 }
 
 

@@ -902,6 +902,70 @@ def sample_exact_k(
     )
 
 
+def trend_per_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key least-squares trend line — "is this metric drifting?"
+    as an aggregate: OLS slope and intercept of ``value`` (in cents)
+    over time (in seconds since each key's first observation),
+    computed from EXACT integer moment sums
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` with the division
+    as the only float op — deterministic on any engine, where the
+    built-in ``regr_slope`` accumulates floats in partition order and
+    can't hash-check.
+
+    Recentring x to each key's min timestamp keeps x small (seconds
+    from the key's first observation); the moment sums still reach
+    ~10²¹ at scale, so they accumulate in decimal(38,0) — the
+    ``stddev_exact`` precedent (DuckDB auto-promotes to HUGEINT;
+    Spark must be told) — and the exact integer numerator/denominator
+    convert to double once for the division. Two passes, both cheap:
+    a per-key min agg (broadcast back) and one moment agg — map-side
+    partials on both.
+
+    Returns (key, n, slope_cents_per_s, intercept_cents); single-point
+    or zero-variance-x keys yield NULL slope (vertical/undefined).
+    """
+    k = F.col(key_col)
+    mins = df.groupBy(key_col).agg(F.min(ts_col).alias("__t0"))
+    xy = (
+        df.select(key_col, ts_col, value_col)
+        .join(F.broadcast(mins), key_col)
+        .select(
+            k,
+            ((F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__t0"))) / 1_000_000)
+            .cast("long").cast("decimal(38,0)").alias("__x"),
+            F.round(F.col(value_col) * 100).cast("long").cast("decimal(38,0)").alias("__y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    agg = xy.groupBy(key_col).agg(
+        n.cast("long").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    den = (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    num = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    slope = F.when(den != 0, num / den)
+    intercept = F.when(
+        den != 0,
+        (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    return agg.select(
+        k,
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_s"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_cols: list[str],

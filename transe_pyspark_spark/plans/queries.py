@@ -3955,6 +3955,44 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "trend_per_event_type",
+    oracle="""
+    WITH t0 AS (SELECT event_type AS k, min(ts) AS t0 FROM events GROUP BY 1),
+    xy AS (SELECT e.event_type AS k,
+                  CAST((epoch_us(e.ts) - epoch_us(t.t0)) // 1000000 AS HUGEINT) AS x,
+                  CAST(CAST(round(e.value * 100) AS BIGINT) AS HUGEINT) AS y
+           FROM events e JOIN t0 t ON e.event_type = t.k),
+    a AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM xy GROUP BY k)
+    SELECT k AS event_type, n,
+           round(CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx <> 0
+                 THEN CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                      / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) END,
+                 6) AS slope_cents_per_s,
+           round(CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx <> 0
+                 THEN (CAST(sy AS DOUBLE)
+                       - (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                          / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE) END, 6) AS intercept_cents
+    FROM a
+    """,
+    tags=("agg", "stats", "timeseries"),
+)
+def q_trend_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares value trend (metric-drift detection as
+    an aggregate): OLS slope/intercept from exact decimal(38,0)
+    integer moment sums with the division as the only float op —
+    hash-identical across engines, where built-in ``regr_slope``
+    accumulates floats in partition order."""
+    from transe_pyspark_spark.operators.relational import trend_per_key
+
+    return trend_per_key(_T(spark, sf_dir, "events"), "event_type", "ts", "value")
+
+
+@_register(
     "sample_per_lang_docs",
     oracle="""
     WITH h AS (
@@ -4434,6 +4472,12 @@ _OVERFLOW_ORACLE = [
                                  # sample_per_lang_docs; reservoir +
                                  # token-budget + weighted-PPS keep
                                  # the family in-window
+    "minhash_near_pairs",        # dedup: slot ceded to the NEW
+                                 # trend_per_event_type; the dedup
+                                 # family keeps jaccard_prefix,
+                                 # incremental exact+near drops,
+                                 # containment, and dup_ngram
+                                 # in-window
 ]
 
 
