@@ -251,6 +251,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "map-side-partial aggregate — regression as an agg, no "
         "per-key collect",
     ),
+    "value_drift_weeks": (
+        ["HashAggregate"],
+        "one bucket-keyed hash agg per side + a bucket-cardinality "
+        "full-outer join; totals ride as 1-row broadcast builds",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:

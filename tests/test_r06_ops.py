@@ -550,6 +550,30 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_distribution_drift_hand_computed(spark):
+    """Identical distributions drift 0 everywhere; a bucket present on
+    one side only contributes its full rate/2; TV contributions sum to
+    the known total-variation distance."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import distribution_drift
+
+    a = spark.createDataFrame([(v,) for v in [1, 1, 2, 2]], "v long")
+    b = spark.createDataFrame([(v,) for v in [1, 1, 1, 3]], "v long")
+    got = {
+        r["bucket"]: (r["n_a"], r["n_b"], r["rate_a"], r["rate_b"], r["tv_contrib"])
+        for r in distribution_drift(a, b, F.col("v")).collect()
+    }
+    # p = {1: .5, 2: .5}; q = {1: .75, 3: .25}; TV = .5*( .25 + .5 + .25 ) = 0.5
+    assert got[1] == (2, 3, 0.5, 0.75, 0.125)
+    assert got[2] == (2, 0, 0.5, 0.0, 0.25)
+    assert got[3] == (0, 1, 0.0, 0.25, 0.125)
+    assert abs(sum(v[4] for v in got.values()) - 0.5) < 1e-12
+
+    same = distribution_drift(a, a, F.col("v")).collect()
+    assert all(r["tv_contrib"] == 0.0 for r in same)
+
+
 def test_trend_per_key_exact_line_and_degenerate(spark):
     """A perfectly linear series recovers its slope/intercept exactly;
     a single observation and an all-same-timestamp key yield NULL

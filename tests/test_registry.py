@@ -76,6 +76,7 @@ NEW_IN_R06 = {
     "attribution_linear",
     "sample_per_lang_docs",
     "trend_per_event_type",
+    "value_drift_weeks",
 }
 
 

@@ -902,6 +902,65 @@ def sample_exact_k(
     )
 
 
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bucket: Column,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Distribution-drift report between two samples of the same
+    metric (this week vs last, train vs serve) over a shared bucketing
+    — the data-quality monitor that catches silent upstream shifts.
+
+    Per bucket: both counts and both rates (single IEEE divisions),
+    plus the EXACT total-variation contribution
+    ``|n_a·N_b − n_b·N_a| / (2·N_a·N_b)`` — numerator and denominator
+    are exact decimal(38,0) integers (counts × totals overflow int64
+    at warehouse scale), so the per-bucket drift values and their sum
+    (TV distance = Σ contributions) are order-free and hash-check.
+    PSI's ``ln(p/q)`` is deliberately NOT here: logs are libm-
+    dependent and blow up on empty buckets; TV distance is the
+    bounded, exact alternative.
+
+    Cost: one hash-agg per side on the bucket key (map-side partials),
+    a full-outer bucket join (≤ bucket-cardinality rows), totals as
+    1-row broadcast aggregates. Returns
+    (bucket, n_a, n_b, rate_a, rate_b, tv_contrib).
+    """
+    a = df_a.select(bucket.alias(bucket_name)).groupBy(bucket_name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    b = df_b.select(bucket.alias(bucket_name)).groupBy(bucket_name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    tot_a = F.broadcast(df_a.agg(F.count(F.lit(1)).cast("long").alias("__na")))
+    tot_b = F.broadcast(df_b.agg(F.count(F.lit(1)).cast("long").alias("__nb")))
+    j = (
+        a.join(b, bucket_name, "full_outer")
+        .select(
+            bucket_name,
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        .crossJoin(tot_a)
+        .crossJoin(tot_b)
+    )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.col("n_a").cast(dec) * F.col("__nb").cast(dec)
+        - F.col("n_b").cast(dec) * F.col("__na").cast(dec)
+    )
+    den = F.lit(2).cast(dec) * F.col("__na").cast(dec) * F.col("__nb").cast(dec)
+    return j.select(
+        bucket_name,
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a").cast("double") / F.col("__na").cast("double"), 6).alias("rate_a"),
+        F.round(F.col("n_b").cast("double") / F.col("__nb").cast("double"), 6).alias("rate_b"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("tv_contrib"),
+    )
+
+
 def trend_per_key(
     df: DataFrame,
     key_col: str,

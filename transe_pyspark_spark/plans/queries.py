@@ -3955,6 +3955,46 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "value_drift_weeks",
+    oracle="""
+    WITH a AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
+               FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+    b AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
+          FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+    ta AS (SELECT CAST(sum(n) AS HUGEINT) AS na FROM a),
+    tb AS (SELECT CAST(sum(n) AS HUGEINT) AS nb FROM b),
+    j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+                 CAST(coalesce(a.n, 0) AS BIGINT) AS n_a,
+                 CAST(coalesce(b.n, 0) AS BIGINT) AS n_b
+          FROM a FULL OUTER JOIN b ON a.bucket = b.bucket)
+    SELECT j.bucket, j.n_a, j.n_b,
+           round(CAST(j.n_a AS DOUBLE) / CAST(ta.na AS DOUBLE), 6) AS rate_a,
+           round(CAST(j.n_b AS DOUBLE) / CAST(tb.nb AS DOUBLE), 6) AS rate_b,
+           round(CAST(abs(CAST(j.n_a AS HUGEINT) * tb.nb - CAST(j.n_b AS HUGEINT) * ta.na) AS DOUBLE)
+                 / CAST(2 * ta.na * tb.nb AS DOUBLE), 6) AS tv_contrib
+    FROM j, ta, tb
+    """,
+    tags=("agg", "quality", "drift"),
+)
+def q_value_drift_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of event values between the first and second
+    half of the month, over width-10 buckets: per-bucket counts,
+    rates, and EXACT total-variation contributions (decimal integer
+    cross-products, one final IEEE division — PSI's log is libm-bound
+    and explodes on empty buckets; TV is the bounded exact
+    alternative)."""
+    from transe_pyspark_spark.operators.relational import distribution_drift
+
+    ev = _T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return distribution_drift(
+        ev.filter(F.col("ts") < cut),
+        ev.filter(F.col("ts") >= cut),
+        F.floor(F.col("value") / 10.0).cast("long"),
+    )
+
+
+@_register(
     "trend_per_event_type",
     oracle="""
     WITH t0 AS (SELECT event_type AS k, min(ts) AS t0 FROM events GROUP BY 1),
@@ -4478,6 +4518,13 @@ _OVERFLOW_ORACLE = [
                                  # incremental exact+near drops,
                                  # containment, and dup_ngram
                                  # in-window
+    "stream_incremental_dedup",  # streaming: slot ceded to the NEW
+                                 # value_drift_weeks; tumbling/
+                                 # stateful/interval×2/chained keep
+                                 # streaming covered in-window and
+                                 # the incremental-dedup contract is
+                                 # carried by incremental_dedup_drop
+                                 # (front) + neardedup (in-window)
 ]
 
 
