@@ -382,6 +382,8 @@ MAX_EXCHANGES = {
     "rolling_wau_events": 6,
     # narrow bit-interleave projection over the scan
     "zorder_orders": 0,
+    # two chained Arrow maps (encode → decode), no shuffle
+    "multimodal_audio": 0,
     # bucket join (one side broadcasts at this size) + pair distinct
     "interval_overlap_purchases": 3,
     # obs bucket agg + grid/obs co-partitioning; both window frames

@@ -550,6 +550,42 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_wav_roundtrip_and_chunk_walk(spark):
+    """encode_wav payloads decode back to the generator's exact values,
+    and the decoder's chunk walk survives extra chunks and odd-size
+    padding (real WAV files carry LIST/INFO chunks before data)."""
+    import struct
+
+    from transe_pyspark_spark.operators.multimodal import (
+        decode_wav_bytes,
+        encode_wav,
+    )
+
+    df = spark.createDataFrame([(i,) for i in (0, 1, 7, 399, 1234)], "doc_id long")
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in encode_wav(df).collect()}
+    for i, payload in rows.items():
+        meta = decode_wav_bytes(payload)
+        ch, n = 1 + i % 2, 100 + i % 400
+        assert meta["sample_rate"] == 8000
+        assert meta["channels"] == ch
+        assert meta["n_frames"] == n
+        assert meta["duration_ms"] == n * 1000 // 8000
+        total = n * ch
+        expect = sum(abs(((i * 31 + 7 * k) % 65536) - 32768) for k in range(total)) // total
+        assert meta["mean_abs_sample"] == expect
+
+    # inject an odd-sized LIST chunk between WAVE and fmt: the walker
+    # must skip it (with pad byte) and still find fmt/data
+    p = rows[7]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    hacked = p[:12] + extra + p[12:]
+    hacked = b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    assert decode_wav_bytes(hacked) == decode_wav_bytes(p)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav_bytes(b"nonsense bytes")
+
+
 def test_distribution_drift_hand_computed(spark):
     """Identical distributions drift 0 everywhere; a bucket present on
     one side only contributes its full rate/2; TV contributions sum to

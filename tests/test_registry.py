@@ -77,6 +77,7 @@ NEW_IN_R06 = {
     "sample_per_lang_docs",
     "trend_per_event_type",
     "value_drift_weeks",
+    "multimodal_audio",
 }
 
 

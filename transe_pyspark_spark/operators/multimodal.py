@@ -62,6 +62,110 @@ def encode_ppm(
     return df.select(id_col).mapInPandas(build, schema=f"{id_col} long, {out_col} binary")
 
 
+def encode_wav(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "payload"
+) -> DataFrame:
+    """Build REAL RIFF/WAVE PCM payloads deterministically from the id:
+    sample_rate = 8000, channels = 1 + id % 2, 16-bit samples,
+    n_frames = 100 + id % 400, sample k (interleaved) =
+    ((id·31 + k·7) mod 65536) − 32768. WAV PCM is a plain headered
+    byte array — decodable with ``struct`` alone, no audio library —
+    so the audio half of the multimodal layer exercises the same
+    binary plumbing as the image half with the same
+    oracle-recomputable generator trick."""
+    import struct
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                rate, ch, n = 8000, 1 + i % 2, 100 + i % 400
+                total = n * ch
+                frames = struct.pack(
+                    "<%dh" % total,
+                    *[((i * 31 + k * 7) % 65536) - 32768 for k in range(total)],
+                )
+                byte_rate = rate * ch * 2
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, byte_rate, ch * 2, 16)
+                    + b"data" + struct.pack("<I", len(frames))
+                )
+                payloads.append(hdr + frames)
+            out = pdf[[id_col]].copy()
+            out[out_col] = pd.Series(payloads, index=pdf.index, dtype=object)
+            yield out
+
+    return df.select(id_col).mapInPandas(build, schema=f"{id_col} long, {out_col} binary")
+
+
+def decode_wav_bytes(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM payload with the standard library: walk
+    the chunk list to the ``fmt `` and ``data`` chunks (chunks may
+    appear in any order and carry padding), return sample rate,
+    channels, bit depth, frame count, integer duration in
+    milliseconds (``n_frames·1000 div rate`` — exact), and the exact
+    integer mean of |sample| over all interleaved 16-bit samples."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _audio_fmt, ch, rate, _brate, _align, bits = fmt
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bits}")
+    n_samples = len(data) // 2
+    samples = struct.unpack("<%dh" % n_samples, data[: n_samples * 2])
+    n_frames = n_samples // ch
+    return {
+        "sample_rate": rate,
+        "channels": ch,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // rate,
+        "mean_abs_sample": sum(abs(s) for s in samples) // max(n_samples, 1),
+    }
+
+
+WAV_SCHEMA = (
+    "doc_id long, sample_rate long, channels long, bits long, "
+    "n_frames long, duration_ms long, mean_abs_sample long"
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched WAV decode over a binary column — the audio twin
+    of ``decode_media``: narrow, schema-stable, every value parsed
+    from the byte stream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = decode_wav_bytes(bytes(payload))
+                rows.append({id_col: int(doc_id), **meta})
+            yield pd.DataFrame(rows, columns=[
+                id_col, "sample_rate", "channels", "bits",
+                "n_frames", "duration_ms", "mean_abs_sample",
+            ])
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=WAV_SCHEMA)
+
+
 def decode_image_bytes(payload: bytes) -> dict:
     """Decode an image header + pixel stats from raw bytes with the
     STANDARD LIBRARY for uncompressed formats — PPM/PGM (P6/P5) and

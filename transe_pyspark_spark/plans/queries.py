@@ -3077,6 +3077,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media(MM.encode_ppm(docs))
 
 
+@_register(
+    "multimodal_audio",
+    oracle="""
+    WITH p AS (SELECT doc_id, 1 + doc_id % 2 AS ch, 100 + doc_id % 400 AS n
+               FROM documents)
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_reduce(list_transform(range(0, n * ch),
+                                           k -> abs(((doc_id * 31 + 7 * k) % 65536) - 32768)),
+                            (a, b) -> a + b) // (n * ch) AS BIGINT) AS mean_abs_sample
+    FROM p
+    """,
+    tags=("multimodal", "audio"),
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode from bytes, no audio library: payloads are
+    genuine RIFF/WAVE 16-bit PCM binaries generated deterministically
+    from the doc id (``encode_wav``), and every output value — sample
+    rate, channels, frame count, integer-ms duration, mean |sample| —
+    is parsed from the chunk stream by the pure-stdlib decoder
+    (``decode_wav_bytes``). The oracle recomputes the generator
+    formula (including the per-sample waveform sum) independently, so
+    a chunk-walk or sample-unpack bug is a hard hash mismatch. Narrow:
+    two chained Arrow maps, no shuffle."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    return MM.decode_audio(MM.encode_wav(docs))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte histogram +
     entropy) — the 'embed the media' stage shape; rows-only check,
@@ -4525,6 +4557,10 @@ _OVERFLOW_ORACLE = [
                                  # the incremental-dedup contract is
                                  # carried by incremental_dedup_drop
                                  # (front) + neardedup (in-window)
+    "table_profile",             # agg: slot ceded to the NEW
+                                 # multimodal_audio; equi-depth/
+                                 # heavy-hitters/skew/trend/drift
+                                 # keep the agg family amply covered
 ]
 
 
