@@ -640,13 +640,18 @@ def mad_outliers(
     """
     g = F.col(group_col)
     v = F.col(value_col)
+    # no broadcast hint on the stats joins: with a handful of groups
+    # AQE's runtime stats broadcast the agg output anyway, and with a
+    # HIGH-cardinality group column (per-user screens) a forced
+    # broadcast of millions of stat rows would be the scale bug — the
+    # co-partitioned join is the honest plan there
     med = df.groupBy(group_col).agg(F.percentile(v, F.lit(0.5)).alias("med"))
-    dev = df.select(group_col, value_col).join(F.broadcast(med), group_col)
+    dev = df.select(group_col, value_col).join(med, group_col)
     mad = dev.groupBy(group_col).agg(
         F.percentile(F.abs(v - F.col("med")), F.lit(0.5)).alias("mad"),
         F.first("med").alias("med"),
     )
-    flagged = df.select(group_col, value_col).join(F.broadcast(mad), group_col)
+    flagged = df.select(group_col, value_col).join(mad, group_col)
     thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
     return (
         flagged.groupBy(group_col)
@@ -989,10 +994,14 @@ def trend_per_key(
     or zero-variance-x keys yield NULL slope (vertical/undefined).
     """
     k = F.col(key_col)
+    # no broadcast hint: AQE broadcasts the per-key min table when the
+    # key domain is small (event types) and keeps the co-partitioned
+    # join when it isn't (per-user trends over 10⁹ users) — a forced
+    # broadcast would be the high-cardinality scale bug
     mins = df.groupBy(key_col).agg(F.min(ts_col).alias("__t0"))
     xy = (
         df.select(key_col, ts_col, value_col)
-        .join(F.broadcast(mins), key_col)
+        .join(mins, key_col)
         .select(
             k,
             ((F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__t0"))) / 1_000_000)
