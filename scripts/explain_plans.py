@@ -256,6 +256,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "one bucket-keyed hash agg per side + a bucket-cardinality "
         "full-outer join; totals ride as 1-row broadcast builds",
     ),
+    "winsorize_values": (
+        ["ObjectHashAggregate"],
+        "one bounded-group percentile aggregate joined back + one exact "
+        "integer-cents rollup — clip bounds never leave the plan",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -389,6 +394,8 @@ MAX_EXCHANGES = {
     # obs bucket agg + grid/obs co-partitioning; both window frames
     # share the key sort
     "interpolate_hourly": 2,
+    # one key shuffle for the lag window
+    "dedup_bursts_events": 1,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

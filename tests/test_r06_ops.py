@@ -550,6 +550,46 @@ def test_rolling_wau_matches_python_model(spark):
         assert wau >= dau
 
 
+def test_collapse_bursts_chain_semantics(spark):
+    """Predecessor-chained semantics: a chain of events each within
+    the gap of the PREVIOUS one collapses to its first event, even
+    when later events are far from the survivor; a gap longer than
+    ``gap_seconds`` starts a new burst; distinct keys never interact."""
+    from transe_pyspark_spark.operators.asof import collapse_bursts
+
+    t = lambda m: dt.datetime(2024, 9, 1, 0, m)
+    rows = [
+        (1, 10, "a", t(0)), (2, 10, "a", t(4)), (3, 10, "a", t(8)),  # chain → keep 1
+        (4, 10, "a", t(20)),                                          # new burst
+        (5, 10, "b", t(4)),                                           # other key
+        (6, 11, "a", t(4)),                                           # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    kept = sorted(
+        r["event_id"]
+        for r in collapse_bursts(df, ["user_id", "event_type"], gap_seconds=300).collect()
+    )
+    assert kept == [1, 4, 5, 6]
+
+
+def test_winsorize_report_hand_computed(spark):
+    from transe_pyspark_spark.operators.relational import winsorize_report
+
+    vals = [float(x) for x in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = winsorize_report(df, "g", "v", lo_q=0.1, hi_q=0.9).collect()[0]
+    # quantile_cont(0.1) over 1..100 = 10.9; (0.9) = 90.1
+    assert r["lo_bound"] == 10.9
+    assert r["hi_bound"] == 90.1
+    assert r["n_clipped_lo"] == 10   # 1..10 < 10.9
+    assert r["n_clipped_hi"] == 10   # 91..100 > 90.1
+    assert r["sum_cents_raw"] == sum(round(v * 100) for v in vals)
+    clipped = sum(
+        1090 if v < 10.9 else 9010 if v > 90.1 else round(v * 100) for v in vals
+    )
+    assert r["sum_cents_winsorized"] == clipped
+
+
 def test_wav_roundtrip_and_chunk_walk(spark):
     """encode_wav payloads decode back to the generator's exact values,
     and the decoder's chunk walk survives extra chunks and odd-size

@@ -78,6 +78,8 @@ NEW_IN_R06 = {
     "trend_per_event_type",
     "value_drift_weeks",
     "multimodal_audio",
+    "dedup_bursts_events",
+    "winsorize_values",
 }
 
 

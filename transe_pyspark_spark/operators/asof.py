@@ -304,6 +304,35 @@ def sessionize(
     return sessioned.groupBy(key, "session_seq").agg(*aggs)
 
 
+def collapse_bursts(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Temporal duplicate suppression: within each key, events closer
+    than ``gap_seconds`` to their predecessor drop — keeping the FIRST
+    event of every burst. The telemetry/webhook dedup (retry storms,
+    double-fires, at-least-once deliveries) where exact-key dedup
+    can't help because every duplicate has a fresh event id.
+
+    The sessionize lag trick with a keep-filter instead of a running
+    sum: ONE shuffle on the key, exact integer-µs gap comparison,
+    (ts, tiebreak) ordering so equal timestamps are deterministic.
+    Note the semantics are predecessor-chained: three events 4 minutes
+    apart collapse to one (each is within the gap of the previous),
+    even though the third is 8 minutes from the survivor — burst
+    semantics, not fixed-window semantics.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    keep = prev_ts.isNull() | (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_seconds * 1_000_000
+    )
+    return events.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+
+
 def attribute_conversions(
     conversions: DataFrame,
     touches: DataFrame,

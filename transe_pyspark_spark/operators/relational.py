@@ -907,6 +907,48 @@ def sample_exact_k(
     )
 
 
+def winsorize_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization report — the feature-prep clip ("cap
+    value at its group's p01/p99") summarized per group: clip bounds,
+    how many rows each tail clipped, and the exact integer-cents sum
+    before and after clipping (the "how much did outliers distort this
+    metric" answer).
+
+    Two passes: one bounded-group percentile aggregate (interpolated —
+    the engines agree bit-for-bit, the `percentile_prices` precedent),
+    joined back (AQE broadcasts when the group domain is small), then
+    one rollup with the clip applied inline — clipped values are
+    ``round(bound·100)`` cents, so both sums stay exact BIGINTs.
+    Returns (group, n, lo_bound, hi_bound, n_clipped_lo, n_clipped_hi,
+    sum_cents_raw, sum_cents_winsorized).
+    """
+    v = F.col(value_col)
+    q = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(float(lo_q))).alias("__lo"),
+        F.percentile(v, F.lit(float(hi_q))).alias("__hi"),
+    )
+    j = df.select(group_col, value_col).join(q, group_col)
+    cents = F.round(v * 100).cast("long")
+    clipped = F.when(v < F.col("__lo"), F.round(F.col("__lo") * 100).cast("long")).when(
+        v > F.col("__hi"), F.round(F.col("__hi") * 100).cast("long")
+    ).otherwise(cents)
+    return j.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.first("__lo"), 6).alias("lo_bound"),
+        F.round(F.first("__hi"), 6).alias("hi_bound"),
+        F.sum(F.when(v < F.col("__lo"), 1).otherwise(0)).cast("long").alias("n_clipped_lo"),
+        F.sum(F.when(v > F.col("__hi"), 1).otherwise(0)).cast("long").alias("n_clipped_hi"),
+        F.sum(cents).cast("long").alias("sum_cents_raw"),
+        F.sum(clipped).cast("long").alias("sum_cents_winsorized"),
+    )
+
+
 def distribution_drift(
     df_a: DataFrame,
     df_b: DataFrame,

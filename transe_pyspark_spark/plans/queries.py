@@ -3987,6 +3987,62 @@ def q_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_bursts_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS pts
+      FROM events)
+    WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 300000000
+    """,
+    tags=("dedup", "timeseries", "window"),
+)
+def q_dedup_bursts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal duplicate suppression: per (user, type), events within
+    5 minutes of their predecessor drop — the retry-storm/double-fire
+    dedup where every duplicate carries a fresh event id, so exact-key
+    dedup can't help. One key shuffle, exact-µs lag compare."""
+    from transe_pyspark_spark.operators.asof import collapse_bursts
+
+    ev = _T(spark, sf_dir, "events")
+    return collapse_bursts(ev, ["user_id", "event_type"], gap_seconds=300).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+
+@_register(
+    "winsorize_values",
+    oracle="""
+    WITH q AS (SELECT event_type, quantile_cont(value, 0.01) AS lo,
+                      quantile_cont(value, 0.99) AS hi
+               FROM events GROUP BY 1)
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(q.lo), 6) AS lo_bound,
+           round(any_value(q.hi), 6) AS hi_bound,
+           CAST(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents_raw,
+           CAST(sum(CASE WHEN e.value < q.lo THEN CAST(round(q.lo * 100) AS BIGINT)
+                         WHEN e.value > q.hi THEN CAST(round(q.hi * 100) AS BIGINT)
+                         ELSE CAST(round(e.value * 100) AS BIGINT) END) AS BIGINT)
+             AS sum_cents_winsorized
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("agg", "quality", "stats"),
+)
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization report: clip bounds at p01/p99, tail
+    clip counts, and exact integer-cents sums before/after clipping —
+    the 'how much did outliers distort this metric' feature-prep
+    answer. One percentile aggregate joined back + one rollup."""
+    from transe_pyspark_spark.operators.relational import winsorize_report
+
+    return winsorize_report(_T(spark, sf_dir, "events"), "event_type", "value")
+
+
+@_register(
     "value_drift_weeks",
     oracle="""
     WITH a AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
@@ -4561,6 +4617,17 @@ _OVERFLOW_ORACLE = [
                                  # multimodal_audio; equi-depth/
                                  # heavy-hitters/skew/trend/drift
                                  # keep the agg family amply covered
+    "approx_percentile_sketch",  # agg: slot ceded to the NEW
+                                 # winsorize_values (also a
+                                 # percentile face, plus exact clip
+                                 # sums); sketch stays sf1-benched +
+                                 # plan-gated
+    "jaccard_prefix_near_pairs", # dedup: slot ceded to the NEW
+                                 # dedup_bursts_events; containment +
+                                 # incremental exact/near drops +
+                                 # dup_ngram keep R18 in-window, and
+                                 # the prefix join stays sf1-benched
+                                 # + plan-gated
 ]
 
 
