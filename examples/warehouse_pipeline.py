@@ -44,11 +44,15 @@ from transe_pyspark_spark.operators.graph import (  # noqa: E402
     copurchase_pairs,
     pagerank_integer,
 )
+from transe_pyspark_spark.operators.asof import collapse_bursts  # noqa: E402
 from transe_pyspark_spark.operators.relational import (  # noqa: E402
     cdc_apply,
+    distribution_drift,
     key_skew_report,
     mad_outliers,
     scd2_merge,
+    trend_per_key,
+    winsorize_report,
 )
 from transe_pyspark_spark.session import get_spark  # noqa: E402
 from transe_pyspark_spark.sources.readers import load_table  # noqa: E402
@@ -121,6 +125,28 @@ def main() -> None:
 
     n_sessions = sessionize(events).count()
     print(f"== sessionization == {n_sessions} sessions")
+
+    n_raw = events.count()
+    n_deduped = collapse_bursts(events, ["user_id", "event_type"], gap_seconds=300).count()
+    print(f"== burst dedup == {n_raw} events -> {n_deduped} after 5-min suppression")
+
+    print("== value drift (first vs second half-month) ==")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    drift = distribution_drift(
+        events.filter(F.col("ts") < cut), events.filter(F.col("ts") >= cut),
+        F.floor(F.col("value") / 10.0).cast("long"),
+    )
+    tv = sum(r["tv_contrib"] for r in drift.collect())
+    print(f"  total-variation distance: {tv:.4f}")
+
+    print("== per-type value trend (cents/s) ==")
+    for r in trend_per_key(events, "event_type", "ts", "value").collect()[:3]:
+        print(f"  {r['event_type']}: slope {r['slope_cents_per_s']}, n {r['n']}")
+
+    print("== winsorization (p01/p99) ==")
+    for r in winsorize_report(events, "event_type", "value").collect()[:3]:
+        print(f"  {r['event_type']}: clipped {r['n_clipped_lo']}+{r['n_clipped_hi']}, "
+              f"sum {r['sum_cents_raw']} -> {r['sum_cents_winsorized']}")
 
     print("== co-purchase mining (top 5 part pairs) ==")
     for r in copurchase_pairs(lineitem, "l_orderkey", "l_partkey", top_k=5).collect():

@@ -597,3 +597,100 @@ def test_weighted_sample_fuzz_vs_python(spark, rows, n_target):
         for r in weighted_systematic_sample(df, "w", n_target=n_target, num_partitions=5).collect()
     }
     assert got == model
+
+
+interval_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3000),   # id (deduped)
+        st.integers(min_value=0, max_value=10000),  # start offset (s)
+        st.integers(min_value=1, max_value=3600),   # length (s), <= 1h
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(interval_sets, interval_sets)
+def test_interval_overlap_fuzz_vs_bruteforce(spark, lraw, rraw):
+    """The banded plan returns EXACTLY the brute-force overlap pair
+    set on random interval sets — including touching endpoints (no
+    overlap under half-open semantics), nested intervals, and
+    duplicates-by-position."""
+    import datetime as dt
+
+    from transe_pyspark_spark.operators.asof import interval_overlap_join
+
+    base = dt.datetime(2024, 10, 1)
+
+    def mk(raw, off):
+        seen = {}
+        for i, s, ln in raw:
+            seen[i + off] = (s, s + ln)
+        return [
+            (i, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=e))
+            for i, (s, e) in seen.items()
+        ]
+
+    lrows, rrows = mk(lraw, 0), mk(rraw, 100000)
+    ldf = spark.createDataFrame(lrows, "id long, start timestamp, end timestamp")
+    rdf = spark.createDataFrame(rrows, "id long, start timestamp, end timestamp")
+    got = {
+        (r["id"], r["id_r"])
+        for r in interval_overlap_join(ldf, rdf, bucket_micros=3600 * 1_000_000).collect()
+    }
+    model = {
+        (a, b)
+        for a, s1, e1 in lrows
+        for b, s2, e2 in rrows
+        if s1 < e2 and s2 < e1
+    }
+    assert got == model
+
+
+burst_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # key
+        st.integers(min_value=0, max_value=7200),    # ts offset seconds
+        st.integers(min_value=0, max_value=999999),  # microsecond part
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(burst_events, st.integers(10, 900))
+def test_collapse_bursts_fuzz_vs_python(spark, raw, gap_s):
+    """Burst collapse matches the sequential predecessor-chain model on
+    random event streams, including exact-gap boundaries (a successor
+    exactly gap_seconds after its predecessor is WITHIN the burst —
+    the keep condition is strictly-greater) and equal timestamps."""
+    import datetime as dt
+
+    from transe_pyspark_spark.operators.asof import collapse_bursts
+
+    base = dt.datetime(2024, 10, 1)
+    rows = [
+        (i, k, base + dt.timedelta(seconds=s, microseconds=us))
+        for i, (k, s, us) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k long, ts timestamp")
+    kept = sorted(
+        r["event_id"]
+        for r in collapse_bursts(df, ["k"], gap_seconds=gap_s).collect()
+    )
+    model = []
+    by_k = {}
+    # exact integer µs from the raw components (float .timestamp()
+    # can be off by sub-µs exactly at the gap boundary)
+    for i, (k, s, us) in enumerate(raw):
+        by_k.setdefault(k, []).append((s * 1_000_000 + us, i))
+    for k, evs in by_k.items():
+        evs.sort()
+        prev = None
+        for t_us, i in evs:
+            if prev is None or t_us - prev > gap_s * 1_000_000:
+                model.append(i)
+            prev = t_us
+    assert kept == sorted(model)
