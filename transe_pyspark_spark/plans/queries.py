@@ -1490,6 +1490,69 @@ REGISTRY["ann_ivf_persisted_neighbors"] = QuerySpec(
 
 
 @_register(
+    "ann_persisted_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(list_zip(qv, cv),
+                          z -> ((z[1]::DOUBLE) - (z[2]::DOUBLE)) * ((z[1]::DOUBLE) - (z[2]::DOUBLE)))),
+                        (a, b) -> a + b) AS dist
+               FROM q, c WHERE query_id <> neighbor_id),
+         r AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+               FROM s)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(neighbor_id) AS BIGINT) AS exact_topk_sum,
+           TRUE AS persisted_recall_ok,
+           TRUE AS persisted_eq_inline_ok
+    FROM r WHERE rank <= 10
+    """,
+    tags=("vector", "knn", "approx"),
+)
+def q_ann_persisted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF index's oracle contract (the build-once/
+    probe-many face, previously rows-only): hard exact-kNN checksums
+    the oracle recomputes independently, plus two booleans the driver
+    asserts TRUE — recall@10 of the persisted probe ≥ 0.6 against the
+    exact ranking, and persisted ≡ inline ``ann_ivf`` at the same
+    seed/params (the index is a LAYOUT, not a different algorithm; a
+    full-outer join with zero one-sided rows proves set equality
+    in-plan). Registered past the window (overflow) — mirror-checked
+    now, first in line for the r07 rotation."""
+    import tempfile
+
+    e = _T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = S.knn_relational(q, e, k=10)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_rc_")
+    S.ivf_build(e, idx, n_cells=16, seed=42)
+    per = S.ivf_query(spark, q, idx, k=10, n_probe=6).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__p")
+    )
+    inline = S.ann_ivf(q, e, k=10, n_cells=16, n_probe=6, seed=42).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__i")
+    )
+    eq = (
+        per.join(inline, ["query_id", "neighbor_id"], "full_outer")
+        .agg(
+            (F.sum(F.when(F.col("__p").isNull() | F.col("__i").isNull(), 1).otherwise(0)) == 0)
+            .alias("persisted_eq_inline_ok")
+        )
+    )
+    n = F.count(F.lit(1))
+    rec = exact.join(per, ["query_id", "neighbor_id"], "left").agg(
+        n.cast("bigint").alias("n_exact"),
+        F.sum("neighbor_id").cast("bigint").alias("exact_topk_sum"),
+        (F.coalesce(F.sum("__p"), F.lit(0)) >= n * F.lit(0.6)).alias("persisted_recall_ok"),
+    )
+    return rec.crossJoin(eq).select(
+        "n_exact", "exact_topk_sum", "persisted_recall_ok", "persisted_eq_inline_ok"
+    )
+
+
+@_register(
     "ann_recall_vs_exact",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -4628,6 +4691,12 @@ _OVERFLOW_ORACLE = [
                                  # dup_ngram keep R18 in-window, and
                                  # the prefix join stays sf1-benched
                                  # + plan-gated
+    # NOT rotated-out incumbents — NEW faces registered past the full
+    # window (mirror-checked, never driver-checked): first in line for
+    # the r07 rotation:
+    "ann_persisted_recall",      # the persisted-IVF oracle contract
+                                 # (recall + layout-equality booleans
+                                 # + exact-kNN checksums)
 ]
 
 
