@@ -1437,6 +1437,58 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY["simhash_near_pairs"] = QuerySpec("simhash_near_pairs", q_simhash_near_pairs, None, ("dedup",))
 
 
+@_register(
+    "simhash_summary",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+               FROM documents),
+         g AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(ws) - 1),
+                                                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+               FROM w WHERE len(ws) >= 3),
+         s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+               FROM g a, g b WHERE a.doc_id < b.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_ok
+    FROM s WHERE jaccard >= 0.6
+    """,
+    tags=("dedup", "approx"),
+)
+def q_simhash_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash oracle-ified via the minhash_near_pairs
+    verification-boolean pattern: (1) ``n_exact_pairs`` — the exact
+    3-gram Jaccard ≥ 0.6 pair count, recomputed independently by the
+    oracle; (2) ``subset_ok`` — every SimHash pair (Hamming ≤ 2 of 32
+    bits) is a TRUE exact pair: that radius admits only near-identical
+    fingerprints, so false positives are structurally rare (measured
+    ZERO at sf0.001 and sf0.01); (3) ``recall_ok`` — SimHash found
+    ≥ 50% of the exact pairs (measured 57-64%: the tight radius trades
+    recall for precision — MinHash banding is the high-recall path,
+    which is why both exist). Fingerprints are fixed-parameter
+    polynomial hashes, so the booleans are run-stable. Registered past
+    the window (overflow) as r07 rotation runway."""
+    docs = _T(spark, sf_dir, "documents")
+    exact = D.jaccard_prefix_pairs(docs, threshold=0.6, shingle_n=3).select(
+        "doc_a", "doc_b", F.lit(1).alias("__e")
+    )
+    found = D.simhash_pairs(docs, max_hamming=2, bits=32, shingle_n=3).select(
+        "doc_a", "doc_b", F.lit(1).alias("__f")
+    )
+    j = exact.join(found, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("__e"), F.lit(0)).cast("bigint").alias("n_exact_pairs"),
+        (F.coalesce(F.sum(F.when(F.col("__e").isNull(), 1)), F.lit(0)) == 0).alias("subset_ok"),
+        (
+            F.coalesce(F.sum(F.when(F.col("__e").isNotNull() & F.col("__f").isNotNull(), 1)), F.lit(0))
+            >= F.coalesce(F.sum("__e"), F.lit(0)) * F.lit(0.5)
+        ).alias("recall_ok"),
+    )
+
+
 def q_ann_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN via BucketedRandomProjectionLSH (R17); recall vs
     brute force asserted in pytest, rows-only here (MLlib hash seeds are
@@ -4697,6 +4749,9 @@ _OVERFLOW_ORACLE = [
     "ann_persisted_recall",      # the persisted-IVF oracle contract
                                  # (recall + layout-equality booleans
                                  # + exact-kNN checksums)
+    "simhash_summary",           # SimHash's verification contract
+                                 # (subset + recall booleans vs the
+                                 # exact Jaccard pair set)
 ]
 
 
