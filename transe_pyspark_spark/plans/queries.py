@@ -1310,6 +1310,63 @@ REGISTRY["near_dedup_keep_lsh"] = QuerySpec("near_dedup_keep_lsh", q_near_dedup_
 
 
 @_register(
+    "near_dedup_keep_lsh_summary",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+               FROM documents),
+         g AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, len(ws) - 1),
+                                                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+               FROM w WHERE len(ws) >= 3),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM g a, g b WHERE a.doc_id < b.doc_id
+                 AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.6),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION SELECT doc_b, doc_a FROM p),
+         r AS (
+           WITH RECURSIVE reach(src, dst) AS (
+             SELECT src, dst FROM e
+             UNION
+             SELECT reach.src, e.dst FROM reach JOIN e ON reach.dst = e.src)
+           SELECT * FROM reach),
+         comp AS (SELECT src AS id, least(src, min(dst)) AS component
+                  FROM r GROUP BY src)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.id IS NOT NULL AND c.id <> c.component
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           TRUE AS lsh_matches_exact_ok
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+    tags=("dedup", "approx"),
+)
+def q_near_dedup_keep_lsh_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH canonical-keep verdict's oracle contract (previously
+    rows-only): hard values the oracle recomputes with its recursive-
+    CTE components over exact 3-gram Jaccard pairs — corpus size and
+    dropped-document count — plus ``lsh_matches_exact_ok``: the
+    MinHash-LSH scale path's per-document keep verdicts are IDENTICAL
+    to the exact path's at the same shingle width (LSH recall is 1.0
+    at the 0.6 threshold on these fixtures, so the pair sets, hence
+    components, hence verdicts, coincide — any future recall loss
+    flips the boolean). Overflow-registered as r07 runway."""
+    docs = _T(spark, sf_dir, "documents")
+    exact = D.near_dedup_canonical(docs, threshold=0.6, shingle_n=3, method="exact").select(
+        "doc_id", F.col("keep").alias("__ke")
+    )
+    lsh = D.near_dedup_canonical(docs, threshold=0.6, shingle_n=3, method="minhash").select(
+        "doc_id", F.col("keep").alias("__kl")
+    )
+    j = exact.join(lsh, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("__ke"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        (F.sum(F.when(F.col("__ke") != F.col("__kl"), 1).otherwise(0)) == 0).alias("lsh_matches_exact_ok"),
+    )
+
+
+@_register(
     "jaccard3_near_pairs",
     oracle="""
     WITH w AS (SELECT doc_id,
@@ -4752,6 +4809,9 @@ _OVERFLOW_ORACLE = [
     "simhash_summary",           # SimHash's verification contract
                                  # (subset + recall booleans vs the
                                  # exact Jaccard pair set)
+    "near_dedup_keep_lsh_summary",  # the LSH canonical-keep contract
+                                 # (verdicts ≡ exact path + hard
+                                 # corpus/drop counts)
 ]
 
 
