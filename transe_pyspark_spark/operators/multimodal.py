@@ -75,6 +75,8 @@ def encode_wav(
     oracle-recomputable generator trick."""
     import struct
 
+    import numpy as np
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
@@ -82,9 +84,14 @@ def encode_wav(
                 i = int(doc_id)
                 rate, ch, n = 8000, 1 + i % 2, 100 + i % 400
                 total = n * ch
-                frames = struct.pack(
-                    "<%dh" % total,
-                    *[((i * 31 + k * 7) % 65536) - 32768 for k in range(total)],
+                # vectorized sample synthesis (values in [−32768, 32767],
+                # so the int16 narrowing is exact; '<i2' = WAV's
+                # little-endian 16-bit layout, bit-identical to the
+                # struct.pack('<Nh') form it replaced)
+                frames = (
+                    ((i * 31 + np.arange(total, dtype=np.int64) * 7) % 65536 - 32768)
+                    .astype("<i2")
+                    .tobytes()
                 )
                 byte_rate = rate * ch * 2
                 hdr = (
@@ -109,6 +116,8 @@ def decode_wav_bytes(payload: bytes) -> dict:
     integer mean of |sample| over all interleaved 16-bit samples."""
     import struct
 
+    import numpy as np
+
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
@@ -127,7 +136,12 @@ def decode_wav_bytes(payload: bytes) -> dict:
     if bits != 16:
         raise ValueError(f"only 16-bit PCM supported, got {bits}")
     n_samples = len(data) // 2
-    samples = struct.unpack("<%dh" % n_samples, data[: n_samples * 2])
+    # vectorized sample math: real audio is millions of samples per row
+    # (minutes at 44.1 kHz) — a per-sample Python loop here would be the
+    # hot path of the whole decode. Widen BEFORE abs: np.abs on int16
+    # maps −32768 → −32768 (two's-complement overflow); int64 is exact.
+    samples = np.frombuffer(data, dtype="<i2", count=n_samples)
+    abs_sum = int(np.abs(samples.astype(np.int64)).sum()) if n_samples else 0
     n_frames = n_samples // ch
     return {
         "sample_rate": rate,
@@ -135,7 +149,7 @@ def decode_wav_bytes(payload: bytes) -> dict:
         "bits": bits,
         "n_frames": n_frames,
         "duration_ms": n_frames * 1000 // rate,
-        "mean_abs_sample": sum(abs(s) for s in samples) // max(n_samples, 1),
+        "mean_abs_sample": abs_sum // max(n_samples, 1),
     }
 
 
@@ -184,16 +198,23 @@ def decode_image_bytes(payload: bytes) -> dict:
         pixels = parts[3][: w * h * channels]
         if len(pixels) != w * h * channels:
             raise ValueError(f"truncated PPM pixel array: {len(pixels)} bytes")
+        import numpy as np
+
         return {
             "fmt": "ppm" if channels == 3 else "pgm",
             "width": w,
             "height": h,
             "channels": channels,
             "n_pixel_bytes": len(pixels),
-            "mean_pixel": sum(pixels) // len(pixels),
+            # vectorized pixel sum — megapixel payloads make a Python
+            # byte loop the decode hot path; int64 accumulator is exact
+            "mean_pixel": int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64))
+            // len(pixels),
         }
     if payload[:2] == b"BM":
         import struct
+
+        import numpy as np
 
         off, w, h, bpp = (
             struct.unpack_from("<I", payload, 10)[0],
@@ -210,7 +231,8 @@ def decode_image_bytes(payload: bytes) -> dict:
             "height": abs(h),
             "channels": channels,
             "n_pixel_bytes": len(pixels),
-            "mean_pixel": sum(pixels) // max(len(pixels), 1),
+            "mean_pixel": int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64))
+            // max(len(pixels), 1),
         }
     meta = decode_image_real(payload)  # Pillow path; raises when absent
     return {
