@@ -190,10 +190,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "count — never an all-pairs comparison",
     ),
     "pagerank_trading_graph": (
-        ["HashAggregate", "Scan ExistingRDD"],
+        ["HashAggregate", "InMemoryTableScan"],
         "each iteration is one node-keyed equi-join + one hash agg over "
-        "LEAF edge/degree tables (eagerly checkpointed once — without the "
-        "leaves the edge pipeline re-executed 7× for 3 iterations)",
+        "CACHED edge/degree leaves (r07: cache replaced localCheckpoint — "
+        "InMemoryRelation preserves the repartition-on-source, which a "
+        "checkpoint's LogicalRDD loses under AQE, so iterations reuse one "
+        "partitioning instead of re-Exchanging the edge table)",
     ),
     "copurchase_parts": (
         ["TakeOrderedAndProject", "HashAggregate"],
@@ -374,9 +376,10 @@ MAX_EXCHANGES = {
     "record_linkage_parts": 2,
     # doc-freq agg + rank window + candidate agg + verify agg
     "containment_near_pairs": 4,
-    # ~3 per iteration (edge join both sides + rank agg) + the initial
-    # distinct; edge/degree leaves keep re-scans out of the plan
-    "pagerank_trading_graph": 10,
+    # r07: cached partitioned leaves — the loop's only per-iteration
+    # shuffle is the contribution agg (+ the one-time repartition/degree
+    # builds inside the cached plans); was 13 with checkpointed leaves
+    "pagerank_trading_graph": 9,
     # distinct (basket, item) agg + pair-key agg + the self-join side
     "copurchase_parts": 3,
     # 3 key profiles × (per-key count agg + single-row rollup)

@@ -384,16 +384,19 @@ def test_chained_streaming_equals_gated_batch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _python_pagerank(edges, iterations, scale=1_000_000, damping=85):
+    """Rank domain = nodes with out-edges; a node with no incoming
+    contributions holds the teleport term (r07: the dst-keyed rebuild
+    dropped source-only nodes — identical on bidirectional graphs)."""
     outdeg = {}
     for s, _d in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
     ranks = {n: scale for n in outdeg}
     base = (100 - damping) * scale // 100
     for _ in range(iterations):
-        sums = {}
+        sums = {n: 0 for n in outdeg}
         for s, d in edges:
-            sums[d] = sums.get(d, 0) + ranks[s] // outdeg[s]
-        ranks = {d: base + (damping * s) // 100 for d, s in sums.items()}
+            sums[d] += ranks[s] // outdeg[s]
+        ranks = {n: base + (damping * sums[n]) // 100 for n in outdeg}
     return ranks
 
 

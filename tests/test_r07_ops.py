@@ -86,3 +86,45 @@ def test_image_numpy_pixel_sum_bit_identical_to_python():
     )
     d = decode_image_bytes(bmp)
     assert d["mean_pixel"] == sum(body) // len(body)
+
+
+# ---------------------------------------------------------------------------
+# pagerank: enforced dangling contract + source-only nodes keep their mass
+# ---------------------------------------------------------------------------
+
+def test_pagerank_dangling_raises(spark):
+    """A destination with no out-edge used to silently swallow rank
+    mass; the contract is now enforced with an anti-join assert."""
+    from transe_pyspark_spark.operators.graph import pagerank_integer
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_integer(df, iterations=2)
+
+
+def test_pagerank_source_only_node_keeps_contributing(spark):
+    """A node with out-edges but NO in-edges must hold the teleport
+    term and keep feeding its neighbors every iteration (the r06
+    dst-keyed rank rebuild dropped it after step 1)."""
+    from transe_pyspark_spark.operators.graph import SCALE, pagerank_integer
+    from tests.test_r06_ops import _python_pagerank
+
+    # 0 → 1 ⇄ 2: node 0 is source-only; 1 and 2 each have in+out edges
+    edges = [(0, 1), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_integer(df, iterations=4).collect()
+    }
+    assert got == _python_pagerank(edges, 4)
+    # node 0 survives at exactly the teleport term
+    assert got[0] == (100 - 85) * SCALE // 100
+    # and its mass reaches node 1 in EVERY iteration, not just the
+    # first: with the drop bug, iteration ≥2 loses 0's contribution
+    base = (100 - 85) * SCALE // 100
+    r0 = base  # node 0's steady rank after iteration 1
+    # hand-roll iteration 4's incoming sum for node 1: 0 and 2 feed it
+    py = _python_pagerank(edges, 3)
+    expect_1 = base + (85 * (py[0] // 1 + py[2] // 1)) // 100
+    assert got[1] == expect_1
+    assert r0 == py[0]

@@ -39,16 +39,24 @@ def pagerank_integer(
     Contract: every node must have at least one OUT-edge (no dangling
     nodes) — callers with dangling nodes add self-loops or reverse
     edges first (the bipartite trading-graph face materializes both
-    directions, which guarantees this). Nodes with no IN-edges would
-    converge to the teleport term; with bidirectional edges every node
-    has both.
+    directions, which guarantees this). The contract is ENFORCED: a
+    cheap anti-join over the checkpointed leaves (destination nodes
+    with no out-edge) raises instead of silently losing the rank mass
+    a dangling node would swallow. Nodes with no IN-edges are fine —
+    the rank table is rebuilt each step as degree-table ⟕ incoming-
+    contributions, so a source-only node holds the teleport term and
+    keeps contributing every iteration (a dst-keyed rebuild would drop
+    its row after step 1 and leak its outgoing mass).
 
-    Scale posture per iteration: one equi-join of the rank table
-    against the edge list on the source key (both hash-partition on
-    the node id — the rank table is REBUILT keyed on dst each step, so
-    successive iterations reuse the same key domain), one hash
-    aggregate on the destination. Nothing is ever quadratic; the rank
-    state is one row per node. Lineage grows linearly with
+    Scale posture per iteration: the edge and degree leaves are
+    hash-REPARTITIONED on the source key once before their eager
+    localCheckpoint (LogicalRDD preserves outputPartitioning), and the
+    rank table always comes out of a join/agg keyed on the same node
+    id — so the per-iteration equi-joins ed ⨝ ranks ⨝ dg and the
+    rank rebuild dg ⟕ contributions all reuse that one partitioning;
+    the single new Exchange per iteration is the contribution
+    hash-aggregate on the destination key. Nothing is ever quadratic;
+    the rank state is one row per node. Lineage grows linearly with
     iterations, so every ``checkpoint_every`` steps the rank frame is
     localCheckpoint'ed (eager) — the same truncation
     ``connected_components`` uses for its propagation loop; without it
@@ -58,18 +66,44 @@ def pagerank_integer(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    # materialize the edge list and degree table ONCE (eager
-    # localCheckpoint, the _frozen_range_partition trade-off): every
-    # iteration joins both, and without a leaf the whole upstream edge
-    # pipeline re-executes per iteration per reference — probed at 28
-    # re-scans for 3 iterations on the trading-graph face
-    ed = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(
-        eager=True
+    # materialize the edge list and degree table ONCE — cache(), not
+    # localCheckpoint: under AQE a checkpoint's LogicalRDD reports
+    # UnknownPartitioning, so every iteration re-Exchanged the edge
+    # table (probed: 13 Exchanges for 3 iterations); InMemoryRelation
+    # PRESERVES the repartition-on-__s, so the per-iteration joins
+    # ed ⨝ ranks ⨝ dg and the dg ⟕ contributions rebuild all reuse one
+    # partitioning and the loop's only new Exchange is the contribution
+    # hash-agg on the destination key. Cache also stops the upstream
+    # edge pipeline re-executing per iteration (probed at 28 re-scans
+    # pre-r06). The cached leaves stay pinned as long as the returned
+    # frame is live (MEMORY_AND_DISK — spills, never recomputes).
+    n_part = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ed = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .repartition(int(n_part), "__s")
+        .cache()
     )
     dg = ed.groupBy("__s").agg(
         F.count(F.lit(1)).cast("long").alias("__outdeg")
-    ).localCheckpoint(eager=True)
-    ranks = dg.select(F.col("__s").alias("node"), F.lit(SCALE).cast("long").alias("r"))
+    ).cache()
+    dg.count()  # eager: materializes ed + dg once, before the contract check
+    # dangling-node contract check: one anti-join count over the two
+    # checkpointed leaves — turns silent rank-mass loss into a raise
+    # (the interval_overlap_join assert-don't-miss precedent)
+    n_dangling = (
+        ed.select(F.col("__d").alias("__s"))
+        .distinct()
+        .join(dg.select("__s"), "__s", "left_anti")
+        .count()
+    )
+    if n_dangling:
+        raise ValueError(
+            f"{n_dangling} dangling node(s) (in-edges but no out-edges) — "
+            "pagerank_integer requires every node to have an out-edge; "
+            "add self-loops or reverse edges first"
+        )
+    nodes = dg.select(F.col("__s").alias("node"))
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("r"))
     base = (100 - damping_pct) * SCALE // 100
     for i in range(iterations):
         contrib = (
@@ -77,10 +111,17 @@ def pagerank_integer(
             .join(dg, "__s")
             .select("__d", F.expr("r div __outdeg").alias("__c"))
         )
-        ranks = contrib.groupBy(F.col("__d").alias("node")).agg(
-            (F.lit(base) + F.expr(f"({damping_pct} * sum(__c)) div 100"))
-            .cast("long")
-            .alias("r")
+        incoming = contrib.groupBy(F.col("__d").alias("node")).agg(
+            F.sum("__c").alias("__in")
+        )
+        # LEFT join back to the full node set: source-only nodes get
+        # the teleport term instead of vanishing from the rank table
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(__in, 0L)) div 100")
+            ).cast("long").alias("r"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
