@@ -818,8 +818,11 @@ def test_interval_overlap_matches_bruteforce(spark):
 
 
 def test_interval_overlap_boundary_and_contract(spark):
-    """Half-open semantics: touching endpoints do NOT overlap; a
-    too-small bucket raises instead of silently missing pairs."""
+    """Half-open semantics: touching endpoints do NOT overlap; an
+    undersized bucket is a COST knob, not a correctness bound — every
+    interval explodes into all buckets it spans, so the pair set is
+    identical at any width (r07: the eager max-length guard and its
+    wrong pairs-would-be-missed rationale are gone)."""
     from transe_pyspark_spark.operators.asof import interval_overlap_join
 
     t = lambda m: dt.datetime(2024, 4, 1, 0, m)
@@ -827,13 +830,14 @@ def test_interval_overlap_boundary_and_contract(spark):
     rdf = spark.createDataFrame(
         [(2, t(10), t(20)), (3, t(9), t(11))], "id long, start timestamp, end timestamp"
     )
-    got = {
-        (r["id"], r["id_r"])
-        for r in interval_overlap_join(ldf, rdf, bucket_micros=3600 * 1_000_000).collect()
-    }
-    assert got == {(1, 3)}  # [0,10) vs [10,20) touch but do not overlap
-    with pytest.raises(ValueError, match="longest"):
-        interval_overlap_join(ldf, rdf, bucket_micros=60_000_000)
+    for bucket in (3600 * 1_000_000, 60_000_000):  # 1 h and 1 min (< interval length)
+        got = {
+            (r["id"], r["id_r"])
+            for r in interval_overlap_join(ldf, rdf, bucket_micros=bucket).collect()
+        }
+        assert got == {(1, 3)}  # [0,10) vs [10,20) touch but do not overlap
+    with pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(ldf, rdf, bucket_micros=0)
 
 
 def _py_morton(vals, bits):

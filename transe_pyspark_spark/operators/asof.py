@@ -358,17 +358,23 @@ def attribute_conversions(
 
     Plan: one user-keyed equi-join (conversions ⨝ touches, LEFT so
     no-touch conversions survive) with the horizon predicate riding
-    it, a per-conversion count window (keyed on the conversion id —
-    full key cardinality, no hot reducer), and a ≤|channels| rollup.
+    it, a per-conversion count window (keyed on (user, seq) — full key
+    cardinality, no hot reducer), and a ≤|channels| rollup. The
+    per-conversion key is CONTENT-DERIVED: ``row_number()`` over
+    (user, ts, cents) — a per-user window that shares the join's user
+    partitioning — so no ``monotonically_increasing_id`` (whose
+    re-evaluated lineage could re-assign ids) and no eager
+    materialization of the conversions table. Ties (fully identical
+    conversion rows) get arbitrary but distinct seqs; the result is
+    invariant because tied rows are interchangeable.
     Returns (channel, n_touches, attributed_microcents).
     """
+    w_seq = Window.partitionBy("__u").orderBy("__cts", "__cents")
     conv = conversions.select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__cts"),
         F.round(F.col(value_col) * 100).cast("long").alias("__cents"),
-        F.monotonically_increasing_id().alias("__cid"),
-    ).localCheckpoint(eager=True)  # freeze the nondeterministic id (see
-    # _frozen_range_partition: re-evaluated lineage may re-assign ids)
+    ).withColumn("__cid", F.row_number().over(w_seq))
     tch = touches.select(
         F.col(user_col).alias("__u"),
         F.col(ts_col).alias("__tts"),
@@ -380,9 +386,9 @@ def attribute_conversions(
         & (F.col("__tts") <= F.col("__cts"))
     )
     j = conv.join(tch, on=[conv["__u"] == tch["__u"], cond], how="left").select(
-        "__cid", "__cents", F.col("__ch")
+        conv["__u"], "__cid", "__cents", F.col("__ch")
     )
-    w = Window.partitionBy("__cid")
+    w = Window.partitionBy("__u", "__cid")
     credited = j.withColumn(
         "__n", F.count("__ch").over(w)
     ).select(
@@ -463,11 +469,18 @@ def interpolate_resample(
     next_v = F.first("__v", ignorenulls=True).over(w_fwd)
     next_t = F.unix_micros(F.first(obs_ts, ignorenulls=True).over(w_fwd))
     t = F.unix_micros(F.col("bucket_ts"))
+    # the cents-diff × µs-gap product can exceed int64 (≈3.6e6 cents
+    # across a 30-day gap already does); decimal(38,0) keeps it exact
+    # where BIGINT would wrap silently under non-ANSI mode (the
+    # trend_per_key precedent; the DuckDB oracle uses HUGEINT). The
+    # decimal→double cast is correctly rounded on both engines, so the
+    # final value is engine-identical in and out of the BIGINT range.
+    num = (next_v - prev_v).cast("decimal(20,0)") * (t - prev_t).cast("decimal(18,0)")
     interp = F.when(
         next_t == prev_t, prev_v.cast("double")
     ).otherwise(
         prev_v.cast("double")
-        + ((next_v - prev_v) * (t - prev_t)).cast("double") / (next_t - prev_t).cast("double")
+        + num.cast("double") / (next_t - prev_t).cast("double")
     )
     return joined.select(
         key,
@@ -491,19 +504,24 @@ def interval_overlap_join(
     downtime windows, co-occurring bursts) that a naive theta join
     makes quadratic.
 
-    Banding plan: each interval explodes to the time buckets of width
-    ``bucket_micros`` it touches; candidates come from the bucket
-    EQUI-join; exact overlap predicates filter; duplicates (pairs
-    sharing several buckets) collapse with one distinct. Candidate
-    volume is Σ_b |left_b|·|right_b| — concurrency-bounded per bucket,
-    never |L|·|R|.
+    Banding plan: each interval explodes to EVERY time bucket of width
+    ``bucket_micros`` it touches (``sequence(floor(start/w),
+    floor((end−1)/w))``); candidates come from the bucket EQUI-join;
+    exact overlap predicates filter; duplicates (pairs sharing several
+    buckets) collapse with one distinct. Candidate volume is
+    Σ_b |left_b|·|right_b| — concurrency-bounded per bucket, never
+    |L|·|R|.
 
-    Contract: ``bucket_micros`` must be ≥ the longest interval on
-    either side (then every interval spans ≤2 buckets and the explode
-    is ≤2×; violated rows would MISS pairs, so the operator asserts
-    the bound with a cheap max aggregate and raises). Choose the
-    bucket generously — a 10× too-wide bucket only admits more
-    candidates for the exact filter to drop.
+    ``bucket_micros`` is a COST knob, not a correctness bound: because
+    an interval explodes into all buckets it spans, no pair is ever
+    missed at any width — a bucket much smaller than the longest
+    interval only inflates the explode factor (an interval of length L
+    becomes ~L/w rows), while a bucket much wider than typical
+    intervals only admits more candidates for the exact filter to
+    drop. Pick it near the longest common interval length; the r06
+    eager max-length guard (two extra full-scan jobs per call, and a
+    wrong rationale — it claimed undersized buckets MISS pairs) is
+    gone.
 
     Returns left columns + right columns suffixed; overlap is strict
     (``l.start < r.end AND r.start < l.end`` — touching endpoints of
@@ -515,17 +533,6 @@ def interval_overlap_join(
 
     def us(c):
         return F.unix_micros(F.col(c))
-
-    for side, name in ((left, "left"), (right, "right")):
-        row = side.agg(
-            F.max(us(end_col) - us(start_col)).alias("__len")
-        ).collect()[0]
-        if row["__len"] is not None and row["__len"] > w:
-            raise ValueError(
-                f"bucket_micros={w} is smaller than the longest {name} "
-                f"interval ({row['__len']} µs) — pairs would be missed; "
-                "raise the bucket width"
-            )
 
     def banded(df: DataFrame, rename: bool) -> DataFrame:
         cols = (

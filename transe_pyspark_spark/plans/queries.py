@@ -4391,7 +4391,8 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, bucket_ts,
            round(CASE WHEN nt = pt THEN CAST(pv AS DOUBLE)
                       ELSE CAST(pv AS DOUBLE)
-                           + CAST((nv - pv) * (epoch_us(bucket_ts) - pt) AS DOUBLE)
+                           + CAST(CAST(nv - pv AS HUGEINT)
+                                  * CAST(epoch_us(bucket_ts) - pt AS HUGEINT) AS DOUBLE)
                              / CAST(nt - pt AS DOUBLE) END, 6) AS value_interp,
            v IS NOT NULL AS observed
     FROM n

@@ -417,16 +417,46 @@ class RelationalTransETrainer:
                     acc_ids: dict[str, list[np.ndarray]] = {c: [] for c in id_cols}
                     acc_flags: list[np.ndarray] = []
                     acc_vecs: list[np.ndarray] = []
+                    acc_roles: list[np.ndarray] = []
+                    acc_rids: list[np.ndarray] = []
                     for rb in batches:
                         for c in id_cols:
                             acc_ids[c].append(rb.column(c).to_numpy(zero_copy_only=False))
                         acc_flags.append(rb.column("__chead").to_numpy(zero_copy_only=False))
+                        acc_roles.append(rb.column("__role").to_numpy(zero_copy_only=False))
+                        acc_rids.append(rb.column("__rid").to_numpy(zero_copy_only=False))
                         acc_vecs.append(
                             rb.column("vec").flatten().to_numpy(zero_copy_only=False)
                             .reshape(-1, k_dim)
                         )
                     if not acc_vecs:
                         return
+                    # GATHER-ORDER GUARD: the broadcast-model regime
+                    # skips the (__rid, __role) repartition+sort and
+                    # relies on BroadcastHashJoin streaming probes in
+                    # order — true of current physical plans but not a
+                    # Spark contract. If any engine change reorders
+                    # rows, the reshape below would silently corrupt
+                    # every gradient; this vectorized check (one pass
+                    # over two int64 columns, ~0.1% of kernel cost)
+                    # fails loudly instead.
+                    roles = np.concatenate(acc_roles)
+                    rids = np.concatenate(acc_rids)
+                    if len(roles) % 3 != 0:
+                        raise ValueError(
+                            f"gather misalignment: {len(roles)} rows not divisible by 3"
+                        )
+                    r3 = roles.reshape(-1, 3)
+                    i3 = rids.reshape(-1, 3)
+                    if not (
+                        (r3 == np.array([0, 1, 2], dtype=r3.dtype)).all()
+                        and (i3 == i3[:, :1]).all()
+                    ):
+                        raise ValueError(
+                            "gather order violated: (__rid, __role) rows are not "
+                            "consecutive [0,1,2] triplets — the join no longer "
+                            "preserves probe order; force the repartition+sort path"
+                        )
                     # sorted (__rid, __role) → consecutive row triplets
                     # (role 0 = h, 1 = t, 2 = corrupted); per-triple
                     # scalars repeat on all 3 rows, take the first
