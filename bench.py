@@ -80,6 +80,15 @@ SF1_HEADLINE = [
     # sf1 PLAN stability is still gated in explain_plans.py.
     "doc_keywords_lift",
     "pagerank_trading_graph",
+    # r07 (VERDICT r06 ask #6): the remaining shuffle-heavy r06 faces
+    # at 10× — interpolate's grid explode is the interesting one
+    # (output rows scale with keys × span), interval_overlap's
+    # candidate volume with per-bucket concurrency², burst dedup and
+    # CDC with their single key shuffle
+    "interpolate_hourly",
+    "interval_overlap_purchases",
+    "dedup_bursts_events",
+    "cdc_apply_customers",
 ]
 
 
@@ -168,6 +177,12 @@ def _train_epoch_relational_seconds(spark, mode: str = "auto") -> float:
         # recorded alongside the auto regime so BOTH plans stay
         # measured, not just the one the size check picks at V=14.5k
         args.append("shuffled")
+    elif mode == "big":
+        # r07 (VERDICT r06 ask #1): the shape that actually NEEDS the
+        # relational path — V=2M, k=50 → ~800 MB entity table, so the
+        # SIZE CHECK ITSELF selects the shuffled regime (the script
+        # asserts it); N=500k triples, one batch
+        args.append("big")
     try:
         # 4 epochs → 3 after-warmup samples: a median of TWO picks the
         # larger (r06: [12.84, 10.01] recorded 12.84), a median of
@@ -321,7 +336,8 @@ def main() -> None:
     # unparseable transcript records an error entry instead of killing
     # the whole bench before the headline JSON is emitted
     for mode, key in (("auto", "transe_train_epoch_relational"),
-                      ("shuffled", "transe_train_epoch_relational_shuffled")):
+                      ("shuffled", "transe_train_epoch_relational_shuffled"),
+                      ("big", "transe_train_epoch_relational_big")):
         try:
             scale_paths[key], runs[key], relational_phases = (
                 _train_epoch_relational_seconds(spark, mode)
@@ -410,12 +426,24 @@ def main() -> None:
     calibration_end = _calibration(spark)
     print(f"# calibration_end: {calibration_end}", file=sys.stderr)
 
+    # calibration-normalized ratios (VERDICT r06 ask #8): query time
+    # divided by the same run's jvm_codegen probe — a dimensionless
+    # number that factors host-speed drift out of cross-round
+    # comparisons (the r05/r06 small-suite "regressions" were pinned
+    # plans + drifting probes; this makes that call mechanical). The
+    # start/end probe medians bound within-run drift, so normalize by
+    # their midpoint.
+    probe = (calibration["jvm_codegen"] + calibration_end["jvm_codegen"]) / 2
+    normalized = {n: round(times[n] / probe, 2) for n in HEADLINE}
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "normalized": normalized,
+        "normalized_probe": round(probe, 4),
         "scale_paths": scale_paths,
         "sf1": sf1,
         "calibration": calibration,

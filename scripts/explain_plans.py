@@ -231,6 +231,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "candidates come from the bucket EQUI-join; the exact overlap "
         "predicate filters and one distinct collapses multi-bucket pairs",
     ),
+    "dedup_bursts_events": (
+        ["Window", "Filter"],
+        "burst collapse is ONE key-partitioned lag window + a narrow "
+        "keep-filter — no self-join, no second shuffle",
+    ),
     "interpolate_hourly": (
         ["Window", "Generate"],
         "per-key grids generate map-side; both interpolation neighbors "
@@ -424,6 +429,11 @@ SF1_STABLE = [
     # r06 third wave: iterative + explode-heavy faces stay same-shape
     "pagerank_trading_graph",
     "doc_keywords_lift",
+    # r07 (VERDICT r06 ask #6): the remaining shuffle-heavy r06 faces
+    "interpolate_hourly",
+    "interval_overlap_purchases",
+    "dedup_bursts_events",
+    "cdc_apply_customers",
 ]
 
 
@@ -519,6 +529,64 @@ def main() -> int:
         print(f"{status:40s} {name} @ sf1")
         lines += [f"- `{name}` @ sf1: {status}; {n_ex} Exchange node(s)"]
     lines += [""]
+
+    # relational-trainer beyond-broadcast gate (r07, VERDICT r06 ask #1):
+    # at V=2,000,000, k=50 the entity table is ~800 MB — 6.25× the
+    # broadcast-model limit — so the gather join must SHUFFLE on the
+    # entity id (SortMergeJoin/ShuffledHashJoin), never broadcast the
+    # entity side. The plan is built from the trainer's own _gather at
+    # the real shape: the entity init is a LAZY mapInPandas over
+    # range(V) (explain never executes it) and the batch side is an
+    # eager-checkpointed 500k-row frame — the same LogicalRDD + size
+    # fit produces at the big-bench shape (a smaller batch legitimately
+    # broadcasts the BATCH side; the entity side must shuffle in every
+    # regime).
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from transe_pyspark_spark.transe.train_relational import RelationalTransETrainer
+
+    big_v = 2_000_000
+    tr = RelationalTransETrainer(k=50)
+    tr._broadcast_model = big_v * tr.k * 8 <= tr.broadcast_model_limit
+    assert not tr._broadcast_model
+    ent_big = tr._init_embeddings(spark, big_v, tr.k, tr.seed, normalize=True)
+    c_big = spark.range(500_000).select(
+        (F.col("id") % big_v).alias("h"),
+        F.lit(0).alias("l"),
+        ((F.col("id") * 7 + 1) % big_v).alias("t"),
+        ((F.col("id") * 13 + 3) % big_v).alias("ch"),
+        ((F.col("id") * 17 + 5) % big_v).alias("ct"),
+    ).localCheckpoint(eager=True)
+    g_big = tr._gather(c_big, ent_big)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        g_big.explain("formatted")
+    big_plan = buf.getvalue()
+    big_bad = "BroadcastExchange" in big_plan
+    big_missing = not ("SortMergeJoin" in big_plan or "ShuffledHashJoin" in big_plan)
+    big_ok = not big_bad and not big_missing
+    if not big_ok:
+        failures += 1
+    status = "OK" if big_ok else (
+        f"FAIL ({'entity side broadcast' if big_bad else ''}"
+        f"{' no shuffled equi-join' if big_missing else ''})"
+    )
+    print(f"{status:40s} relational gather @ V=2M (beyond-broadcast)")
+    lines += [
+        "## relational trainer gather — beyond-broadcast regime (V=2M, k=50)", "",
+        "**Requirement:** at an ~800 MB entity table (6.25× the 128 MB "
+        "broadcast-model limit, auto-detected by the size check — nothing "
+        "force-enabled) the melt-gather joins the entity table with a "
+        "shuffled equi-join on the id and restores triplet adjacency with "
+        "the (__rid, __role) repartition+sort; the entity side is NEVER a "
+        "broadcast build side. The update join follows the same "
+        "_broadcast_model flag.",
+        f"**Status:** {status}", "",
+        "```",
+        *[l.strip()[:110] for l in big_plan.splitlines()
+          if any(k in l for k in ("Join", "Exchange", "Sort "))][:10],
+        "```", "",
+    ]
 
     # skewed-join demonstration (AQE split vs salting) — executed-plan
     # evidence, not just explain: the skew=true marker only exists on

@@ -32,21 +32,19 @@ MUST_BE_IN_WINDOW = {
     "stream_interval_join",
 }
 
-#: the r06 window invariant: everything first driver-checked in r05
-#: (once-green) stays in until twice-green, plus the queries new or
-#: newly-oracle-ified in r06 which have never been driver-checked.
-#: (The 24-query ONCE_GREEN_R04 set went twice-green in r05 and is the
-#: r06+ rotation pool; members rotate to overflow as new oracle faces
-#: need slots — knn_brute_force ceded to ann_recall_vs_exact.)
-ONCE_GREEN_R05 = {
-    "incremental_neardedup_drop",
-    "sessionize_events",
-    "scd2_merge_customers",
-    "bigram_familiarity_docs",
-    "stream_interval_join_outer",
-    "token_budget_mix",
-    "heavy_hitter_words",
-    "equi_depth_prices",
+#: the r07 window invariant: everything first driver-checked in r06
+#: (once-green) stays in until twice-green, plus the late-r06 faces
+#: first rotated into the window in r07 (never driver-checked). The
+#: ONCE_GREEN_R05 set went twice-green in r06 and became the r07
+#: rotation pool — five of its members rotated to overflow
+#: (sessionize_events, equi_depth_prices, bigram_familiarity_docs,
+#: scd2_merge_customers, stream_interval_join_outer), plus
+#: token_budget_mix / heavy_hitter_words in the second wave;
+#: incremental_neardedup_drop stays (front slot).
+NEW_IN_R07 = {
+    "ann_persisted_recall",
+    "simhash_summary",
+    "near_dedup_keep_lsh_summary",
 }
 
 NEW_IN_R06 = {
@@ -83,10 +81,10 @@ NEW_IN_R06 = {
 }
 
 
-def test_r06_rotation_inside_window():
+def test_r07_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (ONCE_GREEN_R05 | NEW_IN_R06) - window
-    assert not missing, f"r06 must-check queries fell out of the driver window: {missing}"
+    missing = (NEW_IN_R06 | NEW_IN_R07) - window
+    assert not missing, f"r07 must-check queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():

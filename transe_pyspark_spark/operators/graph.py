@@ -128,6 +128,73 @@ def pagerank_integer(
     return ranks.select("node", F.col("r").alias("rank_micro"))
 
 
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle census of the UNDIRECTED simple graph induced by
+    the edge list (orientation and duplicate edges are collapsed;
+    self-loops dropped): node/edge counts, wedge count (length-2
+    paths), triangle count, and the global clustering coefficient
+    ``3·triangles / wedges`` — the one-row graph-shape report
+    (community structure, spam/bot subgraph detection) beside
+    ``pagerank_integer``'s per-node ranks.
+
+    Plan: canonicalize each edge to ``(a < b)`` + one distinct; count
+    triangles with the ORIENTED wedge join — ``e1(a,b) ⨝ e2(b,c)`` on
+    the middle node with ``a<b<c`` by construction, closed by the
+    ``(a,c)`` equi-join — so each triangle is found exactly once and
+    wedge candidates are Σ_v out(v)·in(v) under the degree
+    orientation, the standard mitigation that keeps hub nodes from
+    exploding the join. Wedges come from the degree table as
+    ``Σ deg·(deg−1)/2`` (exact BIGINT) — no second join. The
+    clustering coefficient is the single IEEE division of two exact
+    BIGINTs (NULL when the graph has no wedges).
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering).
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n")).unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(
+            und,
+            (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
+            "inner",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return base.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            (F.col("n_triangles") * 3).cast("double") / F.col("n_wedges").cast("double"),
+        ).alias("clustering"),
+    )
+
+
 def copurchase_pairs(
     baskets: DataFrame,
     basket_col: str,

@@ -4801,18 +4801,39 @@ _OVERFLOW_ORACLE = [
                                  # dup_ngram keep R18 in-window, and
                                  # the prefix join stays sf1-benched
                                  # + plan-gated
-    # NOT rotated-out incumbents — NEW faces registered past the full
-    # window (mirror-checked, never driver-checked): first in line for
-    # the r07 rotation:
-    "ann_persisted_recall",      # the persisted-IVF oracle contract
-                                 # (recall + layout-equality booleans
-                                 # + exact-kNN checksums)
-    "simhash_summary",           # SimHash's verification contract
-                                 # (subset + recall booleans vs the
-                                 # exact Jaccard pair set)
-    "near_dedup_keep_lsh_summary",  # the LSH canonical-keep contract
-                                 # (verdicts ≡ exact path + hard
-                                 # corpus/drop counts)
+    # rotated out in r07 (driver-green r05+r06 — the once-green-r05 set
+    # went twice-green in r06) — slack for the three late-r06 faces
+    # that were registered past the window and never driver-checked
+    # (VERDICT r06 ask #4); every family keeps ≥1 in-window member:
+    "sessionize_events",         # as-of/timeseries: asof_purchase_click
+                                 # (front) + cohort_retention_weekly +
+                                 # rolling_wau_events + interpolate_hourly
+                                 # + dedup_bursts_events + attribution
+                                 # keep the family amply covered
+    "equi_depth_prices",         # agg/percentiles: winsorize_values +
+                                 # mad_outlier_values + key_skew's
+                                 # p50/p99 + heavy_hitter_words keep
+                                 # the family; the approx variant stays
+                                 # sf1-benched + plan-gated
+    "bigram_familiarity_docs",   # text: benchmark_decontaminate (front)
+                                 # + dup_ngram_docs + doc_keywords_lift
+                                 # + heavy_hitter_words keep the family;
+                                 # stays sf1-benched + plan-gated
+    "scd2_merge_customers",      # warehouse: cdc_apply_customers keeps
+                                 # the merge family in-window
+    "stream_interval_join_outer",  # streaming: tumbling + stateful +
+                                 # the INNER interval join (MUST set) +
+                                 # chained_agg keep streaming covered
+    # rotated out in r07 second wave — slack for the two NEW r07 faces
+    # (triangle_count_graph, nearest_event_join):
+    "token_budget_mix",          # sampling: reservoir + per-lang +
+                                 # weighted PPS keep the family; the
+                                 # prefix-sum story stays pytest- and
+                                 # plan-gated
+    "heavy_hitter_words",        # agg/text: winsorize/mad/trend/drift/
+                                 # key_skew + doc_keywords_lift keep
+                                 # both families; MG bound stays
+                                 # pytest-gated and sf1-benched
 ]
 
 
@@ -4845,6 +4866,11 @@ def _reorder_registry() -> None:
         # audit — never driver-checked
         "reservoir_sample_docs",
         "dup_ngram_docs",
+        # r07: the three late-r06 faces registered past the window in
+        # r06 (mirror-green, never driver-checked) — front until green
+        "ann_persisted_recall",
+        "simhash_summary",
+        "near_dedup_keep_lsh_summary",
         "stream_tumbling_counts",
         "stream_stateful_profiles",
         "stream_interval_join",

@@ -158,9 +158,12 @@ class RelationalTransETrainer:
                     mat = l2_normalize_rows(mat)
                 yield pd.DataFrame({"id": ids, "vec": list(map(list, mat))})
 
+        # ~100k ids per partition: each task materializes a bounded
+        # (rows × k) block during init, however large V grows
+        n_part = max(8, min(64, n // 100_000))
         return (
             spark.range(n)
-            .repartition(8, "id")
+            .repartition(n_part, "id")
             .mapInPandas(gen, "id long, vec array<double>")
         )
 
@@ -260,6 +263,41 @@ class RelationalTransETrainer:
             .select("h", "l", "t", F.col("__c.ch").alias("ch"), F.col("__c.ct").alias("ct"))
         )
 
+    def _gather(self, c: DataFrame, ent: DataFrame) -> DataFrame:
+        """Fused entity gather (J2 relational): melt each corrupted
+        triple to THREE (role, id) rows, join the entity table ONCE on
+        id, and deliver rows the kernel can ``reshape(-1, 3, k)``.
+        Regime switch per ``_broadcast_model`` (see ``fit``): under the
+        model-size limit the entity side broadcasts and probe order
+        keeps triplets consecutive; beyond it the join shuffles on id
+        and an explicit (__rid, __role) repartition+sort restores
+        adjacency — the honest beyond-broadcast plan
+        (``scripts/explain_plans.py`` gates it at the V=2M shape: no
+        broadcast of the entity side, gather/fold shuffles only)."""
+        cid = F.when(F.col("ch") != F.col("h"), F.col("ch")).otherwise(F.col("ct"))
+        melted = c.select(
+            F.monotonically_increasing_id().alias("__rid"),
+            "h", "l", "t",
+            (F.col("ch") != F.col("h")).alias("__chead"),
+            cid.alias("c"),
+        ).select(
+            "__rid", "h", "l", "t", "__chead", "c",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__role"),
+        ).select(
+            "__rid", "h", "l", "t", "__chead", "c", "__role",
+            F.when(F.col("__role") == 0, F.col("h"))
+            .when(F.col("__role") == 1, F.col("t"))
+            .otherwise(F.col("c")).alias("__id"),
+        )
+        e_side = ent.select(F.col("id").alias("__id"), "vec")
+        if self._broadcast_model:
+            return melted.join(F.broadcast(e_side), ["__id"])
+        return (
+            melted.join(e_side, ["__id"])
+            .repartition(32, "__rid")
+            .sortWithinPartitions("__rid", "__role")
+        )
+
     def fit(
         self,
         spark: SparkSession,
@@ -344,21 +382,6 @@ class RelationalTransETrainer:
                 # id; triples reassemble in the kernel (see below).
                 # Label vectors never ride the melt or any join — the
                 # kernel indexes the driver-canonical label matrix.
-                cid = F.when(F.col("ch") != F.col("h"), F.col("ch")).otherwise(F.col("ct"))
-                melted = c.select(
-                    F.monotonically_increasing_id().alias("__rid"),
-                    "h", "l", "t",
-                    (F.col("ch") != F.col("h")).alias("__chead"),
-                    cid.alias("c"),
-                ).select(
-                    "__rid", "h", "l", "t", "__chead", "c",
-                    F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__role"),
-                ).select(
-                    "__rid", "h", "l", "t", "__chead", "c", "__role",
-                    F.when(F.col("__role") == 0, F.col("h"))
-                    .when(F.col("__role") == 1, F.col("t"))
-                    .otherwise(F.col("c")).alias("__id"),
-                )
                 # Pivot-back: every __rid owns EXACTLY 3 rows (each
                 # role joins exactly one entity row), so the kernel
                 # reassembles triples by reshape(-1, 3, k) — no
@@ -380,15 +403,7 @@ class RelationalTransETrainer:
                 # on id + repartition on __rid + in-partition sort — the
                 # honest beyond-broadcast plan (same kernel; regime
                 # equivalence pytest-pinned).
-                e_side = ent.select(F.col("id").alias("__id"), "vec")
-                if self._broadcast_model:
-                    g = melted.join(F.broadcast(e_side), ["__id"])
-                else:
-                    g = (
-                        melted.join(e_side, ["__id"])
-                        .repartition(32, "__rid")
-                        .sortWithinPartitions("__rid", "__role")
-                    )
+                g = self._gather(c, ent)
 
                 # Fused score→hinge→gradient→combine kernel: ONE Arrow
                 # pass over the pivot output does, in NumPy, what four
