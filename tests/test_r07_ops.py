@@ -128,3 +128,171 @@ def test_pagerank_source_only_node_keeps_contributing(spark):
     expect_1 = base + (85 * (py[0] // 1 + py[2] // 1)) // 100
     assert got[1] == expect_1
     assert r0 == py[0]
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+def _py_triangle_stats(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    deg = {n: 0 for n in nodes}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for a, b in und
+        for c in nodes
+        if c > b and (b, c) in und and (a, c) in und
+    )
+    return len(nodes), len(und), wedges, tris
+
+
+def test_triangle_stats_matches_python(spark):
+    import random
+
+    from transe_pyspark_spark.operators.graph import triangle_stats
+
+    rng = random.Random(41)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(150)]
+    # duplicates, reversed orientations, and self-loops must all collapse
+    edges += [(b, a) for a, b in edges[:40]] + [(7, 7), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_stats(df).collect()[0]
+    n, e, w, t = _py_triangle_stats(edges)
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (n, e, w, t)
+    assert abs(r["clustering"] - 3 * t / w) < 1e-12
+
+
+def test_triangle_stats_known_shapes(spark):
+    from transe_pyspark_spark.operators.graph import triangle_stats
+
+    # K4: 4 triangles, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(spark.createDataFrame(k4, "src long, dst long")).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["clustering"] == 1.0
+    # star graph: wedges but zero triangles
+    star = [(0, i) for i in range(1, 6)]
+    r = triangle_stats(spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert (r["n_wedges"], r["n_triangles"]) == (10, 0)
+    assert r["clustering"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# nearest_join
+# ---------------------------------------------------------------------------
+
+def test_nearest_join_matches_python(spark):
+    import random
+
+    from transe_pyspark_spark.operators.asof import nearest_join
+
+    rng = random.Random(47)
+    base = dt.datetime(2024, 5, 1)
+    lrows = [
+        (i, rng.randrange(6), base + dt.timedelta(seconds=rng.randrange(0, 5000)))
+        for i in range(120)
+    ]
+    rrows = [
+        (1000 + i, rng.randrange(6), base + dt.timedelta(seconds=rng.randrange(0, 5000)))
+        for i in range(150)
+    ]
+    # duplicate right timestamps exercise the min-id tie rule
+    rrows += [(2000 + i, u, ts) for i, (_, u, ts) in enumerate(rrows[:20])]
+    ldf = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "event_id long, user_id long, ts timestamp")
+    tol = 600
+    got = {
+        r["event_id"]: (r["event_id_nearest"], r["delta_us_nearest"])
+        for r in nearest_join(ldf, rdf, on="user_id", tolerance_seconds=tol).collect()
+    }
+    for lid, u, lts in lrows:
+        cands = [
+            (abs((rts - lts).total_seconds()), rts, rid)
+            for rid, ru, rts in rrows
+            if ru == u and abs((rts - lts).total_seconds()) <= tol
+        ]
+        if not cands:
+            assert got[lid] == (None, None), (lid, got[lid])
+        else:
+            _, rts, rid = min(cands)
+            assert got[lid] == (rid, int((rts - lts).total_seconds() * 1_000_000)), lid
+
+
+def test_nearest_join_prefers_earlier_on_tie(spark):
+    from transe_pyspark_spark.operators.asof import nearest_join
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    ldf = spark.createDataFrame([(1, 0, t0)], "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [
+            (10, 0, t0 - dt.timedelta(seconds=30)),
+            (11, 0, t0 + dt.timedelta(seconds=30)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    r = nearest_join(ldf, rdf, on="user_id").collect()[0]
+    assert r["event_id_nearest"] == 10  # equidistant → earlier wins
+    assert r["delta_us_nearest"] == -30_000_000
+
+
+# ---------------------------------------------------------------------------
+# seasonal_anomaly_report / leakage_safe_split
+# ---------------------------------------------------------------------------
+
+def test_seasonal_anomaly_hand_computed(spark):
+    from transe_pyspark_spark.operators.relational import seasonal_anomaly_report
+
+    # two Sundays and one Monday for key 'a'
+    rows = [
+        ("a", dt.datetime(2024, 4, 7, 10), 1.00),   # Sunday
+        ("a", dt.datetime(2024, 4, 7, 11), 2.00),   # same Sunday
+        ("a", dt.datetime(2024, 4, 14, 9), 9.00),   # next Sunday
+        ("a", dt.datetime(2024, 4, 8, 9), 5.00),    # Monday
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {
+        (r["key"], str(r["day"])): (
+            r["dow"], r["day_cents"], r["dow_days"], r["dow_total_cents"], r["ratio"]
+        )
+        for r in seasonal_anomaly_report(df).collect()
+    }
+    # Sunday baseline: 2 days totalling 1200 cents → day 2024-04-07 has
+    # 300 cents → ratio 300·2/1200 = 0.5; 2024-04-14 → 900·2/1200 = 1.5
+    assert got[("a", "2024-04-07")] == (0, 300, 2, 1200, 0.5)
+    assert got[("a", "2024-04-14")] == (0, 900, 2, 1200, 1.5)
+    assert got[("a", "2024-04-08")] == (1, 500, 1, 500, 1.0)
+
+
+def test_leakage_safe_split_coassigns_duplicates(spark):
+    from transe_pyspark_spark.operators.relational import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    rows = [(i, f"unique text {i}") for i in range(200)]
+    # duplicates of doc 0 with ids spread across the hash space, plus
+    # whitespace/case variants that normalize identically
+    rows += [(500 + i, "unique text 0") for i in range(10)]
+    rows += [(600, "  UNIQUE   text 0 "), (601, "Unique Text 0")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # every duplicate of doc 0 lands in the SAME split with canonical 0
+    dup_ids = [0] + [500 + i for i in range(10)] + [600, 601]
+    splits = {by_id[i]["split"] for i in dup_ids}
+    canons = {by_id[i]["canonical_id"] for i in dup_ids}
+    sizes = {by_id[i]["group_size"] for i in dup_ids}
+    assert splits == {by_id[0]["split"]} and canons == {0} and sizes == {13}
+    # a per-row hash split WOULD straddle (sanity that the test bites)
+    naive = {r["split"] for r in hash_split(df, "doc_id").collect()
+             if r["doc_id"] in dup_ids}
+    assert len(naive) > 1
+    # and unique docs split exactly as hash_split on their own id
+    expect = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    for i in range(1, 200):
+        assert by_id[i]["split"] == expect[i]

@@ -45,6 +45,12 @@ NEW_IN_R07 = {
     "ann_persisted_recall",
     "simhash_summary",
     "near_dedup_keep_lsh_summary",
+    # brand-new r07 operators (graph census, nearest-in-time join,
+    # seasonal baseline, leakage-safe split)
+    "triangle_stats_parts",
+    "nearest_click_purchase",
+    "seasonal_anomaly_events",
+    "split_leakage_safe",
 }
 
 NEW_IN_R06 = {

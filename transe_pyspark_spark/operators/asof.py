@@ -69,6 +69,91 @@ def asof_join(
     )
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_id: str = "event_id",
+    tolerance_seconds: int | None = None,
+    suffix: str = "_nearest",
+) -> DataFrame:
+    """For each left row, the single equal-key right row whose
+    timestamp is CLOSEST in EITHER direction (minimal |Δt|), within an
+    optional ± tolerance — the sensor-alignment / closest-interaction
+    join that backward-only as-of can't express. Fully deterministic
+    tie rules: equal |Δt| prefers the EARLIER right row; several right
+    rows at one timestamp prefer the smallest ``right_id``.
+
+    Plan: rights first collapse to one row per (key, ts) keeping the
+    min id (only that row is ever selectable under the tie rule), then
+    the ``asof_join`` union-window trick runs BOTH directions over ONE
+    key-partitioned sort — backward neighbor from ``last(struct)``
+    over the preceding frame, forward neighbor from ``first(struct)``
+    over the following frame (right rows sort before left at equal
+    timestamps, so a simultaneous right row wins with Δ=0) — and a
+    narrow projection picks the closer side. ONE shuffle on the key,
+    spill-able sort, no per-row subquery (the DuckDB oracle runs the
+    quadratic correlated form this plan replaces).
+
+    Returns left columns + ``{right_id}{suffix}`` and
+    ``delta_us{suffix}`` (signed right−left µs; both NULL when no
+    right row lies within tolerance).
+    """
+    r0 = right.groupBy(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__ts")
+    ).agg(F.min(right_id).alias("__rid"))
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(r0.schema["__rid"].dataType).alias("__rid"),
+    )
+    r_tag = r0.select(
+        "__k",
+        "__ts",
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        "__rid",
+    )
+    unioned = l_tag.unionByName(r_tag)
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    w_back = (
+        Window.partitionBy("__k").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("__k").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cand = F.when(F.col("__side") == 0, F.struct("__ts", "__rid"))
+    picked = unioned.select(
+        "__side",
+        "__lrow",
+        F.unix_micros(F.col("__ts")).alias("__lus"),
+        F.last(cand, ignorenulls=True).over(w_back).alias("__prev"),
+        F.first(cand, ignorenulls=True).over(w_fwd).alias("__next"),
+    ).filter(F.col("__side") == 1)
+    d_prev = F.col("__lus") - F.unix_micros(F.col("__prev.__ts"))
+    d_next = F.unix_micros(F.col("__next.__ts")) - F.col("__lus")
+    take_prev = F.col("__prev").isNotNull() & (
+        F.col("__next").isNull() | (d_prev <= d_next)
+    )
+    chosen_id = F.when(take_prev, F.col("__prev.__rid")).otherwise(F.col("__next.__rid"))
+    chosen_delta = F.when(take_prev, -d_prev).otherwise(d_next)
+    if tolerance_seconds is not None:
+        in_tol = F.abs(chosen_delta) <= int(tolerance_seconds) * 1_000_000
+        chosen_id = F.when(in_tol, chosen_id)
+        chosen_delta = F.when(in_tol, chosen_delta)
+    return picked.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        chosen_id.alias(f"{right_id}{suffix}"),
+        chosen_delta.cast("long").alias(f"delta_us{suffix}"),
+    )
+
+
 def range_join_count(
     left: DataFrame,
     right: DataFrame,

@@ -1218,3 +1218,96 @@ def equi_depth_histogram(
             F.max("__v").alias("max_value"),
         )
     )
+
+
+def seasonal_anomaly_report(
+    events: "DataFrame",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> "DataFrame":
+    """Day-of-week seasonal baseline + per-day deviation — the metric
+    monitor that knows Sundays differ from Mondays (a plain daily mean
+    flags every weekend as an anomaly). Per (key, calendar day) the
+    exact integer-cents total; per (key, day-of-week) the baseline
+    over all observed days of that weekday; the deviation ratio
+    ``day_cents / (dow_total / dow_days)`` computed as the SINGLE IEEE
+    division of two exact BIGINT products (``day_cents·dow_days`` /
+    ``dow_total``) so it hash-checks cross-engine — a chained double
+    division would not.
+
+    Plan: one (key, day) hash-agg over the raw events, one ≤(keys×7)-
+    group rollup of THAT table for the baselines, and a broadcast join
+    back — the raw events shuffle once, the baseline table is
+    kilobytes at any scale. ``dow`` is 0=Sunday..6 (DuckDB's
+    ``dayofweek``; Spark's 1-based ``dayofweek`` is shifted to match).
+
+    Returns (key, day, dow, day_cents, dow_days, dow_total_cents,
+    ratio) — ratio NULL when the weekday total is zero.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            day.alias("day"),
+            F.round(F.col(value_col) * 100).cast("long").alias("__c"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("__c").alias("day_cents"))
+        .select("key", "day", (F.dayofweek("day") - 1).cast("long").alias("dow"), "day_cents")
+    )
+    base = daily.groupBy("key", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("dow_days"),
+        F.sum("day_cents").alias("dow_total_cents"),
+    )
+    return daily.join(F.broadcast(base), ["key", "dow"]).select(
+        "key",
+        "day",
+        "dow",
+        "day_cents",
+        "dow_days",
+        F.col("dow_total_cents").cast("long").alias("dow_total_cents"),
+        F.when(
+            F.col("dow_total_cents") != 0,
+            (F.col("day_cents") * F.col("dow_days")).cast("double")
+            / F.col("dow_total_cents").cast("double"),
+        ).alias("ratio"),
+    )
+
+
+def leakage_safe_split(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: int = 1,
+) -> "DataFrame":
+    """Train/val/test split that cannot leak a document across splits
+    through its duplicates: rows whose normalized text is identical
+    always co-assign, because the split hashes the duplicate GROUP's
+    canonical (min) id rather than each row's own id — the
+    decontamination failure mode ``hash_split`` alone permits (two
+    byte-identical docs with different ids landing in train and test).
+
+    Plan: the same one normalized-text hash-aggregate exact dedup runs
+    (map-side partial agg applies), an equi-join back on the text key
+    to attach each row's canonical id, then ``hash_split``'s two
+    exact-BIGINT MINSTD rounds on that canonical id — narrow, oracle-
+    replayable. Near-dup-safe splitting composes the same way with
+    ``connected_components``' component id as the key.
+
+    Returns df columns + (canonical_id, group_size, split).
+    """
+    from transe_pyspark_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    groups = (
+        df.select(F.col(id_col), norm.alias("__norm"))
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+    )
+    joined = df.withColumn("__norm", norm).join(groups, "__norm").drop("__norm")
+    return hash_split(joined, "canonical_id", fractions, salt)

@@ -4556,6 +4556,146 @@ def q_rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(_T(spark, sf_dir, "events"))
 
 
+@_register(
+    "triangle_stats_parts",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS a, b.p AS b
+          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+            GROUP BY n),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+                    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+             FROM deg),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           END AS clustering
+    FROM base, tri
+    """,
+    tags=("graph", "analytics"),
+)
+def q_triangle_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-occurrence graph (parts sharing
+    an order are adjacent): node/edge/wedge/triangle counts + global
+    clustering coefficient, all exact BIGINTs with the coefficient as
+    the one IEEE division. The oriented (a<b<c) wedge join finds each
+    triangle exactly once with degree-bounded candidates — never an
+    all-pairs shape."""
+    from transe_pyspark_spark.operators.graph import triangle_stats
+
+    li = _T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.select("o", F.col("p").alias("src"))
+    b = li.select("o", F.col("p").alias("dst"))
+    edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return triangle_stats(edges)
+
+
+@_register(
+    "nearest_click_purchase",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+      (SELECT c.event_id FROM c WHERE c.user_id = p.user_id
+         AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 7200000000
+       ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts, c.event_id
+       LIMIT 1) AS event_id_nearest,
+      (SELECT CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT)
+       FROM c WHERE c.user_id = p.user_id
+         AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 7200000000
+       ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts, c.event_id
+       LIMIT 1) AS delta_us_nearest
+    FROM p
+    """,
+    tags=("asof", "timeseries", "join"),
+)
+def q_nearest_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: each purchase matched to the user's
+    CLOSEST click in either direction within ±2 h (backward-only as-of
+    can't express 'closest'). One key shuffle + both window directions
+    over one sort; the oracle runs the quadratic correlated-subquery
+    form this plan replaces, with the identical deterministic tie
+    rules (earlier ts, then smaller id)."""
+    from transe_pyspark_spark.operators.asof import nearest_join
+
+    ev = _T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return nearest_join(p, c, on="user_id", tolerance_seconds=7200)
+
+
+@_register(
+    "seasonal_anomaly_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      FROM events GROUP BY 1, 2),
+    d2 AS (SELECT key, day, CAST(dayofweek(day) AS BIGINT) AS dow, day_cents FROM daily),
+    base AS (SELECT key, dow, CAST(count(*) AS BIGINT) AS dow_days,
+                    CAST(sum(day_cents) AS BIGINT) AS dow_total_cents
+             FROM d2 GROUP BY 1, 2)
+    SELECT d2.key, d2.day, d2.dow, d2.day_cents, base.dow_days, base.dow_total_cents,
+           CASE WHEN base.dow_total_cents <> 0
+                THEN CAST(d2.day_cents * base.dow_days AS DOUBLE)
+                     / CAST(base.dow_total_cents AS DOUBLE)
+           END AS ratio
+    FROM d2 JOIN base USING (key, dow)
+    """,
+    tags=("agg", "timeseries", "analytics"),
+)
+def q_seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline + per-day deviation ratio per
+    event type — the metric monitor that doesn't flag every weekend.
+    Exact integer-cents daily sums, a ≤(keys×7)-row broadcast baseline,
+    and the ratio as ONE IEEE division of exact BIGINT products
+    (day_cents·dow_days / dow_total) so it hash-checks."""
+    from transe_pyspark_spark.operators.relational import seasonal_anomaly_report
+
+    return seasonal_anomaly_report(_T(spark, sf_dir, "events"))
+
+
+@_register(
+    "split_leakage_safe",
+    oracle="""
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+               FROM documents),
+    g AS (SELECT nm, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                 CAST(count(*) AS BIGINT) AS group_size
+          FROM n GROUP BY nm),
+    j AS (SELECT n.doc_id, g.canonical_id, g.group_size FROM n JOIN g USING (nm)),
+    h1 AS (SELECT *, ((canonical_id % 2147483647) * 48271 + 1) % 2147483647 AS h FROM j),
+    h2 AS (SELECT doc_id, canonical_id, group_size,
+                  ((h * 48271) % 2147483647) % 100 AS b
+           FROM h1)
+    SELECT doc_id, canonical_id, group_size,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM h2
+    """,
+    tags=("sampling", "dedup", "pipeline"),
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: byte-identical (normalized)
+    documents ALWAYS co-assign because the MINSTD split hashes the
+    duplicate group's canonical min-id, not each row's own — the
+    decontamination hole a per-row hash split leaves open. One exact-
+    dedup hash-agg + a text-keyed join back + the narrow split
+    projection."""
+    from transe_pyspark_spark.operators.relational import leakage_safe_split
+
+    d = _T(spark, sf_dir, "documents")
+    return leakage_safe_split(d).select("doc_id", "canonical_id", "group_size", "split")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
