@@ -99,13 +99,17 @@ def main() -> None:
     n_packs = packed.agg(F.countDistinct("pack_id")).first()[0]
     print(f"packed into {n_packs} bins of <=2048 tokens (+1 seq overflow)")
 
-    # 8. deterministic train/val/test split (stable under repartition,
-    #    retry, and append — a pure function of doc_id)
-    from transe_pyspark_spark.operators.relational import hash_split
+    # 8. LEAKAGE-SAFE train/val/test split (r07): normalized-identical
+    #    docs always co-assign — the split hashes each duplicate
+    #    group's canonical min-id, so near-identical text can't
+    #    straddle train and test (still deterministic and stable under
+    #    repartition, retry, and append)
+    from transe_pyspark_spark.operators.relational import leakage_safe_split
 
     split_counts = {
         r.split: r.n
-        for r in hash_split(docs, "doc_id").groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in leakage_safe_split(docs)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     print(f"split: {split_counts}")
 

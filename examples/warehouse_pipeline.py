@@ -165,6 +165,26 @@ def main() -> None:
         kind = "supplier" if r["node"] >= 10000000 else "customer"
         print(f"  {kind} {r['node'] % 10000000}: rank {r['rank_micro'] / 1_000_000:.3f}")
 
+    # r07: graph-shape census of the part co-occurrence graph
+    from transe_pyspark_spark.operators.graph import triangle_stats
+
+    li = lineitem.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    pa = li.select("o", F.col("p").alias("src"))
+    pb = li.select("o", F.col("p").alias("dst"))
+    co = pa.join(pb, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    ts = triangle_stats(co).collect()[0]
+    print(f"== part co-occurrence graph == {ts['n_nodes']} nodes, {ts['n_edges']} edges, "
+          f"{ts['n_triangles']} triangles, clustering {ts['clustering']:.4f}")
+
+    # r07: day-of-week seasonal anomaly screen (top 3 deviations)
+    from transe_pyspark_spark.operators.relational import seasonal_anomaly_report
+
+    print("== seasonal anomalies (largest deviation from weekday baseline) ==")
+    for r in (seasonal_anomaly_report(events)
+              .orderBy(F.abs(F.col("ratio") - 1).desc()).limit(3).collect()):
+        print(f"  {r['key']} {r['day']}: {r['day_cents']}c vs weekday mean "
+              f"{r['dow_total_cents'] // r['dow_days']}c (ratio {r['ratio']:.2f})")
+
 
 if __name__ == "__main__":
     main()

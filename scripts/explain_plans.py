@@ -231,6 +231,29 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "candidates come from the bucket EQUI-join; the exact overlap "
         "predicate filters and one distinct collapses multi-bucket pairs",
     ),
+    "triangle_stats_parts": (
+        ["HashAggregate", "InMemoryTableScan"],
+        "the canonical edge set is CACHED once for its four consumers "
+        "(degree/wedge×2/closing join); triangles come from the oriented "
+        "a<b<c wedge equi-join — degree-bounded candidates, each triangle "
+        "found once",
+    ),
+    "nearest_click_purchase": (
+        ["Window"],
+        "both nearest directions come from two frames of ONE key-"
+        "partitioned union-window sort — no correlated subquery, no "
+        "per-row join",
+    ),
+    "seasonal_anomaly_events": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        "one (key, day) hash-agg over raw events + a ≤keys×7-row "
+        "baseline rollup broadcast back — the raw events shuffle once",
+    ),
+    "split_leakage_safe": (
+        ["HashAggregate"],
+        "one normalized-text dedup hash-agg + the text-keyed join back "
+        "(reusing its partitioning) + a narrow MINSTD projection",
+    ),
     "dedup_bursts_events": (
         ["Window", "Filter"],
         "burst collapse is ONE key-partitioned lag window + a narrow "
@@ -327,6 +350,17 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "pair generation must stay inside the basket equi-join",
     ),
+    "triangle_stats_parts": (
+        ["CartesianProduct"],
+        "wedge/closing joins are equi-joins on node keys (the 1-row "
+        "base×tri broadcast NLJ is fine — the record_linkage precedent); "
+        "a Cartesian over the edge set is not",
+    ),
+    "nearest_click_purchase": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "nearest matching must ride the union window, never a theta "
+        "self-join",
+    ),
 }
 
 #: max Exchange *nodes* allowed (each extra exchange is a full shuffle);
@@ -404,6 +438,15 @@ MAX_EXCHANGES = {
     "interpolate_hourly": 2,
     # one key shuffle for the lag window
     "dedup_bursts_events": 1,
+    # cached canonical edges (build exchanges counted once) + degree/
+    # wedge/closing join re-keys + the two 1-row aggregates
+    "triangle_stats_parts": 10,
+    # right-side (key, ts) collapse + the union-window key shuffle
+    "nearest_click_purchase": 2,
+    # (key, day) agg + ≤keys×7 rollup (baseline broadcasts back)
+    "seasonal_anomaly_events": 3,
+    # normalized-text dedup agg; the join back reuses its partitioning
+    "split_leakage_safe": 2,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
@@ -434,6 +477,9 @@ SF1_STABLE = [
     "interval_overlap_purchases",
     "dedup_bursts_events",
     "cdc_apply_customers",
+    # r07 new faces with join-shape guarantees worth pinning at 10×
+    "triangle_stats_parts",
+    "nearest_click_purchase",
 ]
 
 

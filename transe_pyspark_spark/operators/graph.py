@@ -157,10 +157,15 @@ def triangle_stats(
     """
     a = F.least(F.col(src), F.col(dst))
     b = F.greatest(F.col(src), F.col(dst))
+    # cache: the canonical edge set feeds FOUR consumers (degree table,
+    # both wedge sides, the closing join) — uncached, the whole
+    # upstream edge pipeline re-executes for each (probed: 21 Exchange
+    # nodes on the co-occurrence face, 10 after)
     und = (
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .cache()
     )
     deg = (
         und.select(F.col("a").alias("n")).unionAll(und.select(F.col("b").alias("n")))
