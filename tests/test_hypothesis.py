@@ -694,3 +694,48 @@ def test_collapse_bursts_fuzz_vs_python(spark, raw, gap_s):
                 model.append(i)
             prev = t_us
     assert kept == sorted(model)
+
+
+# --- nearest-in-time join vs a brute-force Python twin ---------------
+
+_nj_side = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 120)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.tuples(_nj_side.filter(len), _nj_side))
+def test_nearest_join_fuzz_vs_python(spark, sides):
+    """nearest_join == the obvious quadratic model: per left row the
+    right row minimizing (|Δt|, ts, id) within tolerance. The tight
+    0-120 s time domain forces duplicate timestamps (min-id tie) and
+    equidistant pairs (earlier-wins tie) every run."""
+    import datetime as dt
+
+    from transe_pyspark_spark.operators.asof import nearest_join
+
+    lraw, rraw = sides
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lraw)]
+    rrows = [(100 + i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(rraw)]
+    schema = "event_id long, k long, ts timestamp"
+    ldf = spark.createDataFrame(lrows, schema)
+    rdf = spark.createDataFrame(rrows, schema) if rrows else spark.createDataFrame([], schema)
+    tol = 60
+    got = {
+        r["event_id"]: (r["event_id_nearest"], r["delta_us_nearest"])
+        for r in nearest_join(ldf, rdf, on="k", tolerance_seconds=tol).collect()
+    }
+    assert set(got) == {i for i, _, _ in lrows}
+    for lid, k, lts in lrows:
+        cands = sorted(
+            (abs((rts - lts).total_seconds()), rts, rid)
+            for rid, rk, rts in rrows
+            if rk == k and abs((rts - lts).total_seconds()) <= tol
+        )
+        want = (
+            (cands[0][2], int((cands[0][1] - lts).total_seconds() * 1_000_000))
+            if cands
+            else (None, None)
+        )
+        assert got[lid] == want, (lid, got[lid], want)
