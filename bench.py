@@ -82,11 +82,17 @@ SF1_HEADLINE = [
     "pagerank_trading_graph",
     # r07 (VERDICT r06 ask #6): the remaining shuffle-heavy r06 faces
     # at 10× — interpolate's grid explode is the interesting one
-    # (output rows scale with keys × span), interval_overlap's
-    # candidate volume with per-bucket concurrency², burst dedup and
-    # CDC with their single key shuffle
+    # (10.5M output rows, ~7 s), burst dedup and CDC their single key
+    # shuffle. NOT here: interval_overlap_purchases — the sf1 fixture
+    # densifies a FIXED one-month span, so 100× events = 100× per-
+    # bucket concurrency and the TRUE overlap-pair count (and Σ
+    # per-bucket candidate products) grows ~quadratically — a fixture
+    # artifact, not an operator property (real data at scale grows the
+    # time axis, keeping concurrency bounded). The containment
+    # precedent: its sf1 PLAN stability stays gated in
+    # explain_plans.py (same banded equi-join shape, no forbidden
+    # nodes at 10×).
     "interpolate_hourly",
-    "interval_overlap_purchases",
     "dedup_bursts_events",
     "cdc_apply_customers",
 ]

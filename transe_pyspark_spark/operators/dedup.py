@@ -601,10 +601,17 @@ def connected_components(
     ``max_iter``. This is the standard scalable formulation — no
     driver-side union-find, state is one row per node.
     """
+    # repartition on the propagation join key BEFORE caching (r07, the
+    # pagerank_integer precedent): InMemoryRelation preserves the
+    # partitioning, so every iteration's edges ⨝ labels join streams
+    # the big edge side without a fresh Exchange — uncached-or-
+    # unkeyed, the edge table re-shuffled once per iteration
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition(n_part, "dst")
         .cache()
     )
     labels = (
