@@ -268,6 +268,23 @@ def test_seasonal_anomaly_hand_computed(spark):
     assert got[("a", "2024-04-08")] == (1, 500, 1, 500, 1.0)
 
 
+def test_time_decay_scores_hand_computed(spark):
+    from transe_pyspark_spark.operators.relational import time_decay_scores
+
+    base = dt.datetime(2024, 4, 30, 12)  # corpus max day = 2024-04-30
+    rows = [
+        (1, base, 10.00),                              # age 0  → ÷1
+        (1, base - dt.timedelta(days=7), 10.00),       # age 7  → ÷2
+        (1, base - dt.timedelta(days=20), 10.00),      # age 20 → ÷4 (bucket 2)
+        (2, base - dt.timedelta(days=500), 10.00),     # bucket 71 → capped 62 → 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["key"]: (r["n_events"], r["raw_cents"], r["decayed_cents"])
+           for r in time_decay_scores(df).collect()}
+    assert got[1] == (3, 3000, 1000 + 500 + 250)
+    assert got[2] == (1, 1000, 0)
+
+
 def test_leakage_safe_split_coassigns_duplicates(spark):
     from transe_pyspark_spark.operators.relational import (
         hash_split,

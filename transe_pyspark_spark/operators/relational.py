@@ -1311,3 +1311,54 @@ def leakage_safe_split(
     )
     joined = df.withColumn("__norm", norm).join(groups, "__norm").drop("__norm")
     return hash_split(joined, "canonical_id", fractions, salt)
+
+
+def time_decay_scores(
+    events: "DataFrame",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+) -> "DataFrame":
+    """Recency-weighted engagement score with EXACT integer half-life
+    decay: each event contributes ``cents div 2^(age_days div
+    half_life_days)``, age in whole days back from the corpus max day —
+    the newsfeed/lead-scoring recency aggregate. The usual
+    ``exp(−λ·age)`` float score is summation-order-dependent and
+    libm-bound, so it can never hash-check; the halved-per-bucket
+    integer form is order-free and exact while decaying the same way
+    piecewise. The shift amount is capped at 62 (a BIGINT's width):
+    anything older contributes 0 rather than overflowing the shift.
+    Contract: cents are non-negative (integer division rounds toward
+    zero on Spark and toward −∞ on DuckDB — identical only for
+    non-negative operands, same as the repo's other ``div`` oracles).
+
+    Plan: a 1-row max-day broadcast + ONE key hash-agg with map-side
+    partials; the decay weight is a narrow projection.
+    Returns (key, n_events, raw_cents, decayed_cents).
+    """
+    mx = events.agg(F.max(F.to_date(F.col(ts_col))).alias("__mx"))
+    bucket = F.least(
+        F.floor(
+            F.datediff(F.col("__mx"), F.to_date(F.col(ts_col))) / half_life_days
+        ).cast("int"),
+        F.lit(62),
+    )
+    contrib = (
+        events.crossJoin(F.broadcast(mx))
+        .select(
+            F.col(key_col).alias("key"),
+            F.round(F.col(value_col) * 100).cast("long").alias("__c"),
+            bucket.alias("__b"),
+        )
+        .select(
+            "key",
+            "__c",
+            F.expr("__c div shiftleft(CAST(1 AS BIGINT), __b)").alias("__d"),
+        )
+    )
+    return contrib.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__c").cast("long").alias("raw_cents"),
+        F.sum("__d").cast("long").alias("decayed_cents"),
+    )

@@ -4696,6 +4696,32 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(d).select("doc_id", "canonical_id", "group_size", "split")
 
 
+@_register(
+    "decayed_user_scores",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+    c AS (SELECT user_id AS key,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 least(date_diff('day', CAST(ts AS DATE), mx.md) // 7, 62) AS b
+          FROM events, mx)
+    SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(c) AS BIGINT) AS raw_cents,
+           CAST(sum(c // (CAST(1 AS BIGINT) << b)) AS BIGINT) AS decayed_cents
+    FROM c GROUP BY key
+    """,
+    tags=("agg", "timeseries", "analytics"),
+)
+def q_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement score with EXACT integer
+    half-life decay (cents div 2^(age_days div 7)) — order-free and
+    hash-checkable where the usual exp(−λ·age) float score is
+    summation-order-dependent and libm-bound. One max-day broadcast +
+    one key hash-agg."""
+    from transe_pyspark_spark.operators.relational import time_decay_scores
+
+    return time_decay_scores(_T(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -4974,6 +5000,12 @@ _OVERFLOW_ORACLE = [
                                  # key_skew + doc_keywords_lift keep
                                  # both families; MG bound stays
                                  # pytest-gated and sf1-benched
+    # NOT a rotated-out incumbent — a NEW r07 face registered past the
+    # full window (mirror-checked, never driver-checked): first in
+    # line for the r08 rotation, the late-r06 precedent:
+    "decayed_user_scores",       # exact integer half-life decay
+                                 # scoring (order-free where float
+                                 # exp decay can't hash-check)
 ]
 
 
