@@ -95,6 +95,10 @@ SF1_HEADLINE = [
     "interpolate_hourly",
     "dedup_bursts_events",
     "cdc_apply_customers",
+    # r07 new faces at 10×: the triangle census pays its one-time
+    # cached-edge build in the warmup; nearest rides one union-window
+    "triangle_stats_parts",
+    "nearest_click_purchase",
 ]
 
 

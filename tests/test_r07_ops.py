@@ -285,6 +285,40 @@ def test_time_decay_scores_hand_computed(spark):
     assert got[2] == (1, 1000, 0)
 
 
+def test_ordered_funnel_vs_first_event_semantics(spark):
+    """The ordered funnel admits a user whose ordered path exists even
+    though their FIRST click precedes their first view (the case the
+    first-event formulation wrongly drops), and counts stay monotone."""
+    from transe_pyspark_spark.operators.asof import ordered_funnel
+
+    t = lambda m: dt.datetime(2024, 6, 1, 0, m)
+    rows = [
+        # user 1: click@0, view@1, click@2, purchase@3 → ordered path
+        # exists (view@1 ≤ click@2 ≤ purchase@3) though first click <
+        # first view
+        (1, "click", t(0)), (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: view then click, never purchases
+        (2, "view", t(0)), (2, "click", t(5)),
+        # user 3: purchase BEFORE the view — completes only step 0
+        (3, "purchase", t(0)), (3, "view", t(1)),
+        # user 4: clean full path
+        (4, "view", t(0)), (4, "click", t(1)), (4, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["n_users"]
+           for r in ordered_funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "click": 3, "purchase": 2}
+    # simultaneous step events count (>= is at-or-after)
+    df2 = spark.createDataFrame(
+        [(9, "view", t(0)), (9, "click", t(0))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got2 = {r["step"]: r["n_users"] for r in ordered_funnel(df2, ["view", "click"]).collect()}
+    assert got2 == {"view": 1, "click": 1}
+    with pytest.raises(ValueError, match="non-empty"):
+        ordered_funnel(df, [])
+
+
 def test_leakage_safe_split_coassigns_duplicates(spark):
     from transe_pyspark_spark.operators.relational import (
         hash_split,

@@ -749,3 +749,61 @@ def cohort_retention(
             (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias("retention"),
         )
     )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """TRUE ordered funnel: a user completes step k at the EARLIEST
+    event of type ``steps[k]`` at-or-after their step k−1 completion
+    time — the product-analytics ordered-sequence semantics. (The
+    existing ``purchase_funnel`` face uses the weaker first-event
+    ordering, which wrongly drops a user whose first click precedes
+    their first view even though an ordered view→click path exists
+    later.) Greedy earliest-completion is optimal for existence: an
+    earlier step-k time can only admit more step-k+1 candidates.
+
+    Plan: one user-keyed min aggregate for step 0, then per later step
+    one equi-join of that step's events against the previous
+    step-times table plus a min aggregate — every join and agg keyed
+    on the user column, so they share one hash partitioning; no window
+    functions, no self-join of the full log, and the whole funnel is
+    ONE lazy plan (a union of k one-row count aggregates — no
+    driver-side loop actions).
+
+    Returns (step_idx, step, n_users) — one row per step, counts
+    monotonically non-increasing.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u, t = F.col(user_col), F.col(ts_col)
+    prev = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias("__u"))
+        .agg(F.min(t).alias("__t"))
+    )
+
+    def step_row(i: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(name).alias("step"),
+            "n_users",
+        )
+
+    out = step_row(0, steps[0], prev)
+    for i, step in enumerate(steps[1:], start=1):
+        ev = events.filter(F.col(type_col) == step).select(
+            u.alias("__u"), t.alias("__ts")
+        )
+        prev = (
+            ev.join(prev, "__u")
+            .filter(F.col("__ts") >= F.col("__t"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias("__t"))
+        )
+        out = out.unionByName(step_row(i, step, prev))
+    return out

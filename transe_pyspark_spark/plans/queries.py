@@ -4697,6 +4697,37 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "funnel_ordered_steps",
+    oracle="""
+    WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY 1)
+    SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+           CAST(count(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL SELECT 1, 'click', count(*) FROM s1
+    UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+    """,
+    tags=("events", "funnel", "analytics"),
+)
+def q_funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE ordered funnel (view → click → purchase): step k completes
+    at the earliest step-k event at-or-after step k−1's completion —
+    the product-analytics semantics the first-event `purchase_funnel`
+    face only approximates. Greedy earliest-completion is optimal, so
+    counts are exact; every join/agg shares the user partitioning."""
+    from transe_pyspark_spark.operators.asof import ordered_funnel
+
+    return ordered_funnel(
+        _T(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@_register(
     "decayed_user_scores",
     oracle="""
     WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
@@ -5006,6 +5037,9 @@ _OVERFLOW_ORACLE = [
     "decayed_user_scores",       # exact integer half-life decay
                                  # scoring (order-free where float
                                  # exp decay can't hash-check)
+    "funnel_ordered_steps",      # TRUE ordered funnel (greedy
+                                 # earliest-completion), vs the
+                                 # first-event purchase_funnel
 ]
 
 
