@@ -438,9 +438,11 @@ MAX_EXCHANGES = {
     "interpolate_hourly": 2,
     # one key shuffle for the lag window
     "dedup_bursts_events": 1,
-    # cached canonical edges (build exchanges counted once) + degree/
-    # wedge/closing join re-keys + the two 1-row aggregates
-    "triangle_stats_parts": 10,
+    # cached canonical + cached degree-ORIENTED edge sets (build
+    # exchanges counted once each, incl. the two degree joins of the
+    # orientation) + wedge/closing join re-keys + the 1-row aggregates;
+    # sf1 plans 16 when AQE keeps more joins shuffled
+    "triangle_stats_parts": 16,
     # right-side (key, ts) collapse + the union-window key shuffle
     "nearest_click_purchase": 2,
     # (key, day) agg + ≤keys×7 rollup (baseline broadcasts back)

@@ -141,26 +141,31 @@ def triangle_stats(
     (community structure, spam/bot subgraph detection) beside
     ``pagerank_integer``'s per-node ranks.
 
-    Plan: canonicalize each edge to ``(a < b)`` + one distinct; count
-    triangles with the ORIENTED wedge join — ``e1(a,b) ⨝ e2(b,c)`` on
-    the middle node with ``a<b<c`` by construction, closed by the
-    ``(a,c)`` equi-join — so each triangle is found exactly once and
-    wedge candidates are Σ_v out(v)·in(v) under the degree
-    orientation, the standard mitigation that keeps hub nodes from
-    exploding the join. Wedges come from the degree table as
-    ``Σ deg·(deg−1)/2`` (exact BIGINT) — no second join. The
-    clustering coefficient is the single IEEE division of two exact
-    BIGINTs (NULL when the graph has no wedges).
+    Plan: canonicalize each edge to ``(a < b)`` + one distinct, then
+    RE-ORIENT every edge from its lower-(degree, id) endpoint to its
+    higher one — the classic degree-orientation mitigation: the wedge
+    join pairs the SUCCESSORS of each source (``e1(u,y) ⨝ e2(u,z)`` on
+    u), generating ``Σ_u outdeg⁺(u)²`` candidates with
+    ``outdeg⁺ = O(√E)`` even on a hub-heavy graph (an id-orientation
+    leaves a hub's ~deg²/4 wedges in one key), and the ``(y,z)``
+    equi-join closes each triangle at its (degree, id)-minimal vertex
+    — found exactly once, because only the successor pair ordered by
+    the orientation has a closing edge.
+    Wedges come from the degree table as ``Σ deg·(deg−1)/2`` (exact
+    BIGINT) — no second join. The clustering coefficient is the single
+    IEEE division of two exact BIGINTs (NULL when the graph has no
+    wedges).
 
     Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
     clustering).
     """
     a = F.least(F.col(src), F.col(dst))
     b = F.greatest(F.col(src), F.col(dst))
-    # cache: the canonical edge set feeds FOUR consumers (degree table,
-    # both wedge sides, the closing join) — uncached, the whole
-    # upstream edge pipeline re-executes for each (probed: 21 Exchange
-    # nodes on the co-occurrence face, 10 after)
+    # cache both leaves (the pagerank precedent): the canonical edge
+    # set feeds the degree table + the orientation build; the ORIENTED
+    # set feeds three wedge-join consumers — uncached, the upstream
+    # edge pipeline re-executed per consumer (probed: 21 Exchange
+    # nodes on the co-occurrence face before caching)
     und = (
         edges.select(a.alias("a"), b.alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -177,13 +182,29 @@ def triangle_stats(
         (F.sum("d") / 2).cast("long").alias("n_edges"),
         F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    # degree orientation: u = the (degree, id)-smaller endpoint. und
+    # already has a < b, so a degree tie orients a → b.
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("__db"))
+    a_first = F.col("__da") <= F.col("__db")
+    ornt = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+        .cache()
+    )
+    e1 = ornt.select("u", F.col("w").alias("y"))
+    e2 = ornt.select("u", F.col("w").alias("z"))
+    close = ornt.select(F.col("u").alias("__cu"), F.col("w").alias("__cw"))
     tri = (
-        e1.join(e2, "y")
+        e1.join(e2, "u")
+        .filter(F.col("y") != F.col("z"))
         .join(
-            und,
-            (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
+            close,
+            (F.col("y") == F.col("__cu")) & (F.col("z") == F.col("__cw")),
             "inner",
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
