@@ -227,7 +227,8 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
     ),
     "interval_overlap_purchases": (
         ["Generate", "HashAggregate"],
-        "intervals band map-side into ≤2 buckets each (Generate); "
+        "intervals band map-side into every bucket they span (Generate; "
+        "≤2 each at this face's 12 h width — a pure cost knob, r07); "
         "candidates come from the bucket EQUI-join; the exact overlap "
         "predicate filters and one distinct collapses multi-bucket pairs",
     ),
