@@ -319,6 +319,38 @@ def test_ordered_funnel_vs_first_event_semantics(spark):
         ordered_funnel(df, [])
 
 
+def test_gini_concentration_known_values_and_partition_invariance(spark):
+    from transe_pyspark_spark.operators.relational import gini_concentration
+
+    # equal amounts → G = 0; one-holder-takes-all over n=4 → G = (n−1)/n·...:
+    # amounts [0,0,0,100]: Σx=100, Σi·x = 4·100 → G = (800 − 5·100)/(4·100) = 0.75
+    rows = [("eq", i, 50) for i in range(4)] + [
+        ("con", 0, 0), ("con", 1, 0), ("con", 2, 0), ("con", 3, 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, cents long")
+    got = {r["g"]: (r["n"], r["total_cents"], r["gini"])
+           for r in gini_concentration(df, "g", "cents", "id").collect()}
+    assert got["eq"] == (4, 200, 0.0)
+    assert got["con"] == (4, 100, 0.75)
+
+    # the distributed rank is a pure function of the data: any
+    # partition count gives identical statistics
+    import random
+
+    rng = random.Random(59)
+    big = [("g%d" % rng.randrange(3), i, rng.randrange(0, 10_000)) for i in range(500)]
+    bdf = spark.createDataFrame(big, "g string, id long, cents long")
+    a = sorted(map(tuple, gini_concentration(bdf, "g", "cents", "id", num_partitions=2).collect()))
+    b = sorted(map(tuple, gini_concentration(bdf, "g", "cents", "id", num_partitions=17).collect()))
+    assert a == b
+    # cross-check one group against the textbook formula
+    vals = sorted(c for g, _, c in big if g == "g1")
+    n, tot = len(vals), sum(vals)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(vals)) - (n + 1) * tot) / (n * tot)
+    got1 = next(r for r in a if r[0] == "g1")
+    assert got1[1] == n and got1[2] == tot and abs(got1[3] - gini) < 1e-12
+
+
 def test_leakage_safe_split_coassigns_duplicates(spark):
     from transe_pyspark_spark.operators.relational import (
         hash_split,

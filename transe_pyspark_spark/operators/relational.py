@@ -1362,3 +1362,72 @@ def time_decay_scores(
         F.sum("__c").cast("long").alias("raw_cents"),
         F.sum("__d").cast("long").alias("decayed_cents"),
     )
+
+
+def gini_concentration(
+    df: "DataFrame",
+    group_col: str,
+    value_cents_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Per-group Gini coefficient of non-negative integer amounts —
+    the revenue/holdings concentration index:
+    ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)`` with ranks i ascending
+    (ties broken by ``id_col``, so the statistic is deterministic).
+    The numerator accumulates ``i·x`` in exact decimal(38,0) (rank ×
+    cents exceeds BIGINT long before data gets big) and the result is
+    ONE IEEE division — hash-checkable cross-engine, where a
+    float-accumulated Lorenz sum is summation-order-dependent.
+
+    Scale path: the in-group rank is NOT a
+    ``Window.partitionBy(group)`` row_number — group cardinality is
+    tiny by construction (nations, brands), so that window funnels
+    every row of a group through one task. Instead the
+    ``token_budget_sample`` per-stratum prefix pattern: range-
+    repartition by the composite (group, value, id) key with partition
+    identity FROZEN (``_frozen_range_partition``), aggregate tiny
+    per-(group, partition) row counts, broadcast back each group's
+    EXCLUSIVE prior-partition count, and add it to a partition-local
+    row_number — the global in-group rank at any partition count.
+
+    Contract: values are non-negative (Gini is undefined below zero).
+    Returns (group, n, total_cents, gini) — gini NULL when n·Σx = 0.
+    """
+    n_part = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_cents_col).cast("long").alias("__x"),
+        F.col(id_col).alias("__id"),
+    )
+    part = _frozen_range_partition(base, ["__g", "__x", "__id"], int(n_part))
+    off_df = _exclusive_offsets(
+        part.groupBy("__g", "__pid").agg(F.count(F.lit(1)).alias("__w")),
+        "__w",
+        partition_cols=["__g"],
+    )
+    w_in = Window.partitionBy("__g", "__pid").orderBy("__x", "__id")
+    ranked = part.join(off_df, ["__g", "__pid"]).withColumn(
+        "__i", (F.row_number().over(w_in) + F.col("__off")).cast("long")
+    )
+    s_ix = F.sum(
+        F.col("__i").cast("decimal(19,0)") * F.col("__x").cast("decimal(19,0)")
+    )
+    agg = ranked.groupBy(F.col("__g").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("total_cents"),
+        s_ix.alias("__six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("__six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("total_cents").cast("decimal(38,0)")
+    )
+    den = F.col("n").cast("double") * F.col("total_cents").cast("double")
+    return agg.select(
+        group_col,
+        "n",
+        "total_cents",
+        F.when(den != 0, num.cast("double") / den).alias("gini"),
+    )

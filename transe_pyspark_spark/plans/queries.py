@@ -4728,6 +4728,45 @@ def q_funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "gini_customer_spend",
+    oracle="""
+    WITH sp AS (SELECT o_custkey AS ck,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1),
+    j AS (SELECT c.c_nationkey AS nationkey, sp.ck, sp.cents
+          FROM sp JOIN customer c ON c.c_custkey = sp.ck),
+    r AS (SELECT nationkey, ck, cents,
+                 row_number() OVER (PARTITION BY nationkey ORDER BY cents, ck) AS i
+          FROM j)
+    SELECT nationkey, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(2 * sum(CAST(i AS HUGEINT) * cents)
+                - CAST(count(*) + 1 AS HUGEINT) * sum(cents) AS DOUBLE)
+           / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS gini
+    FROM r GROUP BY nationkey
+    """,
+    tags=("agg", "analytics"),
+)
+def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini concentration of customer order spend — exact
+    decimal rank×cents numerator, one IEEE division. The in-group rank
+    comes from the distributed per-group prefix pattern (range
+    partition + broadcast exclusive counts), NOT a nation-cardinality
+    window; the oracle replays the plain-window formulation at sf0.01."""
+    from transe_pyspark_spark.operators.relational import gini_concentration
+
+    o = _T(spark, sf_dir, "orders")
+    c = _T(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    j = spend.join(c, spend["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nationkey"), "cents", "o_custkey"
+    )
+    return gini_concentration(j, "nationkey", "cents", "o_custkey")
+
+
+@_register(
     "decayed_user_scores",
     oracle="""
     WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
@@ -5040,6 +5079,9 @@ _OVERFLOW_ORACLE = [
     "funnel_ordered_steps",      # TRUE ordered funnel (greedy
                                  # earliest-completion), vs the
                                  # first-event purchase_funnel
+    "gini_customer_spend",       # per-group exact Gini via the
+                                 # distributed per-group rank (no
+                                 # group-cardinality window)
 ]
 
 
