@@ -319,6 +319,39 @@ def test_ordered_funnel_vs_first_event_semantics(spark):
         ordered_funnel(df, [])
 
 
+def test_ordered_funnel_fuzz_vs_python(spark):
+    """Random event logs: the funnel counts equal a per-user greedy
+    simulation (earliest completion per step)."""
+    import random
+
+    from transe_pyspark_spark.operators.asof import ordered_funnel
+
+    rng = random.Random(67)
+    steps = ["a", "b", "c"]
+    base = dt.datetime(2024, 7, 1)
+    rows = [
+        (rng.randrange(30), rng.choice(steps + ["noise"]),
+         base + dt.timedelta(minutes=rng.randrange(0, 100)))
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["n_users"] for r in ordered_funnel(df, steps).collect()}
+
+    by_user: dict[int, list[tuple]] = {}
+    for u, t, ts in rows:
+        by_user.setdefault(u, []).append((t, ts))
+    want = {s: 0 for s in steps}
+    for evs in by_user.values():
+        cur = None
+        for k, s in enumerate(steps):
+            cands = [ts for t, ts in evs if t == s and (cur is None or ts >= cur)]
+            if not cands:
+                break
+            cur = min(cands)
+            want[s] += 1
+    assert got == want
+
+
 def test_gini_concentration_known_values_and_partition_invariance(spark):
     from transe_pyspark_spark.operators.relational import gini_concentration
 
