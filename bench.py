@@ -99,6 +99,15 @@ SF1_HEADLINE = [
     # cached-edge build in the warmup; nearest rides one union-window
     "triangle_stats_parts",
     "nearest_click_purchase",
+    # r08 (VERDICT r07 ask #5): the late-r07 aggregate faces at 10× —
+    # gini's distributed prefix-rank is the interesting one (its
+    # range-partitioned per-group rank must not degrade to a global
+    # sort), the funnel's k user-keyed join+agg steps should share one
+    # user partitioning, decay/seasonal are single-shuffle aggs
+    "gini_customer_spend",
+    "funnel_ordered_steps",
+    "decayed_user_scores",
+    "seasonal_anomaly_events",
 ]
 
 
@@ -447,7 +456,7 @@ def main() -> None:
     normalized = {n: round(times[n] / probe, 2) for n in HEADLINE}
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    payload = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
@@ -460,7 +469,43 @@ def main() -> None:
         "calibration_end": calibration_end,
         "runs": runs,
         "sf": sf,
-    }))
+    }
+    print(json.dumps(payload))
+    # Persist the FULL bench JSON in-repo (VERDICT r07 ask #3): the
+    # driver artifact captures only a 2000-char stdout tail, which
+    # truncates away the normalized/calibration blocks that exist
+    # precisely to make the host-drift-vs-regression call mechanical.
+    # SPARK_GRAFT_BENCH_OUT overrides the path; default names the file
+    # by round if PROGRESS.jsonl reveals one, else "latest".
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if not out_path:
+        rnd = _current_round()
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_full_r{rnd:02d}.json" if rnd else "BENCH_full_latest.json",
+        )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"# full bench JSON written to {out_path}", file=sys.stderr)
+    except OSError as e:  # never fail the bench over the artifact copy
+        print(f"# could not persist full bench JSON: {e}", file=sys.stderr)
+
+
+def _current_round() -> int | None:
+    """Best-effort round number: max N across BENCH_r{N}/CORRECTNESS_r{N}
+    artifacts in the repo root, plus one (this run produces the NEXT
+    round's artifact)."""
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for fn in os.listdir(root)
+        for m in [re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", fn)]
+        if m
+    ]
+    return max(rounds) + 1 if rounds else None
 
 
 if __name__ == "__main__":

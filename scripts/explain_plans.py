@@ -251,9 +251,32 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "baseline rollup broadcast back — the raw events shuffle once",
     ),
     "split_leakage_safe": (
+        ["HashAggregate", "xxhash64"],
+        "one dedup hash-agg + the join back, BOTH keyed on xxhash64 of "
+        "the normalized text (r08) — the exchanges carry an 8-byte "
+        "fingerprint per row, never the document text — + a narrow "
+        "MINSTD projection",
+    ),
+    "exact_dedup_docs": (
+        ["HashAggregate", "xxhash64"],
+        "the one dedup exchange is keyed on xxhash64 of the normalized "
+        "text (r08): fixed-width keys at corpus scale, text never ships",
+    ),
+    "gini_customer_spend": (
+        ["HashAggregate", "Window"],
+        "per-group rank from the (group, __pid) distributed-prefix "
+        "window (group-only windows forbidden — dedicated gate); exact "
+        "decimal numerator in one rollup",
+    ),
+    "funnel_ordered_steps": (
+        ["In(event_type", "HashAggregate"],
+        "the step-type disjunction reaches the parquet scan; per-step "
+        "join/min-agg chains share one user-key partitioning",
+    ),
+    "decayed_user_scores": (
         ["HashAggregate"],
-        "one normalized-text dedup hash-agg + the text-keyed join back "
-        "(reusing its partitioning) + a narrow MINSTD projection",
+        "one max-day broadcast + ONE user hash-agg; the integer "
+        "half-life shift needs no window and no second shuffle",
     ),
     "dedup_bursts_events": (
         ["Window", "Filter"],
@@ -303,6 +326,17 @@ def check_no_stratum_only_window(plan: str) -> list[str]:
         line.strip()[:120]
         for line in plan.splitlines()
         if "windowspecdefinition(lang#" in line and "__pid#" not in line
+    ]
+
+
+def check_no_group_only_window(plan: str) -> list[str]:
+    """gini_customer_spend: the in-group rank must ride the (group,
+    __pid) distributed-prefix window, never a group-cardinality window
+    (one task per nation at any data size). Returns violating lines."""
+    return [
+        line.strip()[:120]
+        for line in plan.splitlines()
+        if "windowspecdefinition(__g#" in line and "__pid#" not in line
     ]
 
 #: plan nodes that must NOT appear (quadratic shapes the rewrite removed)
@@ -450,6 +484,16 @@ MAX_EXCHANGES = {
     "seasonal_anomaly_events": 3,
     # normalized-text dedup agg; the join back reuses its partitioning
     "split_leakage_safe": 2,
+    # r08 faces. gini: spend agg + range-repartition of the group rank
+    # + offsets + final rollup (customer dim broadcasts)
+    "gini_customer_spend": 4,
+    # per step: one pushed-filter scan + ONE user-key exchange (joins
+    # and min-aggs all reuse it — no per-step re-exchange of the key)
+    # + 3 single-partition count aggs; identical prev-step subtrees
+    # dedup at runtime (ReusedExchange gate below)
+    "funnel_ordered_steps": 9,
+    # max-day broadcast + one user hash-agg
+    "decayed_user_scores": 2,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
@@ -483,6 +527,13 @@ SF1_STABLE = [
     # r07 new faces with join-shape guarantees worth pinning at 10×
     "triangle_stats_parts",
     "nearest_click_purchase",
+    # r08 (VERDICT r07 ask #5): the late-r07 aggregate faces — 10×
+    # must keep the distributed prefix-rank (gini), the shared user
+    # partitioning across funnel steps, and the single-shuffle aggs
+    "gini_customer_spend",
+    "funnel_ordered_steps",
+    "decayed_user_scores",
+    "seasonal_anomaly_events",
 ]
 
 
@@ -549,6 +600,42 @@ def main() -> int:
         "**Requirement:** every cumsum window keys on (lang, __pid), never lang "
         "alone — the distributed prefix-sum spreads each stratum over all range "
         "partitions instead of one task",
+        f"**Status:** {status}", "",
+    ]
+    # gini: no group-cardinality window at any scale (r08) — the rank
+    # must come from the (group, __pid) distributed-prefix pattern
+    viol = check_no_group_only_window(plan_of(spark, "gini_customer_spend", sf_dir))
+    status = "OK" if not viol else f"FAIL (group-only windows: {viol})"
+    if viol:
+        failures += 1
+    print(f"{status:40s} gini_customer_spend (no group-only window)")
+    lines += [
+        "## gini_customer_spend — no group-cardinality window", "",
+        "**Requirement:** every rank window keys on (__g, __pid), never __g "
+        "alone — the distributed per-group prefix-rank spreads each group "
+        "over all range partitions instead of one task",
+        f"**Status:** {status}", "",
+    ]
+    # funnel shared-exchange gate (r08): the per-step branches must
+    # physically REUSE the one user-key shuffle of the event log —
+    # visible only in the EXECUTED plan (AQE stage-level reuse), so
+    # this gate runs the query at sf0.01 and asserts the marker.
+    fdf = REGISTRY["funnel_ordered_steps"].fn(spark, sf_dir)
+    fdf.collect()
+    fexec = fdf._jdf.queryExecution().executedPlan().toString()
+    f_ok = "ReusedExchange" in fexec
+    if not f_ok:
+        failures += 1
+    status = "OK" if f_ok else "FAIL (no ReusedExchange in executed plan)"
+    print(f"{status:40s} funnel_ordered_steps (prev-step stages reused)")
+    lines += [
+        "## funnel_ordered_steps — one user-key exchange per row, reused stages", "",
+        "**Requirement:** each step's rows cross the wire exactly once (a "
+        "pushed-filter scan into ONE user-key exchange; every join and "
+        "min-agg above it reuses that partitioning — no re-exchange of the "
+        "user key anywhere), and the identical prev-step subtrees (step "
+        "k's table feeds its own count AND step k+1's join) dedup at "
+        "runtime: the executed plan must show ReusedExchange.",
         f"**Status:** {status}", "",
     ]
     for name, max_ex in MAX_EXCHANGES.items():
@@ -635,6 +722,80 @@ def main() -> int:
         *[l.strip()[:110] for l in big_plan.splitlines()
           if any(k in l for k in ("Join", "Exchange", "Sort "))][:10],
         "```", "",
+    ]
+
+    # steady-state-batch gate (r08, VERDICT r07 ask #1): with the
+    # entity state PINNED the way fit() pins it in the shuffled regime
+    # (repartition-on-id + sortWithinPartitions + cache —
+    # InMemoryRelation preserves partitioning/ordering where a
+    # localCheckpoint's LogicalRDD reports UnknownPartitioning under
+    # AQE), the per-batch plans must carry NO full entity-side
+    # Exchange: the gather's only Exchanges are the melted probe side
+    # + the (__rid) reassembly repartition (exactly 2), and the update
+    # join's only Exchange is the folded-delta side (exactly 1). The
+    # cache is registered lazily, so the gate never materializes the
+    # V=2M table — the plan substitution is visible at explain time.
+    def _outer_plan_text(df) -> str:
+        """Physical-plan text with every InMemoryRelation SUBPLAN
+        stripped (lines indented deeper than the relation line): the
+        cached child always textually contains the pin repartition's
+        Exchange, which is the one sanctioned entity-sized movement
+        per batch, not a per-join cost."""
+        txt = df._jdf.queryExecution().executedPlan().toString()
+        out, skip_indent = [], None
+        for line in txt.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-"))
+            if skip_indent is not None:
+                if indent > skip_indent:
+                    continue
+                skip_indent = None
+            if "InMemoryRelation" in line:
+                skip_indent = indent
+            out.append(line)
+        return "\n".join(out)
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ent_pinned = (
+        ent_big.repartition(n_part, "id").sortWithinPartitions("id").cache()
+    )
+    try:
+        # the cache must MATERIALIZE before InMemoryRelation reports
+        # its partitioning (an unfinalized AQE child is Unknown) —
+        # exactly why fit()'s _pin_entity runs count() eagerly
+        ent_pinned.count()
+        g_ss = tr._gather(c_big, ent_pinned)
+        ss_plan = _outer_plan_text(g_ss)
+        n_ex_g = ss_plan.count("Exchange")
+        delta_df = spark.range(100_000).select(
+            "id", F.expr("array_repeat(0.001d, 50)").alias("delta")
+        ).localCheckpoint(eager=True)
+        upd = ent_pinned.join(delta_df, "id", "left")
+        up_plan = _outer_plan_text(upd)
+        n_ex_u = up_plan.count("Exchange")
+        ss_ok = (
+            "InMemoryTableScan" in ss_plan and n_ex_g == 2
+            and "InMemoryTableScan" in up_plan and n_ex_u <= 1
+            and "BroadcastExchange" not in ss_plan
+        )
+    finally:
+        ent_pinned.unpersist()
+    if not ss_ok:
+        failures += 1
+    status = "OK" if ss_ok else (
+        f"FAIL (gather Exchanges={n_ex_g} want 2, update Exchanges={n_ex_u} want 1)"
+    )
+    print(f"{status:40s} relational steady-state batch (pinned entity, no entity Exchange)")
+    lines += [
+        "## relational trainer steady-state batch — pinned entity state (r08)", "",
+        "**Requirement:** with the entity table pinned as fit() pins it in "
+        "the shuffled regime (repartition-on-id + sortWithinPartitions + "
+        "cache), the gather SortMergeJoin and the update join read the "
+        "entity side straight from InMemoryTableScan with no Exchange and "
+        "no Sort: gather plan = exactly 2 Exchanges (melted probe + __rid "
+        "reassembly), update plan = exactly 1 Exchange (folded delta side). "
+        "The only entity-sized per-batch movement is the single repartition "
+        "feeding the next cache generation.",
+        f"**Status:** {status} (gather Exchanges={n_ex_g}, update Exchanges={n_ex_u})", "",
     ]
 
     # skewed-join demonstration (AQE split vs salting) — executed-plan

@@ -327,29 +327,38 @@ def test_ordered_funnel_fuzz_vs_python(spark):
     from transe_pyspark_spark.operators.asof import ordered_funnel
 
     rng = random.Random(67)
-    steps = ["a", "b", "c"]
     base = dt.datetime(2024, 7, 1)
-    rows = [
-        (rng.randrange(30), rng.choice(steps + ["noise"]),
-         base + dt.timedelta(minutes=rng.randrange(0, 100)))
-        for _ in range(600)
-    ]
-    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
-    got = {r["step"]: r["n_users"] for r in ordered_funnel(df, steps).collect()}
+    # second shape exercises the REPEATED-step rule (r08 advisory fix):
+    # a repeated step requires a strictly LATER event, so a single
+    # event can never complete both of its own occurrences
+    for steps in (["a", "b", "c"], ["a", "a", "b"]):
+        rows = [
+            (rng.randrange(30), rng.choice(["a", "b", "c", "noise"]),
+             base + dt.timedelta(minutes=rng.randrange(0, 100)))
+            for _ in range(600)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        got = {}
+        for r in ordered_funnel(df, steps).collect():
+            got[(r["step_idx"], r["step"])] = r["n_users"]
 
-    by_user: dict[int, list[tuple]] = {}
-    for u, t, ts in rows:
-        by_user.setdefault(u, []).append((t, ts))
-    want = {s: 0 for s in steps}
-    for evs in by_user.values():
-        cur = None
-        for k, s in enumerate(steps):
-            cands = [ts for t, ts in evs if t == s and (cur is None or ts >= cur)]
-            if not cands:
-                break
-            cur = min(cands)
-            want[s] += 1
-    assert got == want
+        by_user: dict[int, list[tuple]] = {}
+        for u, t, ts in rows:
+            by_user.setdefault(u, []).append((t, ts))
+        want = {(k, s): 0 for k, s in enumerate(steps)}
+        for evs in by_user.values():
+            cur = None
+            for k, s in enumerate(steps):
+                strict = k > 0 and steps[k] == steps[k - 1]
+                cands = [
+                    ts for t, ts in evs
+                    if t == s and (cur is None or (ts > cur if strict else ts >= cur))
+                ]
+                if not cands:
+                    break
+                cur = min(cands)
+                want[(k, s)] += 1
+        assert got == want, steps
 
 
 def test_gini_concentration_known_values_and_partition_invariance(spark):

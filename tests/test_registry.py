@@ -53,25 +53,24 @@ NEW_IN_R07 = {
     "split_leakage_safe",
 }
 
+#: r06-first-checked faces still pinned in-window for r08. The full
+#: NEW_IN_R06 set went twice-green in r07 and became the r08 rotation
+#: pool; three members rotated to overflow in r08 (multimodal_audio,
+#: copurchase_parts, cohort_retention_weekly — families stay covered,
+#: see COVERAGE.md), the rest keep their slots.
 NEW_IN_R06 = {
     "ann_recall_vs_exact",
     "multimodal_decode",
     "reservoir_sample_docs",
     "dup_ngram_docs",
-    # second r06 wave: analytics / warehouse / linkage / streaming
-    "cohort_retention_weekly",
     "mad_outlier_values",
     "cdc_apply_customers",
     "doc_keywords_lift",
     "record_linkage_parts",
     "containment_near_pairs",
     "stream_chained_agg",
-    # third r06 wave: graph / mining / diagnostics
     "pagerank_trading_graph",
-    "copurchase_parts",
     "key_skew_lineitem",
-    # fourth r06 wave: weighted PPS sampling + rolling engagement +
-    # z-order layout values
     "weighted_sample_docs",
     "rolling_wau_events",
     "zorder_orders",
@@ -81,16 +80,23 @@ NEW_IN_R06 = {
     "sample_per_lang_docs",
     "trend_per_event_type",
     "value_drift_weeks",
-    "multimodal_audio",
     "dedup_bursts_events",
     "winsorize_values",
 }
 
+#: the three late-r07 faces rotated INTO the window in r08 (front
+#: until driver-green — VERDICT r07 ask #2)
+NEW_IN_R08 = {
+    "decayed_user_scores",
+    "funnel_ordered_steps",
+    "gini_customer_spend",
+}
 
-def test_r07_rotation_inside_window():
+
+def test_r08_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (NEW_IN_R06 | NEW_IN_R07) - window
-    assert not missing, f"r07 must-check queries fell out of the driver window: {missing}"
+    missing = (NEW_IN_R06 | NEW_IN_R07 | NEW_IN_R08) - window
+    assert not missing, f"r08 must-check queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():

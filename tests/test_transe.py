@@ -286,6 +286,48 @@ def test_relational_broadcast_and_shuffled_regimes_agree(spark, toy_triples):
     np.testing.assert_allclose(mb.label, ms.label, rtol=1e-12)
 
 
+def test_relational_regimes_agree_big_v_reduced_shape(spark):
+    """r08 (VERDICT r07 ask #6): the broadcast≡shuffled agreement was
+    pinned only at the FB15k toy shape; after the r08 entity-state
+    change (repartition+cache pinning + periodic lazy-checkpoint
+    lineage truncation in the shuffled regime) pin a REDUCED
+    beyond-broadcast shape too — V=200,000 at k=8 is a 12.8 MB entity
+    table, so a 10 MB broadcast_model_limit makes the SIZE CHECK
+    itself select the shuffled regime (nothing force-enabled), while
+    the broadcast run keeps the default limit. Loss histories and the
+    final model must agree to 1e-12, and the shuffled run is driven
+    through >lineage_truncate_every batches so the truncation path is
+    exercised, not just the steady-state pin."""
+    import pandas as pd
+
+    from transe_pyspark_spark.transe.train_relational import RelationalTransETrainer
+
+    V, L, N = 200_000, 12, 8_000
+    rng = np.random.default_rng(31)
+    h = rng.integers(0, V, N)
+    l = rng.integers(0, L, N)
+    t = (h * 3 + l * 1009 + 11) % V
+    enc = spark.createDataFrame(
+        pd.DataFrame({"h": h, "l": l, "t": t}), schema="h long, l long, t long"
+    )
+    results = {}
+    for name, limit in (("broadcast", 128 * 1024 * 1024), ("shuffled", 10 * 1024 * 1024)):
+        tr = RelationalTransETrainer(
+            k=8, n_epochs=3, n_batches=2, learning_rate=0.01, seed=17,
+            broadcast_model_limit=limit, lineage_truncate_every=2,
+        )
+        ent, lab = tr.fit(spark, enc, V, L)
+        assert tr._broadcast_model == (name == "broadcast"), (
+            f"{name}: size check picked the wrong regime"
+        )
+        results[name] = (tr.loss_history, RelationalTransETrainer.to_local(ent, lab))
+    lb, mb = results["broadcast"]
+    ls, ms = results["shuffled"]
+    np.testing.assert_allclose(lb, ls, rtol=1e-12)
+    np.testing.assert_allclose(mb.entity, ms.entity, rtol=1e-12)
+    np.testing.assert_allclose(mb.label, ms.label, rtol=1e-12)
+
+
 def test_relational_init_deterministic(spark):
     """The distributed init is a pure function of (seed, id): the same
     seed yields bit-identical vectors under different partitioning

@@ -97,11 +97,19 @@ def nearest_join(
     spill-able sort, no per-row subquery (the DuckDB oracle runs the
     quadratic correlated form this plan replaces).
 
+    NULL keys follow equi-join semantics (r08 advisory fix): NULL
+    never matches NULL, so NULL-key RIGHT rows are filtered before the
+    union (``Window.partitionBy`` would otherwise group them into one
+    NULL partition and hand them to NULL-key left rows — diverging
+    from the oracle's correlated ``c.user_id = p.user_id`` predicate),
+    while NULL-key LEFT rows are preserved with a NULL match, exactly
+    as a left equi-join preserves them.
+
     Returns left columns + ``{right_id}{suffix}`` and
     ``delta_us{suffix}`` (signed right−left µs; both NULL when no
     right row lies within tolerance).
     """
-    r0 = right.groupBy(
+    r0 = right.filter(F.col(on).isNotNull()).groupBy(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts")
     ).agg(F.min(right_id).alias("__rid"))
     l_tag = left.select(
@@ -582,6 +590,7 @@ def interval_overlap_join(
     start_col: str = "start",
     end_col: str = "end",
     suffix: str = "_r",
+    max_explode_factor: int = 1_000_000,
 ) -> DataFrame:
     """Interval-overlap join: all (left, right) row pairs whose
     half-open time intervals ``[start, end)`` intersect — the
@@ -608,12 +617,23 @@ def interval_overlap_join(
     wrong rationale — it claimed undersized buckets MISS pairs) is
     gone.
 
+    What remains is a cheap IN-PLAN sanity cap (r08 advisory): an
+    interval spanning more than ``max_explode_factor`` buckets raises
+    with an actionable message at evaluation time — a badly undersized
+    width is a silent cost cliff (a 1-year interval at 1-second
+    buckets is ~31 M rows, and extreme cases would otherwise die in
+    ``sequence()``'s opaque array-length limit). The check is a
+    per-row narrow expression on the already-computed bucket bounds —
+    no extra scan, no extra job, unlike the r06 guard.
+
     Returns left columns + right columns suffixed; overlap is strict
     (``l.start < r.end AND r.start < l.end`` — touching endpoints of
     half-open intervals do NOT overlap).
     """
     if bucket_micros <= 0:
         raise ValueError(f"bucket_micros must be positive, got {bucket_micros}")
+    if max_explode_factor <= 0:
+        raise ValueError(f"max_explode_factor must be positive, got {max_explode_factor}")
     w = int(bucket_micros)
 
     def us(c):
@@ -628,8 +648,24 @@ def interval_overlap_join(
         # end is exclusive: an interval ending exactly on a bucket
         # boundary does not touch that bucket
         b1 = F.floor((us(end_col) - 1) / w)
+        nb = b1 - b0 + F.lit(1)
+        b1_guarded = F.when(
+            nb > max_explode_factor,
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_overlap_join: an interval spans "),
+                    nb.cast("string"),
+                    F.lit(
+                        f" buckets of width {w} µs, over max_explode_factor="
+                        f"{max_explode_factor}. bucket_micros is a pure cost "
+                        "knob (no pair is ever missed) — raise it toward the "
+                        "longest interval length, or raise max_explode_factor."
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(b1)
         return df.select(
-            *cols, F.explode(F.sequence(b0, b1)).alias("__bucket")
+            *cols, F.explode(F.sequence(b0, b1_guarded)).alias("__bucket")
         )
 
     la = banded(left, rename=False)
@@ -760,20 +796,31 @@ def ordered_funnel(
 ) -> DataFrame:
     """TRUE ordered funnel: a user completes step k at the EARLIEST
     event of type ``steps[k]`` at-or-after their step k−1 completion
-    time — the product-analytics ordered-sequence semantics. (The
+    time (STRICTLY after when ``steps[k] == steps[k-1]`` — a repeated
+    step needs a genuinely new event, so ["click", "click"] counts
+    users with ≥2 clicks, not every one-click user) — the
+    product-analytics ordered-sequence semantics. (The
     existing ``purchase_funnel`` face uses the weaker first-event
     ordering, which wrongly drops a user whose first click precedes
     their first view even though an ordered view→click path exists
     later.) Greedy earliest-completion is optimal for existence: an
     earlier step-k time can only admit more step-k+1 candidates.
 
-    Plan: one user-keyed min aggregate for step 0, then per later step
-    one equi-join of that step's events against the previous
-    step-times table plus a min aggregate — every join and agg keyed
-    on the user column, so they share one hash partitioning; no window
-    functions, no self-join of the full log, and the whole funnel is
-    ONE lazy plan (a union of k one-row count aggregates — no
-    driver-side loop actions).
+    Plan (r08): the step branches are written over ONE step-filtered,
+    user-key-repartitioned view of the log. Catalyst then pushes each
+    step's equality predicate back through the repartition into its
+    own column-pruned, type-filtered parquet scan (predicate pushdown
+    beats the single-pass sharing — each scan reads only its step's
+    rows), so per step the plan is: pushed-filter scan → ONE user-key
+    exchange → join/min-agg chains that all REUSE that partitioning.
+    Every event row crosses the wire exactly once; no join or
+    aggregate ever re-exchanges the user key; and the identical
+    prev-step subtrees (step k's table feeds both its own count and
+    step k+1's join) dedup at runtime via AQE stage reuse
+    (ReusedExchange — gated in PLANS.md). No window functions, no
+    self-join of the full log; the whole funnel is ONE lazy plan (a
+    union of k one-row count aggregates — no driver-side loop
+    actions).
 
     Returns (step_idx, step, n_users) — one row per step, counts
     monotonically non-increasing.
@@ -781,10 +828,16 @@ def ordered_funnel(
     if not steps:
         raise ValueError("steps must be non-empty")
     u, t = F.col(user_col), F.col(ts_col)
+    # one scan + one user-key exchange shared by every step branch
+    ev_all = (
+        events.filter(F.col(type_col).isin(*set(steps)))
+        .select(u.alias("__u"), t.alias("__ts"), F.col(type_col).alias("__e"))
+        .repartition("__u")
+    )
     prev = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(u.alias("__u"))
-        .agg(F.min(t).alias("__t"))
+        ev_all.filter(F.col("__e") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__ts").alias("__t"))
     )
 
     def step_row(i: int, name: str, frame: DataFrame) -> DataFrame:
@@ -796,12 +849,21 @@ def ordered_funnel(
 
     out = step_row(0, steps[0], prev)
     for i, step in enumerate(steps[1:], start=1):
-        ev = events.filter(F.col(type_col) == step).select(
-            u.alias("__u"), t.alias("__ts")
+        ev = ev_all.filter(F.col("__e") == step).select("__u", "__ts")
+        # at-or-after (>=) between DISTINCT step names: a click at the
+        # exact view timestamp completes view→click. But a REPEATED
+        # step name must advance strictly (>) — under >= one event
+        # would complete both of its own occurrences, making
+        # ["click","click"] count every one-click user twice (r08
+        # advisory fix; the greedy python fuzz model mirrors the rule)
+        cmp_op = (
+            (F.col("__ts") > F.col("__t"))
+            if step == steps[i - 1]
+            else (F.col("__ts") >= F.col("__t"))
         )
         prev = (
             ev.join(prev, "__u")
-            .filter(F.col("__ts") >= F.col("__t"))
+            .filter(cmp_op)
             .groupBy("__u")
             .agg(F.min("__ts").alias("__t"))
         )

@@ -40,10 +40,25 @@ def normalize_text(col) -> "F.Column":
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group exact duplicates by normalized text; keep min-id canonical.
-    One hash-aggregate shuffle; map-side partial agg applies."""
+    One hash-aggregate shuffle; map-side partial agg applies.
+
+    The aggregate keys on ``xxhash64`` of the normalized text, not the
+    text itself (r08, VERDICT r07 ask #4): at corpus scale the exchange
+    then carries an 8-byte key per row instead of the full document
+    (the normalization still runs — narrow, map-side — but its output
+    never ships). The fingerprint is used ONLY as the grouping key;
+    nothing text-derived is emitted, so results are identical unless
+    two *different* normalized documents collide in the 64-bit space
+    (~2⁻⁶⁴ per pair; at 10⁹ docs the birthday bound is ~3·10⁻²; a
+    collision would merge two groups — acceptable for dedup, where the
+    incremental-state table (operators/incremental.py) already accepts
+    the same fingerprint contract)."""
     return (
-        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__norm"))
-        .groupBy("__norm")
+        df.select(
+            F.col(id_col),
+            F.xxhash64(normalize_text(F.col(text_col))).alias("__fp"),
+        )
+        .groupBy("__fp")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("dup_count"))
         .select("canonical_id", "dup_count")
     )
@@ -802,4 +817,58 @@ def simhash_pairs(
     return (
         cands.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-provenance duplication matrix (r08): for every ordered
+    source pair ``source_a <= source_b``, the EXACT number of duplicate
+    document pairs whose normalized texts are identical and whose
+    members come from those two sources — within-source rows
+    (``a == b``) count C(n,2) internal duplicates, cross rows count
+    n_a·n_b. The "which crawl re-hosts which" forensics view a corpus
+    curator reads before choosing per-source dedup order.
+
+    Plan: the same xxhash64(normalized-text) fingerprint keying as
+    ``exact_dup_groups`` (the exchange carries 8-byte keys, never
+    text), one (fp, source) hash-agg, then a fp-keyed equi-self-join of
+    that per-group-per-source count table (group cardinality per fp is
+    ≤|sources| — tiny) and a ≤|sources|² rollup. Nothing is quadratic
+    in documents.
+
+    Returns (source_a, source_b, dup_pairs), dup_pairs > 0 rows only.
+    """
+    per = (
+        df.select(
+            F.xxhash64(normalize_text(F.col(text_col))).alias("__fp"),
+            F.col(source_col).alias("__s"),
+        )
+        .groupBy("__fp", "__s")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    a = per.select("__fp", F.col("__s").alias("source_a"), F.col("__n").alias("__na"))
+    b = per.select("__fp", F.col("__s").alias("source_b"), F.col("__n").alias("__nb"))
+    pairs = (
+        a.join(b, "__fp")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("__na * (__na - 1) div 2"),
+            )
+            .otherwise(F.col("__na") * F.col("__nb"))
+            .cast("long")
+            .alias("__p"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("__p").cast("long").alias("dup_pairs"))
+        .filter(F.col("dup_pairs") > 0)
     )

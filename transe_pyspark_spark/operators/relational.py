@@ -1289,27 +1289,34 @@ def leakage_safe_split(
     decontamination failure mode ``hash_split`` alone permits (two
     byte-identical docs with different ids landing in train and test).
 
-    Plan: the same one normalized-text hash-aggregate exact dedup runs
-    (map-side partial agg applies), an equi-join back on the text key
-    to attach each row's canonical id, then ``hash_split``'s two
-    exact-BIGINT MINSTD rounds on that canonical id — narrow, oracle-
-    replayable. Near-dup-safe splitting composes the same way with
+    Plan: the same one hash-aggregate exact dedup runs (map-side
+    partial agg applies), an equi-join back to attach each row's
+    canonical id, then ``hash_split``'s two exact-BIGINT MINSTD rounds
+    on that canonical id — narrow, oracle-replayable. Both the
+    aggregate and the join key on ``xxhash64`` of the normalized text,
+    not the text itself (r08, VERDICT r07 ask #4): the two exchanges
+    then carry an 8-byte key per row instead of shipping each document
+    twice. The fingerprint is ONLY a key — no text-derived value is
+    emitted — so results change only if two different normalized
+    documents collide in the 64-bit space (~2⁻⁶⁴ per pair), which
+    would co-assign the pair to one split: the safe direction for a
+    leakage guard. Near-dup-safe splitting composes the same way with
     ``connected_components``' component id as the key.
 
     Returns df columns + (canonical_id, group_size, split).
     """
     from transe_pyspark_spark.operators.dedup import normalize_text
 
-    norm = normalize_text(F.col(text_col))
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
     groups = (
-        df.select(F.col(id_col), norm.alias("__norm"))
-        .groupBy("__norm")
+        df.select(F.col(id_col), fp.alias("__fp"))
+        .groupBy("__fp")
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).cast("long").alias("group_size"),
         )
     )
-    joined = df.withColumn("__norm", norm).join(groups, "__norm").drop("__norm")
+    joined = df.withColumn("__fp", fp).join(groups, "__fp").drop("__fp")
     return hash_split(joined, "canonical_id", fractions, salt)
 
 

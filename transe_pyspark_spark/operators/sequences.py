@@ -1,0 +1,203 @@
+"""Event-sequence analytics (R8/R9 family extensions, r08): Markov
+transition counts, conversion-latency distributions, and two-arm
+experiment readouts — the product-analytics faces that sit between the
+funnel operators (``asof.ordered_funnel``) and the aggregate screens
+(``relational.distribution_drift`` etc.).
+
+Everything here follows the repo's float-parity discipline: counts and
+durations stay exact BIGINT (µs), probabilities/rates are ONE final
+IEEE division of exact integers, and percentiles use the same
+interpolated-percentile definition Spark's ``percentile`` and DuckDB's
+``quantile_cont`` share — so every face is oracle-hash-checkable.
+
+Scale posture: each operator is one or two hash-partitioned
+shuffles keyed on the user/sequence column; nothing is quadratic,
+nothing funnels a group through one task, and the per-user window
+sorts are spill-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every ordered pair of CONSECUTIVE events of one user, count the
+    (from_type → to_type) transition, and report each source state's
+    outgoing transition probability (exact counts, one IEEE division).
+    The classic session-flow / clickstream-model input.
+
+    Determinism: per-user ordering is (ts, id) — the id tiebreak makes
+    the consecutive-pair set a pure function of the data under any
+    partitioning (equal-timestamp events would otherwise order
+    arbitrarily).
+
+    Plan: ONE user-key shuffle for the lag window (partition by user,
+    order by (ts, id) — per-partition sort, spill-able), then the
+    (from, to) pair counts and the per-source totals reuse one hash
+    aggregate each over the tiny |types|² result. No self-join of the
+    log, no group-cardinality window.
+
+    Returns (from_type, to_type, n, p_from) sorted by the caller.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    w = Window.partitionBy(u).orderBy(t.asc(), F.col(id_col).asc())
+    pairs = (
+        events.select(u, t, F.col(id_col), F.col(type_col).alias("to_type"))
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # per-source totals: |types|-row aggregate, broadcast back
+    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("__tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("__tot").cast("double")).alias("p_from"),
+        )
+    )
+
+
+def time_to_convert(
+    events: DataFrame,
+    start_type: str = "view",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion-latency distribution: per user, the time from their
+    FIRST ``start_type`` event to their EARLIEST ``convert_type`` event
+    at-or-after it; reported per weekly cohort of the first start event
+    as exact-µs interpolated percentiles plus the conversion rate —
+    the time-to-value / activation-latency report.
+
+    Plan: one user-key aggregate per event side (min start ts; the
+    candidate converts ride the SAME aggregate via a conditional min
+    over a start-bounded pair — see below), i.e. the whole operator is
+    ONE user-key shuffle over the two filtered event streams plus a
+    ≤cohorts-row percentile rollup. The start-bounded earliest convert
+    cannot be a plain conditional min in one pass (it depends on the
+    start min), so the operator runs the classic two-phase form: the
+    per-user start mins (first shuffle, reused partitioning) equi-join
+    the convert stream on the user key and a second min-agg keyed on
+    the user collapses it — both shuffles carry only the two filtered
+    event types, never the full log.
+
+    Returns one row per cohort week: (cohort_week, n_started,
+    n_converted, conv_rate, p50_us, p90_us), converts outside the
+    cohort's observation never counted twice (each user belongs to
+    exactly one cohort — their first start week).
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    starts = (
+        events.filter(F.col("event_type") == start_type)
+        .groupBy(u.alias("__u"))
+        .agg(F.min(t).alias("__t0"))
+    )
+    converts = events.filter(F.col("event_type") == convert_type).select(
+        u.alias("__u"), t.alias("__tc")
+    )
+    first_conv = (
+        converts.join(starts, "__u")
+        .filter(F.col("__tc") >= F.col("__t0"))
+        .groupBy("__u")
+        .agg(F.min("__tc").alias("__tc"))
+    )
+    per_user = starts.join(first_conv, "__u", "left").select(
+        F.date_trunc("week", F.col("__t0")).alias("cohort_week"),
+        (F.unix_micros(F.col("__tc")) - F.unix_micros(F.col("__t0"))).alias("__dur_us"),
+    )
+    return per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_started"),
+        F.count("__dur_us").cast("long").alias("n_converted"),
+        (F.count("__dur_us").cast("double") / F.count(F.lit(1)).cast("double")).alias("conv_rate"),
+        F.percentile("__dur_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("__dur_us", F.lit(0.9)).alias("p90_us"),
+    )
+
+
+def ab_conversion_ztest(
+    events: DataFrame,
+    arm_expr,
+    start_type: str = "view",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion experiment readout: users split into arms by
+    ``arm_expr`` (a deterministic column expression over the event row,
+    e.g. a hash of the user id), per arm the exposed-user and
+    converted-user counts, and the pooled two-proportion z statistic of
+    (arm 1 − arm 0) — the A/B dashboard row.
+
+    Every input to the statistic is an exact BIGINT distinct-user
+    count; the rates, pooled rate, standard error, and z are a fixed
+    dag of IEEE +,−,×,÷,√ ops on those integers, so the result is
+    bit-reproducible on any engine (no libm calls — sqrt is
+    IEEE-correctly-rounded).
+
+    Plan: one distinct hash-agg per (arm, user) over the two filtered
+    event streams (converted users are EXPOSED users who also
+    converted — the semi join keeps the denominator honest), then a
+    2-row rollup crossed into the 1-row statistic. Nothing scales with
+    more than the distinct-user count.
+
+    Returns ONE row: (n0, conv0, rate0, n1, conv1, rate1, z).
+    """
+    u = F.col(user_col)
+    exposed = (
+        events.filter(F.col("event_type") == start_type)
+        .select(arm_expr.cast("int").alias("__arm"), u.alias("__u"))
+        .distinct()
+    )
+    converted = (
+        events.filter(F.col("event_type") == convert_type)
+        .select(u.alias("__u"))
+        .distinct()
+    )
+    per_arm = (
+        exposed.join(converted.withColumn("__c", F.lit(1)), "__u", "left")
+        .groupBy("__arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("__c").cast("long").alias("conv"),
+        )
+    )
+    a0 = per_arm.filter(F.col("__arm") == 0).select(
+        F.col("n").alias("n0"), F.col("conv").alias("conv0")
+    )
+    a1 = per_arm.filter(F.col("__arm") == 1).select(
+        F.col("n").alias("n1"), F.col("conv").alias("conv1")
+    )
+    j = a0.crossJoin(a1)  # 1×1
+    r0 = F.col("conv0").cast("double") / F.col("n0").cast("double")
+    r1 = F.col("conv1").cast("double") / F.col("n1").cast("double")
+    pooled = (F.col("conv0") + F.col("conv1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n0").cast("double") + F.lit(1.0) / F.col("n1").cast("double"))
+    )
+    return j.select(
+        "n0",
+        "conv0",
+        r0.alias("rate0"),
+        "n1",
+        "conv1",
+        r1.alias("rate1"),
+        F.when(se > 0, (r1 - r0) / se).alias("z"),
+    )

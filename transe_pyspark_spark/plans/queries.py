@@ -4087,7 +4087,11 @@ def q_pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank_integer(edges, iterations=3)
+    # lazy mode: the plan gates explain this face's full iterative
+    # dataflow (Exchange budget pinned at 9) and the bench re-runs it
+    # against one reusable cache entry; the library default
+    # (eager_cleanup=True) is the leak-free form
+    return pagerank_integer(edges, iterations=3, eager_cleanup=False)
 
 
 @_register(
@@ -4595,7 +4599,10 @@ def q_triangle_stats_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select("o", F.col("p").alias("src"))
     b = li.select("o", F.col("p").alias("dst"))
     edges = a.join(b, "o").filter(F.col("src") < F.col("dst")).select("src", "dst")
-    return triangle_stats(edges)
+    # lazy mode for the same reason as pagerank_trading_graph: plan
+    # gates need the wedge-join dataflow visible, and repeat bench
+    # runs reuse one cache entry
+    return triangle_stats(edges, eager_cleanup=False)
 
 
 @_register(
@@ -4790,6 +4797,144 @@ def q_decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transe_pyspark_spark.operators.relational import time_decay_scores
 
     return time_decay_scores(_T(spark, sf_dir, "events"))
+
+
+@_register(
+    "event_transitions",
+    oracle="""
+    WITH p AS (SELECT user_id, event_type AS to_type,
+                      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS from_type
+               FROM events),
+    c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p_from
+    FROM c JOIN t USING (from_type)
+    """,
+    tags=("events", "sequence", "analytics"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: exact
+    consecutive-pair counts per user under a deterministic (ts,
+    event_id) order, plus each source state's outgoing probability —
+    ONE user-key shuffle for the lag window, |types|²-row rollups."""
+    from transe_pyspark_spark.operators.sequences import transition_counts
+
+    return transition_counts(_T(spark, sf_dir, "events"))
+
+
+@_register(
+    "time_to_convert_weekly",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    f AS (SELECT e.user_id, min(e.ts) AS tc
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s.t0 GROUP BY 1),
+    pu AS (SELECT CAST(date_trunc('week', s.t0) AS TIMESTAMP) AS cohort_week,
+                  CASE WHEN f.tc IS NULL THEN NULL
+                       ELSE epoch_us(f.tc) - epoch_us(s.t0) END AS dur_us
+           FROM s LEFT JOIN f ON s.user_id = f.user_id)
+    SELECT cohort_week,
+           CAST(count(*) AS BIGINT) AS n_started,
+           CAST(count(dur_us) AS BIGINT) AS n_converted,
+           CAST(count(dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate,
+           quantile_cont(dur_us, 0.5) AS p50_us,
+           quantile_cont(dur_us, 0.9) AS p90_us
+    FROM pu GROUP BY 1
+    """,
+    tags=("events", "sequence", "timeseries", "analytics"),
+)
+def q_time_to_convert_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency report per weekly first-view cohort: exact-µs
+    durations from each user's FIRST view to the EARLIEST at-or-after
+    purchase, interpolated p50/p90 (Spark percentile ≡ DuckDB
+    quantile_cont) and the conversion rate — two user-key shuffles over
+    the two filtered event types, never the full log."""
+    from transe_pyspark_spark.operators.sequences import time_to_convert
+
+    return time_to_convert(_T(spark, sf_dir, "events"))
+
+
+@_register(
+    "ab_conversion_ztest",
+    oracle="""
+    WITH e AS (SELECT DISTINCT user_id % 2 AS arm, user_id FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    pa AS (SELECT e.arm, CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(c.user_id) AS BIGINT) AS conv
+           FROM e LEFT JOIN c ON e.user_id = c.user_id GROUP BY 1),
+    a0 AS (SELECT n AS n0, conv AS conv0 FROM pa WHERE arm = 0),
+    a1 AS (SELECT n AS n1, conv AS conv1 FROM pa WHERE arm = 1),
+    j AS (SELECT n0, conv0, CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+                 n1, conv1, CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+                 CAST(conv0 + conv1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pooled
+          FROM a0, a1),
+    k AS (SELECT *, sqrt(pooled * (1.0 - pooled)
+                         * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS se
+          FROM j)
+    SELECT n0, conv0, rate0, n1, conv1, rate1,
+           CASE WHEN se > 0 THEN (rate1 - rate0) / se END AS z
+    FROM k
+    """,
+    tags=("events", "analytics", "agg"),
+)
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment readout (arm = user_id mod 2): exact
+    BIGINT exposed/converted distinct-user counts per arm and the
+    pooled z statistic — a fixed dag of IEEE ops over exact integers
+    (sqrt is correctly rounded; no libm), so the whole row
+    hash-matches cross-engine."""
+    from transe_pyspark_spark.operators.sequences import ab_conversion_ztest
+
+    return ab_conversion_ztest(
+        _T(spark, sf_dir, "events"), arm_expr=F.pmod(F.col("user_id"), F.lit(2))
+    )
+
+
+@_register(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH corpus AS (
+        SELECT text, source FROM documents
+        UNION ALL
+        SELECT text, 'mirror' AS source FROM documents WHERE doc_id % 10 = 0
+    ),
+    per AS (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                   source, CAST(count(*) AS BIGINT) AS n
+            FROM corpus GROUP BY 1, 2),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+                      ELSE a.n * b.n END AS pr
+          FROM per a JOIN per b ON a.norm = b.norm AND a.source <= b.source)
+    SELECT source_a, source_b, CAST(sum(pr) AS BIGINT) AS dup_pairs
+    FROM p GROUP BY 1, 2 HAVING sum(pr) > 0
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-provenance duplication matrix: exact duplicate-PAIR
+    counts per source pair (within-source C(n,2), cross n_a·n_b) from
+    the xxhash64-fingerprint dedup groups — the which-crawl-rehosts-
+    which forensics the curator reads before ordering per-source
+    dedup. The fixture corpus has no exact duplicates, so the face
+    unions a deterministic re-host slice (every 10th doc under a
+    'mirror' source — the incremental-dedup drop-slice precedent) to
+    exercise the pair arithmetic non-vacuously. The oracle groups by
+    the normalized text itself; the fingerprint is only ever a
+    grouping key."""
+    from transe_pyspark_spark.operators.dedup import cross_source_dup_matrix
+
+    d = _T(spark, sf_dir, "documents")
+    corpus = d.select("text", "source").unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            "text", F.lit("mirror").alias("source")
+        )
+    )
+    return cross_source_dup_matrix(corpus)
 
 
 # ---------------------------------------------------------------------------
@@ -5070,18 +5215,36 @@ _OVERFLOW_ORACLE = [
                                  # key_skew + doc_keywords_lift keep
                                  # both families; MG bound stays
                                  # pytest-gated and sf1-benched
-    # NOT a rotated-out incumbent — a NEW r07 face registered past the
-    # full window (mirror-checked, never driver-checked): first in
-    # line for the r08 rotation, the late-r06 precedent:
-    "decayed_user_scores",       # exact integer half-life decay
-                                 # scoring (order-free where float
-                                 # exp decay can't hash-check)
-    "funnel_ordered_steps",      # TRUE ordered funnel (greedy
-                                 # earliest-completion), vs the
-                                 # first-event purchase_funnel
-    "gini_customer_spend",       # per-group exact Gini via the
-                                 # distributed per-group rank (no
-                                 # group-cardinality window)
+    # rotated out in r08 (driver-green r06+r07) — slack for the three
+    # late-r07 faces (decayed_user_scores, funnel_ordered_steps,
+    # gini_customer_spend) moving into front slots (VERDICT r07 ask
+    # #2); every family keeps ≥1 in-window member:
+    "multimodal_audio",          # multimodal: multimodal_decode (front)
+                                 # keeps the family's REAL-decode face
+                                 # in-window; WAV decode stays
+                                 # bit-identity pytest-pinned
+    "copurchase_parts",          # graph/mining: pagerank_trading_graph
+                                 # + triangle_stats_parts keep the
+                                 # family amply covered in-window
+    "cohort_retention_weekly",   # as-of/timeseries: asof_purchase_click
+                                 # (front) + dedup_bursts_events +
+                                 # attribution_linear + interpolate_
+                                 # hourly + rolling_wau_events +
+                                 # nearest_click_purchase keep the
+                                 # family amply covered
+    # NOT rotated-out incumbents — NEW r08 faces registered past the
+    # full window (mirror-checked + pytest-gated, never
+    # driver-checked): first in line for the r09 rotation, the
+    # late-r06/r07 precedent:
+    "event_transitions",         # Markov transition matrix: lag-window
+                                 # consecutive pairs, deterministic
+                                 # (ts, id) order, exact counts
+    "time_to_convert_weekly",    # first-view → earliest-purchase
+                                 # latency percentiles per cohort
+    "ab_conversion_ztest",       # two-proportion z readout on exact
+                                 # distinct-user counts
+    "cross_source_dup_matrix",   # duplicate-pair counts per source
+                                 # pair from the fingerprint groups
 ]
 
 
@@ -5119,6 +5282,12 @@ def _reorder_registry() -> None:
         "ann_persisted_recall",
         "simhash_summary",
         "near_dedup_keep_lsh_summary",
+        # r08: the three late-r07 faces registered past the window in
+        # r07 (mirror-green + pytest/fuzz-gated, never driver-checked)
+        # — front until green (VERDICT r07 ask #2)
+        "decayed_user_scores",
+        "funnel_ordered_steps",
+        "gini_customer_spend",
         "stream_tumbling_counts",
         "stream_stateful_profiles",
         "stream_interval_join",

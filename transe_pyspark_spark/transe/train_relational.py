@@ -20,9 +20,21 @@ reference dataflow becomes its relational form:
                        effective learning rate by each id's degree)
 * entity renorm (``TransE.py:214-217``) → HOF normalize on update
 
-The V-scaled ENTITY table never touches the driver; per-batch lineage
-is truncated with ``localCheckpoint`` so the plan doesn't grow with
-epochs. LABELS are the one deliberate exception: L×k is driver-sized
+The V-scaled ENTITY table never touches the driver. Entity-state
+lineage control is regime-dependent (r08): the broadcast-model regime
+truncates with ``localCheckpoint`` per batch (partitioning is
+irrelevant under broadcast joins, and the leaf keeps per-batch
+analysis cheap); the shuffled beyond-broadcast regime pins each
+generation with repartition-on-id + sortWithinPartitions + ``cache()``
+— InMemoryRelation preserves outputPartitioning/Ordering where a
+checkpoint's LogicalRDD reports UnknownPartitioning under AQE — so the
+gather SortMergeJoin and the update join run with NO Exchange and NO
+Sort on the ~V×k×8 B entity side (at V=2M/k=50 the checkpoint plan
+re-Exchanged ~800 MB twice per batch; gather_partials was ~26 s of a
+~27 s epoch), and a lazy ``localCheckpoint`` slipped under the cache
+every ``lineage_truncate_every`` batches bounds logical-plan depth.
+
+LABELS are the one deliberate exception: L×k is driver-sized
 for any real KG (relations number in the hundreds even at
 billion-entity scale), so the label matrix is driver-canonical — the
 kernel fancy-indexes a ~100 KB closure snapshot and the label deltas
@@ -95,6 +107,7 @@ class RelationalTransETrainer:
         reject_rounds: int = 3,
         broadcast_rejection_limit: int = 100_000_000,
         broadcast_model_limit: int = 128 * 1024 * 1024,
+        lineage_truncate_every: int = 8,
     ):
         assert distance in ("L1", "L2")
         self.k = k
@@ -123,6 +136,17 @@ class RelationalTransETrainer:
         #: equivalence-pinned by pytest.
         self.broadcast_model_limit = broadcast_model_limit
         self._broadcast_model = False
+        #: shuffled regime only: every N batches the cached entity
+        #: state's logical plan is truncated with a (lazy)
+        #: localCheckpoint before the repartition+cache — the cached
+        #: tree otherwise grows by one join+map+repartition layer per
+        #: batch and Catalyst re-ANALYZES the whole tree at every
+        #: per-batch DataFrame construction (the r04 deep-tree driver
+        #: stall, ~0.4 s/construction). The checkpoint costs one extra
+        #: materialization every N batches; amortized it keeps plan
+        #: depth O(lineage_truncate_every).
+        self.lineage_truncate_every = lineage_truncate_every
+        self._n_part = 32
         self.loss_history: list[float] = []
         self.epoch_times: list[float] = []
         #: cumulative driver-side wall per phase (profiling aid)
@@ -294,7 +318,7 @@ class RelationalTransETrainer:
             return melted.join(F.broadcast(e_side), ["__id"])
         return (
             melted.join(e_side, ["__id"])
-            .repartition(32, "__rid")
+            .repartition(self._n_part, "__rid")
             .sortWithinPartitions("__rid", "__role")
         )
 
@@ -332,8 +356,49 @@ class RelationalTransETrainer:
         )
         if self._broadcast_reject:
             self._t2 = F.broadcast(self._t2)
+        self._n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+        # Entity-state pinning is REGIME-DEPENDENT (r08, VERDICT r07
+        # ask #1 — the PageRank partitioning fix applied to the
+        # trainer):
+        #
+        # * broadcast-model regime: the entity table only ever feeds
+        #   broadcast build sides, so its partitioning is irrelevant —
+        #   localCheckpoint keeps it a LEAF plan (cheap per-batch
+        #   analysis) exactly as before.
+        # * shuffled (beyond-broadcast) regime: the id-keyed gather
+        #   SortMergeJoin and the update join both want the entity
+        #   side hash-partitioned on id. A localCheckpoint's
+        #   LogicalRDD reports UnknownPartitioning under AQE (see
+        #   operators/graph.py:pagerank_integer — the same trap,
+        #   probed there at 13 Exchanges for 3 iterations), so every
+        #   batch re-Exchanged the full ~V×k×8 B entity table TWICE
+        #   (once per join; ~800 MB each at V=2M, k=50 —
+        #   gather_partials was ~26 s of a ~27 s epoch). Instead:
+        #   repartition-on-id + sortWithinPartitions(id) + cache —
+        #   InMemoryRelation PRESERVES both the outputPartitioning and
+        #   the outputOrdering of the cached plan, so both id-keyed
+        #   joins run with NO Exchange and NO Sort on the entity side;
+        #   the only per-batch entity-sized work is the one repartition
+        #   feeding the next cache generation (and after the first
+        #   batch even that reads already-partitioned input, so rows
+        #   hash to the partition they sit in). Each generation is
+        #   unpersisted as soon as its successor is materialized.
+        def _pin_entity(df: DataFrame) -> DataFrame:
+            out = (
+                df.repartition(self._n_part, "id")
+                .sortWithinPartitions("id")
+                .cache()
+            )
+            out.count()  # eager: materialize before the caller drops prev
+            return out
+
         ent = self._init_embeddings(spark, n_entities, self.k, self.seed, normalize=True)
-        ent = ent.localCheckpoint()
+        if self._broadcast_model:
+            ent = ent.localCheckpoint()
+        else:
+            ent = _pin_entity(ent)
+        batches_since_truncate = 0
         # LABELS are driver-canonical: L×k is driver-sized for any real
         # KG (relations number in the hundreds even at billion-entity
         # scale — the same argument that broadcast-joins the label table
@@ -587,9 +652,15 @@ class RelationalTransETrainer:
                         )
 
                 _tA = _time.time()
+                # fold partitioned on id ALONE (not (kind, id)): the
+                # fold handles multiple kinds per partition anyway, and
+                # id-keying aligns the delta rows with the id-hash
+                # layout every other entity-sized exchange uses — the
+                # same key the update join redistributes on (r08,
+                # VERDICT r07 ask #1)
                 folded = (
                     g.mapInArrow(_kernel, "id long, kind string, delta array<double>")
-                    .repartition(32, "kind", "id")
+                    .repartition(self._n_part, "id")
                     .mapInArrow(_fold_by_kind_id, "id long, kind string, delta array<double>")
                     .localCheckpoint()
                 )
@@ -662,9 +733,28 @@ class RelationalTransETrainer:
                 new_ent = ent.join(d_side, "id", "left").mapInArrow(
                     _make_update(renorm=True), "id long, vec array<double>"
                 )
-                # truncate lineage: the loop must not grow the plan
                 _tA = _time.time()
-                ent = new_ent.localCheckpoint()
+                if self._broadcast_model:
+                    # truncate lineage: the loop must not grow the plan
+                    ent = new_ent.localCheckpoint()
+                else:
+                    # shuffled regime: mapInArrow erases partitioning
+                    # metadata (MapInBatchExec reports Unknown), so
+                    # re-pin the new generation with repartition+cache;
+                    # unpersist the previous generation only AFTER the
+                    # new one is materialized (it reads from it).
+                    # Periodically slip a LAZY localCheckpoint under
+                    # the repartition to truncate the growing logical
+                    # tree (the cache preserves partitioning on top;
+                    # the leaf costs one extra materialization).
+                    src = new_ent
+                    batches_since_truncate += 1
+                    if batches_since_truncate >= self.lineage_truncate_every:
+                        src = new_ent.localCheckpoint(eager=False)
+                        batches_since_truncate = 0
+                    prev = ent
+                    ent = _pin_entity(src)
+                    prev.unpersist()
                 self.phase_times["delta_ent_update"] += _time.time() - _tA
             self.loss_history.append(epoch_loss)
             self.epoch_times.append(_time.time() - _t0)
