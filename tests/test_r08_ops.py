@@ -272,3 +272,83 @@ def test_cross_source_dup_matrix_counts(spark):
     got = {(r["source_a"], r["source_b"]): r["dup_pairs"]
            for r in cross_source_dup_matrix(df).collect()}
     assert got == {("a", "a"): 3, ("a", "b"): 3, ("b", "c"): 1}
+
+
+def test_kcore_peel_cascades_on_path_graph(spark):
+    """Path graph 0-1-2-...-9 with k=2: endpoints (degree 1) peel off
+    one PER ROUND from each end — the cascading-removal case the fixed
+    trading-graph face can't show. After r rounds the path loses r
+    nodes per side; a triangle welded to the middle survives forever."""
+    from transe_pyspark_spark.operators.graph import kcore_peel
+
+    path = [(i, i + 1) for i in range(9)]          # 0..9 path
+    tri = [(4, 100), (100, 101), (101, 4), (100, 5)]  # clique-ish anchor at 4-5
+    edges = spark.createDataFrame(path + tri, "src long, dst long")
+    for rounds, lost_per_side in ((1, 1), (2, 2), (3, 3)):
+        got = {r["node"] for r in kcore_peel(edges, k=2, rounds=rounds).collect()}
+        want = set(range(0 + rounds, 10 - rounds)) | {100, 101}
+        assert got == want, (rounds, sorted(got))
+    # cache hygiene: default eager_cleanup leaves nothing pinned
+    spark.catalog.clearCache()
+    kcore_peel(edges, k=2, rounds=2).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_daily_count_correlation_known_values(spark):
+    """Hand-checked Pearson r incl. zero-filled gap days, and the
+    degenerate zero-variance NULL case."""
+    import numpy as np
+
+    from transe_pyspark_spark.operators.sequences import daily_count_correlation
+
+    t0 = dt.datetime(2024, 7, 1)
+    rows = []
+    # day 0: 3 views, 1 purchase; day 1: 1 view; day 3: 2v 2p (day 2 = gap)
+    rows += [(t0, "view")] * 3 + [(t0, "purchase")]
+    rows += [(t0 + dt.timedelta(days=1), "view")]
+    rows += [(t0 + dt.timedelta(days=3), "view")] * 2
+    rows += [(t0 + dt.timedelta(days=3), "purchase")] * 2
+    rows += [(t0, "error")]  # other types never counted
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    r = daily_count_correlation(df, "view", "purchase").collect()[0]
+    assert (r["n_days"], r["sum_x"], r["sum_y"]) == (4, 6, 3)
+    x, y = np.array([3, 1, 0, 2]), np.array([1, 0, 0, 2])
+    assert abs(r["r"] - float(np.corrcoef(x, y)[0, 1])) < 1e-12
+
+    # constant y → zero variance → NULL r
+    df2 = spark.createDataFrame(
+        [(t0, "view"), (t0 + dt.timedelta(days=1), "view")],
+        "ts timestamp, event_type string",
+    )
+    assert daily_count_correlation(df2, "view", "purchase").collect()[0]["r"] is None
+
+
+def test_top_event_paths_matches_python_model(spark):
+    """Random log: top-k 3-paths equal a per-user python sliding
+    window with (ts, id) ordering and (n desc, path asc) tie-break."""
+    import random
+
+    from transe_pyspark_spark.operators.sequences import top_event_paths
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 7, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=rng.randrange(60)), rng.randrange(15),
+         rng.choice("abc"))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = [(r["path"], r["n"]) for r in top_event_paths(df, path_len=3, top_k=5).collect()]
+
+    by_user: dict[int, list] = {}
+    for eid, ts, u, t in rows:
+        by_user.setdefault(u, []).append((ts, eid, t))
+    counts: dict[str, int] = {}
+    for evs in by_user.values():
+        evs.sort()
+        types = [t for _, _, t in evs]
+        for i in range(len(types) - 2):
+            p = ">".join(types[i : i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == want

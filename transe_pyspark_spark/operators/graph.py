@@ -281,3 +281,82 @@ def copurchase_pairs(
         .orderBy(F.col("n_baskets").desc(), "item_a", "item_b")
         .limit(top_k)
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Fixed-round k-core peeling of the UNDIRECTED simple graph:
+    each round drops every node whose current degree is below ``k``
+    (and the edges touching it), ``rounds`` times — the standard
+    spam-subgraph / cohesive-community screen. A fixed round count
+    (like ``pagerank_integer``'s fixed iterations) keeps the result a
+    pure function of the edge set and lets a round-unrolled SQL oracle
+    replay it exactly; on most graphs a handful of rounds reaches the
+    true k-core fixpoint (callers can test convergence by comparing
+    ``rounds`` and ``rounds+1`` outputs).
+
+    Plan per round: one degree hash-agg over the surviving edge set +
+    two semi joins (src side, dst side) against the ≥k-degree node
+    set — all keyed on node ids; nothing quadratic, state is one row
+    per surviving edge. The surviving edge set is re-pinned
+    (repartition-on-src + cache, the pagerank partitioning pattern)
+    each round so the next round's degree agg and semi joins reuse one
+    partitioning, and the previous generation is unpersisted as soon
+    as its successor materializes.
+
+    Returns (node, degree) for nodes surviving all rounds, with their
+    degree inside the surviving subgraph.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"k and rounds must be >= 1, got k={k}, rounds={rounds}")
+    F_ = F
+    a = F_.least(F_.col(src), F_.col(dst))
+    b = F_.greatest(F_.col(src), F_.col(dst))
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def pin(df: DataFrame) -> DataFrame:
+        out = df.repartition(n_part, "a").cache()
+        out.count()
+        return out
+
+    und = pin(
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F_.col("a") != F_.col("b"))
+        .distinct()
+    )
+    pinned = [und]
+    for _ in range(rounds):
+        deg = (
+            und.select(F_.col("a").alias("n"))
+            .unionAll(und.select(F_.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F_.count(F_.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.filter(F_.col("d") >= k).select("n")
+        nxt = pin(
+            und.join(keep.select(F_.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F_.col("n").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        pinned.append(nxt)
+        und = nxt
+    out = (
+        und.select(F_.col("a").alias("node"))
+        .unionAll(und.select(F_.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F_.count(F_.lit(1)).cast("long").alias("degree"))
+    )
+    if not eager_cleanup:
+        # lazy mode (plan inspection): every round's cached edge set
+        # stays pinned for the life of the session
+        return out
+    out = out.localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
+    return out

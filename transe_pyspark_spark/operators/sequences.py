@@ -201,3 +201,114 @@ def ab_conversion_ztest(
         r1.alias("rate1"),
         F.when(se > 0, (r1 - r0) / se).alias("z"),
     )
+
+
+def daily_count_correlation(
+    events: DataFrame,
+    type_x: str,
+    type_y: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Pearson correlation between the DAILY COUNTS of two event types
+    over the observed day range — the do-views-drive-purchases screen.
+    Days with neither type still count as (0, 0) points: the day axis
+    is the span min(day)..max(day) over either type, so the statistic
+    is a pure function of the data, not of which days happen to appear.
+
+    Float parity: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT
+    BIGINT — counts are integers, so nothing is summed in floating
+    point — and r is one fixed dag of IEEE ops over those integers
+    (sqrt is correctly rounded; no libm), hash-checkable cross-engine
+    where a streamed ``corr()`` aggregate is summation-order-dependent.
+
+    Plan: one (day) hash-agg over the two filtered types (conditional
+    sums — a single pass), a ≤days-row day-spine explode from the
+    1-row min/max aggregate, a broadcast join of counts onto the
+    spine, and a 1-row moment rollup. Nothing scales beyond the day
+    count after the first aggregate.
+
+    Returns ONE row: (n_days, sum_x, sum_y, r).
+    """
+    d = F.to_date(F.col(ts_col))
+    tx, ty = F.col(type_col) == type_x, F.col(type_col) == type_y
+    per_day = (
+        events.filter(tx | ty)
+        .groupBy(d.alias("__d"))
+        .agg(
+            F.sum(F.when(tx, 1).otherwise(0)).cast("long").alias("__x"),
+            F.sum(F.when(ty, 1).otherwise(0)).cast("long").alias("__y"),
+        )
+    )
+    spine = (
+        per_day.agg(F.min("__d").alias("__d0"), F.max("__d").alias("__d1"))
+        .select(F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias("__d"))
+    )
+    filled = spine.join(per_day, "__d", "left").select(
+        F.coalesce(F.col("__x"), F.lit(0)).alias("__x"),
+        F.coalesce(F.col("__y"), F.lit(0)).alias("__y"),
+    )
+    m = filled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__x").cast("long").alias("sum_x"),
+        F.sum("__y").cast("long").alias("sum_y"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+    )
+    # moment products in decimal(38,0): n·Σx² and Σx·Σy overflow
+    # BIGINT long before the day counts get big (DuckDB's HUGEINT sums
+    # take the same exact-128-bit road); ONE double cast at the end
+    def d38(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (d38("n_days") * d38("__sxy") - d38("sum_x") * d38("sum_y")).cast("double")
+    vx = (d38("n_days") * d38("__sxx") - d38("sum_x") * d38("sum_x")).cast("double")
+    vy = (d38("n_days") * d38("__syy") - d38("sum_y") * d38("sum_y")).cast("double")
+    return m.select(
+        "n_days",
+        "sum_x",
+        "sum_y",
+        F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))).alias("r"),
+    )
+
+
+def top_event_paths(
+    events: DataFrame,
+    path_len: int = 3,
+    top_k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common length-``path_len`` consecutive event-type paths
+    across users (sliding window over each user's deterministically
+    ordered stream) — the path-analysis view behind "what do users do
+    right before purchasing".
+
+    Plan: ONE user-key shuffle for the lag windows (all ``path_len-1``
+    lags share one window sort), a path hash-agg, and a global top-k
+    via sort-limit — Spark plans TakeOrderedAndProject (per-partition
+    O(k) heaps merged on the driver), so no global sort materializes.
+    Ties break on the path string for determinism.
+
+    Returns (path, n) — exactly ``top_k`` rows (fewer on tiny data).
+    """
+    if path_len < 2:
+        raise ValueError(f"path_len must be >= 2, got {path_len}")
+    u, t = F.col(user_col), F.col(ts_col)
+    w = Window.partitionBy(u).orderBy(t.asc(), F.col(id_col).asc())
+    steps = [F.lag(F.col(type_col), path_len - 1 - i).over(w) for i in range(path_len)]
+    with_path = events.select(
+        F.when(
+            steps[0].isNotNull(),  # lags shorter than the window are NULL
+            F.concat_ws(">", *steps),
+        ).alias("__path")
+    ).filter(F.col("__path").isNotNull())
+    return (
+        with_path.groupBy(F.col("__path").alias("path"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_k)
+    )

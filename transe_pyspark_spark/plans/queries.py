@@ -4937,6 +4937,113 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_dup_matrix(corpus)
 
 
+@_register(
+    "kcore_trading_graph",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT o_custkey AS a, 10000000 + l_suppkey AS b
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    d0 AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+    k0 AS (SELECT n FROM d0 WHERE deg >= 10),
+    e1 AS (SELECT e.a, e.b FROM e0 e JOIN k0 x ON e.a = x.n JOIN k0 y ON e.b = y.n),
+    d1 AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+    k1 AS (SELECT n FROM d1 WHERE deg >= 10),
+    e2 AS (SELECT e.a, e.b FROM e1 e JOIN k1 x ON e.a = x.n JOIN k1 y ON e.b = y.n),
+    d2 AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+    k2 AS (SELECT n FROM d2 WHERE deg >= 10),
+    e3 AS (SELECT e.a, e.b FROM e2 e JOIN k2 x ON e.a = x.n JOIN k2 y ON e.b = y.n)
+    SELECT n AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1
+    """,
+    tags=("graph", "iterative"),
+)
+def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three peeling rounds of the 10-core over the customer↔supplier
+    trading graph (nodes with current degree < 10 drop each round,
+    edges with them) — fixed rounds keep the result a pure function of
+    the edge set, replayed by a 3×-unrolled SQL oracle (the
+    pagerank_trading_graph pattern). Cascading multi-round removal is
+    pinned separately by the path-graph pytest."""
+    from transe_pyspark_spark.operators.graph import kcore_peel
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=10, rounds=3)
+
+
+@_register(
+    "daily_corr_view_purchase",
+    oracle="""
+    WITH pd AS (SELECT CAST(ts AS DATE) AS d,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+    sp AS (SELECT CAST(s AS DATE) AS d FROM (
+               SELECT unnest(generate_series(CAST(min(d) AS TIMESTAMP),
+                                             CAST(max(d) AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS s FROM pd)),
+    f AS (SELECT coalesce(pd.x, 0) AS x, coalesce(pd.y, 0) AS y
+          FROM sp LEFT JOIN pd ON sp.d = pd.d),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(y * y) AS HUGEINT) AS syy FROM f)
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(sx AS BIGINT) AS sum_x,
+           CAST(sy AS BIGINT) AS sum_y,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS r
+    FROM m
+    """,
+    tags=("events", "agg", "analytics"),
+)
+def q_daily_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between daily view and purchase counts over
+    the full observed day span (zero-filled gaps): every moment is an
+    exact integer (decimal-128 products both engines), r is one fixed
+    IEEE dag — deterministic where a streamed corr() aggregate is
+    summation-order-dependent."""
+    from transe_pyspark_spark.operators.sequences import daily_count_correlation
+
+    return daily_count_correlation(_T(spark, sf_dir, "events"), "view", "purchase")
+
+
+@_register(
+    "top_event_paths",
+    oracle="""
+    WITH p AS (SELECT lag(event_type, 2) OVER w AS l2,
+                      lag(event_type, 1) OVER w AS l1,
+                      event_type AS l0
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT concat_ws('>', l2, l1, l0) AS path, CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE l2 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+    tags=("events", "sequence", "analytics"),
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-event consecutive paths across users under
+    the deterministic (ts, event_id) order — one user-key window sort
+    shared by both lags, a path hash-agg, and a TakeOrderedAndProject
+    top-k (per-task O(k) heaps, no global sort)."""
+    from transe_pyspark_spark.operators.sequences import top_event_paths
+
+    return top_event_paths(_T(spark, sf_dir, "events"), path_len=3, top_k=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5245,6 +5352,12 @@ _OVERFLOW_ORACLE = [
                                  # distinct-user counts
     "cross_source_dup_matrix",   # duplicate-pair counts per source
                                  # pair from the fingerprint groups
+    "kcore_trading_graph",       # fixed-round k-core peel, 3×-unrolled
+                                 # SQL oracle (pagerank pattern)
+    "daily_corr_view_purchase",  # exact-integer-moment Pearson r of
+                                 # daily type counts, zero-filled spine
+    "top_event_paths",           # top-10 consecutive 3-event paths,
+                                 # one shared window sort + top-k heap
 ]
 
 
