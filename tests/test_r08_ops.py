@@ -352,3 +352,40 @@ def test_top_event_paths_matches_python_model(spark):
             counts[p] = counts.get(p, 0) + 1
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert got == want
+
+
+def test_cusum_changepoint_detects_level_shift(spark):
+    """Synthetic step series: 5 days at ~2/day then 5 days at ~8/day —
+    the CUSUM argmax lands on the last low-level day, gap days count
+    as zero, and the range matches the python model exactly."""
+    from transe_pyspark_spark.operators.sequences import cusum_changepoint
+
+    t0 = dt.datetime(2024, 7, 1)
+    rows = []
+    for day in range(10):
+        n = 2 if day < 5 else 8
+        if day == 2:
+            n = 0  # gap day: no rows at all, spine must zero-fill
+        rows += [(t0 + dt.timedelta(days=day, hours=h), "a") for h in range(n)]
+    rows += [(t0, "b"), (t0 + dt.timedelta(days=9), "b")]  # flat type
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {r["event_type"]: r for r in cusum_changepoint(df).collect()}
+
+    # python model for type a
+    xs = [2, 2, 0, 2, 2, 8, 8, 8, 8, 8]
+    n, tot = len(xs), sum(xs)
+    cx = 0
+    ns = []
+    for i, x in enumerate(xs, start=1):
+        cx += x
+        ns.append(cx * n - i * tot)
+    m = max(abs(v) for v in ns)
+    change_idx = min(i for i, v in enumerate(ns) if abs(v) == m)
+    a = got["a"]
+    assert a["n_days"] == n and a["total"] == tot
+    assert a["change_day"] == (t0 + dt.timedelta(days=change_idx)).date()
+    assert a["cusum_range"] == (max(ns) - min(ns)) / n
+    # the shift really is detected at the regime boundary (day 4)
+    assert change_idx == 4
+    b = got["b"]
+    assert b["n_days"] == 10 and b["total"] == 2

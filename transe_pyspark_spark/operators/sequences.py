@@ -312,3 +312,90 @@ def top_event_paths(
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(top_k)
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per event type, a CUSUM level-shift screen over the DAILY count
+    series: with x_d the day-d count and x̄ the series mean, the
+    cumulative sum S_d = Σ_{i≤d} (x_i − x̄) peaks where the level
+    shifts; the report carries the peak |S_d| day (the candidate
+    change point) and the CUSUM range max(S)−min(S) — the classic
+    pre-sequential-test triage for "did this metric's level move".
+
+    Everything stays EXACT integers until the final columns: with
+    n·S_d = n·Σx_i − d·Σx (scaled by the day count n to avoid the
+    fractional mean), the scaled cusum is a BIGINT, its argmax-|·| day
+    is deterministic (ties → earliest day), and the reported
+    ``cusum_range`` = (max−min)/n is one IEEE division. Zero-count
+    gap days participate via a generated day spine, so the series is
+    a pure function of the data.
+
+    Plan: one (type, day) hash-agg, a per-type day-spine explode from
+    the 1-row global min/max day aggregate crossed with the ≤|types|
+    distinct-type table (both broadcast), ONE type-keyed window sort
+    for the running sum, and a per-type max_by rollup. Nothing beyond
+    the (type, day) grid after the first aggregate.
+
+    Returns one row per event type: (event_type, n_days, total,
+    change_day, cusum_range).
+    """
+    d = F.to_date(F.col(ts_col))
+    per = (
+        events.groupBy(F.col(type_col).alias("__t"), d.alias("__d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    )
+    span = per.agg(F.min("__d").alias("__d0"), F.max("__d").alias("__d1"))
+    types = per.select("__t").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(span))
+        .select("__t", F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias("__d"))
+    )
+    filled = spine.join(per, ["__t", "__d"], "left").select(
+        "__t", "__d", F.coalesce(F.col("__x"), F.lit(0)).cast("long").alias("__x")
+    )
+    w = Window.partitionBy("__t").orderBy("__d")
+    w_all = Window.partitionBy("__t")
+    cum = filled.select(
+        "__t",
+        "__d",
+        F.sum("__x").over(w).alias("__cx"),          # Σ_{i<=d} x_i
+        F.sum("__x").over(w_all).alias("__tot"),     # Σ x (per type)
+        F.count(F.lit(1)).over(w_all).alias("__n"),  # n days
+        F.row_number().over(w).alias("__i"),
+    ).select(
+        "__t",
+        "__d",
+        "__tot",
+        "__n",
+        # n·S_d — exact BIGINT (decimal(38) product headroom at scale)
+        (
+            F.col("__cx").cast("decimal(38,0)") * F.col("__n").cast("decimal(38,0)")
+            - F.col("__i").cast("decimal(38,0)") * F.col("__tot").cast("decimal(38,0)")
+        ).alias("__ns"),
+    )
+    stats = cum.groupBy("__t").agg(
+        F.max("__n").cast("long").alias("n_days"),
+        F.max("__tot").cast("long").alias("total"),
+        F.max(F.abs(F.col("__ns"))).alias("__m"),
+        ((F.max("__ns") - F.min("__ns")).cast("double") / F.max("__n").cast("double")).alias("cusum_range"),
+    )
+    # earliest day attaining the max |n·S| — a deterministic argmax as
+    # a ≤|types|-row broadcast join back (identical cross-engine where
+    # struct-ordered arg-extremes differ in tie handling)
+    change = (
+        cum.join(F.broadcast(stats.select("__t", "__m")), "__t")
+        .filter(F.abs(F.col("__ns")) == F.col("__m"))
+        .groupBy("__t")
+        .agg(F.min("__d").alias("change_day"))
+    )
+    return stats.join(change, "__t").select(
+        F.col("__t").alias(type_col),
+        "n_days",
+        "total",
+        "change_day",
+        "cusum_range",
+    )

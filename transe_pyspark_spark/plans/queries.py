@@ -5044,6 +5044,54 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_event_paths(_T(spark, sf_dir, "events"), path_len=3, top_k=10)
 
 
+@_register(
+    "cusum_change_events",
+    oracle="""
+    WITH per AS (SELECT event_type AS t, CAST(ts AS DATE) AS d,
+                        CAST(count(*) AS BIGINT) AS x
+                 FROM events GROUP BY 1, 2),
+    span AS (SELECT min(d) AS d0, max(d) AS d1 FROM per),
+    types AS (SELECT DISTINCT t FROM per),
+    sp0 AS (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                          CAST(d1 AS TIMESTAMP),
+                                          INTERVAL 1 DAY)) AS g FROM span),
+    spine AS (SELECT t, CAST(g AS DATE) AS d FROM types CROSS JOIN sp0),
+    filled AS (SELECT spine.t, spine.d, coalesce(per.x, 0) AS x
+               FROM spine LEFT JOIN per ON per.t = spine.t AND per.d = spine.d),
+    cum AS (SELECT t, d,
+                   sum(x) OVER (PARTITION BY t ORDER BY d) AS cx,
+                   sum(x) OVER (PARTITION BY t) AS tot,
+                   count(*) OVER (PARTITION BY t) AS n,
+                   row_number() OVER (PARTITION BY t ORDER BY d) AS i
+            FROM filled),
+    ns AS (SELECT t, d, tot, n,
+                  CAST(cx AS HUGEINT) * n - CAST(i AS HUGEINT) * tot AS ns
+           FROM cum),
+    stats AS (SELECT t, CAST(max(n) AS BIGINT) AS n_days,
+                     CAST(max(tot) AS BIGINT) AS total,
+                     max(abs(ns)) AS m,
+                     CAST(max(ns) - min(ns) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                       AS cusum_range
+              FROM ns GROUP BY 1),
+    chg AS (SELECT ns.t, min(ns.d) AS change_day
+            FROM ns JOIN stats ON ns.t = stats.t AND abs(ns.ns) = stats.m
+            GROUP BY 1)
+    SELECT stats.t AS event_type, n_days, total, change_day, cusum_range
+    FROM stats JOIN chg ON stats.t = chg.t
+    """,
+    tags=("events", "timeseries", "analytics"),
+)
+def q_cusum_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM level-shift screen over the daily count series:
+    the scaled cusum n·S_d stays an exact decimal-128 integer, the
+    change-point day is the earliest argmax of |n·S|, and only the
+    reported range pays one IEEE division — deterministic where a
+    float CUSUM would drift per engine."""
+    from transe_pyspark_spark.operators.sequences import cusum_changepoint
+
+    return cusum_changepoint(_T(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5358,6 +5406,8 @@ _OVERFLOW_ORACLE = [
                                  # daily type counts, zero-filled spine
     "top_event_paths",           # top-10 consecutive 3-event paths,
                                  # one shared window sort + top-k heap
+    "cusum_change_events",       # exact-integer CUSUM level-shift
+                                 # screen, earliest-argmax change day
 ]
 
 
