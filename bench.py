@@ -108,6 +108,10 @@ SF1_HEADLINE = [
     "funnel_ordered_steps",
     "decayed_user_scores",
     "seasonal_anomaly_events",
+    # r08 second wave at 10x: the user-key window over the full event
+    # log (transitions) and the shared-sort top-k path mining
+    "event_transitions",
+    "top_event_paths",
 ]
 
 

@@ -278,6 +278,21 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "one max-day broadcast + ONE user hash-agg; the integer "
         "half-life shift needs no window and no second shuffle",
     ),
+    "top_event_paths": (
+        ["TakeOrderedAndProject", "Window"],
+        "one user-key window sort shared by every lag; global top-k is "
+        "TakeOrderedAndProject (per-task O(k) heaps) — no global sort",
+    ),
+    "cross_source_dup_matrix": (
+        ["xxhash64", "HashAggregate"],
+        "per-(group, source) counts keyed on the text fingerprint; the "
+        "self-join and rollup touch count rows only, never documents",
+    ),
+    "event_transitions": (
+        ["Window", "HashAggregate"],
+        "one user-key lag window; pair counts and totals are "
+        "|types|²-sized rollups with the totals broadcast back",
+    ),
     "dedup_bursts_events": (
         ["Window", "Filter"],
         "burst collapse is ONE key-partitioned lag window + a narrow "
@@ -494,6 +509,25 @@ MAX_EXCHANGES = {
     "funnel_ordered_steps": 9,
     # max-day broadcast + one user hash-agg
     "decayed_user_scores": 2,
+    # second r08 wave: the sequence-analytics faces
+    # one user-key lag window + pair agg + tiny totals broadcast back
+    "event_transitions": 5,
+    # per-user start agg + convert join/agg (user partitioning reused)
+    # + cohort percentile rollup
+    "time_to_convert_weekly": 4,
+    # two distinct-user aggs + arm rollup + the 1x1 statistic cross
+    "ab_conversion_ztest": 6,
+    # fingerprint-keyed (fp, source) agg + fp self-join + pair rollup
+    "cross_source_dup_matrix": 3,
+    # one user-key window sort + path agg; top-k is
+    # TakeOrderedAndProject (per-task heaps), NOT a global sort
+    "top_event_paths": 2,
+    # (type, day) agg + spine join + type window + stats/argmax
+    # rollups (the cum subtree appears twice statically; AQE stage
+    # reuse dedups it at runtime)
+    "cusum_change_events": 9,
+    # (day) conditional agg + spine + 1-row moment rollup
+    "daily_corr_view_purchase": 2,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
@@ -534,6 +568,11 @@ SF1_STABLE = [
     "funnel_ordered_steps",
     "decayed_user_scores",
     "seasonal_anomaly_events",
+    # r08 second wave: the window-heavy sequence faces — 10x events
+    # must keep the single user-key window sort / top-k heap shapes
+    "event_transitions",
+    "top_event_paths",
+    "cusum_change_events",
 ]
 
 
