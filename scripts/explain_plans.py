@@ -490,8 +490,10 @@ MAX_EXCHANGES = {
     "dedup_bursts_events": 1,
     # cached canonical + cached degree-ORIENTED edge sets (build
     # exchanges counted once each, incl. the two degree joins of the
-    # orientation) + wedge/closing join re-keys + the 1-row aggregates;
-    # sf1 plans 16 when AQE keeps more joins shuffled
+    # orientation and the r08 repartition-on-u that feeds the oriented
+    # cache so the wedge self-join reads ONE u-partitioned relation
+    # from both sides) + closing-join re-keys + the 1-row aggregates;
+    # sf1 plans up to 16 when AQE keeps more joins shuffled
     "triangle_stats_parts": 16,
     # right-side (key, ts) collapse + the union-window key shuffle
     "nearest_click_purchase": 2,

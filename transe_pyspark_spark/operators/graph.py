@@ -203,6 +203,14 @@ def triangle_stats(
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("__da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("__db"))
     a_first = F.col("__da") <= F.col("__db")
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # repartition the ORIENTED set on its source key before caching
+    # (r08): u is a DERIVED column, so the cached join output carries
+    # no useful partitioning — without this the wedge self-join
+    # e1(u,y) ⨝ e2(u,z) re-Exchanged ornt on u TWICE (once per side);
+    # with it, both sides read the one u-partitioned cache and the
+    # wedge join plans no Exchange at all (the InMemoryRelation
+    # partitioning-preservation pattern from pagerank_integer)
     ornt = (
         und.join(da, "a")
         .join(db, "b")
@@ -210,6 +218,7 @@ def triangle_stats(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
         )
+        .repartition(n_part, "u")
         .cache()
     )
     e1 = ornt.select("u", F.col("w").alias("y"))
