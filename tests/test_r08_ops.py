@@ -389,3 +389,32 @@ def test_cusum_changepoint_detects_level_shift(spark):
     assert change_idx == 4
     b = got["b"]
     assert b["n_days"] == 10 and b["total"] == 2
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    """A 40-file directory compacts to the computed file count with
+    identical data (order-insensitive), and the staged swap leaves no
+    temp directory behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.sources.readers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).select("id", (F.col("id") * 3).alias("v"))
+    df.repartition(40).write.parquet(path)
+    n_before = sum(f.startswith("part-") for f in os.listdir(path))
+    assert n_before == 40
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30, min_files=2)
+    assert stats["files_before"] == 40 and stats["files_after"] == 2
+    n_after = sum(f.startswith("part-") for f in os.listdir(path))
+    assert n_after == 2
+    assert not os.path.exists(os.path.join(path, "__compact_tmp"))
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(i * 3 for i in range(10_000))
+    # schema preserved
+    assert [f.name for f in back.schema.fields] == ["id", "v"]

