@@ -290,8 +290,9 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
     ),
     "event_transitions": (
         ["Window", "HashAggregate"],
-        "one user-key lag window; pair counts and totals are "
-        "|types|²-sized rollups with the totals broadcast back",
+        "one user-key lag window over the log; the per-source totals "
+        "are a window over the |types|²-row aggregate — never a "
+        "second pass over the log",
     ),
     "dedup_bursts_events": (
         ["Window", "Filter"],
@@ -512,8 +513,10 @@ MAX_EXCHANGES = {
     # max-day broadcast + one user hash-agg
     "decayed_user_scores": 2,
     # second r08 wave: the sequence-analytics faces
-    # one user-key lag window + pair agg + tiny totals broadcast back
-    "event_transitions": 5,
+    # one user-key lag window + pair agg + the tiny totals window over
+    # the post-aggregate (r08: the broadcast-join form re-executed the
+    # whole window subtree as the build job — 13.8 s -> 1.5 s at sf1)
+    "event_transitions": 3,
     # per-user start agg + convert join/agg (user partitioning reused)
     # + cohort percentile rollup
     "time_to_convert_weekly": 4,

@@ -418,3 +418,35 @@ def test_compact_parquet_rewrites_small_files(spark, tmp_path):
     assert back.agg(F.sum("v")).collect()[0][0] == sum(i * 3 for i in range(10_000))
     # schema preserved
     assert [f.name for f in back.schema.fields] == ["id", "v"]
+
+
+def test_kcore_peel_fuzz_vs_python(spark):
+    """Random graphs at several k: the fixed-round peel equals a python
+    simulation of the same per-round rule (drop nodes with degree < k,
+    then their edges)."""
+    import random
+
+    from transe_pyspark_spark.operators.graph import kcore_peel
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n, m = 40, 90
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        for k in (2, 3):
+            rounds = 3
+            got = {r["node"]: r["degree"] for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+
+            und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+            for _ in range(rounds):
+                deg: dict[int, int] = {}
+                for a, b in und:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {v for v, d in deg.items() if d >= k}
+                und = {(a, b) for a, b in und if a in keep and b in keep}
+            want: dict[int, int] = {}
+            for a, b in und:
+                want[a] = want.get(a, 0) + 1
+                want[b] = want.get(b, 0) + 1
+            assert got == want, (trial, k)

@@ -58,16 +58,21 @@ def transition_counts(
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    # per-source totals: |types|-row aggregate, broadcast back
-    totals = counts.groupBy("from_type").agg(F.sum("n").cast("long").alias("__tot"))
-    return (
-        counts.join(F.broadcast(totals), "from_type")
-        .select(
-            "from_type",
-            "to_type",
-            "n",
-            (F.col("n").cast("double") / F.col("__tot").cast("double")).alias("p_from"),
-        )
+    # per-source totals as a window over the |types|²-row AGGREGATE —
+    # not a broadcast join of a counts-derived table: the broadcast
+    # build side executed as its own job and re-ran the whole
+    # window+agg subtree a second time (measured 13.8 s → 2.5 s at sf1).
+    # A from_type-partitioned window here is NOT the group-cardinality
+    # trap: it runs over the tiny post-aggregate table, never the log.
+    w_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_tot).cast("double")
+        ).alias("p_from"),
     )
 
 
@@ -154,7 +159,10 @@ def ab_conversion_ztest(
     2-row rollup crossed into the 1-row statistic. Nothing scales with
     more than the distinct-user count.
 
-    Returns ONE row: (n0, conv0, rate0, n1, conv1, rate1, z).
+    Returns ONE row: (n0, conv0, rate0, n1, conv1, rate1, z) — or ZERO
+    rows when either arm has no exposed users (the 1×1 cross of the
+    two arm tables is empty); callers wanting a NULL-padded row instead
+    outer-join the two single-row frames themselves.
     """
     u = F.col(user_col)
     exposed = (
