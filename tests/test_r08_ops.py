@@ -450,3 +450,61 @@ def test_kcore_peel_fuzz_vs_python(spark):
                 want[a] = want.get(a, 0) + 1
                 want[b] = want.get(b, 0) + 1
             assert got == want, (trial, k)
+
+
+def test_group_percent_rank_matches_python_and_partitioning(spark):
+    """Random (group, value) rows incl. ties and a singleton group:
+    pr equals the (value, id)-ordered python model and is invariant
+    under input repartitioning (the frozen range-partition contract)."""
+    import random
+
+    from transe_pyspark_spark.operators.relational import group_percent_rank
+
+    rng = random.Random(41)
+    rows = [(rng.choice("xyz"), rng.randrange(10), i) for i in range(300)]
+    rows.append(("solo", 7, 999))
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {r["id"]: r["pr"] for r in group_percent_rank(df, "g", "v", "id").collect()}
+    got_rep = {
+        r["id"]: r["pr"]
+        for r in group_percent_rank(df.repartition(7), "g", "v", "id").collect()
+    }
+    assert got == got_rep
+
+    by_g: dict[str, list] = {}
+    for g, v, i in rows:
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        for pos, (_, i) in enumerate(vs, start=1):
+            want[i] = (pos - 1) / (n - 1) if n > 1 else 0.0
+    assert got == want
+    assert got[999] == 0.0  # singleton group
+
+
+def test_oov_rates_matches_python_model(spark):
+    """Small corpus with a forced vocab cut: rates equal a python model
+    using the same (freq desc, token asc) top-k rule."""
+    from transe_pyspark_spark.functions.text import oov_rates
+
+    docs = [
+        (1, "aa aa bb cc"),
+        (2, "bb bb dd"),
+        (3, "ee"),
+        (4, "  AA   bb  "),  # case/whitespace normalization
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rates(df, vocab_size=2).collect()
+    }
+    # freqs: aa=3, bb=4, cc=1, dd=1, ee=1 → top-2 = {bb, aa}
+    model_vocab = {"bb", "aa"}
+    want = {}
+    for did, text in docs:
+        ws = [w for w in text.lower().strip().split() if w]
+        oov = sum(1 for w in ws if w not in model_vocab)
+        want[did] = (len(ws), oov, oov / len(ws))
+    assert got == want

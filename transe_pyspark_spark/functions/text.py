@@ -444,3 +444,57 @@ def doc_keywords(
         .filter(F.col("kw_rank") <= k)
         .select(id_col, "term", "tf", "df", F.round("lift", 6).alias("lift"), "kw_rank")
     )
+
+
+def oov_rates(
+    docs: "DataFrame",
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` word vocabulary — the tokenizer-coverage screen
+    run before fixing a vocab (docs with high OOV under the candidate
+    vocab are the ones a tokenizer will shred into bytes). Tokens are
+    lowercased ``words()`` (the ``token_frequencies`` tokenization);
+    the vocabulary is the ``vocab_size`` most frequent tokens with the
+    deterministic (freq desc, token asc) tie order.
+
+    Plan: one token hash-agg over the exploded stream builds the
+    frequency table; the top-k cut is a sort-limit (per-task heaps);
+    the ≤vocab_size vocabulary broadcasts back as a LEFT join flag over
+    the token stream (map-side probe — the stream never shuffles by
+    token again); per-doc rates are one doc-key hash-agg. The
+    vocabulary build's exchange map stage is shared with nothing
+    expensive above it, so the two passes over the token stream cost
+    two narrow scans, not two shuffles.
+
+    Returns (doc_id, n_tokens, n_oov, oov_rate); documents with zero
+    tokens are absent (no rate to report).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("__w")
+    )
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .orderBy(F.col("__freq").desc(), F.col("__w"))
+        .limit(int(vocab_size))
+        .select("__w", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias("oov_rate"),
+        )
+    )

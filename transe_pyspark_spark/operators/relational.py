@@ -1438,3 +1438,64 @@ def gini_concentration(
         "total_cents",
         F.when(den != 0, num.cast("double") / den).alias("gini"),
     )
+
+
+def group_percent_rank(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Normalized in-group rank — the rank-based feature transform
+    (quantile normalization input): each row gets
+    ``(i − 1) / (n − 1)`` where ``i`` is its 1-based position under the
+    deterministic ``(value, id)`` order within its group and ``n`` the
+    group size (0.0 for singleton groups). Row-number semantics (ties
+    take distinct quantiles via the id tiebreak), so the output is a
+    pure function of the data and hash-checks against a plain SQL
+    ``row_number``/``count`` window pair.
+
+    Scale path: the in-group position is NOT a
+    ``Window.partitionBy(group)`` — tiny-cardinality groups (languages,
+    nations) would funnel through one task. It is the
+    ``token_budget_sample``/``gini_concentration`` distributed-prefix
+    pattern: range-repartition by the composite (group, value, id) key
+    with partition identity FROZEN, per-(group, partition) row counts,
+    broadcast exclusive offsets, partition-local row_number. Group
+    sizes come from one more tiny aggregate over the frozen leaf.
+
+    Returns (group, id, value, pr).
+    """
+    n_part = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    part = _frozen_range_partition(base, ["__g", "__v", "__id"], int(n_part))
+    off = _exclusive_offsets(
+        part.groupBy("__g", "__pid").agg(F.count(F.lit(1)).alias("__w")),
+        "__w",
+        partition_cols=["__g"],
+    )
+    sizes = F.broadcast(
+        part.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    w_in = Window.partitionBy("__g", "__pid").orderBy("__v", "__id")
+    return (
+        part.join(off, ["__g", "__pid"])
+        .withColumn("__i", (F.row_number().over(w_in) + F.col("__off")).cast("long"))
+        .join(sizes, "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__id").alias(id_col),
+            F.col("__v").alias(value_col),
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__i") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)).alias("pr"),
+        )
+    )

@@ -5092,6 +5092,63 @@ def q_cusum_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(_T(spark, sf_dir, "events"))
 
 
+@_register(
+    "percent_rank_doc_length",
+    oracle="""
+    WITH r AS (SELECT lang, doc_id, n_chars,
+                      row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS i,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM documents)
+    SELECT lang, doc_id, n_chars,
+           CASE WHEN n > 1 THEN CAST(i - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                ELSE 0.0 END AS pr
+    FROM r
+    """,
+    tags=("agg", "window", "ml-features"),
+)
+def q_percent_rank_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized in-language rank of document length — the rank-based
+    feature transform. The in-group position rides the distributed
+    prefix pattern (range partition + broadcast exclusive counts),
+    never a language-cardinality window; the oracle replays the plain
+    window form at sf0.01."""
+    from transe_pyspark_spark.operators.relational import group_percent_rank
+
+    return group_percent_rank(
+        _T(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id"
+    )
+
+
+@_register(
+    "oov_rate_docs",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                                           x -> x <> '')) AS w
+                 FROM documents),
+    voc AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+            ORDER BY c DESC, w LIMIT 1000)
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM tok LEFT JOIN voc ON tok.w = voc.w
+    GROUP BY 1
+    """,
+    tags=("text", "pipeline"),
+)
+def q_oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-1000 word
+    vocabulary (deterministic freq-desc/token-asc cut) — the
+    tokenizer-coverage screen: one token hash-agg builds the vocab,
+    which broadcasts back as a map-side flag; per-doc rates are one
+    doc-key aggregate."""
+    from transe_pyspark_spark.functions.text import oov_rates
+
+    return oov_rates(_T(spark, sf_dir, "documents"), vocab_size=1000)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5408,6 +5465,10 @@ _OVERFLOW_ORACLE = [
                                  # one shared window sort + top-k heap
     "cusum_change_events",       # exact-integer CUSUM level-shift
                                  # screen, earliest-argmax change day
+    "percent_rank_doc_length",   # rank-based feature transform on the
+                                 # distributed prefix pattern
+    "oov_rate_docs",             # tokenizer-coverage screen vs the
+                                 # corpus's own top-k vocabulary
 ]
 
 
