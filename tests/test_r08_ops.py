@@ -508,3 +508,97 @@ def test_oov_rates_matches_python_model(spark):
         oov = sum(1 for w in ws if w not in model_vocab)
         want[did] = (len(ws), oov, oov / len(ws))
     assert got == want
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: overwriting a partitioned table
+    with a frame that holds only SOME partition values replaces exactly
+    those partitions and leaves the rest intact — the incremental
+    backfill semantics a 100 TB partitioned warehouse depends on
+    (static mode would wipe every partition first)."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.sources.readers import write_parquet
+
+    path = str(tmp_path / "by_day")
+    base = spark.createDataFrame(
+        [(d, i, d * 100 + i) for d in (1, 2, 3) for i in range(10)],
+        "day int, id int, v long",
+    )
+    write_parquet(base, path, partition_by=["day"])
+
+    fixed_day2 = spark.createDataFrame(
+        [(2, i, 9999) for i in range(5)], "day int, id int, v long"
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed_day2.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    back = spark.read.parquet(path)
+    per_day = {
+        r["day"]: (r["n"], r["s"])
+        for r in back.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    # day 2 fully replaced by the 5-row backfill; days 1 and 3 untouched
+    assert per_day[2] == (5, 5 * 9999)
+    assert per_day[1] == (10, sum(100 + i for i in range(10)))
+    assert per_day[3] == (10, sum(300 + i for i in range(10)))
+
+
+def test_session_type_affinity_matches_python_model(spark):
+    """Random log with forced session gaps: pair counts and lift equal
+    a python sessionizer + basket model."""
+    import random
+
+    from transe_pyspark_spark.operators.sequences import session_type_affinity
+
+    rng = random.Random(53)
+    base = dt.datetime(2024, 7, 1)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = base
+        for _ in range(rng.randrange(3, 15)):
+            # gaps sometimes exceed the 600s session gap
+            t += dt.timedelta(seconds=rng.choice([30, 90, 2000]))
+            rows.append((eid, u, t, rng.choice("pqr")))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_ab"], r["lift"])
+        for r in session_type_affinity(df, gap_seconds=600).collect()
+    }
+
+    # python model
+    by_user: dict[int, list] = {}
+    for eid_, u, ts, ty in rows:
+        by_user.setdefault(u, []).append((ts, eid_, ty))
+    baskets = []
+    for evs in by_user.values():
+        evs.sort()
+        cur, prev = None, None
+        for ts, _, ty in evs:
+            if prev is None or (ts - prev).total_seconds() > 600:
+                cur = set()
+                baskets.append(cur)
+            cur.add(ty)
+            prev = ts
+    S = len(baskets)
+    from collections import Counter
+    n_t = Counter(t for b in baskets for t in b)
+    n_ab: Counter = Counter()
+    for b in baskets:
+        ts_sorted = sorted(b)
+        for i in range(len(ts_sorted)):
+            for j in range(i + 1, len(ts_sorted)):
+                n_ab[(ts_sorted[i], ts_sorted[j])] += 1
+    want = {
+        pair: (n, n * S / (n_t[pair[0]] * n_t[pair[1]]))
+        for pair, n in n_ab.items()
+    }
+    assert got == want

@@ -407,3 +407,89 @@ def cusum_changepoint(
         "change_day",
         "cusum_range",
     )
+
+
+def session_type_affinity(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Session-level event-type affinity: for every unordered type pair
+    (a < b), in how many sessions both occur, and the LIFT
+    ``P(a,b) / (P(a)·P(b)) = n_ab·S / (n_a·n_b)`` over the S sessions —
+    the which-behaviors-travel-together view (market-basket analysis
+    with sessions as baskets and event types as items).
+
+    Sessions are the standard gap rule (same as ``asof.sessionize``:
+    a >``gap_seconds`` silence starts a new session; (ts, id) order
+    makes assignment deterministic; exact-µs comparisons).
+
+    Plan: ONE user-key window (lag→flag→running-sum) assigns session
+    ids; the (session, type) membership distinct introduces the
+    exchange every downstream consumer reuses — the window evaluates
+    once (its stage is the map side of that exchange), then the
+    per-type counts, the session total (global agg — safe broadcast),
+    and the within-session self-join all work on the collapsed
+    membership rows (≤|types| per session — never quadratic in
+    events). All counts exact BIGINT; lift is one IEEE division of
+    decimal-128 products.
+
+    Returns (type_a, type_b, n_ab, lift).
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    w = Window.partitionBy(u).orderBy(t.asc(), F.col(id_col).asc())
+    gap_us = int(gap_seconds) * 1_000_000
+    flagged = events.select(
+        u.alias("__u"),
+        F.col(type_col).alias("__ty"),
+        F.when(
+            F.lag(t).over(w).isNull()
+            | ((F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("__nf"),
+        F.sum(
+            F.when(
+                F.lag(t).over(w).isNull()
+                | ((F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))) > gap_us),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__sess"),
+    )
+    st = flagged.select("__u", "__sess", "__ty").distinct()
+    tot = F.broadcast(
+        st.select("__u", "__sess").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("__S")
+        )
+    )
+    pt = st.groupBy("__ty").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = st.select("__u", "__sess", F.col("__ty").alias("type_a"))
+    b = st.select("__u", "__sess", F.col("__ty").alias("type_b"))
+    pairs = (
+        a.join(b, ["__u", "__sess"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    pa = F.broadcast(pt.select(F.col("__ty").alias("type_a"), F.col("__n").alias("__na")))
+    pb = F.broadcast(pt.select(F.col("__ty").alias("type_b"), F.col("__n").alias("__nb")))
+    return (
+        pairs.crossJoin(tot)
+        .join(pa, "type_a")
+        .join(pb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("decimal(38,0)") * F.col("__S").cast("decimal(38,0)")).cast("double")
+                / (F.col("__na").cast("decimal(38,0)") * F.col("__nb").cast("decimal(38,0)")).cast("double")
+            ).alias("lift"),
+        )
+    )

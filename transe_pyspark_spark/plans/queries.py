@@ -5149,6 +5149,50 @@ def q_oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rates(_T(spark, sf_dir, "documents"), vocab_size=1000)
 
 
+@_register(
+    "session_type_affinity",
+    oracle="""
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                           THEN 1 ELSE 0 END AS nf
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, event_type,
+                 sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o),
+    st AS (SELECT DISTINCT user_id, sess, event_type FROM s),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS S
+            FROM (SELECT DISTINCT user_id, sess FROM st)),
+    pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+    pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  CAST(count(*) AS BIGINT) AS n_ab
+           FROM st a JOIN st b
+             ON a.user_id = b.user_id AND a.sess = b.sess
+            AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT pr.type_a, pr.type_b, pr.n_ab,
+           CAST(CAST(pr.n_ab AS HUGEINT) * tot.S AS DOUBLE)
+             / CAST(CAST(pa.n AS HUGEINT) * pb.n AS DOUBLE) AS lift
+    FROM pr CROSS JOIN tot
+    JOIN pt pa ON pa.event_type = pr.type_a
+    JOIN pt pb ON pb.event_type = pr.type_b
+    """,
+    tags=("events", "sequence", "sessions", "analytics"),
+)
+def q_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity with sessions as baskets: per unordered
+    type pair, co-occurring session counts and the exact-count lift
+    n_ab·S/(n_a·n_b). One user-key window assigns sessions; every
+    consumer reuses the collapsed (session, type) membership exchange,
+    and the within-session self-join is bounded at |types| rows per
+    session."""
+    from transe_pyspark_spark.operators.sequences import session_type_affinity
+
+    return session_type_affinity(_T(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5469,6 +5513,8 @@ _OVERFLOW_ORACLE = [
                                  # distributed prefix pattern
     "oov_rate_docs",             # tokenizer-coverage screen vs the
                                  # corpus's own top-k vocabulary
+    "session_type_affinity",     # market-basket lift with sessions
+                                 # as baskets, exact-count statistics
 ]
 
 
