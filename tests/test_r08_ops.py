@@ -602,3 +602,38 @@ def test_session_type_affinity_matches_python_model(spark):
         for pair, n in n_ab.items()
     }
     assert got == want
+
+
+def test_node_clustering_known_and_fuzz(spark):
+    """Hub graph with known per-node values, then random-graph fuzz vs
+    a python triangle counter."""
+    import itertools
+    import random
+
+    from transe_pyspark_spark.operators.graph import node_clustering
+
+    # known: triangle 1-2-3 + pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    got = {r["node"]: (r["degree"], r["n_tri"], r["clustering"])
+           for r in node_clustering(edges).collect()}
+    assert got[2] == (2, 1, 1.0) and got[3] == (2, 1, 1.0)
+    assert got[1] == (3, 1, 2 * 1 / (3 * 2))
+    assert got[4] == (1, 0, None)
+
+    rng = random.Random(71)
+    for _ in range(2):
+        und = {tuple(sorted((rng.randrange(25), rng.randrange(25)))) for _ in range(60)}
+        und = {e for e in und if e[0] != e[1]}
+        df = spark.createDataFrame(sorted(und), "src long, dst long")
+        got = {r["node"]: (r["degree"], r["n_tri"]) for r in node_clustering(df).collect()}
+        adj: dict[int, set] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for n, nb in adj.items():
+            t = sum(1 for x, y in itertools.combinations(sorted(nb), 2) if y in adj.get(x, ()))
+            want[n] = (len(nb), t)
+        assert got == want

@@ -369,3 +369,90 @@ def kcore_peel(
     for df in pinned:
         df.unpersist()
     return out
+
+
+def node_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Per-NODE triangle counts and local clustering coefficients over
+    the undirected simple graph — the node-level companion to
+    ``triangle_stats``' global census (ego-network density: spam rings
+    and tight communities score high, bridges score low).
+
+    Same degree-orientation plan as ``triangle_stats`` (each triangle
+    is found EXACTLY once, at its orientation-minimal corner, with the
+    wedge-candidate volume bounded by Σ outdeg⁺² and outdeg⁺ = O(√E));
+    the one addition is a 3-way corner explode of the found triangles
+    into one per-node count aggregate. clustering_i = 2·tri_i /
+    (d_i·(d_i−1)) is one IEEE division of exact BIGINTs (NULL for
+    degree-1 nodes).
+
+    Returns (node, degree, n_tri, clustering) — one row per node.
+    """
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("a").alias("n")).unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .cache()
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("__db"))
+    a_first = F.col("__da") <= F.col("__db")
+    ornt = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+        .repartition(n_part, "u")
+        .cache()
+    )
+    e1 = ornt.select("u", F.col("w").alias("y"))
+    e2 = ornt.select("u", F.col("w").alias("z"))
+    close = ornt.select(F.col("u").alias("__cu"), F.col("w").alias("__cw"))
+    tri = (
+        e1.join(e2, "u")
+        .filter(F.col("y") != F.col("z"))
+        .join(
+            close,
+            (F.col("y") == F.col("__cu")) & (F.col("z") == F.col("__cw")),
+            "inner",
+        )
+        .select("u", "y", "z")
+    )
+    corners = tri.select(F.explode(F.array("u", "y", "z")).alias("node"))
+    tn = corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    out = (
+        deg.join(tn, deg["n"] == tn["node"], "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("d") >= 2,
+                (F.coalesce(F.col("n_tri"), F.lit(0)) * 2).cast("double")
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            ).alias("clustering"),
+        )
+    )
+    if not eager_cleanup:
+        # lazy mode (plan inspection): cached leaves stay pinned
+        return out
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    deg.unpersist()
+    ornt.unpersist()
+    return out
