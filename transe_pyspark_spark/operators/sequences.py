@@ -416,6 +416,7 @@ def session_type_affinity(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Session-level event-type affinity: for every unordered type pair
     (a < b), in how many sessions both occur, and the LIFT
@@ -428,14 +429,21 @@ def session_type_affinity(
     makes assignment deterministic; exact-µs comparisons).
 
     Plan: ONE user-key window (lag→flag→running-sum) assigns session
-    ids; the (session, type) membership distinct introduces the
-    exchange every downstream consumer reuses — the window evaluates
-    once (its stage is the map side of that exchange), then the
-    per-type counts, the session total (global agg — safe broadcast),
-    and the within-session self-join all work on the collapsed
-    membership rows (≤|types| per session — never quadratic in
-    events). All counts exact BIGINT; lift is one IEEE division of
-    decimal-128 products.
+    ids, and the collapsed (session, type) membership (≤|types| rows
+    per session — never quadratic in events) is PINNED once
+    (repartition on the (user, session) join key + cache, the
+    ``kcore_peel`` pattern) because it has four consumers — the
+    session total, the per-type counts, and both sides of the
+    within-session pair self-join. Without the pin each consumer
+    re-evaluates the full scan→window→distinct subtree (measured 5
+    parquet scans / 16 Window evals at sf0.1; AQE stage reuse does
+    NOT dedup them because the consumers' post-shuffle projections
+    differ). The self-join reuses the pinned partitioning (no new
+    exchange); the ≤|types|²-row result is checkpoint-truncated and
+    the pin released before returning (``eager_cleanup=False`` keeps
+    the lazy plan for inspection, pinning the cache for the session).
+    All counts exact BIGINT; lift is one IEEE division of decimal-128
+    products.
 
     Returns (type_a, type_b, n_ab, lift).
     """
@@ -462,7 +470,16 @@ def session_type_affinity(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("__sess"),
     )
-    st = flagged.select("__u", "__sess", "__ty").distinct()
+    n_part = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    st = (
+        flagged.select("__u", "__sess", "__ty")
+        .distinct()
+        .repartition(n_part, "__u", "__sess")
+        .cache()
+    )
+    st.count()
     tot = F.broadcast(
         st.select("__u", "__sess").distinct().agg(
             F.count(F.lit(1)).cast("long").alias("__S")
@@ -479,7 +496,7 @@ def session_type_affinity(
     )
     pa = F.broadcast(pt.select(F.col("__ty").alias("type_a"), F.col("__n").alias("__na")))
     pb = F.broadcast(pt.select(F.col("__ty").alias("type_b"), F.col("__n").alias("__nb")))
-    return (
+    out = (
         pairs.crossJoin(tot)
         .join(pa, "type_a")
         .join(pb, "type_b")
@@ -493,3 +510,8 @@ def session_type_affinity(
             ).alias("lift"),
         )
     )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    st.unpersist()
+    return out
