@@ -331,6 +331,26 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "one bounded-group percentile aggregate joined back + one exact "
         "integer-cents rollup — clip bounds never leave the plan",
     ),
+    "percent_rank_doc_length": (
+        ["Window", "BroadcastHashJoin"],
+        "the in-group rank rides the (group, __pid) distributed-prefix "
+        "windows with broadcast partition offsets — never one task per "
+        "group (the gini/dict-encode pattern)",
+    ),
+    "oov_rate_docs": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin"],
+        "the top-k vocabulary is per-task O(k) heaps + driver merge (no "
+        "global sort of the token histogram) and broadcasts back as the "
+        "flag join — the corpus token stream is never joined by token "
+        "against itself",
+    ),
+    "node_clustering_parts": (
+        ["InMemoryTableScan", "HashAggregate"],
+        "the oriented edge set is CACHED for its wedge/closing/degree "
+        "consumers (the triangle_stats plan); per-node triangle counts "
+        "come from one corner-explode hash agg, coefficients from exact "
+        "BIGINT division — no per-node neighborhood materialization",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -411,6 +431,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "nearest matching must ride the union window, never a theta "
         "self-join",
+    ),
+    "node_clustering_parts": (
+        ["CartesianProduct"],
+        "wedge/closing joins stay node-keyed equi-joins — a Cartesian "
+        "over the edge set is never acceptable (triangle_stats rule)",
     ),
 }
 
@@ -533,6 +558,14 @@ MAX_EXCHANGES = {
     "cusum_change_events": 9,
     # (day) conditional agg + spine + 1-row moment rollup
     "daily_corr_view_purchase": 2,
+    # third r08 wave. percent_rank: length agg + range-repartition +
+    # in-partition rank windows + broadcast offsets join back
+    "percent_rank_doc_length": 4,
+    # token agg (one exchange) + broadcast vocab flags + doc rollup
+    "oov_rate_docs": 2,
+    # the triangle_stats cached-leaf budget + the corner explode agg
+    # (joins above the cached oriented edges re-sort per key-set)
+    "node_clustering_parts": 15,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
@@ -578,6 +611,9 @@ SF1_STABLE = [
     "event_transitions",
     "top_event_paths",
     "cusum_change_events",
+    # r08 third wave: the node-level triangle face keeps the cached
+    # oriented-wedge equi-join shape at 10×
+    "node_clustering_parts",
 ]
 
 
@@ -690,6 +726,78 @@ def main() -> int:
             failures += 1
         print(f"{'OK' if ok else 'FAIL':40s} {name}: {n} exchange(s) (max {max_ex})")
         lines += [f"## {name} — shuffle budget", "", f"{n} Exchange node(s), budget {max_ex}: {'OK' if ok else 'FAIL'}", ""]
+    # checkpoint-truncated operators: kcore_trading_graph and
+    # session_type_affinity eager-checkpoint their (tiny) results and
+    # release their cached leaves, so the REGISTRY plan is an opaque
+    # Scan ExistingRDD — gate the lazy (eager_cleanup=False) plan of
+    # the same construction instead. Building these plans executes the
+    # eager cache pins (rounds × count for kcore, one membership count
+    # for affinity) — seconds at the gate's sf.
+    from pyspark.sql import functions as _F
+
+    from transe_pyspark_spark.operators.graph import kcore_peel
+    from transe_pyspark_spark.operators.sequences import session_type_affinity
+    from transe_pyspark_spark.plans.queries import _T
+
+    _o = _T(spark, sf_dir, "orders")
+    _li = _T(spark, sf_dir, "lineitem")
+    _kedges = (
+        _o.join(_li, _F.col("l_orderkey") == _F.col("o_orderkey"))
+        .select(
+            _F.col("o_custkey").alias("src"),
+            (_F.lit(10000000) + _F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    lazy_gates = [
+        (
+            "kcore_trading_graph",
+            kcore_peel(_kedges, k=10, rounds=3, eager_cleanup=False),
+            ["LeftSemi", "InMemoryTableScan"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+            17,
+            "each round is one degree agg + two node-keyed SEMI joins "
+            "over the repartition+cache-pinned surviving edge set — "
+            "nothing quadratic, no broadcast of the edge table",
+        ),
+        (
+            "session_type_affinity",
+            session_type_affinity(_T(spark, sf_dir, "events"), eager_cleanup=False),
+            ["Window", "InMemoryTableScan"],
+            ["CartesianProduct"],
+            10,
+            "the scan→window→distinct membership subtree evaluates ONCE "
+            "(pinned); all four consumers read the cache — the 1-row "
+            "session-total broadcast NLJ is fine",
+        ),
+    ]
+    for name, lazy_df, markers, forb, max_ex, why in lazy_gates:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            lazy_df.explain("formatted")
+        plan = buf.getvalue()
+        missing = [m for m in markers if m not in plan]
+        present = [m for m in forb if m in plan]
+        n = count_exchange_nodes(plan)
+        scans = sum(1 for line in plan.splitlines() if "Scan parquet" in line and line.strip().startswith("("))
+        one_scan_ok = scans <= (2 if name == "kcore_trading_graph" else 1)
+        ok = not missing and not present and n <= max_ex and one_scan_ok
+        if not ok:
+            failures += 1
+        status = "OK" if ok else (
+            f"FAIL (missing {missing}, forbidden {present}, "
+            f"{n} exchanges > {max_ex}" + ("" if one_scan_ok else f", {scans} parquet scans") + ")"
+        )
+        print(f"{status:40s} {name} (lazy plan)")
+        lines += [
+            f"## {name} — lazy (eager_cleanup=False) plan", "",
+            f"**Requirement:** {why}. The registered face's executed plan "
+            "is checkpoint-truncated (Scan ExistingRDD) because the "
+            "operator releases its cached leaves eagerly; this gate pins "
+            "the pre-checkpoint shape.",
+            f"**Status:** {status}; {n} Exchange node(s), budget {max_ex}; "
+            f"{scans} parquet scan(s)", "",
+        ]
     # sf1 plan stability: 10× the data must not change the strategy —
     # the same marker/forbidden-node gates re-run against the sf1
     # fixture (built lazily by make_sf1 if absent)
