@@ -344,6 +344,14 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "flag join — the corpus token stream is never joined by token "
         "against itself",
     ),
+    "data_quality_audit": (
+        ["LeftAnti", "HashAggregate"],
+        "FK checks are LEFT ANTI key joins (counts, never rows); every "
+        "check's scan prunes to exactly the checked column (ReadSchema "
+        "is single-column for all nine checks — verified); the 1-row "
+        "n_checked×n_violations cross joins are broadcast NLJs of "
+        "scalar aggregates (the record_linkage precedent)",
+    ),
     "node_clustering_parts": (
         ["InMemoryTableScan", "HashAggregate"],
         "the oriented edge set is CACHED for its wedge/closing/degree "
@@ -436,6 +444,10 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["CartesianProduct"],
         "wedge/closing joins stay node-keyed equi-joins — a Cartesian "
         "over the edge set is never acceptable (triangle_stats rule)",
+    ),
+    "data_quality_audit": (
+        ["CartesianProduct"],
+        "every FK check joins on its key; nothing all-pairs",
     ),
 }
 
@@ -566,6 +578,9 @@ MAX_EXCHANGES = {
     # the triangle_stats cached-leaf budget + the corner explode agg
     # (joins above the cached oriented edges re-sort per key-set)
     "node_clustering_parts": 15,
+    # nine checks: one 1-row global agg exchange each + the FK anti
+    # joins' key shuffles — every one trivial-width
+    "data_quality_audit": 14,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

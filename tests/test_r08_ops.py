@@ -637,3 +637,61 @@ def test_node_clustering_known_and_fuzz(spark):
             t = sum(1 for x, y in itertools.combinations(sorted(nb), 2) if y in adj.get(x, ()))
             want[n] = (len(nb), t)
         assert got == want
+
+
+def test_constraint_audit_counts_known_violations(spark):
+    """Every check type against a frame with KNOWN violations — exact
+    counts, including NULL handling (NULLs violate not_null only)."""
+    from transe_pyspark_spark.operators import quality as Q
+
+    child = spark.createDataFrame(
+        [(1, "a", 5), (1, "b", -2), (2, None, 60), (None, "a", 7), (3, "z", 8)],
+        "k long, status string, v long",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    rep = {
+        r["check_name"]: (r["n_checked"], r["n_violations"])
+        for r in Q.constraint_audit(
+            [
+                Q.check_not_null(child, "status"),
+                Q.check_unique(child, "k"),
+                Q.check_accepted_values(child, "status", ["a", "b"]),
+                Q.check_range(child, "v", lo=0, hi=50),
+                Q.check_foreign_key(child, "k", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert rep["not_null:status"] == (5, 1)
+    # 4 non-null keys, k=1 twice -> 1 beyond-first duplicate
+    assert rep["unique:k"] == (4, 1)
+    # non-null statuses: a,b,a,z -> one outside {a,b}
+    assert rep["accepted:status"] == (4, 1)
+    # values 5,-2,60,7,8 -> -2 below lo, 60 above hi
+    assert rep["range:v"] == (5, 2)
+    # non-null child keys 1,1,2,3 -> 3 has no parent
+    assert rep["fk:k->pk"] == (4, 1)
+
+
+def test_constraint_audit_empty_frame_and_bounds(spark):
+    """Empty input yields (0, 0) rows, not NULLs; single-bound ranges
+    check only that side; missing bounds raise."""
+    import pytest
+
+    from transe_pyspark_spark.operators import quality as Q
+
+    empty = spark.createDataFrame([], "v long")
+    rep = {
+        r["check_name"]: (r["n_checked"], r["n_violations"])
+        for r in Q.constraint_audit(
+            [Q.check_range(empty, "v", lo=0), Q.check_accepted_values(empty, "v", [1])]
+        ).collect()
+    }
+    assert rep["range:v"] == (0, 0) and rep["accepted:v"] == (0, 0)
+    some = spark.createDataFrame([(-5,), (500,)], "v long")
+    lo_only = Q.check_range(some, "v", lo=0).collect()[0]
+    hi_only = Q.check_range(some, "v", hi=100).collect()[0]
+    assert lo_only["n_violations"] == 1 and hi_only["n_violations"] == 1
+    with pytest.raises(ValueError):
+        Q.check_range(some, "v")
+    with pytest.raises(ValueError):
+        Q.constraint_audit([])

@@ -5247,6 +5247,92 @@ def q_node_clustering_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_clustering(edges, eager_cleanup=False)
 
 
+@_register(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey', CAST(count(o_orderkey) AS BIGINT),
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:c_custkey', CAST(count(c_custkey) AS BIGINT),
+           CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'accepted:o_orderstatus', CAST(count(o_orderstatus) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range:l_quantity', CAST(count(l_quantity) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                          AND (l_quantity < 1 OR l_quantity > 50)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:c_acctbal', CAST(count(c_acctbal) AS BIGINT),
+           CAST(sum(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'fk:l_orderkey->o_orderkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IS NOT NULL),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'fk:l_suppkey->s_suppkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_suppkey IS NOT NULL),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE l_suppkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    """,
+    tags=("quality", "agg"),
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse constraint audit (dbt-test style): not-null, key
+    uniqueness, accepted values, range, and three referential-integrity
+    checks over the orders/lineitem/customer/supplier star, as ONE
+    |checks|-row report of exact violation counts. Every check reads
+    only the columns it names (pruned scans); FK checks are LEFT ANTI
+    key joins — counts come back, never rows. The c_acctbal >= 0 screen
+    intentionally FLAGS the fixture's negative balances (a nonzero
+    violation row), so the face proves counting, not just zeros."""
+    from transe_pyspark_spark.operators import quality as Q
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    c = _T(spark, sf_dir, "customer")
+    s = _T(spark, sf_dir, "supplier")
+    return Q.constraint_audit(
+        [
+            Q.check_not_null(o, "o_custkey"),
+            Q.check_unique(o, "o_orderkey"),
+            Q.check_unique(c, "c_custkey"),
+            Q.check_accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
+            Q.check_range(li, "l_quantity", lo=1, hi=50),
+            Q.check_range(c, "c_acctbal", lo=0),
+            Q.check_foreign_key(li, "l_orderkey", o, "o_orderkey"),
+            Q.check_foreign_key(o, "o_custkey", c, "c_custkey"),
+            Q.check_foreign_key(li, "l_suppkey", s, "s_suppkey"),
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5571,6 +5657,9 @@ _OVERFLOW_ORACLE = [
                                  # as baskets, exact-count statistics
     "node_clustering_parts",     # per-node local clustering on the
                                  # degree-oriented triangle machinery
+    "data_quality_audit",        # dbt-test-style constraint audit:
+                                 # null/unique/accepted/range/FK
+                                 # violation counts as one report
 ]
 
 
