@@ -344,6 +344,13 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "flag join — the corpus token stream is never joined by token "
         "against itself",
     ),
+    "rfm_segments_customers": (
+        ["Window", "InMemoryTableScan", "BroadcastHashJoin"],
+        "one orders pass collapses to customer grain and is PINNED "
+        "(cache) for its four consumers; every rank window keys on "
+        "(group, __pid) with broadcast offsets — never a global ntile "
+        "window; the segment rollup is ≤125 groups",
+    ),
     "data_quality_audit": (
         ["LeftAnti", "HashAggregate"],
         "FK checks are LEFT ANTI key joins (counts, never rows); every "
@@ -448,6 +455,13 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "data_quality_audit": (
         ["CartesianProduct"],
         "every FK check joins on its key; nothing all-pairs",
+    ),
+    "rfm_segments_customers": (
+        ["CartesianProduct"],
+        "all joins are customer-key equi-joins over the pinned "
+        "customer-grain table (broadcast here; a shuffled equi-join at "
+        "scale is equally fine); the 1-row max-date broadcast NLJ is "
+        "the record_linkage precedent",
     ),
 }
 
@@ -581,6 +595,10 @@ MAX_EXCHANGES = {
     # nine checks: one 1-row global agg exchange each + the FK anti
     # joins' key shuffles — every one trivial-width
     "data_quality_audit": 14,
+    # one orders agg + three (offsets/sizes + rank-side) exchanges +
+    # the custkey join spine + the ≤125-group rollup — all but the
+    # first over customer-grain data
+    "rfm_segments_customers": 17,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×
@@ -709,6 +727,26 @@ def main() -> int:
         "**Requirement:** every rank window keys on (__g, __pid), never __g "
         "alone — the distributed per-group prefix-rank spreads each group "
         "over all range partitions instead of one task",
+        f"**Status:** {status}", "",
+    ]
+    # rfm: NO window anywhere in the plan may lack the __pid key —
+    # all three quintile ranks must ride the distributed prefix
+    # pattern, never a global ntile/row_number window
+    rfm_viol = [
+        line.strip()[:120]
+        for line in plan_of(spark, "rfm_segments_customers", sf_dir).splitlines()
+        if "windowspecdefinition(" in line and "__pid" not in line
+    ]
+    status = "OK" if not rfm_viol else f"FAIL (pid-less windows: {rfm_viol})"
+    if rfm_viol:
+        failures += 1
+    print(f"{status:40s} rfm_segments_customers (no global rank window)")
+    lines += [
+        "## rfm_segments_customers — no global rank window", "",
+        "**Requirement:** every quintile-rank window keys on (group, "
+        "__pid) — the three tilings spread over all range partitions; "
+        "a pid-less window would funnel the whole customer table "
+        "through one task",
         f"**Status:** {status}", "",
     ]
     # funnel shared-exchange gate (r08): the per-step branches must

@@ -695,3 +695,83 @@ def test_constraint_audit_empty_frame_and_bounds(spark):
         Q.check_range(some, "v")
     with pytest.raises(ValueError):
         Q.constraint_audit([])
+
+
+def test_rfm_segments_matches_python_model(spark):
+    """Random small orders table vs an exact python replica of the
+    metric + floor(rank*5/n) tiling rules."""
+    import datetime
+    import random
+
+    from transe_pyspark_spark.operators.relational import rfm_segments
+
+    rng = random.Random(95)
+    rows = []
+    base = datetime.date(2024, 1, 1)
+    for i in range(400):
+        ck = rng.randrange(60)
+        d = base + datetime.timedelta(days=rng.randrange(365))
+        price = round(rng.uniform(10, 5000), 2)
+        rows.append((ck, d, price))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (
+            r["n_customers"],
+            r["sum_monetary_cents"],
+        )
+        for r in rfm_segments(df).collect()
+    }
+    maxd = max(d for _, d, _ in rows)
+    pc = {}
+    for ck, d, p in rows:
+        last, f, m = pc.get(ck, (datetime.date.min, 0, 0))
+        pc[ck] = (max(last, d), f + 1, m + round(p * 100))
+    met = {ck: ((maxd - last).days, f, m) for ck, (last, f, m) in pc.items()}
+    n = len(met)
+
+    def tiles(idx, invert):
+        order = sorted(met, key=lambda ck: (met[ck][idx], ck))
+        return {
+            ck: (5 - (i * 5) // n) if invert else (1 + (i * 5) // n)
+            for i, ck in enumerate(order)
+        }
+
+    rs, fs, ms = tiles(0, True), tiles(1, False), tiles(2, False)
+    want = {}
+    for ck, (_, _, m) in met.items():
+        key = (rs[ck], fs[ck], ms[ck])
+        c0, m0 = want.get(key, (0, 0))
+        want[key] = (c0 + 1, m0 + m)
+    assert got == want
+
+
+def test_rfm_segments_cleanup_and_invariants(spark):
+    """eager_cleanup truncates the result plan (the customer-grain pin
+    is released; what remains in storage is the frozen-partition
+    localCheckpoint leaves every prefix-rank operator leaves behind);
+    scores stay in 1..5 and segment counts sum to the customer count."""
+    import datetime
+
+    from transe_pyspark_spark.operators.relational import rfm_segments
+
+    rows = [
+        (i % 7, datetime.date(2024, 1, 1 + (i % 20)), 100.0 + i)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    res = rfm_segments(df)
+    # eager mode: the returned plan is the checkpoint alone (no live
+    # aggregate/join lineage keeping the pin reachable)
+    assert "Aggregate" not in res._jdf.queryExecution().optimizedPlan().toString()
+    lazy = rfm_segments(df, eager_cleanup=False)
+    assert "Aggregate" in lazy._jdf.queryExecution().optimizedPlan().toString()
+    out = res.collect()
+    assert sum(r["n_customers"] for r in out) == 7
+    for r in out:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5

@@ -1440,6 +1440,48 @@ def gini_concentration(
     )
 
 
+def _group_rank_rows(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """The distributed-prefix exact-rank core shared by
+    ``group_percent_rank`` and ``rfm_segments``: each row's 1-based
+    position ``__i`` under the deterministic (value, id) order within
+    its group, plus the group size ``__n`` — computed WITHOUT a
+    group-cardinality window (range-repartition by the composite key
+    with partition identity frozen, per-(group, partition) counts,
+    broadcast exclusive offsets, partition-local row_number).
+
+    Returns (__g, __id, __v, __i, __n).
+    """
+    n_part = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    part = _frozen_range_partition(base, ["__g", "__v", "__id"], int(n_part))
+    off = _exclusive_offsets(
+        part.groupBy("__g", "__pid").agg(F.count(F.lit(1)).alias("__w")),
+        "__w",
+        partition_cols=["__g"],
+    )
+    sizes = F.broadcast(
+        part.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    w_in = Window.partitionBy("__g", "__pid").orderBy("__v", "__id")
+    return (
+        part.join(off, ["__g", "__pid"])
+        .withColumn("__i", (F.row_number().over(w_in) + F.col("__off")).cast("long"))
+        .join(sizes, "__g")
+    )
+
+
 def group_percent_rank(
     df: "DataFrame",
     group_col: str,
@@ -1467,35 +1509,121 @@ def group_percent_rank(
 
     Returns (group, id, value, pr).
     """
-    n_part = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
+    ranked = _group_rank_rows(df, group_col, value_col, id_col, num_partitions)
+    return ranked.select(
+        F.col("__g").alias(group_col),
+        F.col("__id").alias(id_col),
+        F.col("__v").alias(value_col),
+        F.when(
+            F.col("__n") > 1,
+            (F.col("__i") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("pr"),
     )
-    base = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(value_col).cast("long").alias("__v"),
-        F.col(id_col).alias("__id"),
+
+
+def rfm_segments(
+    orders: "DataFrame",
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+    num_partitions: int | None = None,
+    eager_cleanup: bool = True,
+) -> "DataFrame":
+    """RFM customer segmentation — the classic marketing rollup: per
+    customer Recency (days from their last order to the table's max
+    order date), Frequency (order count) and Monetary (exact
+    per-row-rounded cents), each scored into ``n_tiles`` equal-height
+    tiles, then the |tiles|³-bounded segment grid with customer counts
+    and exact monetary mass.
+
+    Scores are 1..n_tiles with n_tiles = best (most recent / most
+    frequent / highest spend). Tiling is the deterministic
+    ``floor(rank·k / n)`` rule over the (metric, custkey) total order —
+    row-number semantics, so ties split by custkey and the whole output
+    is a pure function of the data (SQL ntile has the same property
+    under the same ORDER BY but a different remainder rule; the oracle
+    replicates THIS rule). Integer ``div`` keeps the tile exact at any
+    cardinality — no float rank arithmetic.
+
+    Scale path: one hash-agg collapses orders to customer grain (the
+    only pass over the big table; the global max date rides a 1-row
+    broadcast); the customer-grain table is PINNED (repartition on
+    custkey + cache — it has four consumers: three rank passes and the
+    join spine, and without the pin each would re-run the orders
+    aggregation). Each of the three tile assignments is the
+    ``_group_rank_rows`` distributed prefix-rank over the pinned
+    table — never a global ntile window (one task at any size). The
+    three ranked sides join back on custkey, the final rollup is
+    ≤ n_tiles³ groups, and that tiny result is checkpoint-truncated so
+    the pin is released before returning (``eager_cleanup=False``
+    keeps the lazy plan for inspection).
+
+    Returns (r_score, f_score, m_score, n_customers,
+    sum_monetary_cents).
+    """
+    max_d = F.broadcast(
+        orders.agg(F.max(F.col(date_col)).alias("__maxd"))
     )
-    part = _frozen_range_partition(base, ["__g", "__v", "__id"], int(n_part))
-    off = _exclusive_offsets(
-        part.groupBy("__g", "__pid").agg(F.count(F.lit(1)).alias("__w")),
-        "__w",
-        partition_cols=["__g"],
-    )
-    sizes = F.broadcast(
-        part.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    )
-    w_in = Window.partitionBy("__g", "__pid").orderBy("__v", "__id")
-    return (
-        part.join(off, ["__g", "__pid"])
-        .withColumn("__i", (F.row_number().over(w_in) + F.col("__off")).cast("long"))
-        .join(sizes, "__g")
+    per_cust = (
+        orders.select(
+            F.col(cust_col).alias("__ck"),
+            F.col(date_col).alias("__d"),
+            F.round(F.col(amount_col) * 100).cast("long").alias("__cents"),
+        )
+        .groupBy("__ck")
+        .agg(
+            F.max("__d").alias("__lastd"),
+            F.count(F.lit(1)).cast("long").alias("__f"),
+            F.sum("__cents").alias("__m"),
+        )
+        .crossJoin(max_d)
         .select(
-            F.col("__g").alias(group_col),
-            F.col("__id").alias(id_col),
-            F.col("__v").alias(value_col),
-            F.when(
-                F.col("__n") > 1,
-                (F.col("__i") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
-            ).otherwise(F.lit(0.0)).alias("pr"),
+            "__ck",
+            F.datediff(F.col("__maxd"), F.col("__lastd")).cast("long").alias("__r"),
+            "__f",
+            "__m",
         )
     )
+    n_part = int(
+        num_partitions
+        or orders.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    per_cust = per_cust.repartition(n_part, "__ck").cache()
+    per_cust.count()
+    k = F.lit(int(n_tiles))
+
+    def tile(metric: str, score_name: str, invert: bool) -> "DataFrame":
+        ranked = _group_rank_rows(
+            per_cust.withColumn("__one", F.lit(1)),
+            "__one",
+            metric,
+            "__ck",
+            num_partitions,
+        )
+        scored = ranked.select(
+            F.col("__id").alias("__ck"),
+            ((F.col("__i") - 1) * k).cast("long").alias("__x"),
+            F.col("__n").alias("__nn"),
+        ).selectExpr("__ck", "__x div __nn AS __b")
+        score = (k - F.col("__b")) if invert else (F.col("__b") + F.lit(1))
+        return scored.select("__ck", score.cast("long").alias(score_name))
+    r = tile("__r", "r_score", invert=True)
+    f_ = tile("__f", "f_score", invert=False)
+    m = tile("__m", "m_score", invert=False)
+    out = (
+        per_cust.select("__ck", "__m")
+        .join(r, "__ck")
+        .join(f_, "__ck")
+        .join(m, "__ck")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("__m").cast("long").alias("sum_monetary_cents"),
+        )
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    per_cust.unpersist()
+    return out
