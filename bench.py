@@ -108,6 +108,11 @@ SF1_HEADLINE = [
     "funnel_ordered_steps",
     "decayed_user_scores",
     "seasonal_anomaly_events",
+    # r08 third wave at 10×: rfm exercises the prefix-rank three
+    # times over 10× orders; the audit's nine checks are pruned
+    # single-column scans + anti joins
+    "rfm_segments_customers",
+    "data_quality_audit",
     # r08 second wave at 10x: the user-key window over the full event
     # log (transitions) and the shared-sort top-k path mining
     "event_transitions",

@@ -645,8 +645,12 @@ SF1_STABLE = [
     "top_event_paths",
     "cusum_change_events",
     # r08 third wave: the node-level triangle face keeps the cached
-    # oriented-wedge equi-join shape at 10×
+    # oriented-wedge equi-join shape at 10×; rfm keeps the prefix-rank
+    # (no pid-less window sneaks in at 10×); the audit keeps its anti
+    # joins and pruned scans
     "node_clustering_parts",
+    "rfm_segments_customers",
+    "data_quality_audit",
 ]
 
 

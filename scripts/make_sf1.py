@@ -43,13 +43,13 @@ EVENTID_OFF = 10_000_000
 USERID_OFF = 1_000_000
 PARTKEY_OFF = 1_000_000
 
-SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "events", "part")
+SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "events", "part", "supplier")
 
 #: bump when the replication logic or its parameters change — the
 #: cached fixture regenerates on mismatch, so sf1 numbers and plan
 #: gates always reflect the CURRENT generator (a bare _DONE marker
 #: silently served stale fixtures across code versions)
-GENERATOR_VERSION = f"v4|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF},{PARTKEY_OFF}"
+GENERATOR_VERSION = f"v5|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF},{PARTKEY_OFF}"
 
 
 def sf1_dir() -> str:
@@ -125,6 +125,10 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
         # part feeds the linkage face: replicated names keep the same
         # first-word block distribution at 10× the rows per block
         "part": _replicate(load("part"), {"p_partkey": PARTKEY_OFF}),
+        # supplier stays unreplicated (like nation/region): replicated
+        # lineitems keep their base l_suppkey, so the audit face's FK
+        # check sees 10× children against the same parent key set
+        "supplier": load("supplier"),
     }
     for name, df in plans.items():
         dest = os.path.join(out, f"{name}.parquet")
