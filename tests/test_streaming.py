@@ -13,6 +13,7 @@ from transe_pyspark_spark.streaming.windows import (
     session_counts,
     sliding_counts,
     tumbling_counts,
+    windowed_quality_counts,
 )
 
 
@@ -25,6 +26,43 @@ def test_tumbling_twin(spark, sf_dir):
     stream = run_available_now(tumbling_counts(read_events_stream(spark, sf_dir)), spark)
     cols = ["window_start", "event_type", "n_events", "value_cents"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_quality_counts_twin_and_known_violations(spark, sf_dir):
+    """Streaming quality monitor equals its batch twin at sf0.001, and
+    a hand-built frame pins every violation rule (error class, value
+    outlier, NULL user) per window."""
+    import datetime
+
+    batch = windowed_quality_counts(load_table(spark, sf_dir, "events"))
+    stream = run_available_now(
+        windowed_quality_counts(read_events_stream(spark, sf_dir)), spark
+    )
+    cols = ["window_start", "n_events", "n_error", "n_value_outlier", "n_null_user"]
+    srows = _rows(stream, cols)
+    assert srows == _rows(batch, cols)
+    assert sum(r[2] for r in srows) > 0  # the fixture's error class counts
+
+    t0 = datetime.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ev(mins, typ, val, uid):
+        return (t0 + datetime.timedelta(minutes=mins), typ, val, uid)
+
+    df = spark.createDataFrame(
+        [
+            ev(5, "view", 10.0, 1),
+            ev(10, "error", 10.0, 1),
+            ev(20, "view", 500.0, None),
+            ev(70, "error", 450.0, None),
+        ],
+        "ts timestamp, event_type string, value double, user_id long",
+    )
+    got = {
+        r["window_start"]: (r["n_events"], r["n_error"], r["n_value_outlier"], r["n_null_user"])
+        for r in windowed_quality_counts(df).collect()
+    }
+    assert got[t0] == (3, 1, 1, 1)
+    assert got[t0 + datetime.timedelta(hours=1)] == (1, 1, 1, 1)
 
 
 def test_sliding_twin(spark, sf_dir):

@@ -65,6 +65,49 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "
     )
 
 
+def windowed_quality_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    value_hi: float = 400.0,
+) -> DataFrame:
+    """Streaming data-quality monitor — the ``operators/quality``
+    constraint vocabulary applied per tumbling window: total rows,
+    error-class rows (``event_type = 'error'``), value outliers
+    (``value > value_hi``), and NULL-user rows, all exact BIGINTs.
+    The screen that pages on a bad deploy (error-rate spike) or an
+    upstream schema break (NULL surge) within one watermark delay.
+
+    Plan: one windowed conditional aggregate — every violation rule is
+    a ``sum(when(...))`` inside the SAME groupBy, so the stream pays
+    one stateful operator with watermark-bounded state regardless of
+    how many rules ride along. Works identically on a batch frame (the
+    oracle twin)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_error"),
+            F.sum(
+                F.when(F.col("value").isNotNull() & (F.col("value") > value_hi), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_value_outlier"),
+            (F.count(F.lit(1)) - F.count(F.col("user_id"))).cast("long").alias("n_null_user"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_error",
+            "n_value_outlier",
+            "n_null_user",
+        )
+    )
+
+
 def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
