@@ -344,6 +344,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "flag join — the corpus token stream is never joined by token "
         "against itself",
     ),
+    "table_diff_customers": (
+        ["FullOuter", "HashAggregate"],
+        "ONE full-outer key equi-join feeds ONE conditional aggregate "
+        "— every metric incl. all per-column changed counts rides the "
+        "same agg, so N compare columns cost zero extra passes",
+    ),
     "rfm_segments_customers": (
         ["Window", "InMemoryTableScan", "BroadcastHashJoin"],
         "one orders pass collapses to customer grain and is PINNED "
@@ -455,6 +461,10 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "data_quality_audit": (
         ["CartesianProduct"],
         "every FK check joins on its key; nothing all-pairs",
+    ),
+    "table_diff_customers": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the diff is key equi-joins only",
     ),
     "rfm_segments_customers": (
         ["CartesianProduct"],
@@ -599,6 +609,8 @@ MAX_EXCHANGES = {
     # the custkey join spine + the ≤125-group rollup — all but the
     # first over customer-grain data
     "rfm_segments_customers": 17,
+    # snapshot + CDC-applied sides into the diff join + the 1-row agg
+    "table_diff_customers": 5,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

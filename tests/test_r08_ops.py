@@ -775,3 +775,51 @@ def test_rfm_segments_cleanup_and_invariants(spark):
         assert 1 <= r["r_score"] <= 5
         assert 1 <= r["f_score"] <= 5
         assert 1 <= r["m_score"] <= 5
+
+
+def test_table_diff_known_changes_and_null_safety(spark):
+    """Hand-built versions with every row class (added, removed,
+    changed single/both columns, NULL transitions, identical)."""
+    from transe_pyspark_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10),    # identical
+            (2, "b", 20),    # changed: v only
+            (3, None, 30),   # changed: NULL -> value (x)
+            (4, "d", None),  # identical (NULL == NULL)
+            (5, "e", 50),    # removed
+        ],
+        "k long, x string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "b", 99),
+            (3, "c", 30),
+            (4, "d", None),
+            (6, "f", 60),    # added
+        ],
+        "k long, x string, v long",
+    )
+    rep = {r["metric"]: r["n"] for r in table_diff(old, new, ["k"]).collect()}
+    assert rep == {
+        "added": 1,
+        "removed": 1,
+        "changed": 2,
+        "identical": 2,
+        "changed:x": 1,
+        "changed:v": 1,
+    }
+
+
+def test_table_diff_arg_contract(spark):
+    import pytest
+
+    from transe_pyspark_spark.operators.relational import table_diff
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError):
+        table_diff(df, df, [])
+    with pytest.raises(ValueError):
+        table_diff(df.select("k"), df.select("k"), ["k"])

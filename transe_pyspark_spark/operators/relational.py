@@ -611,6 +611,81 @@ def cdc_apply(
     return untouched.unionByName(upserts)
 
 
+def table_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Snapshot diff report (dbt audit-helper style): compare two
+    versions of a keyed table and return exact counts of added /
+    removed / changed / identical rows plus a per-column changed count
+    — the post-migration / post-backfill sanity check, and the inverse
+    of ``cdc_apply`` (applying a changeset then diffing recovers the
+    changeset's shape).
+
+    NULL-safe semantics: a column counts as changed iff the two
+    versions are DISTINCT (NULL = NULL is identical, NULL vs value is
+    a change). Keys must be non-null on both sides (presence after the
+    full-outer join is tracked by explicit flags, not key nullness, so
+    a NULL key would silently match nothing — callers screen keys with
+    ``check_not_null`` first).
+
+    Plan: ONE full-outer equi-join on the key (each side shuffles
+    once) feeding ONE conditional aggregate — every metric, including
+    all per-column counts, is a ``sum(when(...))`` in the same agg, so
+    N compare columns cost zero extra passes; the |metrics|-row output
+    unpivots from the 1-row aggregate with ``stack``.
+
+    Returns (metric, n) with metrics ``added``, ``removed``,
+    ``changed``, ``identical``, and ``changed:<col>`` per compare
+    column.
+    """
+    if not key_cols:
+        raise ValueError("table_diff needs at least one key column")
+    compare_cols = list(
+        compare_cols
+        or [c for c in old.columns if c not in key_cols and c in new.columns]
+    )
+    if not compare_cols:
+        raise ValueError("table_diff needs at least one compare column")
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    col_diff = {
+        c: ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare_cols
+    }
+    any_diff = F.lit(False)
+    for d in col_diff.values():
+        any_diff = any_diff | d
+
+    def cnt(cond) -> "Column":
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    one = j.agg(
+        cnt(F.col("__in_old").isNull()).alias("__added"),
+        cnt(F.col("__in_new").isNull()).alias("__removed"),
+        cnt(both & any_diff).alias("__changed"),
+        cnt(both & ~any_diff).alias("__identical"),
+        *[cnt(both & col_diff[c]).alias(f"__ch_{i}") for i, c in enumerate(compare_cols)],
+    )
+    pairs = ["'added'", "__added", "'removed'", "__removed", "'changed'", "__changed", "'identical'", "__identical"]
+    for i, c in enumerate(compare_cols):
+        pairs += [f"'changed:{c}'", f"__ch_{i}"]
+    return one.selectExpr(
+        f"stack({4 + len(compare_cols)}, {', '.join(pairs)}) AS (metric, n)"
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
