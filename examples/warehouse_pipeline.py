@@ -66,6 +66,23 @@ def main() -> None:
     lineitem = load_table(spark, sf_dir, "lineitem")
     events = load_table(spark, sf_dir, "events")
 
+    # r08: gate the night on a constraint audit — violations surface
+    # BEFORE any merge runs, as one |checks|-row report
+    from transe_pyspark_spark.operators import quality as Q
+
+    print("== constraint audit (pre-merge gate) ==")
+    audit = Q.constraint_audit(
+        [
+            Q.check_not_null(orders, "o_custkey"),
+            Q.check_unique(cust, "c_custkey"),
+            Q.check_range(cust, "c_acctbal", lo=0),
+            Q.check_foreign_key(orders, "o_custkey", cust, "c_custkey"),
+        ]
+    )
+    for r in audit.collect():
+        flag = " <-- violations" if r["n_violations"] else ""
+        print(f"  {r['check_name']}: {r['n_violations']}/{r['n_checked']}{flag}")
+
     print("== key skew (sizing the night's shuffles) ==")
     skew = key_skew_report(lineitem, "l_orderkey").unionByName(
         key_skew_report(orders, "o_custkey")
@@ -95,6 +112,14 @@ def main() -> None:
     )
     applied = cdc_apply(snap, changes, ["c_custkey"])
     print(f"== CDC apply == {snap.count()} snapshot rows -> {applied.count()} after merge")
+
+    # r08: post-merge snapshot diff — one full-outer join + one agg
+    # recovers exactly what the merge did (the audit for the audit)
+    from transe_pyspark_spark.operators.relational import table_diff
+
+    print("== snapshot diff (old vs CDC-applied) ==")
+    for r in table_diff(snap, applied, ["c_custkey"]).collect():
+        print(f"  {r['metric']}: {r['n']}")
 
     dim = snap.withColumn("valid_from", F.to_date(F.lit("2024-01-01"))).withColumn(
         "valid_to", F.lit(None).cast("date")
@@ -147,6 +172,17 @@ def main() -> None:
     for r in winsorize_report(events, "event_type", "value").collect()[:3]:
         print(f"  {r['event_type']}: clipped {r['n_clipped_lo']}+{r['n_clipped_hi']}, "
               f"sum {r['sum_cents_raw']} -> {r['sum_cents_winsorized']}")
+
+    # r08: RFM segmentation — three prefix-rank quintiles over one
+    # customer-grain pass
+    from transe_pyspark_spark.operators.relational import rfm_segments
+
+    print("== RFM segments (5 largest) ==")
+    for r in (rfm_segments(orders)
+              .orderBy(F.col("n_customers").desc(), "r_score", "f_score", "m_score")
+              .limit(5).collect()):
+        print(f"  R{r['r_score']} F{r['f_score']} M{r['m_score']}: "
+              f"{r['n_customers']} customers, {r['sum_monetary_cents'] / 100:.0f} total")
 
     print("== co-purchase mining (top 5 part pairs) ==")
     for r in copurchase_pairs(lineitem, "l_orderkey", "l_partkey", top_k=5).collect():
