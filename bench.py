@@ -110,9 +110,11 @@ SF1_HEADLINE = [
     "seasonal_anomaly_events",
     # r08 third wave at 10×: rfm exercises the prefix-rank three
     # times over 10× orders; the audit's nine checks are pruned
-    # single-column scans + anti joins
+    # single-column scans + anti joins; node clustering rides the
+    # triangle census's cached oriented leaves (warm ~0.8 s)
     "rfm_segments_customers",
     "data_quality_audit",
+    "node_clustering_parts",
     # r08 second wave at 10x: the user-key window over the full event
     # log (transitions) and the shared-sort top-k path mining
     "event_transitions",
