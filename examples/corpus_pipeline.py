@@ -45,6 +45,22 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     print(f"raw docs: {docs.count()}")
 
+    # 0. ingest audit (r08): fail fast on broken drops BEFORE any
+    # dedup work — one |checks|-row report of exact violation counts
+    from transe_pyspark_spark.operators import quality as Q
+
+    audit = Q.constraint_audit(
+        [
+            Q.check_unique(docs, "doc_id"),
+            Q.check_not_null(docs, "text"),
+            Q.check_accepted_values(docs, "lang", ["en", "de", "fr", "es", "zh"]),
+            Q.check_range(docs, "n_chars", lo=1),
+        ]
+    )
+    for r in audit.collect():
+        flag = " <-- violations" if r["n_violations"] else ""
+        print(f"  audit {r['check_name']}: {r['n_violations']}/{r['n_checked']}{flag}")
+
     # 1. exact dedup by content fingerprint (cheap, catches byte-dups)
     docs = docs.withColumn("__fp", X.fingerprint("text")).dropDuplicates(["__fp"]).drop("__fp")
     print(f"after exact dedup: {docs.count()}")
