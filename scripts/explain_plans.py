@@ -344,6 +344,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "flag join — the corpus token stream is never joined by token "
         "against itself",
     ),
+    "changeset_customers": (
+        ["FullOuter"],
+        "inverse CDC is ONE full-outer key equi-join with per-row op "
+        "classification — no aggregate at all, |changes|-sized output",
+    ),
     "table_diff_customers": (
         ["FullOuter", "HashAggregate"],
         "ONE full-outer key equi-join feeds ONE conditional aggregate "
@@ -465,6 +470,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "table_diff_customers": (
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "the diff is key equi-joins only",
+    ),
+    "changeset_customers": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "HashAggregate"],
+        "no aggregate, no non-equi join — one classified full-outer "
+        "join is the whole plan",
     ),
     "rfm_segments_customers": (
         ["CartesianProduct"],
@@ -611,6 +621,8 @@ MAX_EXCHANGES = {
     "rfm_segments_customers": 17,
     # snapshot + CDC-applied sides into the diff join + the 1-row agg
     "table_diff_customers": 5,
+    # snapshot + CDC-applied sides into the classified full-outer join
+    "changeset_customers": 4,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

@@ -823,3 +823,59 @@ def test_table_diff_arg_contract(spark):
         table_diff(df, df, [])
     with pytest.raises(ValueError):
         table_diff(df.select("k"), df.select("k"), ["k"])
+
+
+def test_snapshot_changeset_roundtrip_law(spark):
+    """cdc_apply(old, snapshot_changeset(old, new)) == new exactly —
+    on random keyed tables with inserts, deletes, updates, NULL
+    transitions, and identical rows."""
+    import random
+
+    from transe_pyspark_spark.operators.relational import cdc_apply, snapshot_changeset
+
+    rng = random.Random(29)
+    old_rows, new_rows = [], []
+    for k in range(200):
+        a = rng.choice([None, rng.randrange(5)])
+        b = rng.randrange(1000)
+        fate = rng.random()
+        if fate < 0.2:
+            old_rows.append((k, a, b))                      # deleted
+        elif fate < 0.4:
+            new_rows.append((k, a, b))                      # inserted
+        elif fate < 0.7:
+            old_rows.append((k, a, b))                      # updated
+            new_rows.append((k, rng.choice([None, 9]), b + 1))
+        else:
+            old_rows.append((k, a, b))                      # identical
+            new_rows.append((k, a, b))
+    schema = "k long, a long, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    batch = snapshot_changeset(old, new, ["k"])
+    # the batch is |changes|-sized: identical keys emit nothing
+    om = {r[0]: r[1:] for r in old_rows}
+    nm = {r[0]: r[1:] for r in new_rows}
+    want_batch = sum(
+        1 for k in om.keys() | nm.keys() if om.get(k, "_") != nm.get(k, "_")
+    )
+    assert batch.count() == want_batch
+    applied = cdc_apply(old, batch, ["k"])
+    got = sorted(tuple(r) for r in applied.collect())
+    want = sorted(new_rows)
+    assert got == want
+    ops = {r["op"] for r in batch.collect()}
+    assert ops <= {"I", "U", "D"}
+
+
+def test_snapshot_changeset_schema_contract(spark):
+    import pytest
+
+    from transe_pyspark_spark.operators.relational import snapshot_changeset
+
+    a = spark.createDataFrame([(1, 2)], "k long, v long")
+    b = spark.createDataFrame([(1, 2, 3)], "k long, v long, w long")
+    with pytest.raises(ValueError):
+        snapshot_changeset(a, b, ["k"])
+    with pytest.raises(ValueError):
+        snapshot_changeset(a, a, [])

@@ -611,6 +611,76 @@ def cdc_apply(
     return untouched.unionByName(upserts)
 
 
+def snapshot_changeset(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> "DataFrame":
+    """Derive the CDC change batch that turns ``old`` into ``new`` —
+    the inverse of ``cdc_apply``, and the standard way to feed a
+    MERGE-based downstream from two full snapshot drops when the
+    source system emits no change log. Emits one row per differing
+    key: 'I' rows carry the new attributes for keys only in ``new``,
+    'U' rows the new attributes for keys in both with any NULL-safely
+    distinct column, 'D' rows (all-NULL attributes) for keys only in
+    ``old``. Identical keys emit nothing, so the batch is
+    |changes|-sized, not |table|-sized. All rows get ``seq = 1`` —
+    snapshots have no intra-batch ordering.
+
+    Roundtrip law (pytest-pinned): ``cdc_apply(old,
+    snapshot_changeset(old, new), keys)`` equals ``new`` exactly.
+
+    Plan: ONE full-outer key equi-join (the ``table_diff`` shape) with
+    a per-row op classification — no aggregate, no second pass; the
+    emitted batch matches ``cdc_apply``'s column contract directly.
+    Keys must be non-null on both sides (presence flags track join
+    sides, the ``table_diff`` contract).
+    """
+    if not key_cols:
+        raise ValueError("snapshot_changeset needs at least one key column")
+    attr_cols = [c for c in new.columns if c not in key_cols]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot_changeset requires identical schemas; old has "
+            f"{sorted(set(old.columns) - set(new.columns))} extra, new has "
+            f"{sorted(set(new.columns) - set(old.columns))} extra"
+        )
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in attr_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in attr_cols],
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    any_diff = F.lit(False)
+    for c in attr_cols:
+        any_diff = any_diff | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(any_diff, F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            *key_cols,
+            *[
+                F.when(F.col(op_col) != "D", F.col(f"__n_{c}")).alias(c)
+                for c in attr_cols
+            ],
+            op_col,
+            F.lit(1).alias(seq_col),
+        )
+    )
+
+
 def table_diff(
     old: "DataFrame",
     new: "DataFrame",

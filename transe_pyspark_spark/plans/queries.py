@@ -5481,6 +5481,69 @@ def q_table_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "changeset_customers",
+    oracle="""
+    WITH snap AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+                  FROM customer),
+    ch AS (
+      SELECT c_custkey, c_nationkey, acctbal_cents + 10000 AS acctbal_cents,
+             'U' AS op, 1 AS seq FROM snap WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'D', 1
+      FROM snap WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT c_custkey + 1000000, c_nationkey, 123456, 'I', 1
+      FROM snap WHERE c_custkey % 97 = 5
+      UNION ALL
+      SELECT c_custkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'D', 2
+      FROM snap WHERE c_custkey % 20 = 3),
+    latest AS (SELECT * FROM (
+        SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+                                        ORDER BY seq DESC, op ASC) AS rn
+        FROM ch) WHERE rn = 1),
+    applied AS (
+      SELECT s.c_custkey, s.c_nationkey, s.acctbal_cents
+      FROM snap s LEFT JOIN latest l ON s.c_custkey = l.c_custkey
+      WHERE l.c_custkey IS NULL
+      UNION ALL
+      SELECT c_custkey, c_nationkey, acctbal_cents FROM latest WHERE op <> 'D')
+    SELECT coalesce(o.c_custkey, a.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NOT NULL AND a.c_custkey IS NULL
+                THEN CAST(NULL AS BIGINT) ELSE a.c_nationkey END AS c_nationkey,
+           CASE WHEN o.c_custkey IS NOT NULL AND a.c_custkey IS NULL
+                THEN CAST(NULL AS BIGINT) ELSE a.acctbal_cents END AS acctbal_cents,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN a.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           CAST(1 AS INT) AS seq
+    FROM snap o FULL JOIN applied a ON o.c_custkey = a.c_custkey
+    WHERE o.c_custkey IS NULL OR a.c_custkey IS NULL
+       OR o.c_nationkey IS DISTINCT FROM a.c_nationkey
+       OR o.acctbal_cents IS DISTINCT FROM a.acctbal_cents
+    """,
+    tags=("warehouse", "cdc"),
+)
+def q_changeset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of the CDC face: derive the change batch between
+    the customer snapshot and its CDC-applied state — recovering the
+    COLLAPSED changeset (surviving inserts as 'I', surviving updates
+    as 'U', both delete waves as 'D' with NULL attributes, seq = 1).
+    One full-outer key join, per-row op classification, |changes|-sized
+    output. The roundtrip cdc_apply(old, changeset) == new is
+    pytest-pinned."""
+    from transe_pyspark_spark.operators.relational import snapshot_changeset
+
+    snap = _T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    applied = REGISTRY["cdc_apply_customers"].fn(spark, sf_dir)
+    return snapshot_changeset(snap, applied, ["c_custkey"])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5817,6 +5880,9 @@ _OVERFLOW_ORACLE = [
     "table_diff_customers",      # snapshot diff report: one full-
                                  # outer key join + one conditional
                                  # agg recovers the CDC changeset
+    "changeset_customers",       # inverse CDC: derive the change
+                                 # batch from two snapshots; roundtrip
+                                 # with cdc_apply pytest-pinned
 ]
 
 
