@@ -675,6 +675,9 @@ SF1_STABLE = [
     "node_clustering_parts",
     "rfm_segments_customers",
     "data_quality_audit",
+    # the CDC pair keeps its single-full-outer-join shapes at 10×
+    "table_diff_customers",
+    "changeset_customers",
 ]
 
 
