@@ -20,11 +20,11 @@ plain SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _report(name: str, checked: "F.Column", violations: "F.Column", agg_src: DataFrame) -> DataFrame:
+def _report(name: str, checked: Column, violations: Column, agg_src: DataFrame) -> DataFrame:
     return agg_src.agg(
         checked.cast("long").alias("n_checked"),
         violations.cast("long").alias("n_violations"),
