@@ -344,6 +344,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "flag join — the corpus token stream is never joined by token "
         "against itself",
     ),
+    "pyds_triples_profile": (
+        ["BatchScan kg_triples", "HashAggregate"],
+        "the custom Python Data Source plans as a real BatchScan (one "
+        "task per InputPartition, executor-side generation — no driver "
+        "materialization, no parallelize) feeding partial+final aggs",
+    ),
     "changeset_customers": (
         ["FullOuter"],
         "inverse CDC is ONE full-outer key equi-join with per-row op "
@@ -623,6 +629,9 @@ MAX_EXCHANGES = {
     "table_diff_customers": 5,
     # snapshot + CDC-applied sides into the classified full-outer join
     "changeset_customers": 4,
+    # the relation-key agg + the distinct-count expand — generation
+    # itself is narrow
+    "pyds_triples_profile": 2,
 }
 
 #: queries whose plans must be IDENTICAL in shape at sf1 (the 10×

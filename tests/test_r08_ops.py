@@ -879,3 +879,36 @@ def test_snapshot_changeset_schema_contract(spark):
         snapshot_changeset(a, b, ["k"])
     with pytest.raises(ValueError):
         snapshot_changeset(a, a, [])
+
+
+def test_pyds_triples_partitioning_and_determinism(spark):
+    """The custom data source plans the requested partitions (scan
+    parallelism = n_partitions), two reads are identical, the row set
+    matches the closed form, and bad options raise."""
+    from transe_pyspark_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+
+    def load(**kw):
+        r = spark.read.format("kg_triples")
+        for k, v in kw.items():
+            r = r.option(k, str(v))
+        return r.load()
+
+    df = load(n_rows=1000, n_entities=50, n_relations=5, n_partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        ((i * 40503 + 7) % 50, (i * 69621 + 3) % 5, (i * 16807 + 11) % 50)
+        for i in range(1000)
+    )
+    assert got == want
+    assert got == sorted(tuple(r) for r in df.collect())  # re-read identical
+
+    # ragged split: 10 rows over 4 partitions still covers exactly
+    assert load(n_rows=10, n_partitions=4).count() == 10
+
+    # option validation raises at PLAN time (the reader is built
+    # driver-side); the wrapper type varies, the message is ours
+    with pytest.raises(Exception, match="kg_triples options"):
+        load(n_rows=0).count()

@@ -1,0 +1,90 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource` API):
+a partitioned, deterministic knowledge-graph triple generator.
+
+The reference ingests its graph from a TSV file (`utils.py:5-59`);
+at benchmark/CI scale you want the same shape WITHOUT shipping a
+file — a source that *plans partitions* and generates each one
+executor-side. This is the idiomatic Spark 4 way to add such a
+source: subclass ``DataSource``/``DataSourceReader``, emit
+``InputPartition``s so the scan parallelizes like any file scan
+(one task per partition, no driver materialization, no
+``parallelize`` of driver-built rows), and register per-session.
+
+Determinism contract: row ``i`` of the global output is a pure
+closed-form function of ``i`` (LCG-style mixing with BIGINT-safe
+constants), so a SQL engine can replicate the whole table from
+``generate_series`` — the DuckDB oracle does exactly that, which
+makes the custom-source path itself oracle-checkable end-to-end.
+
+Options (all integers, passed as strings per the DataSource API):
+``n_rows`` (default 10_000), ``n_entities`` (1_000),
+``n_relations`` (20), ``n_partitions`` (8).
+
+Formulas for global row i (all mod-arithmetic in BIGINT range —
+multipliers chosen so i * a < 2^63 for any i < 2^40):
+  h = (i * 40503 + 7)  % n_entities
+  l = (i * 69621 + 3)  % n_relations
+  t = (i * 16807 + 11) % n_entities
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _TriplesPartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class SyntheticTriplesReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.n_entities = int(options.get("n_entities", 1_000))
+        self.n_relations = int(options.get("n_relations", 20))
+        self.n_partitions = int(options.get("n_partitions", 8))
+        if min(self.n_rows, self.n_entities, self.n_relations, self.n_partitions) < 1:
+            raise ValueError("all kg_triples options must be >= 1")
+
+    def partitions(self) -> list[InputPartition]:
+        # contiguous row ranges — each task generates its own slice,
+        # nothing is materialized on the driver
+        per = -(-self.n_rows // self.n_partitions)
+        return [
+            _TriplesPartition(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _TriplesPartition):
+        ne, nr = self.n_entities, self.n_relations
+        for i in range(partition.start, partition.end):
+            yield (
+                (i * 40503 + 7) % ne,
+                (i * 69621 + 3) % nr,
+                (i * 16807 + 11) % ne,
+            )
+
+
+class SyntheticTriplesDataSource(DataSource):
+    """``spark.read.format("kg_triples")`` after
+    ``spark.dataSource.register(SyntheticTriplesDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kg_triples"
+
+    def schema(self) -> str:
+        return "h bigint, l bigint, t bigint"
+
+    def reader(self, schema) -> SyntheticTriplesReader:
+        return SyntheticTriplesReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration (re-registering the same
+    name is a no-op error we swallow: the API has no exists-check)."""
+    try:
+        spark.dataSource.register(SyntheticTriplesDataSource)
+    except Exception:
+        pass
