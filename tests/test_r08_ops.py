@@ -912,3 +912,49 @@ def test_pyds_triples_partitioning_and_determinism(spark):
     # driver-side); the wrapper type varies, the message is ours
     with pytest.raises(Exception, match="kg_triples options"):
         load(n_rows=0).count()
+
+
+def test_pyds_filter_pushdown_equivalence_and_residual(spark):
+    """With option("pushdown","true") + the session conf, an l = const
+    filter is consumed by the source (only isnotnull remains in the
+    plan) and results equal the unpushed scan — including the
+    gcd-degenerate relation count where the congruence has no
+    solutions. Plain reads stay functional with the conf off."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        def load(push, nr=20):
+            r = (spark.read.format("kg_triples").option("n_rows", "4000")
+                 .option("n_entities", "100").option("n_relations", str(nr))
+                 .option("n_partitions", "5"))
+            if push:
+                r = r.option("pushdown", "true")
+            return r.load()
+
+        want = sorted(tuple(r) for r in load(False).collect() if r[1] == 3)
+        filt = load(True).filter(F.col("l") == 3)
+        assert sorted(tuple(r) for r in filt.collect()) == want
+        assert len(want) == 4000 // 20
+        plan = filt._jdf.queryExecution().executedPlan().toString()
+        # the EqualTo was consumed: any residual Filter is isnotnull only
+        for line in plan.splitlines():
+            if re.search(r"\(\d+\) Filter", line) or "* Filter" in line:
+                assert "isnotnull" in line and "= 3" not in line
+
+        # nr=6: multiplier 69621 ≡ 3 (mod 6) → l only ever hits {0, 3};
+        # pushing l = 1 must yield the same empty set as brute force
+        assert load(True, nr=6).filter(F.col("l") == 1).count() == 0
+        assert sum(1 for r in load(False, nr=6).collect() if r[1] == 1) == 0
+        assert load(True, nr=6).filter(F.col("l") == 3).count() == \
+            sum(1 for r in load(False, nr=6).collect() if r[1] == 3)
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+    # with pushdown disabled again, both reader variants still work
+    assert load(False).count() == 4000

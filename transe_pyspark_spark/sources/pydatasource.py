@@ -29,7 +29,12 @@ multipliers chosen so i * a < 2^63 for any i < 2^40):
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
 
 
 class _TriplesPartition(InputPartition):
@@ -46,6 +51,13 @@ class SyntheticTriplesReader(DataSourceReader):
         self.n_partitions = int(options.get("n_partitions", 8))
         if min(self.n_rows, self.n_entities, self.n_relations, self.n_partitions) < 1:
             raise ValueError("all kg_triples options must be >= 1")
+        self.l_eq: int | None = None
+
+    def _residues(self) -> list[int]:
+        """Residue classes of i (mod n_relations) whose generated l
+        equals the pushed constant — n_relations driver-side probes."""
+        nr, v = self.n_relations, self.l_eq
+        return [r for r in range(nr) if (r * 69621 + 3) % nr == v]
 
     def partitions(self) -> list[InputPartition]:
         # contiguous row ranges — each task generates its own slice,
@@ -58,12 +70,54 @@ class SyntheticTriplesReader(DataSourceReader):
 
     def read(self, partition: _TriplesPartition):
         ne, nr = self.n_entities, self.n_relations
-        for i in range(partition.start, partition.end):
-            yield (
-                (i * 40503 + 7) % ne,
-                (i * 69621 + 3) % nr,
-                (i * 16807 + 11) % ne,
-            )
+        if self.l_eq is None:
+            for i in range(partition.start, partition.end):
+                yield (
+                    (i * 40503 + 7) % ne,
+                    (i * 69621 + 3) % nr,
+                    (i * 16807 + 11) % ne,
+                )
+            return
+        # pushed l = const: walk only the satisfying residue classes —
+        # the generator never touches non-matching i
+        for r in self._residues():
+            first = partition.start + ((r - partition.start) % nr)
+            for i in range(first, partition.end, nr):
+                yield (
+                    (i * 40503 + 7) % ne,
+                    self.l_eq,
+                    (i * 16807 + 11) % ne,
+                )
+
+
+class SyntheticTriplesPushdownReader(SyntheticTriplesReader):
+    """The pushdown-capable variant, selected by
+    ``option("pushdown", "true")``. Separate class ON PURPOSE: Spark
+    4.1 REFUSES to initialize any reader that merely *implements*
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled``
+    is false (DATA_SOURCE_PUSHDOWN_DISABLED) — so the default reader
+    must not define the method at all, or every plain read under a
+    stock session (the driver harness) would fail."""
+
+    def pushFilters(self, filters):
+        # Accept `l = <const>` (the selective predicate a KG scan
+        # actually sees — per-relation reads). Because
+        # l = (i·69621 + 3) % n_relations is a congruence in i, read()
+        # SKIPS non-matching rows generatively: it walks only the
+        # satisfying residue classes mod n_relations, so the scan
+        # emits ~|rows|/n_relations rows instead of filtering after
+        # the fact. Everything else stays Spark-side (each yielded
+        # filter must be one of the inputs, by reference).
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("l",)
+                and isinstance(f.value, int)
+                and self.l_eq is None
+            ):
+                self.l_eq = int(f.value)
+            else:
+                yield f
 
 
 class SyntheticTriplesDataSource(DataSource):
@@ -78,6 +132,8 @@ class SyntheticTriplesDataSource(DataSource):
         return "h bigint, l bigint, t bigint"
 
     def reader(self, schema) -> SyntheticTriplesReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return SyntheticTriplesPushdownReader(self.options)
         return SyntheticTriplesReader(self.options)
 
 
