@@ -958,3 +958,51 @@ def test_pyds_filter_pushdown_equivalence_and_residual(spark):
         spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
     # with pushdown disabled again, both reader variants still work
     assert load(False).count() == 4000
+
+
+def test_pyds_stream_equals_batch_and_replays(spark):
+    """The streaming variant drains to exactly the batch reader's row
+    multiset, and a restart from an existing checkpoint replays the
+    remaining range without duplicating or dropping rows."""
+    import tempfile
+    import uuid
+
+    from transe_pyspark_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    opts = {"n_rows": "3000", "n_entities": "200", "n_relations": "9",
+            "n_partitions": "4", "batch_rows": "700"}
+
+    def batch_rows():
+        r = spark.read.format("kg_triples")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(tuple(x) for x in r.load().collect())
+
+    def stream_df():
+        r = spark.readStream.format("kg_triples")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    # parquet sink (fault-tolerant, unlike memory) so the restart leg
+    # can recover from the same checkpoint
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pyds_")
+    out = tempfile.mkdtemp(prefix="out_pyds_") + "/rows"
+
+    def drain():
+        q = (stream_df().writeStream.format("parquet")
+             .outputMode("append").option("path", out)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    drain()
+    got = sorted(tuple(x) for x in spark.read.parquet(out).collect())
+    assert got == batch_rows()
+
+    # restart on the SAME checkpoint: the source is fully drained, so
+    # exactly-once replay must add NOTHING to the sink
+    drain()
+    assert sorted(tuple(x) for x in spark.read.parquet(out).collect()) == got

@@ -5589,6 +5589,53 @@ def q_pyds_triples_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pyds_stream_profile",
+    oracle="""
+    WITH g AS (SELECT CAST(x AS BIGINT) AS i
+               FROM generate_series(0, 9999) t(x)),
+    tr AS (SELECT (i * 40503 + 7) % 1000 AS h,
+                  (i * 69621 + 3) % 20 AS l,
+                  (i * 16807 + 11) % 1000 AS t
+           FROM g)
+    SELECT l, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(h) AS BIGINT) AS sum_h,
+           CAST(sum(t) AS BIGINT) AS sum_t
+    FROM tr GROUP BY l
+    """,
+    tags=("source", "streaming"),
+)
+def q_pyds_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source (Spark 4
+    ``simpleStreamReader``): the same deterministic triple space drips
+    in 1000-row micro-batches with the row index as the replayable
+    offset; the per-relation rollup over the drained stream equals the
+    batch closed form, so the DuckDB oracle rebuilds the whole stream
+    from generate_series — the custom stream-source path (offset
+    management, driver prefetch, micro-batch planning) is oracle-
+    checked end-to-end. Drained with processAllAvailable (AvailableNow
+    snapshots only the first prefetched micro-batch of a Simple
+    reader). (sf_dir unused: the source generates its input.)"""
+    from transe_pyspark_spark.sources import pydatasource
+    from transe_pyspark_spark.streaming.windows import run_process_all
+
+    pydatasource.register(spark)
+    s = (
+        spark.readStream.format("kg_triples")
+        .option("n_rows", "10000")
+        .option("n_entities", "1000")
+        .option("n_relations", "20")
+        .option("batch_rows", "1000")
+        .load()
+    )
+    agg = s.groupBy("l").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("h").cast("long").alias("sum_h"),
+        F.sum("t").cast("long").alias("sum_t"),
+    )
+    return run_process_all(agg, spark, output_mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5931,6 +5978,9 @@ _OVERFLOW_ORACLE = [
     "pyds_triples_profile",      # Spark 4 Python Data Source API:
                                  # partitioned executor-side generator,
                                  # whole table replayed by the oracle
+    "pyds_stream_profile",       # the STREAMING variant: row-index
+                                 # offsets, micro-batch drip, drained
+                                 # rollup equals the batch closed form
 ]
 
 

@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -120,9 +121,56 @@ class SyntheticTriplesPushdownReader(SyntheticTriplesReader):
                 yield f
 
 
+class SyntheticTriplesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant (Spark 4 ``simpleStreamReader``): the same
+    deterministic row space drips in ``batch_rows``-sized micro-batch
+    increments with the global row index as the OFFSET — so restarts
+    replay exactly (the offset log pins [start, end) row ranges, and
+    row i is a pure function of i). A bounded stream (``n_rows``)
+    reports an unmoving offset with an empty batch once exhausted,
+    which lets ``Trigger.AvailableNow`` terminate."""
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.n_entities = int(options.get("n_entities", 1_000))
+        self.n_relations = int(options.get("n_relations", 20))
+        self.batch_rows = int(options.get("batch_rows", 1_000))
+        if min(self.n_rows, self.n_entities, self.n_relations, self.batch_rows) < 1:
+            raise ValueError("all kg_triples options must be >= 1")
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, i0: int, i1: int) -> list:
+        # a LIST, not a generator: the engine's driver-side prefetch
+        # cache copy.copy()s the returned iterator on every consumer
+        # (pyspark datasource_internal.getCache), and generators are
+        # neither copyable nor picklable — a generator here hangs the
+        # stream with "cannot pickle 'generator' object"
+        ne, nr = self.n_entities, self.n_relations
+        return [
+            (
+                (i * 40503 + 7) % ne,
+                (i * 69621 + 3) % nr,
+                (i * 16807 + 11) % ne,
+            )
+            for i in range(i0, i1)
+        ]
+
+    def read(self, start: dict):
+        i0 = int(start["i"])
+        i1 = min(i0 + self.batch_rows, self.n_rows)
+        return iter(self._rows(i0, i1)), {"i": i1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after restart: regenerate the exact range
+        return iter(self._rows(int(start["i"]), int(end["i"])))
+
+
 class SyntheticTriplesDataSource(DataSource):
     """``spark.read.format("kg_triples")`` after
-    ``spark.dataSource.register(SyntheticTriplesDataSource)``."""
+    ``spark.dataSource.register(SyntheticTriplesDataSource)``; also
+    streamable via ``spark.readStream.format("kg_triples")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -135,6 +183,9 @@ class SyntheticTriplesDataSource(DataSource):
         if str(self.options.get("pushdown", "false")).lower() == "true":
             return SyntheticTriplesPushdownReader(self.options)
         return SyntheticTriplesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticTriplesStreamReader:
+        return SyntheticTriplesStreamReader(self.options)
 
 
 def register(spark) -> None:
