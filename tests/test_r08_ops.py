@@ -1006,3 +1006,49 @@ def test_pyds_stream_equals_batch_and_replays(spark):
     # exactly-once replay must add NOTHING to the sink
     drain()
     assert sorted(tuple(x) for x in spark.read.parquet(out).collect()) == got
+
+
+def test_tsv_sink_two_phase_commit_and_abort(spark):
+    """The custom Python sink: task temps only become part-files at
+    DRIVER commit (with a _SUCCESS row-count manifest); a failing
+    write aborts without touching the previously committed output."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.sources import pydatasource
+    from transe_pyspark_spark.sources.readers import read_triples_tsv
+
+    pydatasource.register(spark)
+    src = (spark.read.format("kg_triples").option("n_rows", "1200")
+           .option("n_entities", "80").option("n_relations", "6")
+           .option("n_partitions", "3").load())
+    d = tempfile.mkdtemp(prefix="kgtsv_t_")
+    src.write.format("kg_tsv").option("path", d).mode("overwrite").save()
+    files = sorted(os.listdir(d))
+    assert files == ["_SUCCESS", "part-00000.tsv", "part-00001.tsv", "part-00002.tsv"]
+    assert open(os.path.join(d, "_SUCCESS")).read().strip() == "1200"
+    back = read_triples_tsv(spark, d + "/part-*.tsv")
+    assert sorted(tuple(r) for r in src.collect()) == sorted(
+        (int(r["head"]), int(r["label"]), int(r["tail"])) for r in back.collect()
+    )
+
+    # failing job: one row poisons str() via a UDF raise -> tasks fail,
+    # abort runs, and the COMMITTED output is untouched (no temps, no
+    # partial part-files, same _SUCCESS)
+    @F.udf("long")
+    def boom(v):
+        raise RuntimeError("poisoned row")
+
+    import pytest
+
+    with pytest.raises(Exception):
+        (src.withColumn("h", boom(F.col("h")))
+         .write.format("kg_tsv").option("path", d).mode("overwrite").save())
+    assert sorted(os.listdir(d)) == files  # nothing added, nothing removed
+    assert open(os.path.join(d, "_SUCCESS")).read().strip() == "1200"
+
+    # missing path is an actionable error
+    with pytest.raises(Exception, match="path"):
+        src.write.format("kg_tsv").mode("overwrite").save()

@@ -5636,6 +5636,56 @@ def q_pyds_stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_process_all(agg, spark, output_mode="complete")
 
 
+@_register(
+    "tsv_sink_roundtrip",
+    oracle="""
+    WITH g AS (SELECT CAST(x AS BIGINT) AS i
+               FROM generate_series(0, 9999) t(x)),
+    tr AS (SELECT (i * 40503 + 7) % 1000 AS h,
+                  (i * 69621 + 3) % 20 AS l,
+                  (i * 16807 + 11) % 1000 AS t
+           FROM g)
+    SELECT l, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(h) AS BIGINT) AS sum_h,
+           CAST(sum(t) AS BIGINT) AS sum_t
+    FROM tr GROUP BY l
+    """,
+    tags=("source", "sink"),
+)
+def q_tsv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python SINK (Spark 4 ``DataSourceWriter``), full circle:
+    triples from the custom generator source are written through the
+    two-phase-commit ``kg_tsv`` sink (task temps promoted to
+    part-files only at driver commit, _SUCCESS manifest), read back by
+    the REFERENCE-format TSV reader (`utils.py:5-28`'s layout), and
+    rolled up per relation — matching the generate_series oracle iff
+    every row survived the write/read hop byte-exactly. (sf_dir
+    unused: the source generates its input; the sink writes to a
+    per-run temp dir.)"""
+    import tempfile
+
+    from transe_pyspark_spark.sources import pydatasource
+    from transe_pyspark_spark.sources.readers import read_triples_tsv
+
+    pydatasource.register(spark)
+    src = (
+        spark.read.format("kg_triples")
+        .option("n_rows", "10000")
+        .option("n_entities", "1000")
+        .option("n_relations", "20")
+        .option("n_partitions", "8")
+        .load()
+    )
+    d = tempfile.mkdtemp(prefix="kgtsv_face_")
+    src.write.format("kg_tsv").option("path", d).mode("overwrite").save()
+    back = read_triples_tsv(spark, d + "/part-*.tsv")
+    return back.groupBy(F.col("label").cast("long").alias("l")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("head").cast("long")).cast("long").alias("sum_h"),
+        F.sum(F.col("tail").cast("long")).cast("long").alias("sum_t"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -5981,6 +6031,9 @@ _OVERFLOW_ORACLE = [
     "pyds_stream_profile",       # the STREAMING variant: row-index
                                  # offsets, micro-batch drip, drained
                                  # rollup equals the batch closed form
+    "tsv_sink_roundtrip",        # custom two-phase-commit sink, full
+                                 # circle through the reference-format
+                                 # TSV reader
 ]
 
 

@@ -29,12 +29,19 @@ multipliers chosen so i * a < 2^63 for any i < 2^40):
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -188,10 +195,77 @@ class SyntheticTriplesDataSource(DataSource):
         return SyntheticTriplesStreamReader(self.options)
 
 
+@dataclass
+class _TsvCommit(WriterCommitMessage):
+    temp_file: str
+    n_rows: int
+
+
+class TsvTriplesWriter(DataSourceWriter):
+    """Two-phase-commit TSV writer: each task writes its rows to a
+    temp file and returns a commit message; only the DRIVER's
+    ``commit`` renames temps into ``part-<i>.tsv`` and stamps
+    ``_SUCCESS`` — so a retried/failed task can never leave a
+    partially-visible file (``abort`` removes the temp dir). The same
+    protocol Spark's own file sinks run, spelled out in Python. The
+    target path must be on storage every task can reach (the standard
+    file-sink contract; on local[n] any local dir works)."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path") or options.get("__path__")
+        if not self.path:
+            raise ValueError('kg_tsv sink requires .option("path", ...) or save(path)')
+        self.sep = options.get("sep", "\t")
+        self.overwrite = overwrite
+
+    def _tmp(self) -> str:
+        return os.path.join(self.path, "_temp")
+
+    def write(self, iterator) -> _TsvCommit:
+        os.makedirs(self._tmp(), exist_ok=True)
+        f = os.path.join(self._tmp(), f"{uuid.uuid4().hex}.tsv")
+        n = 0
+        with open(f, "w") as out:
+            for row in iterator:
+                out.write(self.sep.join(str(v) for v in row) + "\n")
+                n += 1
+        return _TsvCommit(temp_file=f, n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.path, name))
+        total = 0
+        for i, m in enumerate(messages):
+            os.replace(m.temp_file, os.path.join(self.path, f"part-{i:05d}.tsv"))
+            total += m.n_rows
+        shutil.rmtree(self._tmp(), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(f"{total}\n")
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self._tmp(), ignore_errors=True)
+
+
+class TsvTriplesSink(DataSource):
+    """``df.write.format("kg_tsv").option("path", d).mode(...)`` —
+    writes any DataFrame as separator-joined text, the reference's
+    triple-TSV layout (`utils.py:5-28` reads this shape back)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kg_tsv"
+
+    def writer(self, schema, overwrite: bool) -> TsvTriplesWriter:
+        return TsvTriplesWriter(self.options, overwrite)
+
+
 def register(spark) -> None:
     """Idempotent per-session registration (re-registering the same
     name is a no-op error we swallow: the API has no exists-check)."""
-    try:
-        spark.dataSource.register(SyntheticTriplesDataSource)
-    except Exception:
-        pass
+    for cls in (SyntheticTriplesDataSource, TsvTriplesSink):
+        try:
+            spark.dataSource.register(cls)
+        except Exception:
+            pass
