@@ -22,14 +22,20 @@ MUST_BE_IN_WINDOW = {
     "range_count_views",
     "benchmark_decontaminate",
     "incremental_dedup_drop",
-    "purchase_funnel",
+    # r09: purchase_funnel rotated to overflow (twice-green many
+    # times over); the funnel family's in-window face is now the
+    # strictly stronger funnel_ordered_steps
+    "funnel_ordered_steps",
     # r06: the multimodal family's in-window face upgraded from the
     # stubbed multimodal_meta (twice-green, rotated to overflow) to
     # the real-decode multimodal_decode
     "multimodal_decode",
+    # r09: stream_stateful_profiles / stream_chained_agg rotated to
+    # overflow; streaming keeps tumbling + interval + the new
+    # stateful-agg quality monitor in-window
     "stream_tumbling_counts",
-    "stream_stateful_profiles",
     "stream_interval_join",
+    "stream_quality_counts",
 }
 
 #: the r07 window invariant: everything first driver-checked in r06
@@ -41,62 +47,45 @@ MUST_BE_IN_WINDOW = {
 #: scd2_merge_customers, stream_interval_join_outer), plus
 #: token_budget_mix / heavy_hitter_words in the second wave;
 #: incremental_neardedup_drop stays (front slot).
-NEW_IN_R07 = {
-    "ann_persisted_recall",
-    "simhash_summary",
-    "near_dedup_keep_lsh_summary",
-    # brand-new r07 operators (graph census, nearest-in-time join,
-    # seasonal baseline, leakage-safe split)
-    "triangle_stats_parts",
-    "nearest_click_purchase",
-    "seasonal_anomaly_events",
-    "split_leakage_safe",
+#: the twenty r08 faces registered past the window and rotated INTO
+#: the window in r09 (front until driver-green — VERDICT r08 ask #1:
+#: the whole rotation queue drains in one round)
+NEW_IN_R09 = {
+    "event_transitions",
+    "time_to_convert_weekly",
+    "ab_conversion_ztest",
+    "cross_source_dup_matrix",
+    "kcore_trading_graph",
+    "daily_corr_view_purchase",
+    "top_event_paths",
+    "cusum_change_events",
+    "percent_rank_doc_length",
+    "oov_rate_docs",
+    "session_type_affinity",
+    "node_clustering_parts",
+    "data_quality_audit",
+    "rfm_segments_customers",
+    "stream_quality_counts",
+    "table_diff_customers",
+    "changeset_customers",
+    "pyds_triples_profile",
+    "pyds_stream_profile",
+    "tsv_sink_roundtrip",
 }
 
-#: r06-first-checked faces still pinned in-window for r08. The full
-#: NEW_IN_R06 set went twice-green in r07 and became the r08 rotation
-#: pool; three members rotated to overflow in r08 (multimodal_audio,
-#: copurchase_parts, cohort_retention_weekly — families stay covered,
-#: see COVERAGE.md), the rest keep their slots.
-NEW_IN_R06 = {
-    "ann_recall_vs_exact",
-    "multimodal_decode",
-    "reservoir_sample_docs",
-    "dup_ngram_docs",
-    "mad_outlier_values",
-    "cdc_apply_customers",
-    "doc_keywords_lift",
-    "record_linkage_parts",
-    "containment_near_pairs",
-    "stream_chained_agg",
-    "pagerank_trading_graph",
-    "key_skew_lineitem",
-    "weighted_sample_docs",
-    "rolling_wau_events",
-    "zorder_orders",
-    "interval_overlap_purchases",
-    "interpolate_hourly",
-    "attribution_linear",
-    "sample_per_lang_docs",
-    "trend_per_event_type",
-    "value_drift_weeks",
-    "dedup_bursts_events",
-    "winsorize_values",
-}
-
-#: the three late-r07 faces rotated INTO the window in r08 (front
-#: until driver-green — VERDICT r07 ask #2)
-NEW_IN_R08 = {
+#: the three late-r07 faces first driver-checked (green) in r08 —
+#: once-green, so they hold their slots until twice-green
+ONCE_GREEN_R08 = {
     "decayed_user_scores",
     "funnel_ordered_steps",
     "gini_customer_spend",
 }
 
 
-def test_r08_rotation_inside_window():
+def test_r09_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (NEW_IN_R06 | NEW_IN_R07 | NEW_IN_R08) - window
-    assert not missing, f"r08 must-check queries fell out of the driver window: {missing}"
+    missing = (NEW_IN_R09 | ONCE_GREEN_R08) - window
+    assert not missing, f"r09 must-check queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():

@@ -5981,104 +5981,106 @@ _OVERFLOW_ORACLE = [
                                  # hourly + rolling_wau_events +
                                  # nearest_click_purchase keep the
                                  # family amply covered
-    # NOT rotated-out incumbents — NEW r08 faces registered past the
-    # full window (mirror-checked + pytest-gated, never
-    # driver-checked): first in line for the r09 rotation, the
-    # late-r06/r07 precedent:
-    "event_transitions",         # Markov transition matrix: lag-window
-                                 # consecutive pairs, deterministic
-                                 # (ts, id) order, exact counts
-    "time_to_convert_weekly",    # first-view → earliest-purchase
-                                 # latency percentiles per cohort
-    "ab_conversion_ztest",       # two-proportion z readout on exact
-                                 # distinct-user counts
-    "cross_source_dup_matrix",   # duplicate-pair counts per source
-                                 # pair from the fingerprint groups
-    "kcore_trading_graph",       # fixed-round k-core peel, 3×-unrolled
-                                 # SQL oracle (pagerank pattern)
-    "daily_corr_view_purchase",  # exact-integer-moment Pearson r of
-                                 # daily type counts, zero-filled spine
-    "top_event_paths",           # top-10 consecutive 3-event paths,
-                                 # one shared window sort + top-k heap
-    "cusum_change_events",       # exact-integer CUSUM level-shift
-                                 # screen, earliest-argmax change day
-    "percent_rank_doc_length",   # rank-based feature transform on the
-                                 # distributed prefix pattern
-    "oov_rate_docs",             # tokenizer-coverage screen vs the
-                                 # corpus's own top-k vocabulary
-    "session_type_affinity",     # market-basket lift with sessions
-                                 # as baskets, exact-count statistics
-    "node_clustering_parts",     # per-node local clustering on the
-                                 # degree-oriented triangle machinery
-    "data_quality_audit",        # dbt-test-style constraint audit:
-                                 # null/unique/accepted/range/FK
-                                 # violation counts as one report
-    "rfm_segments_customers",    # RFM quintile segmentation on the
-                                 # distributed prefix-rank (x3), exact
-                                 # floor(rank*5/n) tiling
-    "stream_quality_counts",     # streaming per-window quality
-                                 # monitor, one stateful agg, batch
-                                 # twin oracle
-    "table_diff_customers",      # snapshot diff report: one full-
-                                 # outer key join + one conditional
-                                 # agg recovers the CDC changeset
-    "changeset_customers",       # inverse CDC: derive the change
-                                 # batch from two snapshots; roundtrip
-                                 # with cdc_apply pytest-pinned
-    "pyds_triples_profile",      # Spark 4 Python Data Source API:
-                                 # partitioned executor-side generator,
-                                 # whole table replayed by the oracle
-    "pyds_stream_profile",       # the STREAMING variant: row-index
-                                 # offsets, micro-batch drip, drained
-                                 # rollup equals the batch closed form
-    "tsv_sink_roundtrip",        # custom two-phase-commit sink, full
-                                 # circle through the reference-format
-                                 # TSV reader
+    # rotated out in r09 (driver-green r07+r08 — VERDICT r08 ask #1:
+    # ALL TWENTY queued r08 faces rotate into front slots, so twenty
+    # twice-green incumbents cede; every family keeps ≥1 in-window
+    # member, see COVERAGE.md r09 notes):
+    "purchase_funnel",           # funnel: funnel_ordered_steps (the
+                                 # strictly stronger face, once-green
+                                 # r08) keeps the family in-window
+    "ann_persisted_recall",      # ANN: ann_recall_vs_exact keeps the
+                                 # whole family's recall contract
+                                 # in-window; persistence stays
+                                 # pytest- and DPP-gated
+    "simhash_summary",           # dedup: incremental_dedup_drop
+                                 # (front) + cross_source_dup_matrix
+                                 # (new, in-window) keep the family
+    "near_dedup_keep_lsh_summary",  # dedup: same coverage; the
+                                 # keep-verdict ≡ exact-path law stays
+                                 # pytest-pinned
+    "incremental_neardedup_drop",  # dedup: incremental_dedup_drop
+                                 # keeps the persisted-state contract
+                                 # in-window; near variant stays
+                                 # pytest-gated
+    "containment_near_pairs",    # dedup: family coverage as above;
+                                 # prefix-filter path stays sf1-benched
+    "dup_ngram_docs",            # text: benchmark_decontaminate
+                                 # (front) + oov_rate_docs (new)
+                                 # keep the text family
+    "doc_keywords_lift",         # text: same; stays sf1-benched with
+                                 # the new normalized_sf1 ratios
+    "reservoir_sample_docs",     # sampling: sample_per_lang_docs +
+                                 # split_leakage_safe keep the family
+    "weighted_sample_docs",      # sampling: same; PPS prefix-sum
+                                 # stays pytest-gated
+    "stream_stateful_profiles",  # streaming: tumbling + interval +
+                                 # stream_quality_counts (new,
+                                 # stateful agg) keep the family;
+                                 # applyInPandasWithState stays
+                                 # twin-pytest-gated
+    "stream_chained_agg",        # streaming: same coverage
+    "cdc_apply_customers",       # warehouse: table_diff_customers +
+                                 # changeset_customers (roundtrip law
+                                 # composes with cdc_apply) + rfm +
+                                 # data_quality_audit keep the family
+    "pagerank_trading_graph",    # graph: kcore_trading_graph +
+                                 # node_clustering_parts (new) keep
+                                 # the family in-window
+    "triangle_stats_parts",      # graph: same; the wedge-join bound
+                                 # stays pytest-pinned
+    "mad_outlier_values",        # agg screens: seasonal_anomaly_events
+                                 # + gini + decayed keep the family
+    "winsorize_values",          # agg screens: same
+    "value_drift_weeks",         # agg screens: same
+    "trend_per_event_type",      # agg screens: same
+    "key_skew_lineitem",         # agg/diagnostics: same; skew demo
+                                 # stays benched + plan-gated
 ]
 
 
 def _reorder_registry() -> None:
     front = [
-        # flagship + one representative per family the driver should
-        # always see first (r04: sliding/session/token_frequencies
-        # rotated to overflow after two driver-green rounds)
+        # the flagship keeps slot 0 (pinned by test_flagship_is_first)
         "transe_rank_eval",
-        "asof_purchase_click",
-        "range_count_views",
-        "purchase_funnel",
-        # r04: corpus_clean_pipeline/doc_fingerprint rotate to overflow
-        # after two driver-green rounds; the never-driver-checked new
-        # pipeline faces take their front slots
-        "benchmark_decontaminate",
-        "incremental_dedup_drop",
-        # r05: the newly oracle-ified incremental near-dedup contract
-        # has never been driver-checked — front slot until green
-        "incremental_neardedup_drop",
-        # r06: the newly oracle-ified ANN family contract (LSH/IVF/PQ
-        # recall booleans + exact-kNN hard checksums) has never been
-        # driver-checked — front slot until green
-        "ann_recall_vs_exact",
-        # r06: real stdlib PPM decode face — never driver-checked;
-        # takes the front slot multimodal_meta held (meta rotated to
-        # overflow after two green rounds)
-        "multimodal_decode",
-        # r06: exactly-k reservoir sample + cross-doc n-gram dedup
-        # audit — never driver-checked
-        "reservoir_sample_docs",
-        "dup_ngram_docs",
-        # r07: the three late-r06 faces registered past the window in
-        # r06 (mirror-green, never driver-checked) — front until green
-        "ann_persisted_recall",
-        "simhash_summary",
-        "near_dedup_keep_lsh_summary",
-        # r08: the three late-r07 faces registered past the window in
-        # r07 (mirror-green + pytest/fuzz-gated, never driver-checked)
-        # — front until green (VERDICT r07 ask #2)
+        # r09 rotation (VERDICT r08 ask #1): ALL TWENTY r08 faces
+        # registered past the window (mirror-green at both SFs +
+        # pytest-gated, never driver-checked) take front slots until
+        # driver-green — the full queue drains in one rotation.
+        "event_transitions",
+        "time_to_convert_weekly",
+        "ab_conversion_ztest",
+        "cross_source_dup_matrix",
+        "kcore_trading_graph",
+        "daily_corr_view_purchase",
+        "top_event_paths",
+        "cusum_change_events",
+        "percent_rank_doc_length",
+        "oov_rate_docs",
+        "session_type_affinity",
+        "node_clustering_parts",
+        "data_quality_audit",
+        "rfm_segments_customers",
+        "stream_quality_counts",
+        "table_diff_customers",
+        "changeset_customers",
+        "pyds_triples_profile",
+        "pyds_stream_profile",
+        "tsv_sink_roundtrip",
+        # once-green r08 faces — stay in-window until twice-green
+        # (the standing policy)
         "decayed_user_scores",
         "funnel_ordered_steps",
         "gini_customer_spend",
+        # standing family representatives the driver should always see
+        # (twenty twice-green incumbents rotated to overflow this
+        # round — see _OVERFLOW_ORACLE's r09 block)
+        "asof_purchase_click",
+        "range_count_views",
+        "benchmark_decontaminate",
+        "incremental_dedup_drop",
+        "ann_recall_vs_exact",
+        "multimodal_decode",
         "stream_tumbling_counts",
-        "stream_stateful_profiles",
         "stream_interval_join",
     ]
     overlap = set(front) & set(_OVERFLOW_ORACLE)
