@@ -328,10 +328,12 @@ def test_ordered_funnel_fuzz_vs_python(spark):
 
     rng = random.Random(67)
     base = dt.datetime(2024, 7, 1)
-    # second shape exercises the REPEATED-step rule (r08 advisory fix):
-    # a repeated step requires a strictly LATER event, so a single
-    # event can never complete both of its own occurrences
-    for steps in (["a", "b", "c"], ["a", "a", "b"]):
+    # later shapes exercise the REPEATED-step rule (r08/r09 advisory
+    # fixes): a repeated step type — adjacent OR not — requires an
+    # event strictly later than that type's previous completion, so a
+    # single event can never complete two of its own occurrences
+    for steps in (["a", "b", "c"], ["a", "a", "b"], ["a", "b", "a"],
+                  ["a", "b", "a", "b"]):
         rows = [
             (rng.randrange(30), rng.choice(["a", "b", "c", "noise"]),
              base + dt.timedelta(minutes=rng.randrange(0, 100)))
@@ -348,15 +350,19 @@ def test_ordered_funnel_fuzz_vs_python(spark):
         want = {(k, s): 0 for k, s in enumerate(steps)}
         for evs in by_user.values():
             cur = None
+            last_by_type: dict[str, dt.datetime] = {}
             for k, s in enumerate(steps):
-                strict = k > 0 and steps[k] == steps[k - 1]
+                floor = last_by_type.get(s)
                 cands = [
                     ts for t, ts in evs
-                    if t == s and (cur is None or (ts > cur if strict else ts >= cur))
+                    if t == s
+                    and (cur is None or ts >= cur)
+                    and (floor is None or ts > floor)
                 ]
                 if not cands:
                     break
                 cur = min(cands)
+                last_by_type[s] = cur
                 want[(k, s)] += 1
         assert got == want, steps
 

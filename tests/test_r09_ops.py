@@ -1,0 +1,191 @@
+"""Round-9 regression tests: ADVICE fixes (sink append mode,
+compaction crash recovery, NULL group keys, repeated funnel steps)
+plus the round's new operators."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- sink append
+
+
+def test_tsv_sink_append_preserves_previous_write(spark):
+    """mode('append') must number its part files past the previous
+    write's and keep _SUCCESS cumulative — the r08 advisory's silent
+    os.replace data loss."""
+    from transe_pyspark_spark.sources import pydatasource
+    from transe_pyspark_spark.sources.readers import read_triples_tsv
+
+    pydatasource.register(spark)
+    src = (spark.read.format("kg_triples").option("n_rows", "600")
+           .option("n_entities", "50").option("n_relations", "4")
+           .option("n_partitions", "2").load())
+    d = tempfile.mkdtemp(prefix="kgtsv_app_")
+    try:
+        src.write.format("kg_tsv").option("path", d).mode("overwrite").save()
+        first = {f: open(os.path.join(d, f)).read()
+                 for f in os.listdir(d) if f.startswith("part-")}
+        assert sorted(first) == ["part-00000.tsv", "part-00001.tsv"]
+
+        src.write.format("kg_tsv").option("path", d).mode("append").save()
+        files = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+        assert files == ["part-00000.tsv", "part-00001.tsv",
+                         "part-00002.tsv", "part-00003.tsv"]
+        # the first write's bytes are untouched
+        for name, body in first.items():
+            assert open(os.path.join(d, name)).read() == body
+        # _SUCCESS is the directory's cumulative row count
+        assert open(os.path.join(d, "_SUCCESS")).read().strip() == "1200"
+        back = read_triples_tsv(spark, d + "/part-*.tsv")
+        assert back.count() == 1200
+        # append wrote the same 600 rows again: every triple's count
+        # doubled (the generator itself can repeat a triple, so the
+        # invariant is 2x, not exactly-2)
+        dup = back.groupBy("head", "label", "tail").count()
+        src_counts = {tuple(r[:3]): r["count"]
+                      for r in src.groupBy("h", "l", "t").count().collect()}
+        for r in dup.collect():  # TSV reader yields strings
+            assert r["count"] == 2 * src_counts[tuple(int(v) for v in r[:3])]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------- compaction crash recovery
+
+
+def _write_frag(spark, path, n_files=6, n_rows=2_000):
+    df = spark.range(n_rows).select("id", (F.col("id") * 3).alias("v"))
+    df.repartition(n_files).write.parquet(path)
+
+
+def test_compact_parquet_ignores_and_heals_stale_tmp(spark, tmp_path):
+    """A stale __compact_tmp from a crashed staging write must not be
+    counted as live data, and must be rolled back (dropped) — the r08
+    advisory's recursive _parts() bug."""
+    from transe_pyspark_spark.sources.readers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    _write_frag(spark, path)
+    live = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+    # simulate a crash mid-staging-write: tmp holds part files but no
+    # manifest (the staging write never completed)
+    tmp = os.path.join(path, "__compact_tmp")
+    os.makedirs(tmp)
+    shutil.copy(os.path.join(path, live[0]), os.path.join(tmp, "part-junk.parquet"))
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30, min_files=2)
+    # files_before counted only the 6 live files, never the staged one
+    assert stats["files_before"] == 6 and stats["files_after"] == 2
+    assert not os.path.exists(tmp)
+    back = spark.read.parquet(path)
+    assert back.count() == 2_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(2_000))
+
+
+def test_compact_parquet_rolls_forward_interrupted_swap(spark, tmp_path):
+    """A manifest in __compact_tmp means the staging write finished:
+    the next call completes the swap (moves the remaining staged files
+    up, deletes the old ones) instead of double-counting both layouts."""
+    from transe_pyspark_spark.sources.readers import compact_parquet
+
+    path = str(tmp_path / "frag2")
+    _write_frag(spark, path)
+    old = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+
+    # stage a completed rewrite by hand: one staged file moved up
+    # (crash happened mid-move), one still in tmp
+    staged_dir = str(tmp_path / "staged")
+    spark.read.parquet(path).repartition(2).write.parquet(staged_dir)
+    tmp = os.path.join(path, "__compact_tmp")
+    os.makedirs(tmp)
+    staged = sorted(f for f in os.listdir(staged_dir) if f.startswith("part-"))
+    names = [f"part-{i:05d}-compact-deadbeef.parquet" for i in range(len(staged))]
+    shutil.copy(os.path.join(staged_dir, staged[0]), os.path.join(path, names[0]))
+    for s, n in zip(staged[1:], names[1:]):
+        shutil.copy(os.path.join(staged_dir, s), os.path.join(tmp, n))
+    with open(os.path.join(tmp, "__compact_manifest.json"), "w") as f:
+        json.dump({"old": [os.path.join(path, o) for o in old], "new": names}, f)
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30, min_files=2)
+    # recovery first rolled the old swap forward (old 6 gone, staged 2
+    # in), then this call compacted the healed layout
+    assert not os.path.exists(tmp)
+    back = spark.read.parquet(path)
+    assert back.count() == 2_000  # duplicates would make this 4_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(2_000))
+    assert not (set(os.listdir(path)) & set(old))
+
+
+# ------------------------------------------------------------ NULL group keys
+
+
+def test_group_rank_keeps_null_group(spark):
+    """group_percent_rank / gini_concentration on data with a NULL
+    group value: the NULL group ranks as its own partition (SQL
+    PARTITION BY semantics) instead of silently dropping rows — the
+    r08 advisory's equi-join null loss."""
+    from transe_pyspark_spark.operators.relational import (
+        gini_concentration,
+        group_percent_rank,
+    )
+
+    rows = [("a", 10, 1), ("a", 30, 2), (None, 5, 3), (None, 7, 4),
+            (None, 7, 5), ("b", 2, 6)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+
+    pr = group_percent_rank(df, "g", "v", "id")
+    assert pr.count() == 6  # nothing dropped
+    got = {(r["g"], r["id"]): r["pr"] for r in pr.collect()}
+    # expected = plain window semantics incl. the NULL partition
+    from pyspark.sql import Window
+    w = Window.partitionBy("g").orderBy("v", "id")
+    exp_df = df.select(
+        "g", "id",
+        ((F.row_number().over(w) - 1) /
+         F.greatest(F.count("*").over(Window.partitionBy("g")) - 1, F.lit(1))
+         ).alias("pr"),
+    )
+    exp = {(r["g"], r["id"]): r["pr"] for r in exp_df.collect()}
+    assert got == exp
+
+    gi = gini_concentration(df, "g", "v", "id")
+    by_g = {r["g"]: r for r in gi.collect()}
+    assert set(by_g) == {"a", "b", None}
+    assert by_g[None]["n"] == 3 and by_g[None]["total_cents"] == 19
+    # gini of [5,7,7]: (2*(1*5+2*7+3*7) - 4*19)/(3*19)
+    assert abs(by_g[None]["gini"] - (2 * 40 - 4 * 19) / 57) < 1e-12
+
+
+# ------------------------------------------- non-adjacent repeated funnel step
+
+
+def test_ordered_funnel_nonadjacent_repeat_needs_new_event(spark):
+    """['view','click','view'] with a tied click timestamp: the view
+    that opened the funnel must not also close it (r09 advisory — the
+    r08 fix only covered ADJACENT repeats)."""
+    import datetime as dt
+
+    from transe_pyspark_spark.operators.asof import ordered_funnel
+
+    def ts(m):
+        return dt.datetime(2024, 7, 1, 12, m)
+
+    rows = [
+        # user 1: view@0, click@0 — no SECOND view: must stop at step 1
+        (1, "view", ts(0)), (1, "click", ts(0)),
+        # user 2: view@0, click@0, view@5 — completes all three
+        (2, "view", ts(0)), (2, "click", ts(0)), (2, "view", ts(5)),
+        # user 3: view@0, click@2 — again only one view
+        (3, "view", ts(0)), (3, "click", ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step_idx"]: r["n_users"]
+           for r in ordered_funnel(df, ["view", "click", "view"]).collect()}
+    assert got == {0: 3, 1: 3, 2: 1}

@@ -796,9 +796,13 @@ def ordered_funnel(
 ) -> DataFrame:
     """TRUE ordered funnel: a user completes step k at the EARLIEST
     event of type ``steps[k]`` at-or-after their step k−1 completion
-    time (STRICTLY after when ``steps[k] == steps[k-1]`` — a repeated
-    step needs a genuinely new event, so ["click", "click"] counts
-    users with ≥2 clicks, not every one-click user) — the
+    time — and STRICTLY after the latest earlier completion of the
+    SAME type, adjacent or not: a repeated step needs a genuinely new
+    event, so ["click", "click"] counts users with ≥2 clicks, and in
+    ["view", "click", "view"] the view that opened the funnel can
+    never also close it through a tied click timestamp (r08+r09
+    advisory rule; simultaneous duplicate events of one type count
+    once, the strictly-after reading) — the
     product-analytics ordered-sequence semantics. (The
     existing ``purchase_funnel`` face uses the weaker first-event
     ordering, which wrongly drops a user whose first click precedes
@@ -834,11 +838,25 @@ def ordered_funnel(
         .select(u.alias("__u"), t.alias("__ts"), F.col(type_col).alias("__e"))
         .repartition("__u")
     )
+    # a repeated step TYPE — adjacent or not — must consume a strictly
+    # newer event than the latest earlier completion of that type, so
+    # one event can never close two occurrences of its own type.
+    # Completion times are monotone non-decreasing along the funnel,
+    # so carrying ONE last-completion column per repeated type (named
+    # by the type's first occurrence index) captures the constraint.
+    repeated = {s for s in steps if steps.count(s) > 1}
+
+    def _lt(s: str) -> str:
+        return f"__lt_{steps.index(s)}"
+
     prev = (
         ev_all.filter(F.col("__e") == steps[0])
         .groupBy("__u")
         .agg(F.min("__ts").alias("__t"))
     )
+    if steps[0] in repeated:
+        prev = prev.withColumn(_lt(steps[0]), F.col("__t"))
+    seen = {steps[0]}
 
     def step_row(i: int, name: str, frame: DataFrame) -> DataFrame:
         return frame.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
@@ -850,22 +868,29 @@ def ordered_funnel(
     out = step_row(0, steps[0], prev)
     for i, step in enumerate(steps[1:], start=1):
         ev = ev_all.filter(F.col("__e") == step).select("__u", "__ts")
-        # at-or-after (>=) between DISTINCT step names: a click at the
-        # exact view timestamp completes view→click. But a REPEATED
-        # step name must advance strictly (>) — under >= one event
-        # would complete both of its own occurrences, making
-        # ["click","click"] count every one-click user twice (r08
-        # advisory fix; the greedy python fuzz model mirrors the rule)
-        cmp_op = (
-            (F.col("__ts") > F.col("__t"))
-            if step == steps[i - 1]
-            else (F.col("__ts") >= F.col("__t"))
-        )
+        # at-or-after (>=) the previous step: a click at the exact
+        # view timestamp completes view→click. A step whose TYPE
+        # already completed earlier additionally requires strictly
+        # after that type's latest completion (adjacent repeats reduce
+        # to plain >, the r08 rule; non-adjacent repeats are the r09
+        # generalization — the python fuzz model mirrors both)
+        cond = F.col("__ts") >= F.col("__t")
+        if step in seen:
+            cond = cond & (F.col("__ts") > F.col(_lt(step)))
+        carried = [c for c in prev.columns if c.startswith("__lt_") and c != _lt(step)]
         prev = (
             ev.join(prev, "__u")
-            .filter(cmp_op)
+            .filter(cond)
             .groupBy("__u")
-            .agg(F.min("__ts").alias("__t"))
+            .agg(
+                F.min("__ts").alias("__t"),
+                # per-user constants under this group-by — first() is
+                # deterministic here
+                *[F.first(c).alias(c) for c in carried],
+            )
         )
+        if step in repeated:
+            prev = prev.withColumn(_lt(step), F.col("__t"))
+        seen.add(step)
         out = out.unionByName(step_row(i, step, prev))
     return out

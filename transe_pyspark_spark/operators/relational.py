@@ -1549,8 +1549,13 @@ def gini_concentration(
     n_part = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
+    # the group key rides inside a single-field struct: struct
+    # comparison/equality treats NULL fields as equal, so a NULL group
+    # survives the offset/size equi-joins below as its own group
+    # (matching SQL PARTITION BY semantics) instead of silently
+    # dropping its rows
     base = df.select(
-        F.col(group_col).alias("__g"),
+        F.struct(F.col(group_col).alias("g")).alias("__g"),
         F.col(value_cents_col).cast("long").alias("__x"),
         F.col(id_col).alias("__id"),
     )
@@ -1567,7 +1572,7 @@ def gini_concentration(
     s_ix = F.sum(
         F.col("__i").cast("decimal(19,0)") * F.col("__x").cast("decimal(19,0)")
     )
-    agg = ranked.groupBy(F.col("__g").alias(group_col)).agg(
+    agg = ranked.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("__x").cast("long").alias("total_cents"),
         s_ix.alias("__six"),
@@ -1578,7 +1583,7 @@ def gini_concentration(
     )
     den = F.col("n").cast("double") * F.col("total_cents").cast("double")
     return agg.select(
-        group_col,
+        F.col("__g").getField("g").alias(group_col),
         "n",
         "total_cents",
         F.when(den != 0, num.cast("double") / den).alias("gini"),
@@ -1600,13 +1605,18 @@ def _group_rank_rows(
     with partition identity frozen, per-(group, partition) counts,
     broadcast exclusive offsets, partition-local row_number).
 
-    Returns (__g, __id, __v, __i, __n).
+    The group key rides inside a single-field struct (``__g.g``):
+    struct equality treats NULL fields as equal, so NULL groups
+    survive the offset/size equi-joins as a real group (SQL PARTITION
+    BY semantics) rather than silently losing their rows.
+
+    Returns (__g struct<g>, __id, __v, __i, __n).
     """
     n_part = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
     base = df.select(
-        F.col(group_col).alias("__g"),
+        F.struct(F.col(group_col).alias("g")).alias("__g"),
         F.col(value_col).cast("long").alias("__v"),
         F.col(id_col).alias("__id"),
     )
@@ -1656,7 +1666,7 @@ def group_percent_rank(
     """
     ranked = _group_rank_rows(df, group_col, value_col, id_col, num_partitions)
     return ranked.select(
-        F.col("__g").alias(group_col),
+        F.col("__g").getField("g").alias(group_col),
         F.col("__id").alias(id_col),
         F.col("__v").alias(value_col),
         F.when(

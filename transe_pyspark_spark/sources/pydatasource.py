@@ -206,7 +206,10 @@ class TsvTriplesWriter(DataSourceWriter):
     temp file and returns a commit message; only the DRIVER's
     ``commit`` renames temps into ``part-<i>.tsv`` and stamps
     ``_SUCCESS`` — so a retried/failed task can never leave a
-    partially-visible file (``abort`` removes the temp dir). The same
+    partially-visible file (``abort`` removes the temp dir). Append
+    mode numbers its files past the highest committed ``part-`` index
+    and keeps ``_SUCCESS`` cumulative, so successive writes never
+    replace each other's output. The same
     protocol Spark's own file sinks run, spelled out in Python. The
     target path must be on storage every task can reach (the standard
     file-sink contract; on local[n] any local dir works)."""
@@ -232,13 +235,30 @@ class TsvTriplesWriter(DataSourceWriter):
         return _TsvCommit(temp_file=f, n_rows=n)
 
     def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        offset, prev_rows = 0, 0
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
-        total = 0
+        else:
+            # append: number new files past the highest committed index
+            # so a prior write's part files are never replaced, and
+            # carry the prior _SUCCESS count so the manifest stays the
+            # directory's cumulative row count
+            existing = [
+                int(n[len("part-"):][:5])
+                for n in os.listdir(self.path)
+                if n.startswith("part-") and n[len("part-"):][:5].isdigit()
+            ]
+            offset = max(existing) + 1 if existing else 0
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                with open(success) as f:
+                    prev_rows = int(f.read().strip() or 0)
+        total = prev_rows
         for i, m in enumerate(messages):
-            os.replace(m.temp_file, os.path.join(self.path, f"part-{i:05d}.tsv"))
+            os.replace(m.temp_file, os.path.join(self.path, f"part-{offset + i:05d}.tsv"))
             total += m.n_rows
         shutil.rmtree(self._tmp(), ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:

@@ -177,23 +177,59 @@ def compact_parquet(
     one round-robin repartition + one write, all distributed; nothing
     driver-sized but the file listing.
 
-    The rewrite is staged through ``<path>/__compact_tmp`` and swapped
-    in with two renames, so a crash mid-rewrite leaves either the old
-    or the new layout, never a mix. (On a real object store the swap
-    would be a catalog/manifest pointer flip — Iceberg/Delta commit
-    semantics — which this local-FS layout stands in for.)
+    The rewrite is staged through ``<path>/__compact_tmp`` and
+    committed with a manifest: the new files are moved up FIRST, old
+    files are removed only after every new file is in place, and the
+    manifest (written after the staging write completes, deleted last)
+    lets the next run finish or undo an interrupted swap. A crash at
+    any point therefore leaves either the old layout intact (staging
+    incomplete → rolled back) or a completable new layout (manifest
+    present → rolled forward) — never an empty directory. The one
+    non-atomic window is between the last move and the last delete,
+    where a concurrent reader can see both layouts (duplicates); the
+    next call heals it. (On a real
+    object store the swap would be a catalog/manifest pointer flip —
+    Iceberg/Delta commit semantics — which this local-FS layout stands
+    in for.)
 
     Returns {"files_before", "files_after", "bytes"} for the caller's
     audit log.
     """
+    import json
     import math
     import shutil
+    import uuid
+
+    tmp = os.path.join(path, "__compact_tmp")
+    manifest_path = os.path.join(tmp, "__compact_manifest.json")
 
     def _parts(p: str) -> list[str]:
+        # staged files under __compact_tmp are not live data — a stale
+        # tmp dir from a crashed run must never count as input
         out = []
         for root, _dirs, files in os.walk(p):
+            if os.path.basename(root) == "__compact_tmp" or root.startswith(tmp):
+                continue
             out += [os.path.join(root, f) for f in files if f.startswith("part-")]
         return out
+
+    # recover from a previously interrupted compaction before reading
+    # anything: a manifest means the staging write finished, so roll
+    # the swap FORWARD (finish moves, then deletes); no manifest means
+    # the staging write itself died, so roll BACK (old layout is
+    # untouched — just drop the partial tmp dir).
+    if os.path.isdir(tmp):
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                m = json.load(f)
+            for name in m["new"]:
+                staged = os.path.join(tmp, name)
+                if os.path.exists(staged):  # same-FS rename is atomic:
+                    os.replace(staged, os.path.join(path, name))
+            for old in m["old"]:
+                if os.path.exists(old):
+                    os.remove(old)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     before = _parts(path)
     if not before:
@@ -201,18 +237,32 @@ def compact_parquet(
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(min_files, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = os.path.join(path, "__compact_tmp")
     # round-robin repartition: balanced output files regardless of the
     # input layout; no column skew can starve a writer task
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    # swap: move the new part files up, drop the old ones
+    # rename staged files to run-unique names so they can never
+    # collide with a live part file when moved up
+    run_id = uuid.uuid4().hex[:12]
+    new_names = []
+    for i, f in enumerate(sorted(_parts_under(tmp))):
+        name = f"part-{i:05d}-compact-{run_id}.parquet"
+        os.replace(f, os.path.join(tmp, name))
+        new_names.append(name)
+    with open(manifest_path, "w") as f:
+        json.dump({"old": before, "new": new_names}, f)
+    # commit: new files up first (old data stays visible until every
+    # new file is in place), old files removed after, manifest last
+    for name in new_names:
+        os.replace(os.path.join(tmp, name), os.path.join(path, name))
     for f in before:
         os.remove(f)
-    for f in _parts(tmp):
-        shutil.move(f, os.path.join(path, os.path.basename(f)))
-    # _SUCCESS markers and the tmp dir are bookkeeping only
-    success = os.path.join(tmp, "_SUCCESS")
-    if os.path.exists(success):
-        shutil.move(success, os.path.join(path, "_SUCCESS"))
     shutil.rmtree(tmp, ignore_errors=True)
     return {"files_before": len(before), "files_after": n_out, "bytes": total}
+
+
+def _parts_under(p: str) -> list[str]:
+    """part-* files directly under ``p`` (one os.walk level tree)."""
+    out = []
+    for root, _dirs, files in os.walk(p):
+        out += [os.path.join(root, f) for f in files if f.startswith("part-")]
+    return out
