@@ -49,14 +49,14 @@ def main() -> None:
     # dedup work — one |checks|-row report of exact violation counts
     from transe_pyspark_spark.operators import quality as Q
 
-    audit = Q.constraint_audit(
-        [
-            Q.check_unique(docs, "doc_id"),
-            Q.check_not_null(docs, "text"),
-            Q.check_accepted_values(docs, "lang", ["en", "de", "fr", "es", "zh"]),
-            Q.check_range(docs, "n_chars", lo=1),
-        ]
-    )
+    # all four checks name the same table, so they batch into ONE
+    # aggregate over one pruned scan (r09 audit_table)
+    audit = Q.audit_table(docs, [
+        ("unique", "doc_id"),
+        ("not_null", "text"),
+        ("accepted", "lang", ["en", "de", "fr", "es", "zh"]),
+        ("range", "n_chars", 1, None),
+    ])
     for r in audit.collect():
         flag = " <-- violations" if r["n_violations"] else ""
         print(f"  audit {r['check_name']}: {r['n_violations']}/{r['n_checked']}{flag}")

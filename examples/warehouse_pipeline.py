@@ -74,8 +74,11 @@ def main() -> None:
     audit = Q.constraint_audit(
         [
             Q.check_not_null(orders, "o_custkey"),
-            Q.check_unique(cust, "c_custkey"),
-            Q.check_range(cust, "c_acctbal", lo=0),
+            # customer's two checks share one scan (r09 audit_table)
+            Q.audit_table(cust, [
+                ("unique", "c_custkey"),
+                ("range", "c_acctbal", 0, None),
+            ]),
             Q.check_foreign_key(orders, "o_custkey", cust, "c_custkey"),
         ]
     )

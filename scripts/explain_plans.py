@@ -369,12 +369,13 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "window; the segment rollup is ≤125 groups",
     ),
     "data_quality_audit": (
-        ["LeftAnti", "HashAggregate"],
-        "FK checks are LEFT ANTI key joins (counts, never rows); every "
-        "check's scan prunes to exactly the checked column (ReadSchema "
-        "is single-column for all nine checks — verified); the 1-row "
-        "n_checked×n_violations cross joins are broadcast NLJs of "
-        "scalar aggregates (the record_linkage precedent)",
+        ["HashAggregate", "BroadcastHashJoin"],
+        "same-table checks BATCH into one aggregate per table (r09: "
+        "orders' three and customer's two checks share one pruned scan "
+        "each — 9 checks cost 9 scans across 4 tables, was 15); each "
+        "FK check is ONE job: child keys LEFT-join the parent's "
+        "broadcast distinct key set and a single aggregate counts rows "
+        "and orphans together (no second child scan)",
     ),
     "node_clustering_parts": (
         ["InMemoryTableScan", "HashAggregate"],
@@ -618,9 +619,10 @@ MAX_EXCHANGES = {
     # the triangle_stats cached-leaf budget + the corner explode agg
     # (joins above the cached oriented edges re-sort per key-set)
     "node_clustering_parts": 15,
-    # nine checks: one 1-row global agg exchange each + the FK anti
-    # joins' key shuffles — every one trivial-width
-    "data_quality_audit": 14,
+    # nine checks in six jobs (three batched per-table aggs + three
+    # fused FK jobs): one 1-row global agg exchange each + the parent
+    # distinct-key exchanges — every one trivial-width
+    "data_quality_audit": 12,
     # one orders agg + three (offsets/sizes + rank-side) exchanges +
     # the custkey join spine + the ≤125-group rollup — all but the
     # first over customer-grain data
@@ -788,6 +790,28 @@ def main() -> int:
         "a pid-less window would funnel the whole customer table "
         "through one task",
         f"**Status:** {status}", "",
+    ]
+    # audit scan-count gate (r09): nine checks over four tables must
+    # cost exactly nine pruned scans — three batched per-table
+    # aggregates (orders/customer/lineitem) + three fused FK jobs at
+    # two scans each. A regression to per-check jobs (15 scans) or a
+    # double-scanning FK (the r08 advisory) fails here.
+    audit_plan = plan_of(spark, "data_quality_audit", sf_dir)
+    audit_scans = sum(
+        1 for line in audit_plan.splitlines()
+        if "Scan parquet" in line and line.strip().startswith("(")
+    )
+    a_ok = audit_scans <= 9
+    if not a_ok:
+        failures += 1
+    status = "OK" if a_ok else f"FAIL ({audit_scans} scans > 9)"
+    print(f"{status:40s} data_quality_audit (scan budget)")
+    lines += [
+        "## data_quality_audit — scan budget", "",
+        "**Requirement:** 9 checks cost ≤ 9 table scans: same-table "
+        "checks batch into one aggregate per table and each FK check "
+        "reads its child exactly once.",
+        f"**Status:** {status}; {audit_scans} parquet scan(s), budget 9", "",
     ]
     # funnel shared-exchange gate (r08): the per-step branches must
     # physically REUSE the one user-key shuffle of the event log —

@@ -189,3 +189,68 @@ def test_ordered_funnel_nonadjacent_repeat_needs_new_event(spark):
     got = {r["step_idx"]: r["n_users"]
            for r in ordered_funnel(df, ["view", "click", "view"]).collect()}
     assert got == {0: 3, 1: 3, 2: 1}
+
+
+# --------------------------------------------------------- fused audit checks
+
+
+def test_check_foreign_key_single_child_scan(spark, sf_dir):
+    """The fused FK check reads the child subtree ONCE (left join +
+    one aggregate), not twice (r08 advisory: separate n_checked agg
+    re-ran the child scan)."""
+    from transe_pyspark_spark.operators.quality import check_foreign_key
+    from transe_pyspark_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rep = check_foreign_key(li, "l_orderkey", o, "o_orderkey")
+    row = rep.collect()[0]
+    n_li = li.count()
+    assert row["n_checked"] == n_li and row["n_violations"] == 0
+    # AQE's toString prints Final AND Initial plan sections — count
+    # scans in the final section only
+    plan = rep._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    li_scans = [ln for ln in plan.splitlines()
+                if "FileScan" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1, f"child scanned more than once: {li_scans}"
+
+    # orphan counting still works: a child key with no parent
+    child = spark.createDataFrame([(1,), (2,), (None,), (99,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "p long")
+    r = check_foreign_key(child, "k", parent, "p").collect()[0]
+    # NULL key not checked; 99 is the one orphan; duplicate parent
+    # keys must NOT multiply matched rows
+    assert (r["n_checked"], r["n_violations"]) == (3, 1)
+
+
+def test_audit_table_one_scan_matches_standalone_checks(spark, sf_dir):
+    """audit_table batches same-table checks into ONE aggregate over
+    one scan, with rows identical to the standalone check functions."""
+    from transe_pyspark_spark.operators import quality as Q
+    from transe_pyspark_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    batched = Q.audit_table(o, [
+        ("not_null", "o_custkey"),
+        ("unique", "o_orderkey"),
+        ("accepted", "o_orderstatus", ["O", "F", "P"]),
+        ("range", "o_totalprice", 0, None),
+    ])
+    plan = batched._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 1, f"batched audit rescans the table: {scans}"
+
+    standalone = Q.constraint_audit([
+        Q.check_not_null(o, "o_custkey"),
+        Q.check_unique(o, "o_orderkey"),
+        Q.check_accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
+        Q.check_range(o, "o_totalprice", lo=0),
+    ])
+    key = lambda r: r["check_name"]  # noqa: E731
+    assert sorted(map(tuple, batched.collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, standalone.collect()), key=lambda t: t[0])
+
+    with pytest.raises(ValueError, match="at least one"):
+        Q.audit_table(o, [])
+    with pytest.raises(ValueError, match="kind"):
+        Q.audit_table(o, [("bogus", "o_custkey")])

@@ -101,20 +101,28 @@ def check_foreign_key(
     name: str | None = None,
 ) -> DataFrame:
     """Referential integrity: violations = non-NULL child keys with no
-    parent row (orphans). Planned as a LEFT ANTI equi-join on the key —
-    the child shuffles once on the checked column, the parent side is
-    its distinct key set (Catalyst prunes every other parent column);
-    no row multiplication at any fan-out."""
+    parent row (orphans). ONE job: the child's non-NULL keys LEFT-join
+    the parent's distinct key set and a single aggregate counts rows
+    and parent-misses together — the child's scan+filter subtree
+    executes once, where the earlier anti-join + separate n_checked
+    aggregate scanned it twice (r08 advisory fix). The parent side is
+    its distinct key column (every other parent column prunes away);
+    distinct keys mean the left join cannot multiply rows."""
     kids = child.select(F.col(child_col).alias("__k")).filter(F.col("__k").isNotNull())
-    orphans = kids.join(
-        parent.select(F.col(parent_col).alias("__k")),
-        "__k",
-        "left_anti",
+    pkeys = (
+        parent.select(F.col(parent_col).alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    n_checked = kids.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
-    n_bad = orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
     return (
-        n_checked.crossJoin(n_bad)
+        kids.join(pkeys, "__k", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.coalesce(
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_violations"),
+        )
         .select(
             F.lit(name or f"fk:{child_col}->{parent_col}").alias("check_name"),
             "n_checked",
@@ -123,11 +131,87 @@ def check_foreign_key(
     )
 
 
+#: spec tuples for ``audit_table``: (kind, col, *args); kind is one of
+#: "not_null" | "unique" | "accepted" (args: values list) |
+#: "range" (args: lo, hi — either may be None)
+AuditSpec = tuple
+
+
+def audit_table(df: DataFrame, specs: list[AuditSpec]) -> DataFrame:
+    """Compile EVERY non-join check on one table into ONE aggregate
+    over one scan (r08 advisory: an audit with five checks on orders
+    ran five jobs, each rescanning the table). All checked/violation
+    pairs compute in a single ``agg`` — ``count_distinct`` for unique
+    checks rides the same pass via Expand — and a ``stack`` unpivot
+    reshapes the 1×2n row to the (check_name, n_checked, n_violations)
+    report. The scan reads only the union of named columns.
+
+    Spec kinds mirror the standalone checks: ``("not_null", col)``,
+    ``("unique", col)``, ``("accepted", col, values)``,
+    ``("range", col, lo, hi)``. Row values are IDENTICAL to the
+    standalone checks' (pytest-pinned), so the two forms interchange
+    under the oracle hash.
+    """
+    if not specs:
+        raise ValueError("audit_table needs at least one spec")
+    aggs: list[Column] = []
+    names: list[str] = []
+    for i, spec in enumerate(specs):
+        kind, col = spec[0], spec[1]
+        c = F.col(col)
+        if kind == "not_null":
+            name = f"not_null:{col}"
+            checked, viol = F.count(F.lit(1)), F.count(F.lit(1)) - F.count(c)
+        elif kind == "unique":
+            name = f"unique:{col}"
+            checked, viol = F.count(c), F.count(c) - F.count_distinct(c)
+        elif kind == "accepted":
+            values = spec[2]
+            name = f"accepted:{col}"
+            checked = F.count(c)
+            viol = F.coalesce(
+                F.sum(F.when(c.isNotNull() & ~c.isin(values), 1).otherwise(0)),
+                F.lit(0),
+            )
+        elif kind == "range":
+            lo, hi = spec[2], spec[3]
+            if lo is None and hi is None:
+                raise ValueError(f"range spec on {col} needs at least one bound")
+            name = f"range:{col}"
+            bad = F.lit(False)
+            if lo is not None:
+                bad = bad | (c < F.lit(lo))
+            if hi is not None:
+                bad = bad | (c > F.lit(hi))
+            checked = F.count(c)
+            viol = F.coalesce(
+                F.sum(F.when(c.isNotNull() & bad, 1).otherwise(0)), F.lit(0)
+            )
+        else:
+            raise ValueError(f"unknown audit spec kind: {kind!r}")
+        names.append(name)
+        aggs += [
+            checked.cast("long").alias(f"__c{i}"),
+            viol.cast("long").alias(f"__v{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        "'{}', __c{}, __v{}".format(n.replace("'", "\\'"), i, i)
+        for i, n in enumerate(names)
+    )
+    return one.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (check_name, n_checked, n_violations)"
+    )
+
+
 def constraint_audit(checks: list[DataFrame]) -> DataFrame:
-    """Union the per-check 1-row reports into one
+    """Union the per-check report frames (1-row standalone checks
+    and/or n-row ``audit_table`` batches) into one
     (check_name, n_checked, n_violations) frame. Order is the caller's
     list order semantically, but the output carries no order column —
-    consumers sort by check_name (the oracle harness does)."""
+    consumers sort by check_name (the oracle harness does). Batch
+    same-table checks through ``audit_table`` so each table is scanned
+    once per audit."""
     if not checks:
         raise ValueError("constraint_audit needs at least one check")
     out = checks[0]

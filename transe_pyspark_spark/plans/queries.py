@@ -5307,9 +5307,12 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse constraint audit (dbt-test style): not-null, key
     uniqueness, accepted values, range, and three referential-integrity
     checks over the orders/lineitem/customer/supplier star, as ONE
-    |checks|-row report of exact violation counts. Every check reads
-    only the columns it names (pruned scans); FK checks are LEFT ANTI
-    key joins — counts come back, never rows. The c_acctbal >= 0 screen
+    |checks|-row report of exact violation counts. Same-table checks
+    BATCH into one aggregate per table (r09: orders' three checks and
+    customer's two share one pruned scan each via ``audit_table``);
+    each FK check is ONE job — child keys left-join the parent's
+    distinct key set and a single aggregate counts rows and orphans
+    together. Counts come back, never rows. The c_acctbal >= 0 screen
     intentionally FLAGS the fixture's negative balances (a nonzero
     violation row), so the face proves counting, not just zeros."""
     from transe_pyspark_spark.operators import quality as Q
@@ -5320,12 +5323,16 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _T(spark, sf_dir, "supplier")
     return Q.constraint_audit(
         [
-            Q.check_not_null(o, "o_custkey"),
-            Q.check_unique(o, "o_orderkey"),
-            Q.check_unique(c, "c_custkey"),
-            Q.check_accepted_values(o, "o_orderstatus", ["O", "F", "P"]),
-            Q.check_range(li, "l_quantity", lo=1, hi=50),
-            Q.check_range(c, "c_acctbal", lo=0),
+            Q.audit_table(o, [
+                ("not_null", "o_custkey"),
+                ("unique", "o_orderkey"),
+                ("accepted", "o_orderstatus", ["O", "F", "P"]),
+            ]),
+            Q.audit_table(c, [
+                ("unique", "c_custkey"),
+                ("range", "c_acctbal", 0, None),
+            ]),
+            Q.audit_table(li, [("range", "l_quantity", 1, 50)]),
             Q.check_foreign_key(li, "l_orderkey", o, "o_orderkey"),
             Q.check_foreign_key(o, "o_custkey", c, "c_custkey"),
             Q.check_foreign_key(li, "l_suppkey", s, "s_suppkey"),
