@@ -254,3 +254,41 @@ def test_audit_table_one_scan_matches_standalone_checks(spark, sf_dir):
         Q.audit_table(o, [])
     with pytest.raises(ValueError, match="kind"):
         Q.audit_table(o, [("bogus", "o_custkey")])
+
+
+# -------------------------------------------------------- k-core convergence
+
+
+def test_kcore_converge_peels_long_chain(spark):
+    """A 10-node path cascades one layer per round under k=2, so
+    fixed-3 under-peels it; rounds='converge' dissolves the whole
+    chain and keeps exactly the attached 4-clique (the true 2-core),
+    reporting the rounds it took."""
+    from transe_pyspark_spark.operators.graph import kcore_peel
+
+    path = [(i, i + 1) for i in range(100, 109)]          # 10-node chain
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(path + clique, "src long, dst long")
+
+    fixed = kcore_peel(edges, k=2, rounds=3)
+    assert fixed.kcore_rounds_taken == 3
+    fixed_nodes = {r["node"] for r in fixed.collect()}
+    assert set(range(4)) <= fixed_nodes
+    assert fixed_nodes & set(range(100, 110)), "fixed-3 should under-peel"
+
+    conv = kcore_peel(edges, k=2, rounds="converge")
+    got = {r["node"]: r["degree"] for r in conv.collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # 9-edge chain needs 5 peels (one layer from each end per round);
+    # converge pays one extra no-change round to observe the fixpoint
+    assert conv.kcore_rounds_taken == 6
+
+    # converge on an already-core graph stops after one no-op round
+    conv2 = kcore_peel(spark.createDataFrame(clique, "src long, dst long"),
+                       k=2, rounds="converge")
+    assert conv2.kcore_rounds_taken == 1
+    assert conv2.count() == 4
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="converge"):
+        kcore_peel(edges, k=2, rounds="bogus")

@@ -295,20 +295,25 @@ def copurchase_pairs(
 def kcore_peel(
     edges: DataFrame,
     k: int,
-    rounds: int,
+    rounds: int | str,
     src: str = "src",
     dst: str = "dst",
     eager_cleanup: bool = True,
 ) -> DataFrame:
-    """Fixed-round k-core peeling of the UNDIRECTED simple graph:
-    each round drops every node whose current degree is below ``k``
-    (and the edges touching it), ``rounds`` times — the standard
-    spam-subgraph / cohesive-community screen. A fixed round count
-    (like ``pagerank_integer``'s fixed iterations) keeps the result a
-    pure function of the edge set and lets a round-unrolled SQL oracle
-    replay it exactly; on most graphs a handful of rounds reaches the
-    true k-core fixpoint (callers can test convergence by comparing
-    ``rounds`` and ``rounds+1`` outputs).
+    """k-core peeling of the UNDIRECTED simple graph: each round drops
+    every node whose current degree is below ``k`` (and the edges
+    touching it) — the standard spam-subgraph / cohesive-community
+    screen. ``rounds`` is either a fixed int (a pure function of the
+    edge set, so a round-unrolled SQL oracle replays it exactly — the
+    registered face's form) or ``"converge"`` (r09): loop until the
+    surviving EDGE COUNT is stable — no count change means no node
+    was dropped, so degrees are at the true k-core fixpoint. Fixed
+    rounds under-peel adversarial chains (a long path cascades one
+    layer per round); converge runs exactly as many rounds as the
+    cascade needs, at zero extra cost per round because each
+    generation's count is already materialized by the cache pin. The
+    returned DataFrame carries ``kcore_rounds_taken`` (int attribute)
+    in converge mode.
 
     Plan per round: one degree hash-agg over the surviving edge set +
     two semi joins (src side, dst side) against the ≥k-degree node
@@ -322,8 +327,12 @@ def kcore_peel(
     Returns (node, degree) for nodes surviving all rounds, with their
     degree inside the surviving subgraph.
     """
-    if k < 1 or rounds < 1:
-        raise ValueError(f"k and rounds must be >= 1, got k={k}, rounds={rounds}")
+    converge = rounds == "converge"
+    if k < 1 or (not converge and (not isinstance(rounds, int) or rounds < 1)):
+        raise ValueError(
+            f'k must be >= 1 and rounds an int >= 1 or "converge", '
+            f"got k={k}, rounds={rounds!r}"
+        )
     F_ = F
     a = F_.least(F_.col(src), F_.col(dst))
     b = F_.greatest(F_.col(src), F_.col(dst))
@@ -340,21 +349,49 @@ def kcore_peel(
         .distinct()
     )
     pinned = [und]
-    for _ in range(rounds):
+
+    def one_round(cur: DataFrame) -> DataFrame:
         deg = (
-            und.select(F_.col("a").alias("n"))
-            .unionAll(und.select(F_.col("b").alias("n")))
+            cur.select(F_.col("a").alias("n"))
+            .unionAll(cur.select(F_.col("b").alias("n")))
             .groupBy("n")
             .agg(F_.count(F_.lit(1)).cast("long").alias("d"))
         )
         keep = deg.filter(F_.col("d") >= k).select("n")
-        nxt = pin(
-            und.join(keep.select(F_.col("n").alias("a")), "a", "left_semi")
+        return pin(
+            cur.join(keep.select(F_.col("n").alias("a")), "a", "left_semi")
             .join(keep.select(F_.col("n").alias("b")), "b", "left_semi")
             .select("a", "b")
         )
-        pinned.append(nxt)
-        und = nxt
+
+    rounds_taken = 0
+    if converge:
+        # the pin's count() already materialized each generation, so
+        # re-reading it off the cache is free — stable count ⇒ no node
+        # dropped ⇒ fixpoint
+        prev_edges = und.count()
+        while True:
+            nxt = one_round(und)
+            pinned.append(nxt)
+            rounds_taken += 1
+            cur_edges = nxt.count()
+            # geometric-lineage bound: generation r's plan references
+            # generation r−1's FULL plan several times (degree union +
+            # two semi joins), so unchecked converge runs blow the
+            # driver heap printing the tree around round ~7. An eager
+            # localCheckpoint resets the lineage to an RDD scan; it
+            # reads off the cache just built, and the next round's pin
+            # re-establishes the partitioning regardless.
+            und = nxt.localCheckpoint(eager=True)
+            if cur_edges == prev_edges or cur_edges == 0:
+                break
+            prev_edges = cur_edges
+    else:
+        for _ in range(rounds):
+            nxt = one_round(und)
+            pinned.append(nxt)
+            und = nxt
+            rounds_taken += 1
     out = (
         und.select(F_.col("a").alias("node"))
         .unionAll(und.select(F_.col("b").alias("node")))
@@ -364,10 +401,12 @@ def kcore_peel(
     if not eager_cleanup:
         # lazy mode (plan inspection): every round's cached edge set
         # stays pinned for the life of the session
+        out.kcore_rounds_taken = rounds_taken
         return out
     out = out.localCheckpoint(eager=True)
     for df in pinned:
         df.unpersist()
+    out.kcore_rounds_taken = rounds_taken
     return out
 
 
