@@ -866,7 +866,23 @@ def main() -> int:
         )
         .distinct()
     )
+    from transe_pyspark_spark.operators.similarity import semantic_near_pairs
+    from transe_pyspark_spark.sources.readers import load_table as _lt
+
     lazy_gates = [
+        (
+            "semantic_dedup_recall (pair stage)",
+            semantic_near_pairs(
+                _lt(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=8, n_assign=2
+            ),
+            ["MapInPandas"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+            3,
+            "cell assignment is a NARROW Arrow kernel (no shuffle); the "
+            "pair join is a cell EQUI-join of the exploded assignments — "
+            "never corpus all-pairs; the only exchanges are the pair "
+            "dedup hash-agg (and, at scale, the cell join itself)",
+        ),
         (
             "kcore_trading_graph",
             kcore_peel(_kedges, k=10, rounds=3, eager_cleanup=False),
@@ -897,7 +913,11 @@ def main() -> int:
         present = [m for m in forb if m in plan]
         n = count_exchange_nodes(plan)
         scans = sum(1 for line in plan.splitlines() if "Scan parquet" in line and line.strip().startswith("("))
-        one_scan_ok = scans <= (2 if name == "kcore_trading_graph" else 1)
+        # kcore reads its two join tables; the semantic pair stage is a
+        # self-join (both sides scan the embedding table once each)
+        one_scan_ok = scans <= (
+            2 if name in ("kcore_trading_graph", "semantic_dedup_recall (pair stage)") else 1
+        )
         ok = not missing and not present and n <= max_ex and one_scan_ok
         if not ok:
             failures += 1

@@ -292,3 +292,71 @@ def test_kcore_converge_peels_long_chain(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="converge"):
         kcore_peel(edges, k=2, rounds="bogus")
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Three planted near-duplicate groups (cosine ~0.999 within,
+    orthogonal-ish across) in a sea of noise: semantic_near_pairs
+    finds every intra-group pair and nothing across groups;
+    semantic_dedup_keep keeps exactly the min-id member per group and
+    every noise vector."""
+    import numpy as np
+
+    from transe_pyspark_spark.operators.similarity import (
+        semantic_dedup_keep,
+        semantic_near_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    group_ids = {}
+    for g in range(3):
+        base = rng.standard_normal(32)
+        ids = []
+        for j in range(4):  # 4 near-copies per group
+            vid = g * 100 + j
+            v = base + rng.standard_normal(32) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+        group_ids[g] = ids
+    for i in range(40):  # noise
+        rows.append((1000 + i, [float(x) for x in rng.standard_normal(32)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = semantic_near_pairs(df, threshold=0.95, n_cells=4, n_assign=2, seed=1)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(a, b) for ids in group_ids.values()
+            for a in ids for b in ids if a < b}
+    assert got == want  # all 18 intra-group pairs, zero cross/noise
+
+    keep = semantic_dedup_keep(df, threshold=0.95, n_cells=4, n_assign=2, seed=1)
+    verdicts = {r["vec_id"]: r["keep"] for r in keep.collect()}
+    assert len(verdicts) == 52
+    for g, ids in group_ids.items():
+        assert verdicts[min(ids)] is True
+        assert all(verdicts[i] is False for i in ids if i != min(ids))
+    assert all(verdicts[1000 + i] is True for i in range(40))
+
+
+def test_semantic_near_pairs_no_cross_cluster_join(spark):
+    """The pair join is a cell EQUI-join — the plan must contain no
+    CartesianProduct / BroadcastNestedLoopJoin (never corpus
+    all-pairs)."""
+    import contextlib
+    import io
+
+    from transe_pyspark_spark.operators.similarity import semantic_near_pairs
+    from transe_pyspark_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = semantic_near_pairs(e, threshold=0.4, n_cells=8, n_assign=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the cell equi-join is there

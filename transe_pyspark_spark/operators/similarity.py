@@ -536,3 +536,118 @@ def ivf_query(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def semantic_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pair discovery (r09 —
+    the embedding-level dedup modality next to the text-side exact /
+    Jaccard / MinHash / SimHash family): KMeans coarse-quantizes the
+    corpus into ``n_cells`` clusters and exact cosine runs ONLY inside
+    a cluster — never corpus-all-pairs. Each vector is assigned to its
+    ``n_assign`` nearest centroids (the IVF multi-probe idea applied
+    to the index side), which repairs most boundary splits: a near
+    pair is found iff the two vectors share at least one assigned
+    cell, and measured recall on the fixture jumps from ~0.45
+    (n_assign=1) to ~0.85 (n_assign=2) at threshold 0.4.
+
+    Plan: one KMeans pass (model-sized centroid matrix on the
+    driver, the IVF/PQ precedent); assignment is a NARROW Arrow
+    kernel (mapInPandas, vectorized argpartition against the captured
+    centroid matrix — no shuffle, no per-row Python); the pair join
+    is a cell EQUI-join of the exploded assignments with ``id_a <
+    id_b`` as residual; the multi-cell duplicate collapse is one
+    (id_a, id_b) hash agg. At 100 TB, cell sizes bound the intra-cell
+    quadratic exactly as cluster sizes bound SemDeDup. The self-join
+    evaluates the (narrow, matmul-cheap) assignment subtree once per
+    side — pin the input upstream if producing the vectors is the
+    expensive part.
+
+    Returns (id_a, id_b, cos_sim round 6) with id_a < id_b, distinct.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(c)
+    cent = np.array([list(ctr) for ctr in model.clusterCenters()], dtype=np.float64)
+    take = min(n_assign, len(cent))
+    b_cent = df.sparkSession.sparkContext.broadcast(cent)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"__id": pd.Series([], dtype="int64"),
+                                    "__v": pd.Series([], dtype=object),
+                                    "cell": pd.Series([], dtype="int32")})
+                continue
+            X = np.stack(pdf["__v"].map(lambda v: np.asarray(v, np.float64)))
+            d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+            cells = np.argsort(d, axis=1)[:, :take]
+            idx = np.repeat(np.arange(len(pdf)), take)
+            yield pd.DataFrame({
+                "__id": pdf["__id"].to_numpy(np.int64)[idx],
+                "__v": pdf["__v"].to_numpy(object)[idx],
+                "cell": cells.reshape(-1).astype(np.int32),
+            })
+
+    binned = c.select("__id", "__v").mapInPandas(
+        assign, schema=f"__id long, __v {df.schema[vec_col].dataType.simpleString()}, cell int"
+    )
+    a = binned.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = binned.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", V.cosine(F.col("__va"), F.col("__vb")).alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        # a pair sharing two cells scores twice with the same cosine —
+        # collapse to one row per pair
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("__cos"), 6).alias("cos_sim"))
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-level semantic dedup verdicts: ``semantic_near_pairs``
+    edges → connected components (Pregel min-label, the
+    ``near_dedup_canonical`` machinery) → keep the min-id vector per
+    component; vectors in no near pair keep themselves. Returns
+    (id_col, keep: boolean) — one row per input vector."""
+    from transe_pyspark_spark.operators.dedup import connected_components
+
+    pairs = semantic_near_pairs(
+        df, threshold, n_cells=n_cells, n_assign=n_assign,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    comps = connected_components(pairs, id_a="id_a", id_b="id_b")
+    canonical = comps.groupBy("component").agg(F.min("id").alias("__keep_id"))
+    keep_map = comps.join(canonical, "component").select(
+        F.col("id").alias(id_col), (F.col("id") == F.col("__keep_id")).alias("keep")
+    )
+    return (
+        df.select(id_col)
+        .join(keep_map, id_col, "left")
+        .select(id_col, F.coalesce("keep", F.lit(True)).alias("keep"))
+    )

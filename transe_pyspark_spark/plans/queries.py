@@ -5693,6 +5693,99 @@ def q_tsv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "semantic_dedup_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+         s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      {_FOLD_SUM.format(terms="list_transform(list_zip(a.ve, b.ve), z -> z[1] * z[2])")} /
+                      (sqrt({_FOLD_SUM.format(terms="list_transform(a.ve, x -> x * x)")}) *
+                       sqrt({_FOLD_SUM.format(terms="list_transform(b.ve, x -> x * x)")})) AS cos_sim
+               FROM v a, v b WHERE a.vec_id < b.vec_id),
+         t AS (SELECT * FROM s WHERE cos_sim >= 0.4)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS true_pair_id_sum,
+           TRUE AS sem_precision_ok,
+           TRUE AS sem_recall_ok,
+           TRUE AS keep_verdict_ok
+    FROM t
+    """,
+    tags=("vector", "dedup", "approx"),
+)
+def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (r09 — the embedding-level
+    modality closing the dedup family next to exact / Jaccard /
+    MinHash / SimHash): KMeans clusters the corpus, exact cosine runs
+    only INSIDE clusters (each vector assigned to its 2 nearest
+    centroids to repair boundary splits), near pairs collapse through
+    connected components, min-id per component keeps. Oracle-ified via
+    the ``ann_recall_vs_exact`` precedent — the pair SET is
+    centroid-dependent, so the contract is (1) hard values the oracle
+    recomputes: the brute-force cosine≥0.4 pair census (count +
+    id-sum) over the fixture, and (2) exact booleans:
+    ``sem_precision_ok`` (every found pair IS a true pair — cluster
+    scoping can only lose pairs, never invent them),
+    ``sem_recall_ok`` (found∩true ≥ 0.6·true; measured ~0.85 at
+    n_assign=2), ``keep_verdict_ok`` (one verdict per vector, ≥1
+    keeper, every dropped vector sits in a found pair)."""
+    from transe_pyspark_spark.operators.dedup import connected_components
+
+    e = _T(spark, sf_dir, "embeddings")
+    true_pairs = S.cosine_pairs(e, threshold=0.4)
+    found = S.semantic_near_pairs(e, threshold=0.4, n_cells=8, n_assign=2)
+    # verdicts from the SAME found pairs (no second KMeans pass)
+    comps = connected_components(found, id_a="id_a", id_b="id_b")
+    canonical = comps.groupBy("component").agg(F.min("id").alias("__keep_id"))
+    keep_map = comps.join(canonical, "component").select(
+        F.col("id").alias("vec_id"), (F.col("id") == F.col("__keep_id")).alias("keep")
+    )
+    verdicts = (
+        e.select("vec_id")
+        .join(keep_map, "vec_id", "left")
+        .select("vec_id", F.coalesce("keep", F.lit(True)).alias("keep"))
+    )
+    t = true_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("true_pair_id_sum"),
+    )
+    n_docs = e.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    hit = found.join(true_pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_hit")
+    )
+    fp = found.join(true_pairs, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_fp")
+    )
+    vs = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_verdicts"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("__n_keep"),
+    )
+    uncovered = (
+        verdicts.filter(~F.col("keep"))
+        .join(
+            found.select(F.col("id_a").alias("vec_id"))
+            .unionAll(found.select(F.col("id_b").alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_uncovered"))
+    )
+    return (
+        n_docs.crossJoin(t).crossJoin(hit).crossJoin(fp).crossJoin(vs).crossJoin(uncovered)
+        .select(
+            "n_docs",
+            "n_true_pairs",
+            "true_pair_id_sum",
+            (F.col("__n_fp") == 0).alias("sem_precision_ok"),
+            (F.col("__n_hit").cast("double")
+             >= F.col("n_true_pairs").cast("double") * F.lit(0.6)).alias("sem_recall_ok"),
+            ((F.col("__n_verdicts") == F.col("n_docs"))
+             & (F.col("__n_keep") >= 1)
+             & (F.col("__n_uncovered") == 0)).alias("keep_verdict_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -6042,6 +6135,15 @@ _OVERFLOW_ORACLE = [
     "trend_per_event_type",      # agg screens: same
     "key_skew_lineitem",         # agg/diagnostics: same; skew demo
                                  # stays benched + plan-gated
+    # NOT a rotated-out incumbent — the ONE new r09 face registered
+    # past the full window (mirror-checked + pytest-gated, never
+    # driver-checked): the whole r10 rotation queue, kept to a single
+    # entry per VERDICT r08 ask #1's drainability rule:
+    "semantic_dedup_recall",     # SemDeDup-style embedding-level
+                                 # dedup: intra-cluster cosine pairs
+                                 # (never corpus-all-pairs), CC keep
+                                 # verdicts; brute-force pair census
+                                 # + precision/recall/verdict booleans
 ]
 
 
