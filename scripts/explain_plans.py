@@ -935,6 +935,46 @@ def main() -> int:
             f"**Status:** {status}; {n} Exchange node(s), budget {max_ex}; "
             f"{scans} parquet scan(s)", "",
         ]
+    # corpus pipeline composition gate (r09, VERDICT r08 ask #4):
+    # per-operator plans are gated above, but COMPOSITION is where
+    # multi-consumer re-execution bites (transition totals, affinity
+    # membership, r06 PageRank). The one-action pipeline must read the
+    # documents parquet exactly TWICE (the batched ingest audit + the
+    # exact-dedup cache build) — every other corpus-sized subtree is
+    # pinned and its consumers must read InMemoryTableScan.
+    from transe_pyspark_spark.operators.pipeline import corpus_pipeline_report
+
+    rep, pipe_pins = corpus_pipeline_report(_T(spark, sf_dir, "documents"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rep.explain("formatted")
+    pplan = buf.getvalue()
+    p_nodes = [ln.strip() for ln in pplan.splitlines() if ln.strip().startswith("(")]
+    p_scans = sum(1 for ln in p_nodes if "Scan parquet" in ln)
+    p_inmem = sum(1 for ln in p_nodes if "InMemoryTableScan" in ln)
+    p_forb = [m for m in ("CartesianProduct", "BroadcastNestedLoopJoin") if m in pplan]
+    p_ok = p_scans <= 2 and p_inmem >= 6 and not p_forb
+    if not p_ok:
+        failures += 1
+    status = "OK" if p_ok else (
+        f"FAIL ({p_scans} parquet scans > 2, {p_inmem} cache scans < 6, "
+        f"forbidden {p_forb})"
+    )
+    print(f"{status:40s} corpus_pipeline (composition)")
+    lines += [
+        "## corpus_pipeline — one-action composition", "",
+        "**Requirement:** ingest audit → exact dedup → near dedup → "
+        "quality gate → decontaminate → PII scrub → mix → chunk → pack "
+        "→ split → mixture report as ONE lazy plan: ≤2 parquet scans of "
+        "documents (audit + dedup cache build); the three fan-out "
+        "frames (post-dedup, post-gate, post-mix) are pinned so every "
+        "downstream consumer reads InMemoryTableScan — no corpus-sized "
+        "subtree executes twice.",
+        f"**Status:** {status}; {p_scans} parquet scan(s), "
+        f"{p_inmem} InMemoryTableScan consumer(s)", "",
+    ]
+    for p in pipe_pins:
+        p.unpersist()
     # sf1 plan stability: 10× the data must not change the strategy —
     # the same marker/forbidden-node gates re-run against the sf1
     # fixture (built lazily by make_sf1 if absent)

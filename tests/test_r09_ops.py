@@ -360,3 +360,41 @@ def test_semantic_near_pairs_no_cross_cluster_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # the cell equi-join is there
+
+
+# ------------------------------------------------------- pipeline composition
+
+
+def test_corpus_pipeline_one_action_composition(spark, sf_dir):
+    """The end-to-end pipeline is ONE lazy plan: <=2 parquet scans of
+    documents (audit + dedup cache build), fan-out frames pinned
+    (their consumers read InMemoryTableScan), and the metric rows are
+    internally consistent."""
+    import contextlib
+    import io
+
+    from transe_pyspark_spark.operators.pipeline import corpus_pipeline_report
+    from transe_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep, pins = corpus_pipeline_report(docs)
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rep.explain("formatted")
+        plan = buf.getvalue()
+        nodes = [ln.strip() for ln in plan.splitlines() if ln.strip().startswith("(")]
+        assert sum(1 for ln in nodes if "Scan parquet" in ln) <= 2
+        assert sum(1 for ln in nodes if "InMemoryTableScan" in ln) >= 6
+        assert "CartesianProduct" not in plan
+
+        m = {r["metric"]: r["value"] for r in rep.collect()}
+        assert m["audit_violations:unique:doc_id"] == 0
+        assert 0 < m["docs_after_decontaminate"] <= m["docs_after_near_dedup"]
+        n_mixed = sum(v for k, v in m.items() if k.startswith("mix:"))
+        n_split = sum(v for k, v in m.items() if k.startswith("split:"))
+        assert n_mixed == n_split > 0  # split partitions exactly the mixed docs
+        assert m["n_packs"] >= 1
+    finally:
+        for p in pins:
+            p.unpersist()
