@@ -231,6 +231,18 @@ def _train_epoch_relational_seconds(spark, mode: str = "auto") -> float:
         m.group(1): float(m.group(2))
         for m in re.finditer(r"phase (\w+): ([0-9.]+)s", proc.stdout)
     }
+    # per-epoch phase rows (r09, VERDICT r08 ask #7): epoch 0 is
+    # warmup, so the per-epoch table is what makes the steady-state
+    # gather-vs-corrupt ratio readable; every sample here is from the
+    # SAME fresh subprocess JVM, so the median over epochs 1+ is a
+    # fresh-JVM median by construction
+    per_epoch = [
+        {kv.split("=")[0]: float(kv.split("=")[1]) for kv in m.group(2).split()}
+        for m in re.finditer(r"epochphases (\d+): (.+)", proc.stdout)
+    ]
+    if per_epoch:
+        phases = dict(phases)
+        phases["per_epoch"] = per_epoch
     return sorted(later)[len(later) // 2], later, phases
 
 
@@ -445,6 +457,39 @@ def main() -> None:
                 print(f"# sf1_{name}: {n} rows, {sf1[name]}s of {samples}", file=sys.stderr)
                 gc.collect()
                 spark.catalog.clearCache()
+            # end-to-end corpus pipeline at sf1 (r09, VERDICT r08 ask
+            # #4): the full audit→dedup→gate→decontaminate→scrub→mix→
+            # chunk→pack→split→report chain as ONE action — composition
+            # is where multi-consumer re-execution bites, and this row
+            # is the measured evidence the pins hold at 10×. One sample
+            # (the chain embeds its own eager CC loop; a warmup would
+            # double a minute-scale section for a number the
+            # normalized block already stabilizes).
+            try:
+                from transe_pyspark_spark.operators.pipeline import (
+                    corpus_pipeline_report,
+                )
+                from transe_pyspark_spark.sources.readers import load_table
+
+                t0 = time.time()
+                rep, pipe_pins = corpus_pipeline_report(
+                    load_table(spark, sf1_path, "documents")
+                )
+                n = rep.count()
+                sf1["corpus_pipeline"] = round(time.time() - t0, 3)
+                runs["sf1_corpus_pipeline"] = [sf1["corpus_pipeline"]]
+                for p in pipe_pins:
+                    p.unpersist()
+                print(
+                    f"# sf1_corpus_pipeline: {n} metric rows, "
+                    f"{sf1['corpus_pipeline']}s",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001
+                sf1["corpus_pipeline_error"] = str(e)[:200]
+                print(f"# sf1_corpus_pipeline FAILED: {e}", file=sys.stderr)
+            gc.collect()
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             sf1["error"] = str(e)[:200]
             print(f"# sf1 section failed: {e}", file=sys.stderr)
@@ -465,6 +510,19 @@ def main() -> None:
     # their midpoint.
     probe = (calibration["jvm_codegen"] + calibration_end["jvm_codegen"]) / 2
     normalized = {n: round(times[n] / probe, 2) for n in HEADLINE}
+    # r09 (VERDICT r08 ask #2): the sf1 and scale-path rows get the
+    # same treatment — the r07/r08 "regressions" that cost manual
+    # quiet-host triage were both sf1 rows, which the normalized block
+    # didn't cover. A mover whose normalized ratio is flat across
+    # rounds is host drift; a mover whose ratio moved is real.
+    normalized_sf1 = {
+        n: round(v / probe, 2) for n, v in sf1.items() if isinstance(v, (int, float))
+    }
+    normalized_scale_paths = {
+        k: round(v / probe, 2)
+        for k, v in scale_paths.items()
+        if isinstance(v, (int, float))
+    }
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -473,6 +531,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "normalized": normalized,
+        "normalized_sf1": normalized_sf1,
+        "normalized_scale_paths": normalized_scale_paths,
         "normalized_probe": round(probe, 4),
         "scale_paths": scale_paths,
         "sf1": sf1,

@@ -68,6 +68,12 @@ def main() -> None:
     # into BENCH_r{N}.json (cumulative seconds across all epochs)
     for name, v in getattr(tr, "phase_times", {}).items():
         print(f"phase {name}: {v:.2f}s")
+    # per-EPOCH deltas (r09, VERDICT r08 ask #7): epoch 0 carries the
+    # init/warmup cost, so the cumulative totals above hide the
+    # steady-state gather-vs-corrupt ratio; these rows expose it
+    for i, d in enumerate(getattr(tr, "epoch_phase_times", [])):
+        parts = " ".join(f"{n}={v:.2f}" for n, v in d.items())
+        print(f"epochphases {i}: {parts}")
 
 
 if __name__ == "__main__":

@@ -155,6 +155,10 @@ class RelationalTransETrainer:
             "gather_partials": 0.0, "gather_loss": 0.0,
             "delta_ent_update": 0.0, "lab_update": 0.0,
         }
+        #: per-EPOCH phase deltas (r09, VERDICT r08 ask #7): one dict
+        #: per epoch, so the gather-vs-corrupt ratio is readable
+        #: without un-cumulating across warm/cold epochs
+        self.epoch_phase_times: list[dict[str, float]] = []
 
     # ------------------------------------------------------------------
     def _init_embeddings(
@@ -417,6 +421,7 @@ class RelationalTransETrainer:
         fraction = 1.0 / self.n_batches
         for epoch in range(self.n_epochs):
             _t0 = _time.time()
+            _phase_at_start = dict(self.phase_times)
             epoch_loss = 0.0
             for batch_i in range(self.n_batches):
                 step_seed = self.seed * 1_000_003 + epoch * self.n_batches + batch_i
@@ -758,6 +763,10 @@ class RelationalTransETrainer:
                 self.phase_times["delta_ent_update"] += _time.time() - _tA
             self.loss_history.append(epoch_loss)
             self.epoch_times.append(_time.time() - _t0)
+            self.epoch_phase_times.append({
+                n: round(self.phase_times[n] - _phase_at_start.get(n, 0.0), 3)
+                for n in self.phase_times
+            })
         lab = spark.createDataFrame(
             pd.DataFrame({"id": np.arange(n_labels, dtype=np.int64), "vec": list(map(list, lab_np))}),
             schema="id long, vec array<double>",
