@@ -398,3 +398,65 @@ def test_corpus_pipeline_one_action_composition(spark, sf_dir):
     finally:
         for p in pins:
             p.unpersist()
+
+
+# ------------------------------------------------------------ LPA communities
+
+
+def test_lpa_communities_matches_python_model(spark):
+    """Synchronous mode-label LPA with min-label tie-break is a pure
+    function of the edge set — the Spark plan must replay a reference
+    python model exactly, round by round, on a seeded random graph
+    (including the bipartite oscillation sync-LPA is known for)."""
+    import random
+    from collections import Counter
+
+    from transe_pyspark_spark.operators.graph import lpa_communities
+
+    rng = random.Random(7)
+    nodes = list(range(1, 41))
+    edges = {
+        tuple(sorted(rng.sample(nodes, 2)))
+        for _ in range(120)
+    }
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+
+    def lpa_py(es, rounds):
+        adj: dict[int, set[int]] = {}
+        for s, d in es:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            lab = {
+                n: max(
+                    Counter(lab[m] for m in adj[n]).items(),
+                    key=lambda kv: (kv[1], -kv[0]),
+                )[0]
+                for n in adj
+            }
+        return lab
+
+    for r in (1, 2, 4):
+        got = {
+            row["node"]: row["community"]
+            for row in lpa_communities(df, rounds=r).collect()
+        }
+        assert got == lpa_py(edges, r), f"round {r} diverged"
+
+    with pytest.raises(ValueError):
+        lpa_communities(df, rounds=0)
+
+
+def test_lpa_communities_cache_hygiene(spark):
+    """eager_cleanup (the default) must release every pinned
+    generation — the r08 graph-operator cache-leak advisory's
+    contract extends to the new iterative op."""
+    from transe_pyspark_spark.operators.graph import lpa_communities
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    spark.catalog.clearCache()
+    lpa_communities(df, rounds=3).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -495,3 +495,102 @@ def node_clustering(
     deg.unpersist()
     ornt.unpersist()
     return out
+
+
+def lpa_communities(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the undirected simple graph, made DETERMINISTIC the
+    way this module's PageRank is: every node starts labeled with its
+    own id, and each round every node adopts the MODE of its
+    neighbors' labels with ties broken by the smallest label — no
+    randomized visit order, so the result after a fixed number of
+    rounds is a pure function of the edge set and a round-unrolled SQL
+    oracle replays it exactly. (Classic async LPA randomizes node
+    order precisely because the synchronous update can oscillate on
+    bipartite structures; fixed synchronous rounds keep the answer
+    well-defined and hash-checkable, which is the contract every
+    iterative face in this repo holds. Community detection differs
+    from ``dedup.connected_components``' min-label propagation: mode
+    adoption splits a connected component into densely-linked regions
+    instead of flooding it with one label.)
+
+    Plan per round: ONE node-keyed equi-join (adjacency ⨝ labels on
+    the neighbor id) + TWO hash aggregates — count per (node,
+    neighbor-label), then ``max_by(label, (count, -label))`` per node,
+    so the tie-break rides the aggregate instead of a second window
+    Exchange. The directed adjacency (each undirected edge listed both
+    ways) is built ONCE, pinned repartitioned on the neighbor column
+    (the per-round join key), and reused every round; labels are
+    |V|-sized and re-pinned per round partitioned on the node id
+    (repartition + cache, the repo's iterative-leaf pattern), with the
+    previous generation unpersisted as soon as its successor
+    materializes. Nothing in any round is quadratic; state is one row
+    per node plus the pinned adjacency.
+
+    Returns (node, community) — one row per node appearing in any
+    edge.
+    """
+    if not isinstance(rounds, int) or rounds < 1:
+        raise ValueError(f"rounds must be an int >= 1, got {rounds!r}")
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # directed adjacency: (node, nbr) both ways, partitioned on nbr —
+    # the side every round's label join keys on
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition(n_part, "nbr")
+        .cache()
+    )
+    adj.count()
+    labels = (
+        adj.select(F.col("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .repartition(n_part, "node")
+        .cache()
+    )
+    labels.count()
+    pinned = [adj, labels]
+    for _ in range(rounds):
+        nbr_labels = adj.join(
+            labels.select(F.col("node").alias("nbr"), "community"), "nbr"
+        ).select("node", "community")
+        counted = nbr_labels.groupBy("node", "community").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        labels = (
+            counted.groupBy("node")
+            .agg(
+                F.expr("max_by(community, struct(c, -community))").alias("community")
+            )
+            .repartition(n_part, "node")
+            .cache()
+        )
+        labels.count()
+        pinned.append(labels)
+        if eager_cleanup and len(pinned) > 2:
+            # keep adj + the freshly-built generation; drop its parent
+            # (never the initial-labels frame before round 1 consumed it)
+            prev = pinned.pop(-2)
+            if prev is not adj:
+                prev.unpersist()
+    out = labels.select("node", "community")
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
+    return out

@@ -4982,6 +4982,60 @@ def q_kcore_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lpa_communities_trading",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT o_custkey AS a, 10000000 + l_suppkey AS b
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    adj AS (SELECT a AS node, b AS nbr FROM e0
+            UNION ALL SELECT b AS node, a AS nbr FROM e0),
+    l0 AS (SELECT DISTINCT node, node AS community FROM adj),
+    c1 AS (SELECT adj.node, l.community, count(*) AS c
+           FROM adj JOIN l0 l ON adj.nbr = l.node GROUP BY 1, 2),
+    l1 AS (SELECT node, community FROM (
+             SELECT node, community, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, community ASC) AS rn
+             FROM c1) WHERE rn = 1),
+    c2 AS (SELECT adj.node, l.community, count(*) AS c
+           FROM adj JOIN l1 l ON adj.nbr = l.node GROUP BY 1, 2),
+    l2 AS (SELECT node, community FROM (
+             SELECT node, community, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, community ASC) AS rn
+             FROM c2) WHERE rn = 1),
+    c3 AS (SELECT adj.node, l.community, count(*) AS c
+           FROM adj JOIN l2 l ON adj.nbr = l.node GROUP BY 1, 2),
+    l3 AS (SELECT node, community FROM (
+             SELECT node, community, row_number() OVER (
+                 PARTITION BY node ORDER BY c DESC, community ASC) AS rn
+             FROM c3) WHERE rn = 1)
+    SELECT CAST(node AS BIGINT) AS node, CAST(community AS BIGINT) AS community
+    FROM l3
+    """,
+    tags=("graph", "iterative"),
+)
+def q_lpa_communities_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous label-propagation rounds over the
+    customer↔supplier trading graph — deterministic mode-label
+    adoption (ties to the smallest label), so a 3×-unrolled SQL
+    oracle replays every round exactly (the pagerank/kcore pattern).
+    Unlike connected components' min-label flooding, mode adoption
+    carves the dense bipartite blocks into separate communities, the
+    which-customers-cluster-around-which-suppliers signal."""
+    from transe_pyspark_spark.operators.graph import lpa_communities
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return lpa_communities(edges, rounds=3)
+
+
+@_register(
     "daily_corr_view_purchase",
     oracle="""
     WITH pd AS (SELECT CAST(ts AS DATE) AS d,
@@ -6135,15 +6189,20 @@ _OVERFLOW_ORACLE = [
     "trend_per_event_type",      # agg screens: same
     "key_skew_lineitem",         # agg/diagnostics: same; skew demo
                                  # stays benched + plan-gated
-    # NOT a rotated-out incumbent — the ONE new r09 face registered
-    # past the full window (mirror-checked + pytest-gated, never
-    # driver-checked): the whole r10 rotation queue, kept to a single
-    # entry per VERDICT r08 ask #1's drainability rule:
+    # NOT rotated-out incumbents — the new r09 faces registered past
+    # the full window (mirror-checked + pytest-gated, never
+    # driver-checked): the r10 rotation queue, kept far below the
+    # 20-face drain demonstrated this round (VERDICT r08 ask #1's
+    # drainability rule):
     "semantic_dedup_recall",     # SemDeDup-style embedding-level
                                  # dedup: intra-cluster cosine pairs
                                  # (never corpus-all-pairs), CC keep
                                  # verdicts; brute-force pair census
                                  # + precision/recall/verdict booleans
+    "lpa_communities_trading",   # deterministic synchronous LPA
+                                 # (mode label, min tie-break) on the
+                                 # trading graph; 3x-unrolled SQL
+                                 # oracle, python-model pytest
 ]
 
 
