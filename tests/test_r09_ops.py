@@ -460,3 +460,113 @@ def test_lpa_communities_cache_hygiene(spark):
     spark.catalog.clearCache()
     lpa_communities(df, rounds=3).collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# --------------------------------------------- incremental view maintenance
+
+
+def test_ivm_maintain_equals_recompute_on_random_churn(spark):
+    """The IVM law on seeded random churn: maintained summary ==
+    build_group_summary(new base), with group-moving updates, deletes
+    that empty a group, inserts into fresh groups, NULL group keys,
+    and NULL measures all present."""
+    import random
+
+    from transe_pyspark_spark.operators.relational import (
+        build_group_summary,
+        maintain_group_summary,
+        snapshot_changeset_images,
+    )
+
+    rng = random.Random(99)
+    groups = ["a", "b", "c", None]
+    old_rows = [
+        (k, rng.choice(groups), rng.choice([None, rng.randint(-50, 50)]))
+        for k in range(1, 201)
+    ]
+    new_rows = []
+    for k, g, v in old_rows:
+        roll = rng.random()
+        if roll < 0.2:
+            continue                                   # delete
+        if roll < 0.5:                                 # update (often group-move)
+            new_rows.append((k, rng.choice(groups + ["d"]),
+                             rng.choice([None, rng.randint(-50, 50)])))
+        else:
+            new_rows.append((k, g, v))                 # unchanged
+    new_rows += [
+        (1000 + i, rng.choice(groups + ["e"]), rng.randint(0, 9))
+        for i in range(30)
+    ]                                                  # inserts
+    schema = "k long, g string, v long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    changes = snapshot_changeset_images(old, new, ["k"])
+    got = maintain_group_summary(
+        build_group_summary(old, "g", ["v"]), changes, "g", ["v"]
+    )
+    exp = build_group_summary(new, "g", ["v"])
+    key = lambda r: (str(r["g"]), r["n_rows"], r["sum_v"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(exp.collect(), key=key)
+
+    # images format contract: 'I' rows carry NULL before-images,
+    # 'D' rows NULL after-images, and no-op keys emit nothing
+    for r in changes.collect():
+        if r["op"] == "I":
+            assert r["before_g"] is None and r["before_v"] is None
+        if r["op"] == "D":
+            assert r["after_g"] is None and r["after_v"] is None
+    unchanged = {k for (k, g, v) in old_rows if (k, g, v) in set(new_rows)}
+    assert unchanged.isdisjoint({r["k"] for r in changes.collect()})
+
+    with pytest.raises(ValueError):
+        maintain_group_summary(exp, changes.drop("op"), "g", ["v"])
+
+
+def test_ivm_maintenance_never_scans_base(spark, tmp_path):
+    """The refresh plan must read ONLY the persisted summary and the
+    change batch — never the base fact table (the whole point at
+    100 TB)."""
+    import contextlib
+    import io
+
+    from transe_pyspark_spark.operators.relational import (
+        build_group_summary,
+        maintain_group_summary,
+        snapshot_changeset_images,
+    )
+
+    base = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id % 7 AS STRING) AS g", "id % 13 AS v"
+    )
+    newb = base.filter("k % 5 <> 0").unionByName(
+        spark.range(2000, 2050).selectExpr(
+            "id AS k", "'x' AS g", "CAST(3 AS LONG) AS v"
+        )
+    )
+    base.write.parquet(str(tmp_path / "base"))
+    build_group_summary(base, "g", ["v"]).write.parquet(str(tmp_path / "summary"))
+    snapshot_changeset_images(base, newb, ["k"]).write.parquet(
+        str(tmp_path / "changes")
+    )
+
+    refreshed = maintain_group_summary(
+        spark.read.parquet(str(tmp_path / "summary")),
+        spark.read.parquet(str(tmp_path / "changes")),
+        "g",
+        ["v"],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        refreshed.explain("formatted")
+    plan = buf.getvalue()
+    nodes = [ln.strip() for ln in plan.splitlines() if ln.strip().startswith("(")]
+    assert sum(1 for ln in nodes if "Scan parquet" in ln) == 2
+    # and neither scan is the base table (the two are summary + changes)
+    assert f"{os.sep}base" not in plan
+
+    key = lambda r: (str(r["g"]), r["n_rows"], r["sum_v"])  # noqa: E731
+    assert sorted(refreshed.collect(), key=key) == sorted(
+        build_group_summary(newb, "g", ["v"]).collect(), key=key
+    )

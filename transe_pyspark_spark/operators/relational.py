@@ -681,6 +681,180 @@ def snapshot_changeset(
     )
 
 
+def snapshot_changeset_images(
+    old: "DataFrame",
+    new: "DataFrame",
+    key_cols: list[str],
+    op_col: str = "op",
+) -> "DataFrame":
+    """Debezium-style change batch WITH BEFORE-IMAGES: one row per
+    differing key carrying ``op`` ('I'/'U'/'D') plus
+    ``before_<attr>`` / ``after_<attr>`` for every non-key column
+    (NULL before-image on 'I', NULL after-image on 'D'). The plain
+    ``snapshot_changeset`` feeds MERGE consumers that only need the
+    new values; the before-image form is what DOWNSTREAM DELTA
+    consumers need — incremental aggregate maintenance
+    (``maintain_group_summary``) must retract the old contribution of
+    a 'U'/'D' row, which the after-only format cannot express without
+    rereading the old snapshot.
+
+    Plan: ONE full-outer key equi-join + per-row op classification,
+    |changes|-sized output — identical shape and cost to
+    ``snapshot_changeset``. Keys must be non-null on both sides (the
+    ``table_diff`` contract: presence is tracked by explicit flags).
+    """
+    if not key_cols:
+        raise ValueError("snapshot_changeset_images needs at least one key column")
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"snapshot_changeset_images requires identical schemas; old has "
+            f"{sorted(set(old.columns) - set(new.columns))} extra, new has "
+            f"{sorted(set(new.columns) - set(old.columns))} extra"
+        )
+    attr_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("__in_old"),
+        *[F.col(c).alias(f"before_{c}") for c in attr_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("__in_new"),
+        *[F.col(c).alias(f"after_{c}") for c in attr_cols],
+    )
+    j = o.join(n, list(key_cols), "full_outer")
+    any_diff = F.lit(False)
+    for c in attr_cols:
+        any_diff = any_diff | ~F.col(f"before_{c}").eqNullSafe(F.col(f"after_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(any_diff, F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            *key_cols,
+            *[f"before_{c}" for c in attr_cols],
+            *[f"after_{c}" for c in attr_cols],
+            op_col,
+        )
+    )
+
+
+def build_group_summary(
+    df: "DataFrame",
+    group_col: str,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> "DataFrame":
+    """The materialized per-group summary ``maintain_group_summary``
+    keeps fresh: ``(group, n_rows, sum_<c>...)`` from one hash-agg
+    pass. Self-maintainable aggregates only (count + sums — the IVM
+    textbook set closed under insert/delete deltas); NULL measures
+    contribute 0 so a maintained sum is never NULL and retraction is
+    exact. min/max are deliberately absent: they are not incrementally
+    maintainable under deletes without the full value multiset."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col),
+        *[
+            F.sum(F.coalesce(F.col(c), F.lit(0))).cast("long").alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+
+
+def maintain_group_summary(
+    summary: "DataFrame",
+    changes: "DataFrame",
+    group_col: str,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> "DataFrame":
+    """Incremental view maintenance for a grouped count/sum summary:
+    apply a before-image change batch (``snapshot_changeset_images``
+    format) to an existing ``build_group_summary`` result WITHOUT
+    rescanning the base table — the maintained result is exactly
+    ``build_group_summary(new_base)``, pytest-pinned as a law and
+    oracle-checked by the registered face.
+
+    Each change row contributes up to two signed deltas: a retraction
+    ``(before_group, −1, −before_values)`` for 'U'/'D' and an
+    assertion ``(after_group, +1, +after_values)`` for 'I'/'U' — so a
+    'U' that MOVES a row between groups retracts from the old group
+    and asserts into the new one. Groups whose maintained count
+    reaches zero drop out of the summary, exactly as a recomputed
+    GROUP BY would never emit them.
+
+    At 100 TB this is the whole point: refreshing a day's dashboard
+    rollup costs one |changes|-sized shuffle (the delta aggregate) and
+    one |groups|-keyed join against the summary — the multi-TB base
+    fact is never read. Plan: ONE pass over the change batch (each row
+    explodes into its 1–2 signed contributions in-plan — a
+    union-of-filters would scan the batch twice) feeding ONE hash-agg,
+    then ONE null-safe full-outer equi-join with the summary (NULL
+    groups are real groups — the r08 group-rank advisory's lesson —
+    so the join key is ``eqNullSafe``, which Spark hash-partitions
+    like any equi-key).
+    """
+    bg, ag = f"before_{group_col}", f"after_{group_col}"
+    for need in (bg, ag, "op"):
+        if need not in changes.columns:
+            raise ValueError(f"changes is missing column {need!r} "
+                             "(snapshot_changeset_images format)")
+    retract = F.struct(
+        F.col(bg).alias("__g"),
+        F.lit(-1).cast("long").alias("__dn"),
+        *[
+            (-F.coalesce(F.col(f"before_{c}"), F.lit(0))).cast("long").alias(f"__ds_{c}")
+            for c in sum_cols
+        ],
+    )
+    assert_ = F.struct(
+        F.col(ag).alias("__g"),
+        F.lit(1).cast("long").alias("__dn"),
+        *[
+            F.coalesce(F.col(f"after_{c}"), F.lit(0)).cast("long").alias(f"__ds_{c}")
+            for c in sum_cols
+        ],
+    )
+    contribs = (
+        F.when(F.col("op") == "U", F.array(retract, assert_))
+        .when(F.col("op") == "D", F.array(retract))
+        .when(F.col("op") == "I", F.array(assert_))
+    )
+    deltas = (
+        changes.select(F.explode(contribs).alias("__x"))
+        .select("__x.*")
+        .groupBy("__g")
+        .agg(
+            F.sum("__dn").cast("long").alias("__dn"),
+            *[F.sum(f"__ds_{c}").cast("long").alias(f"__ds_{c}") for c in sum_cols],
+        )
+    )
+    s = summary.alias("s")
+    d = deltas.alias("d")
+    merged = s.join(d, F.col(f"s.{group_col}").eqNullSafe(F.col("d.__g")), "full_outer")
+    new_n = F.coalesce(F.col(f"s.{count_col}"), F.lit(0)) + F.coalesce(
+        F.col("d.__dn"), F.lit(0)
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col(f"s.{group_col}"), F.col("d.__g")).alias(group_col),
+            new_n.cast("long").alias(count_col),
+            *[
+                (
+                    F.coalesce(F.col(f"s.sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d.__ds_{c}"), F.lit(0))
+                ).cast("long").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+
+
 def table_diff(
     old: "DataFrame",
     new: "DataFrame",

@@ -5606,6 +5606,72 @@ def q_changeset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ivm_summary_customers",
+    oracle="""
+    WITH snap AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+                  FROM customer),
+    nxt AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey,
+             CASE WHEN c_custkey % 10 = 3 THEN acctbal_cents + 10000
+                  ELSE acctbal_cents END AS acctbal_cents
+      FROM snap WHERE c_custkey % 10 <> 7
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(7 AS BIGINT), CAST(123456 AS BIGINT)
+      FROM snap WHERE c_custkey % 97 = 5)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(acctbal_cents) AS BIGINT) AS sum_acctbal_cents
+    FROM nxt GROUP BY 1
+    """,
+    tags=("warehouse", "ivm", "agg"),
+)
+def q_ivm_summary_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-nation count/sum rollup of
+    the customer snapshot is refreshed from a before-image change
+    batch ALONE — updates that move rows between nations (retract old
+    group, assert new), a delete wave, and an insert wave — and the
+    maintained summary must equal a full GROUP BY over the patched
+    snapshot, which is exactly what the oracle computes. The base
+    table is never rescanned by the maintenance step: the plan is one
+    |changes|-sized delta aggregate plus one null-safe key join with
+    the old summary (pytest-pinned on parquet inputs)."""
+    from transe_pyspark_spark.operators.relational import (
+        build_group_summary,
+        maintain_group_summary,
+        snapshot_changeset_images,
+    )
+
+    snap = _T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    is_u = F.col("c_custkey") % 10 == 3
+    nxt = snap.filter(F.col("c_custkey") % 10 != 7).select(
+        "c_custkey",
+        F.when(is_u, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+        F.when(is_u, F.col("acctbal_cents") + 10000)
+        .otherwise(F.col("acctbal_cents"))
+        .alias("acctbal_cents"),
+    ).unionByName(
+        snap.filter(F.col("c_custkey") % 97 == 5).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit(7).cast("long").alias("c_nationkey"),
+            F.lit(123456).cast("long").alias("acctbal_cents"),
+        )
+    )
+    changes = snapshot_changeset_images(snap, nxt, ["c_custkey"])
+    summary = build_group_summary(snap, "c_nationkey", ["acctbal_cents"])
+    return maintain_group_summary(
+        summary, changes, "c_nationkey", ["acctbal_cents"]
+    )
+
+
+@_register(
     "pyds_triples_profile",
     oracle="""
     WITH g AS (SELECT CAST(x AS BIGINT) AS i
@@ -6203,6 +6269,11 @@ _OVERFLOW_ORACLE = [
                                  # (mode label, min tie-break) on the
                                  # trading graph; 3x-unrolled SQL
                                  # oracle, python-model pytest
+    "ivm_summary_customers",     # incremental view maintenance:
+                                 # before-image changeset -> delta
+                                 # aggregate -> summary join; oracle
+                                 # recomputes the GROUP BY over the
+                                 # patched snapshot (the law itself)
 ]
 
 
