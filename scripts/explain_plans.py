@@ -368,6 +368,14 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "(group, __pid) with broadcast offsets — never a global ntile "
         "window; the segment rollup is ≤125 groups",
     ),
+    "ivm_summary_customers": (
+        ["Generate", "HashAggregate"],
+        "the delta pass EXPLODES each change row into its 1-2 signed "
+        "contributions (one scan of the batch, not a union-of-filters "
+        "double scan) into one hash-agg; the summary merge is one "
+        "null-safe key equi-join — the maintenance subplan never "
+        "rescans the base fact (pytest-pinned on parquet inputs)",
+    ),
     "data_quality_audit": (
         ["HashAggregate", "BroadcastHashJoin"],
         "same-table checks BATCH into one aggregate per table (r09: "
@@ -477,6 +485,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "table_diff_customers": (
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "the diff is key equi-joins only",
+    ),
+    "ivm_summary_customers": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the null-safe group merge is an equi-join (EqualNullSafe "
+        "hash-partitions like any key); nothing all-pairs",
     ),
     "changeset_customers": (
         ["CartesianProduct", "BroadcastNestedLoopJoin", "HashAggregate"],
@@ -629,6 +642,9 @@ MAX_EXCHANGES = {
     "rfm_segments_customers": 17,
     # snapshot + CDC-applied sides into the diff join + the 1-row agg
     "table_diff_customers": 5,
+    # changeset full-outer (2 sides) + delta agg + summary-side agg +
+    # the null-safe merge join (2 sides) — |changes|/|groups|-sized
+    "ivm_summary_customers": 7,
     # snapshot + CDC-applied sides into the classified full-outer join
     "changeset_customers": 4,
     # the relation-key agg + the distinct-count expand — generation
@@ -869,6 +885,26 @@ def main() -> int:
     from transe_pyspark_spark.operators.similarity import semantic_near_pairs
     from transe_pyspark_spark.sources.readers import load_table as _lt
 
+    from transe_pyspark_spark.operators.graph import _lpa_round
+
+    _lpa_adj = (
+        _kedges.select(
+            _F.explode(
+                _F.array(
+                    _F.struct(_F.col("src").alias("node"), _F.col("dst").alias("nbr")),
+                    _F.struct(_F.col("dst").alias("node"), _F.col("src").alias("nbr")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .repartition(32, "nbr")
+        .cache()
+    )
+    _lpa_adj.count()
+    _lpa_labels0 = (
+        _lpa_adj.select("node").distinct()
+        .select("node", _F.col("node").alias("community"))
+    )
     lazy_gates = [
         (
             "semantic_dedup_recall (pair stage)",
@@ -882,6 +918,19 @@ def main() -> int:
             "pair join is a cell EQUI-join of the exploded assignments — "
             "never corpus all-pairs; the only exchanges are the pair "
             "dedup hash-agg (and, at scale, the cell join itself)",
+        ),
+        (
+            "lpa_communities_trading (round stage)",
+            _lpa_round(_lpa_adj, _lpa_labels0),
+            ["InMemoryTableScan", "HashAggregate"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+            7,
+            "each LPA round is one neighbor-keyed equi-join over the "
+            "PINNED doubled adjacency + two hash aggregates — the "
+            "min-label tie-break rides max_by(label,(count,-label)), "
+            "never a per-node window; the registered face's final plan "
+            "is an opaque cached generation, so this gates the "
+            "per-round shape",
         ),
         (
             "kcore_trading_graph",
@@ -916,7 +965,8 @@ def main() -> int:
         # kcore reads its two join tables; the semantic pair stage is a
         # self-join (both sides scan the embedding table once each)
         one_scan_ok = scans <= (
-            2 if name in ("kcore_trading_graph", "semantic_dedup_recall (pair stage)") else 1
+            2 if name in ("kcore_trading_graph", "semantic_dedup_recall (pair stage)",
+                          "lpa_communities_trading (round stage)") else 1
         )
         ok = not missing and not present and n <= max_ex and one_scan_ok
         if not ok:

@@ -497,6 +497,24 @@ def node_clustering(
     return out
 
 
+
+def _lpa_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round, un-pinned — exposed so the plan gate
+    can explain the per-round shape (the pinned generations are opaque
+    InMemoryTableScans by design): one neighbor-keyed equi-join + two
+    hash aggregates, with the deterministic tie-break riding
+    ``max_by(label, (count, -label))`` instead of a window."""
+    nbr_labels = adj.join(
+        labels.select(F.col("node").alias("nbr"), "community"), "nbr"
+    ).select("node", "community")
+    counted = nbr_labels.groupBy("node", "community").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return counted.groupBy("node").agg(
+        F.expr("max_by(community, struct(c, -community))").alias("community")
+    )
+
+
 def lpa_communities(
     edges: DataFrame,
     rounds: int,
@@ -547,10 +565,20 @@ def lpa_communities(
         .distinct()
     )
     # directed adjacency: (node, nbr) both ways, partitioned on nbr —
-    # the side every round's label join keys on
+    # the side every round's label join keys on. Exploded in-plan from
+    # ONE pass over the canonical edge set: a union of two projections
+    # would re-execute the un-pinned distinct subtree (base scans +
+    # dedup shuffle) once per branch at materialization.
     adj = (
-        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("nbr")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
         .repartition(n_part, "nbr")
         .cache()
     )
@@ -565,20 +593,7 @@ def lpa_communities(
     labels.count()
     pinned = [adj, labels]
     for _ in range(rounds):
-        nbr_labels = adj.join(
-            labels.select(F.col("node").alias("nbr"), "community"), "nbr"
-        ).select("node", "community")
-        counted = nbr_labels.groupBy("node", "community").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
-        )
-        labels = (
-            counted.groupBy("node")
-            .agg(
-                F.expr("max_by(community, struct(c, -community))").alias("community")
-            )
-            .repartition(n_part, "node")
-            .cache()
-        )
+        labels = _lpa_round(adj, labels).repartition(n_part, "node").cache()
         labels.count()
         pinned.append(labels)
         if eager_cleanup and len(pinned) > 2:
