@@ -119,6 +119,12 @@ SF1_HEADLINE = [
     # log (transitions) and the shared-sort top-k path mining
     "event_transitions",
     "top_event_paths",
+    # r09 faces at 10x: LPA pays three pinned generations over the 10x
+    # trading graph (the kcore/pagerank iterative budget); IVM's
+    # refresh itself is |changes|-sized — the sf1 row mostly measures
+    # the fixture's changeset derivation (one full-outer key join)
+    "lpa_communities_trading",
+    "ivm_summary_customers",
 ]
 
 

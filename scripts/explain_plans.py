@@ -705,6 +705,10 @@ SF1_STABLE = [
     # the CDC pair keeps its single-full-outer-join shapes at 10×
     "table_diff_customers",
     "changeset_customers",
+    # r09: the IVM refresh keeps its explode→delta-agg→null-safe-join
+    # shape at 10× (the |changes|-sized path must not become a base
+    # table rescan)
+    "ivm_summary_customers",
 ]
 
 
