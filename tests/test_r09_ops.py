@@ -570,3 +570,68 @@ def test_ivm_maintenance_never_scans_base(spark, tmp_path):
     assert sorted(refreshed.collect(), key=key) == sorted(
         build_group_summary(newb, "g", ["v"]).collect(), key=key
     )
+
+
+def test_stream_ivm_replay_idempotent_and_crash_safe(spark, tmp_path):
+    """Versioned-state streaming IVM: replaying a batch (same id, same
+    rows) leaves the committed generation byte-identical; a crashed
+    generation write (no _SUCCESS) is invisible to the chain and gets
+    overwritten; draining the stream lands on the batch recompute."""
+    import os
+
+    from transe_pyspark_spark.operators.incremental import (
+        _ivm_gen_dir,
+        _ivm_latest_gen,
+        apply_ivm_batch,
+        stream_ivm_summary,
+    )
+    from transe_pyspark_spark.operators.relational import (
+        build_group_summary,
+        snapshot_changeset_images,
+    )
+
+    base = spark.range(0, 300).selectExpr(
+        "id AS k", "CAST(id % 5 AS STRING) AS g", "id % 11 AS v"
+    )
+    newb = base.filter("k % 3 <> 0").unionByName(
+        spark.range(500, 540).selectExpr(
+            "id AS k", "'z' AS g", "CAST(2 AS LONG) AS v"
+        )
+    )
+    changes = snapshot_changeset_images(base, newb, ["k"])
+    state = str(tmp_path / "state")
+    build_group_summary(base, "g", ["v"]).write.parquet(_ivm_gen_dir(state, -1))
+
+    w0 = changes.filter("k % 2 = 0")
+    w1 = changes.filter("k % 2 = 1")
+    apply_ivm_batch(spark, w0, 0, state, "g", ["v"])
+    first = sorted(map(str, spark.read.parquet(_ivm_gen_dir(state, 0)).collect()))
+    apply_ivm_batch(spark, w0, 0, state, "g", ["v"])  # replay
+    assert sorted(map(str, spark.read.parquet(_ivm_gen_dir(state, 0)).collect())) == first
+
+    # crashed write of gen=1: parquet dir without _SUCCESS is ignored
+    os.makedirs(_ivm_gen_dir(state, 1))
+    with open(os.path.join(_ivm_gen_dir(state, 1), "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert _ivm_latest_gen(state) == 0
+    apply_ivm_batch(spark, w1, 1, state, "g", ["v"])
+    assert _ivm_latest_gen(state) == 1
+
+    key = lambda r: (str(r["g"]), r["n_rows"], r["sum_v"])  # noqa: E731
+    got = sorted(spark.read.parquet(_ivm_gen_dir(state, 1)).collect(), key=key)
+    assert got == sorted(build_group_summary(newb, "g", ["v"]).collect(), key=key)
+
+    # end-to-end: the streaming drain reproduces the same rollup
+    chdir = str(tmp_path / "changes")
+    os.makedirs(chdir)
+    import shutil
+    for i, w in enumerate((w0, w1)):
+        tmp = str(tmp_path / f"w{i}")
+        w.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(chdir, f"wave{i}.parquet"))
+    out = stream_ivm_summary(
+        spark, chdir, str(tmp_path / "state2"), "g", ["v"],
+        initial_summary=build_group_summary(base, "g", ["v"]),
+    )
+    assert sorted(out.collect(), key=key) == got

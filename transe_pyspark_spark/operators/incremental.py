@@ -292,3 +292,134 @@ def neardedup_drop(
     kept = kept.localCheckpoint(eager=True)
     kept.write.mode("append").parquet(state_path + "_sigs")
     return kept
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+def _ivm_gen_dir(state_path: str, gen: int) -> str:
+    return os.path.join(state_path, f"gen={gen}")
+
+
+def _ivm_latest_gen(state_path: str, before: int | None = None) -> int | None:
+    """Largest COMMITTED summary generation (< ``before`` if given).
+    A generation counts only once its parquet ``_SUCCESS`` marker
+    exists, so a crash mid-write leaves a dir that replay ignores and
+    overwrites. Local/posix probe, the module's standing convention."""
+    import re
+
+    if not os.path.isdir(state_path):
+        return None
+    gens = [
+        int(m.group(1))
+        for d in os.listdir(state_path)
+        for m in [re.fullmatch(r"gen=(-?\d+)", d)]
+        if m
+        and os.path.exists(os.path.join(state_path, d, "_SUCCESS"))
+        and (before is None or int(m.group(1)) < before)
+    ]
+    return max(gens) if gens else None
+
+
+def apply_ivm_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    group_col: str,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> None:
+    """Apply ONE change micro-batch to the versioned summary state —
+    the ``foreachBatch`` body of ``stream_ivm_summary``, exposed so
+    replay idempotency is directly testable. Generation ``batch_id``
+    is recomputed from the newest generation BELOW it and overwritten
+    in place: Structured Streaming replays a failed batch under the
+    same batch_id with the same rows, the parent generation is never
+    touched, so however many times the batch runs the committed
+    ``gen=<batch_id>`` is identical — exactly-once maintenance on top
+    of at-least-once replay, the ``commit_batch`` recipe transposed
+    from append-only state to versioned state."""
+    from transe_pyspark_spark.operators.relational import maintain_group_summary
+
+    prev = _ivm_latest_gen(state_path, before=batch_id)
+    if prev is None:
+        raise RuntimeError(
+            f"no committed base summary below gen={batch_id} in {state_path} "
+            "(stream_ivm_summary seeds gen=-1 before starting the query)"
+        )
+    summary = spark.read.parquet(_ivm_gen_dir(state_path, prev))
+    nxt = maintain_group_summary(summary, batch_df, group_col, sum_cols, count_col)
+    nxt.write.mode("overwrite").parquet(_ivm_gen_dir(state_path, batch_id))
+
+
+def stream_ivm_summary(
+    spark: SparkSession,
+    changes_dir: str,
+    state_path: str,
+    group_col: str,
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+    initial_summary: DataFrame | None = None,
+    path_glob: str = "*.parquet",
+    max_files_per_trigger: int = 1,
+    checkpoint_location: str | None = None,
+) -> DataFrame:
+    """Continuously-maintained grouped count/sum rollup: before-image
+    change batches (``snapshot_changeset_images`` format) land as
+    parquet files, are consumed as a file stream, and each micro-batch
+    delta-refreshes the persisted summary inside ``foreachBatch`` —
+    the forever-running materialized-view maintainer. The base fact
+    table is NEVER read: every refresh costs one |batch|-sized delta
+    aggregate plus one key join against the current summary
+    generation (``maintain_group_summary``'s contract).
+
+    State is a chain of versioned generations ``gen=<batch_id>``
+    (seeded with ``initial_summary`` — or an empty rollup — at
+    ``gen=-1``); each batch recomputes its generation from the newest
+    committed one below its id and overwrites in place, so replays
+    are idempotent (see ``apply_ivm_batch``). Old generations double
+    as a time-travel audit trail; long-running maintainers prune
+    them offline. Returns the newest committed summary after an
+    AvailableNow run drains the directory.
+    """
+    import uuid
+
+    static = spark.read.option("pathGlobFilter", path_glob).parquet(changes_dir)
+    if initial_summary is None:
+        initial_summary = (
+            static.select(
+                F.col(f"before_{group_col}").alias(group_col),
+                F.lit(0).cast("long").alias(count_col),
+                *[F.lit(0).cast("long").alias(f"sum_{c}") for c in sum_cols],
+            )
+            .filter(F.lit(False))
+        )
+    initial_summary.write.mode("overwrite").parquet(_ivm_gen_dir(state_path, -1))
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", path_glob)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .format("parquet")
+        .load(changes_dir)
+    )
+    ckpt = checkpoint_location or (state_path.rstrip("/") + "_ckpt")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ivm_batch(
+            spark, batch_df, batch_id, state_path, group_col, sum_cols, count_col
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(f"ivm_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _ivm_latest_gen(state_path)
+    return spark.read.parquet(_ivm_gen_dir(state_path, latest))

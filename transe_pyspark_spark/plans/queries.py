@@ -5627,22 +5627,11 @@ def q_changeset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("warehouse", "ivm", "agg"),
 )
-def q_ivm_summary_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental view maintenance: a per-nation count/sum rollup of
-    the customer snapshot is refreshed from a before-image change
-    batch ALONE — updates that move rows between nations (retract old
-    group, assert new), a delete wave, and an insert wave — and the
-    maintained summary must equal a full GROUP BY over the patched
-    snapshot, which is exactly what the oracle computes. The base
-    table is never rescanned by the maintenance step: the plan is one
-    |changes|-sized delta aggregate plus one null-safe key join with
-    the old summary (pytest-pinned on parquet inputs)."""
-    from transe_pyspark_spark.operators.relational import (
-        build_group_summary,
-        maintain_group_summary,
-        snapshot_changeset_images,
-    )
-
+def _ivm_customer_fixture(spark: SparkSession, sf_dir: str):
+    """(snapshot, patched snapshot) pair shared by the batch and
+    streaming IVM faces: a group-moving update wave (%10=3: nation+1
+    mod 25, balance +10000 cents), a delete wave (%10=7), and an
+    insert wave (%97=5 into nation 7)."""
     snap = _T(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
@@ -5664,10 +5653,97 @@ def q_ivm_summary_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(123456).cast("long").alias("acctbal_cents"),
         )
     )
+    return snap, nxt
+
+
+def q_ivm_summary_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-nation count/sum rollup of
+    the customer snapshot is refreshed from a before-image change
+    batch ALONE — updates that move rows between nations (retract old
+    group, assert new), a delete wave, and an insert wave — and the
+    maintained summary must equal a full GROUP BY over the patched
+    snapshot, which is exactly what the oracle computes. The base
+    table is never rescanned by the maintenance step: the plan is one
+    |changes|-sized delta aggregate plus one null-safe key join with
+    the old summary (pytest-pinned on parquet inputs)."""
+    from transe_pyspark_spark.operators.relational import (
+        build_group_summary,
+        maintain_group_summary,
+        snapshot_changeset_images,
+    )
+
+    snap, nxt = _ivm_customer_fixture(spark, sf_dir)
     changes = snapshot_changeset_images(snap, nxt, ["c_custkey"])
     summary = build_group_summary(snap, "c_nationkey", ["acctbal_cents"])
     return maintain_group_summary(
         summary, changes, "c_nationkey", ["acctbal_cents"]
+    )
+
+
+@_register(
+    "stream_ivm_summary_customers",
+    oracle="""
+    WITH snap AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+                  FROM customer),
+    nxt AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey,
+             CASE WHEN c_custkey % 10 = 3 THEN acctbal_cents + 10000
+                  ELSE acctbal_cents END AS acctbal_cents
+      FROM snap WHERE c_custkey % 10 <> 7
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(7 AS BIGINT), CAST(123456 AS BIGINT)
+      FROM snap WHERE c_custkey % 97 = 5)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(acctbal_cents) AS BIGINT) AS sum_acctbal_cents
+    FROM nxt GROUP BY 1
+    """,
+    tags=("streaming", "warehouse", "ivm"),
+)
+def q_stream_ivm_summary_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of incremental view maintenance: the SAME
+    before-image changeset as ``ivm_summary_customers`` lands as two
+    parquet waves (split by key parity), a file stream drains them
+    under AvailableNow at one file per micro-batch, and each batch
+    delta-refreshes the versioned summary state inside foreachBatch
+    (replay-idempotent: a batch recomputes its generation from the
+    untouched parent and overwrites in place). Two sequential delta
+    applications must land on the same rollup one batch application
+    does — the oracle is the identical GROUP BY over the patched
+    snapshot, proving delta maintenance is batch-decomposition
+    invariant."""
+    import os
+    import shutil
+    import tempfile
+
+    from transe_pyspark_spark.operators.incremental import stream_ivm_summary
+    from transe_pyspark_spark.operators.relational import (
+        build_group_summary,
+        snapshot_changeset_images,
+    )
+
+    snap, nxt = _ivm_customer_fixture(spark, sf_dir)
+    changes = snapshot_changeset_images(snap, nxt, ["c_custkey"])
+    base = tempfile.mkdtemp(prefix="ivmstream_q_")
+    chdir = os.path.join(base, "changes")
+    os.makedirs(chdir)
+    for i in range(2):
+        tmp = os.path.join(base, f"w{i}")
+        changes.filter(F.pmod(F.col("c_custkey"), F.lit(2)) == i).coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(tmp, part), os.path.join(chdir, f"wave{i}.parquet"))
+    return stream_ivm_summary(
+        spark,
+        chdir,
+        state_path=os.path.join(base, "state"),
+        group_col="c_nationkey",
+        sum_cols=["acctbal_cents"],
+        initial_summary=build_group_summary(snap, "c_nationkey", ["acctbal_cents"]),
     )
 
 
@@ -6274,6 +6350,12 @@ _OVERFLOW_ORACLE = [
                                  # aggregate -> summary join; oracle
                                  # recomputes the GROUP BY over the
                                  # patched snapshot (the law itself)
+    "stream_ivm_summary_customers",  # the streaming maintainer: two
+                                 # change waves drain through
+                                 # foreachBatch into versioned
+                                 # replay-idempotent summary state;
+                                 # same oracle — delta maintenance is
+                                 # batch-decomposition invariant
 ]
 
 
