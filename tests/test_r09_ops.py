@@ -635,3 +635,57 @@ def test_stream_ivm_replay_idempotent_and_crash_safe(spark, tmp_path):
         initial_summary=build_group_summary(base, "g", ["v"]),
     )
     assert sorted(out.collect(), key=key) == got
+
+
+# ------------------------------------------------------------ discrete quantiles
+
+
+def test_discrete_quantiles_match_duckdb_quantile_disc(spark):
+    """The element-selection quantile must equal DuckDB's
+    quantile_disc itself — ties, NULL values (ignored), a NULL group,
+    a singleton group, and group sizes that make q*n an exact integer
+    (the float-ceil off-by-one trap) all covered."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(31)
+    rows = []
+    # group 'a': size 10 (0.9*10 exact multiple), with ties
+    rows += [("a", rng.choice([5, 7, 7, 9, 12]), i) for i in range(10)]
+    # group 'b': size 40 (0.25/0.5/0.75 all exact multiples)
+    rows += [("b", rng.randint(-100, 100), 100 + i) for i in range(40)]
+    # NULL group is a real group; NULL values are ignored
+    rows += [(None, rng.randint(0, 9), 200 + i) for i in range(7)]
+    rows += [("a", None, 300), (None, None, 301)]
+    # singleton group: every quantile is its one element
+    rows += [("solo", 42, 400)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+
+    from transe_pyspark_spark.operators.relational import discrete_quantiles
+
+    qs = [(1, 4), (1, 2), (3, 4), (9, 10), (1, 1), (0, 1)]
+    got = {
+        (r["g"], r["q_num"], r["q_den"]): r["v"]
+        for r in discrete_quantiles(df, "g", "v", "id", qs).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["g", "v", "id"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for num, den in qs:
+        q = num / den
+        exp = con.sql(
+            f"SELECT g, quantile_disc(v, {q}) AS qv FROM t GROUP BY g"
+        ).fetchall()
+        for g, qv in exp:
+            if qv is None:  # all-NULL group emits nothing
+                assert (g, num, den) not in got
+            else:
+                assert got[(g, num, den)] == qv, (g, num, den, qv)
+
+    with pytest.raises(ValueError):
+        discrete_quantiles(df, "g", "v", "id", [(3, 2)])
+    with pytest.raises(ValueError):
+        discrete_quantiles(df, "g", "v", "id", [(-1, 2)])

@@ -1850,6 +1850,87 @@ def group_percent_rank(
     )
 
 
+
+def discrete_quantiles(
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    qs: list[tuple[int, int]],
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """EXACT type-1 (discrete) quantiles per group: for each
+    ``q = num/den`` the element at 1-based position
+    ``max(1, ceil(q·n))`` of the group's value-ordered rows — DuckDB's
+    ``quantile_disc`` semantics (probed across sizes incl. exact
+    multiples, and pytest-pinned against quantile_disc itself), which
+    closes the documented interpolated-vs-discrete oracle gap: Spark's
+    ``percentile`` interpolates, so exact cross-engine quantiles need
+    ELEMENT SELECTION, not arithmetic. Quantile points are integer
+    rationals because the boundary must be computed exactly —
+    ``ceil(0.9·10)`` in binary floating point is 10, not 9 (the
+    off-by-one every float formulation hits at exact multiples);
+    ``idx = (num·n + den − 1) div den`` never leaves BIGINT on either
+    engine.
+
+    Scale path: the in-group position is the ``_group_rank_rows``
+    distributed prefix-rank (range-repartition, frozen partition ids,
+    broadcast exclusive offsets — never a ``Window.partitionBy(group)``
+    that funnels a tiny-cardinality group through one task). The |qs|
+    target positions per group derive from the |groups|-sized size
+    table and BROADCAST back onto the ranked rows as an equi-join on
+    (group, position) — no per-row explode, no second pass over the
+    data. Ties: the selected VALUE at a sorted position is unique as a
+    value, so the (value, id) tiebreak cannot change the answer.
+
+    NULL values are ignored (SQL aggregate semantics — DuckDB's
+    quantile_disc skips them); a group whose values are all NULL emits
+    nothing. Returns (group, q_num, q_den, value) — one row per
+    (group, q).
+    """
+    for num, den in qs:
+        if not (isinstance(num, int) and isinstance(den, int) and 0 <= num <= den and den > 0):
+            raise ValueError(f"quantile must be an integer rational 0 <= num/den <= 1, got {num}/{den}")
+    ranked = _group_rank_rows(
+        df.filter(F.col(value_col).isNotNull()),
+        group_col, value_col, id_col, num_partitions,
+    )
+    targets = (
+        ranked.groupBy("__g")
+        .agg(F.first("__n").alias("__n"))
+        .select(
+            "__g",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(num).cast("long").alias("q_num"),
+                        F.lit(den).cast("long").alias("q_den"),
+                        F.greatest(
+                            F.lit(1).cast("long"),
+                            # integer DIV, not `/`: double division can
+                            # cross an integer boundary after rounding
+                            F.expr(
+                                f"CAST(({num} * __n + {den - 1}) DIV {den} AS LONG)"
+                            ),
+                        ).alias("__i"),
+                    )
+                    for num, den in qs
+                ])
+            ).alias("__q"),
+        )
+        .select("__g", "__q.q_num", "__q.q_den", "__q.__i")
+    )
+    return (
+        ranked.join(F.broadcast(targets), ["__g", "__i"])
+        .select(
+            F.col("__g").getField("g").alias(group_col),
+            "q_num",
+            "q_den",
+            F.col("__v").alias(value_col),
+        )
+    )
+
+
 def rfm_segments(
     orders: "DataFrame",
     cust_col: str = "o_custkey",

@@ -5748,6 +5748,48 @@ def q_stream_ivm_summary_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_register(
+    "discrete_quantiles_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS i,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders),
+    qs(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100))
+    SELECT o_orderpriority, CAST(q_num AS BIGINT) AS q_num,
+           CAST(q_den AS BIGINT) AS q_den, v AS totalprice_cents
+    FROM ranked JOIN qs ON i = greatest(1, (q_num * n + q_den - 1) // q_den)
+    """,
+    tags=("agg", "percentiles"),
+)
+def q_discrete_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete (type-1) quantiles of order value per priority —
+    the element at position ceil(q·n), DuckDB quantile_disc semantics,
+    closing the documented interpolated-vs-discrete oracle gap: the
+    existing percentile faces oracle Spark's INTERPOLATED percentile,
+    and quantile_disc had no honest cross-engine twin until element
+    selection replaced arithmetic. Quantile points are integer
+    rationals so the position is exact BIGINT on both engines (float
+    ceil(0.9·n) is off by one whenever q·n lands on an integer). The
+    selection rides the distributed prefix-rank — never a
+    tiny-cardinality group window — with the |groups|·|qs| target
+    positions broadcast back as an equi-join."""
+    from transe_pyspark_spark.operators.relational import discrete_quantiles
+
+    o = _T(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+    )
+    return discrete_quantiles(
+        o, "o_orderpriority", "totalprice_cents", "o_orderkey",
+        qs=[(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)],
+    )
+
+
+@_register(
     "pyds_triples_profile",
     oracle="""
     WITH g AS (SELECT CAST(x AS BIGINT) AS i
@@ -6356,6 +6398,10 @@ _OVERFLOW_ORACLE = [
                                  # replay-idempotent summary state;
                                  # same oracle — delta maintenance is
                                  # batch-decomposition invariant
+    "discrete_quantiles_orders", # exact type-1 quantiles by element
+                                 # selection on the distributed
+                                 # prefix-rank — closes the documented
+                                 # interpolated-vs-discrete oracle gap
 ]
 
 
