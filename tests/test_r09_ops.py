@@ -689,3 +689,72 @@ def test_discrete_quantiles_match_duckdb_quantile_disc(spark):
         discrete_quantiles(df, "g", "v", "id", [(3, 2)])
     with pytest.raises(ValueError):
         discrete_quantiles(df, "g", "v", "id", [(-1, 2)])
+
+
+# ------------------------------------------------------------- interval islands
+
+
+def test_interval_islands_matches_python_model(spark):
+    """Random intervals (overlaps, nesting, exact touches, duplicates)
+    must merge exactly like a sequential sweep; touching intervals
+    merge; bad intervals raise; the whole plan rides ONE key shuffle."""
+    import contextlib
+    import io
+    import random
+
+    from transe_pyspark_spark.operators.asof import interval_islands
+
+    rng = random.Random(13)
+    rows = []
+    for k in ("u1", "u2", "u3"):
+        for _ in range(60):
+            s = rng.randint(0, 500)
+            rows.append((k, s, s + rng.randint(0, 40)))
+    rows += [("touch", 0, 10), ("touch", 10, 20), ("touch", 21, 30),
+             ("dup", 5, 9), ("dup", 5, 9), ("nest", 0, 100), ("nest", 10, 20)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+
+    def islands_py(iv):
+        out = {}
+        bykey: dict[str, list] = {}
+        for k, s, e in iv:
+            bykey.setdefault(k, []).append((s, e))
+        for k, spans in bykey.items():
+            spans.sort()
+            cur = None
+            for s, e in spans:
+                if cur is None or s > cur[1]:
+                    if cur:
+                        out.setdefault(k, []).append(cur)
+                    cur = [s, e, 1]
+                else:
+                    cur[1] = max(cur[1], e)
+                    cur[2] += 1
+            out.setdefault(k, []).append(cur)
+        return {
+            (k, a, b, n) for k, isls in out.items() for a, b, n in isls
+        }
+
+    got = {
+        (r["k"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in interval_islands(df, "k", "s", "e").collect()
+    }
+    assert got == islands_py(rows)
+    assert ("touch", 0, 20, 2) in got and ("touch", 21, 30, 1) in got
+    assert ("nest", 0, 100, 2) in got
+
+    # single key shuffle: windows + rollup share the partitioning
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        interval_islands(df, "k", "s", "e").explain("formatted")
+    plan = buf.getvalue()
+    import re
+    n_ex = sum(
+        1 for ln in plan.splitlines()
+        if re.match(r"\(\d+\) Exchange", ln.strip())
+    )
+    assert n_ex == 1, f"expected one Exchange, saw {n_ex}"
+
+    bad = spark.createDataFrame([("u", 10, 5)], "k string, s long, e long")
+    with pytest.raises(Exception, match="bad interval"):
+        interval_islands(bad, "k", "s", "e").collect()

@@ -894,3 +894,79 @@ def ordered_funnel(
         seen.add(step)
         out = out.unionByName(step_row(i, step, prev))
     return out
+
+
+def interval_islands(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal
+    covered ISLANDS (the classic gaps-and-islands union): a new island
+    opens exactly where an interval starts strictly after the running
+    maximum end of everything before it. The complement of
+    ``sessionize`` (which gaps POINT events): here the inputs carry
+    their own extents, and the answer is the union of ranges — device
+    uptime from lease intervals, effective coverage from overlapping
+    SLAs, busy time from job spans.
+
+    Determinism: rows order by (start, end) within a key; equal
+    (start, end) duplicates are order-indifferent, and the island
+    boundary rule is ``>`` (touching intervals [a,b],[b,c] merge).
+    Intervals must have ``start <= end`` and non-null extents —
+    enforced, because a silently-negative interval would corrupt the
+    running maximum for every later row in its key.
+
+    Plan: ONE key-hash shuffle — the running-max window, the island
+    cumulative sum, and the final per-(key, island) rollup all share
+    the ``key_col`` partitioning (the rollup key is a superset, so
+    EnsureRequirements adds no second Exchange); nothing driver-side,
+    state one row per interval.
+
+    Returns (key, island_start, island_end, n_intervals) — one row
+    per maximal island.
+    """
+    order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bad = F.col(start_col).isNull() | F.col(end_col).isNull() | (
+        F.col(start_col) > F.col(end_col)
+    )
+    checked = df.select(
+        key_col,
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_islands: bad interval (null or start>end): "),
+                    F.col(start_col).cast("string"), F.lit(" .. "),
+                    F.col(end_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col(start_col)).alias(start_col),
+        F.col(end_col),
+    )
+    prev_max = F.max(end_col).over(w_prev)
+    flagged = checked.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col(start_col) > prev_max), 1).otherwise(0),
+    )
+    grouped = flagged.withColumn("__island", F.sum("__new").over(w_run))
+    return (
+        grouped.groupBy(key_col, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .drop("__island")
+    )

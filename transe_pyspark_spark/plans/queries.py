@@ -5790,6 +5790,55 @@ def q_discrete_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "interval_islands_events",
+    oracle="""
+    WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+                FROM events),
+    f AS (SELECT user_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (
+                          PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                      THEN 1 ELSE 0 END AS nw
+          FROM iv),
+    g AS (SELECT user_id, s, e,
+                 sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM f)
+    SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM g GROUP BY user_id, isl
+    """,
+    tags=("timeseries", "window", "islands"),
+)
+def q_interval_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union per user: each event spans
+    [ts, ts + value minutes] (exact whole-microsecond extents), and
+    overlapping-or-touching spans merge into maximal covered islands —
+    the busy-time / uptime-coverage rollup. The complement of
+    sessionize: inputs carry extents, the answer is the union of
+    ranges. One user-key shuffle; the running-max window, island
+    cumulative sum, and rollup share the partitioning."""
+    from transe_pyspark_spark.operators.asof import interval_islands
+
+    e = _T(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.round(F.col("value") * 60000000).cast("long")
+        ).alias("e_us"),
+    )
+    return interval_islands(e, "user_id", "s_us", "e_us").select(
+        "user_id",
+        F.col("island_start"),
+        F.col("island_end"),
+        "n_intervals",
+    )
+
+
+@_register(
     "pyds_triples_profile",
     oracle="""
     WITH g AS (SELECT CAST(x AS BIGINT) AS i
@@ -6402,6 +6451,9 @@ _OVERFLOW_ORACLE = [
                                  # selection on the distributed
                                  # prefix-rank — closes the documented
                                  # interpolated-vs-discrete oracle gap
+    "interval_islands_events",   # gaps-and-islands interval union per
+                                 # user (running-max window + island
+                                 # cumsum + rollup on ONE key shuffle)
 ]
 
 
