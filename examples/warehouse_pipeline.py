@@ -124,6 +124,30 @@ def main() -> None:
     for r in table_diff(snap, applied, ["c_custkey"]).collect():
         print(f"  {r['metric']}: {r['n']}")
 
+    # r09: the per-nation rollup is maintained INCREMENTALLY from the
+    # same change batch — the base table is never rescanned; at
+    # warehouse scale this is the dashboard-refresh path
+    from transe_pyspark_spark.operators.relational import (
+        build_group_summary,
+        maintain_group_summary,
+        snapshot_changeset_images,
+    )
+
+    images = snapshot_changeset_images(snap, applied, ["c_custkey"])
+    refreshed = maintain_group_summary(
+        build_group_summary(snap, "c_nationkey", ["acctbal_cents"]),
+        images,
+        "c_nationkey",
+        ["acctbal_cents"],
+    )
+    recomputed = build_group_summary(applied, "c_nationkey", ["acctbal_cents"])
+    drift = refreshed.exceptAll(recomputed).count() + recomputed.exceptAll(refreshed).count()
+    print(
+        f"== incremental summary refresh == {images.count()} change rows -> "
+        f"{refreshed.count()} maintained groups; drift vs recompute: {drift} (must be 0)"
+    )
+    assert drift == 0, "maintained summary diverged from recompute"
+
     dim = snap.withColumn("valid_from", F.to_date(F.lit("2024-01-01"))).withColumn(
         "valid_to", F.lit(None).cast("date")
     )
