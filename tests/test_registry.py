@@ -73,19 +73,22 @@ NEW_IN_R09 = {
     "tsv_sink_roundtrip",
 }
 
-#: the three late-r07 faces first driver-checked (green) in r08 —
-#: once-green, so they hold their slots until twice-green
-ONCE_GREEN_R08 = {
-    "decayed_user_scores",
-    "funnel_ordered_steps",
-    "gini_customer_spend",
+#: the six r09-minted faces rotated into front slots in r10 — they
+#: hold the window until driver-green (then until twice-green)
+NEW_IN_R10 = {
+    "semantic_dedup_recall",
+    "lpa_communities_trading",
+    "ivm_summary_customers",
+    "stream_ivm_summary_customers",
+    "discrete_quantiles_orders",
+    "interval_islands_events",
 }
 
 
-def test_r09_rotation_inside_window():
+def test_r10_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (NEW_IN_R09 | ONCE_GREEN_R08) - window
-    assert not missing, f"r09 must-check queries fell out of the driver window: {missing}"
+    missing = (NEW_IN_R09 | NEW_IN_R10) - window
+    assert not missing, f"r10 must-check queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():
@@ -112,3 +115,34 @@ def test_rows_only_entries_registered_last():
 
 def test_flagship_is_first():
     assert next(iter(REGISTRY)) == "transe_rank_eval"
+
+
+def test_registry_entries_are_query_functions():
+    """Structural guard against decorator drift (the r09 regression):
+    a ``@_register`` block must sit on the query function itself, never
+    on a helper/fixture. Two invariants catch the whole class without a
+    Spark session: the registered callable follows the repo's
+    ``q_<registry name>`` naming convention, and it is annotated to
+    return a DataFrame (fixtures return tuples and helpers are
+    unannotated). On the r09 bug (`_ivm_customer_fixture` registered
+    in place of `q_ivm_summary_customers`) both assertions fire."""
+    import inspect
+
+    from pyspark.sql import DataFrame
+
+    misnamed = {
+        name: spec.fn.__name__
+        for name, spec in REGISTRY.items()
+        if spec.fn.__name__ != f"q_{name}"
+    }
+    assert not misnamed, f"registered fn name != q_<name>: {misnamed}"
+
+    unannotated = [
+        name
+        for name, spec in REGISTRY.items()
+        if inspect.signature(spec.fn).return_annotation
+        not in (DataFrame, "DataFrame")
+    ]
+    assert not unannotated, (
+        f"registered fn lacks a DataFrame return annotation: {unannotated}"
+    )

@@ -2388,7 +2388,7 @@ def q_mapinarrow_name_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text",),
 )
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word/script language-ID heuristic. The oracle replays the
     exact argmax: per-language marker-word fraction (same double
     division on both engines), CJK by script regex, ties broken toward
@@ -2881,7 +2881,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("timeseries", "window", "agg"),
 )
-def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of event value per user (LOCF weighting —
     TimescaleDB ``time_weight``): Σ v·Δt / span, exact integer
     cents × whole-microsecond durations, one double division at the
@@ -5605,28 +5605,6 @@ def q_changeset_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_changeset(snap, applied, ["c_custkey"])
 
 
-@_register(
-    "ivm_summary_customers",
-    oracle="""
-    WITH snap AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
-                         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
-                  FROM customer),
-    nxt AS (
-      SELECT c_custkey,
-             CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 1) % 25
-                  ELSE c_nationkey END AS c_nationkey,
-             CASE WHEN c_custkey % 10 = 3 THEN acctbal_cents + 10000
-                  ELSE acctbal_cents END AS acctbal_cents
-      FROM snap WHERE c_custkey % 10 <> 7
-      UNION ALL
-      SELECT c_custkey + 1000000, CAST(7 AS BIGINT), CAST(123456 AS BIGINT)
-      FROM snap WHERE c_custkey % 97 = 5)
-    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(acctbal_cents) AS BIGINT) AS sum_acctbal_cents
-    FROM nxt GROUP BY 1
-    """,
-    tags=("warehouse", "ivm", "agg"),
-)
 def _ivm_customer_fixture(spark: SparkSession, sf_dir: str):
     """(snapshot, patched snapshot) pair shared by the batch and
     streaming IVM faces: a group-moving update wave (%10=3: nation+1
@@ -5656,6 +5634,28 @@ def _ivm_customer_fixture(spark: SparkSession, sf_dir: str):
     return snap, nxt
 
 
+@_register(
+    "ivm_summary_customers",
+    oracle="""
+    WITH snap AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+                  FROM customer),
+    nxt AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 3 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey,
+             CASE WHEN c_custkey % 10 = 3 THEN acctbal_cents + 10000
+                  ELSE acctbal_cents END AS acctbal_cents
+      FROM snap WHERE c_custkey % 10 <> 7
+      UNION ALL
+      SELECT c_custkey + 1000000, CAST(7 AS BIGINT), CAST(123456 AS BIGINT)
+      FROM snap WHERE c_custkey % 97 = 5)
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(acctbal_cents) AS BIGINT) AS sum_acctbal_cents
+    FROM nxt GROUP BY 1
+    """,
+    tags=("warehouse", "ivm", "agg"),
+)
 def q_ivm_summary_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: a per-nation count/sum rollup of
     the customer snapshot is refreshed from a before-image change
@@ -6422,38 +6422,24 @@ _OVERFLOW_ORACLE = [
     "trend_per_event_type",      # agg screens: same
     "key_skew_lineitem",         # agg/diagnostics: same; skew demo
                                  # stays benched + plan-gated
-    # NOT rotated-out incumbents — the new r09 faces registered past
-    # the full window (mirror-checked + pytest-gated, never
-    # driver-checked): the r10 rotation queue, kept far below the
-    # 20-face drain demonstrated this round (VERDICT r08 ask #1's
-    # drainability rule):
-    "semantic_dedup_recall",     # SemDeDup-style embedding-level
-                                 # dedup: intra-cluster cosine pairs
-                                 # (never corpus-all-pairs), CC keep
-                                 # verdicts; brute-force pair census
-                                 # + precision/recall/verdict booleans
-    "lpa_communities_trading",   # deterministic synchronous LPA
-                                 # (mode label, min tie-break) on the
-                                 # trading graph; 3x-unrolled SQL
-                                 # oracle, python-model pytest
-    "ivm_summary_customers",     # incremental view maintenance:
-                                 # before-image changeset -> delta
-                                 # aggregate -> summary join; oracle
-                                 # recomputes the GROUP BY over the
-                                 # patched snapshot (the law itself)
-    "stream_ivm_summary_customers",  # the streaming maintainer: two
-                                 # change waves drain through
-                                 # foreachBatch into versioned
-                                 # replay-idempotent summary state;
-                                 # same oracle — delta maintenance is
-                                 # batch-decomposition invariant
-    "discrete_quantiles_orders", # exact type-1 quantiles by element
-                                 # selection on the distributed
-                                 # prefix-rank — closes the documented
-                                 # interpolated-vs-discrete oracle gap
-    "interval_islands_events",   # gaps-and-islands interval union per
-                                 # user (running-max window + island
-                                 # cumsum + rollup on ONE key shuffle)
+    # r10 rotation (VERDICT r09 ask #4): the six r09-minted faces left
+    # overflow for front slots; these six twice-green incumbents take
+    # their place, every family keeping >=1 in-window member:
+    "decayed_user_scores",       # agg screens: seasonal_anomaly_events
+                                 # + cusum_change_events (once-green)
+                                 # keep the family
+    "gini_customer_spend",       # agg screens: same coverage
+    "zorder_orders",             # sinks/layout: tsv_sink_roundtrip
+                                 # (once-green) keeps the family;
+                                 # z-order clustering stays
+                                 # pytest+plan-gated
+    "rolling_wau_events",        # time-series: asof/nearest/
+                                 # interpolate/dedup_bursts/funnel +
+                                 # incoming interval_islands keep R8
+    "interval_overlap_purchases",  # range/interval joins:
+                                 # range_count_views (pinned) keeps R7
+    "attribution_linear",        # time-series/sequence: same R8
+                                 # coverage as above
 ]
 
 
@@ -6485,11 +6471,19 @@ def _reorder_registry() -> None:
         "pyds_triples_profile",
         "pyds_stream_profile",
         "tsv_sink_roundtrip",
-        # once-green r08 faces — stay in-window until twice-green
-        # (the standing policy)
-        "decayed_user_scores",
+        # once-green r08 face that is also the funnel family's
+        # in-window representative (twice-green siblings decayed/gini
+        # rotated to overflow in r10)
         "funnel_ordered_steps",
-        "gini_customer_spend",
+        # r10 rotation (VERDICT r09 ask #4): the six r09-minted faces
+        # (mirror-green both SFs + pytest-gated, never driver-checked)
+        # take front slots until driver-green
+        "semantic_dedup_recall",
+        "lpa_communities_trading",
+        "ivm_summary_customers",
+        "stream_ivm_summary_customers",
+        "discrete_quantiles_orders",
+        "interval_islands_events",
         # standing family representatives the driver should always see
         # (twenty twice-green incumbents rotated to overflow this
         # round — see _OVERFLOW_ORACLE's r09 block)
