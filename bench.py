@@ -567,6 +567,28 @@ def main() -> None:
         print(f"# full bench JSON written to {out_path}", file=sys.stderr)
     except OSError as e:  # never fail the bench over the artifact copy
         print(f"# could not persist full bench JSON: {e}", file=sys.stderr)
+    # VERDICT r09 ask #7: a dead section must not hide inside a JSON
+    # key (the r09 sf1 abort was memorialized into the committed
+    # artifact unnoticed). The headline JSON above still prints — the
+    # driver gets its line — but the process exits nonzero with a loud
+    # trailer so the round's bookkeeping can't record a partial bench
+    # as complete.
+    _fail_if_incomplete(sf1, scale_paths)
+
+
+def _fail_if_incomplete(sf1: dict, scale_paths: dict) -> None:
+    """Exit nonzero (with a `# BENCH INCOMPLETE` trailer) if any bench
+    section recorded an error key instead of a timing. Pytest-covered
+    with a deliberate breakage (tests/test_r10_ops.py)."""
+    section_errors = {
+        k: v for k, v in sf1.items() if isinstance(k, str) and k.endswith("error")
+    }
+    section_errors.update(
+        {k: v for k, v in scale_paths.items() if k.endswith("_error")}
+    )
+    if section_errors:
+        print(f"# BENCH INCOMPLETE: {section_errors}", file=sys.stderr)
+        sys.exit(1)
 
 
 def _current_round() -> int | None:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 import sys
 
 sys.path.insert(0, ".")
@@ -915,13 +916,15 @@ def main() -> int:
             semantic_near_pairs(
                 _lt(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=8, n_assign=2
             ),
-            ["MapInPandas"],
+            ["MapInPandas", "InMemoryTableScan"],
             ["CartesianProduct", "BroadcastNestedLoopJoin"],
             3,
-            "cell assignment is a NARROW Arrow kernel (no shuffle); the "
-            "pair join is a cell EQUI-join of the exploded assignments — "
-            "never corpus all-pairs; the only exchanges are the pair "
-            "dedup hash-agg (and, at scale, the cell join itself)",
+            "cell assignment is a NARROW Arrow kernel that runs ONCE: the "
+            "exploded assignment is pinned (repartition-on-cell + cache) "
+            "and BOTH sides of the cell equi-join read the cache — never "
+            "corpus all-pairs, never a per-side re-execution of the "
+            "assignment matmul; the only exchanges are the cell "
+            "repartition and the pair-dedup hash-agg",
         ),
         (
             "lpa_communities_trading (round stage)",
@@ -972,12 +975,21 @@ def main() -> int:
             2 if name in ("kcore_trading_graph", "semantic_dedup_recall (pair stage)",
                           "lpa_communities_trading (round stage)") else 1
         )
-        ok = not missing and not present and n <= max_ex and one_scan_ok
+        shared_ok = True
+        if name.startswith("semantic_dedup_recall"):
+            # one assignment subtree, read from cache by both join
+            # sides: exactly one distinct MapInPandas node number and
+            # >=2 distinct InMemoryTableScan node numbers
+            n_mip = len(set(re.findall(r"\((\d+)\) MapInPandas", plan)))
+            n_imts = len(set(re.findall(r"\((\d+)\) InMemoryTableScan", plan)))
+            shared_ok = n_mip == 1 and n_imts >= 2
+        ok = not missing and not present and n <= max_ex and one_scan_ok and shared_ok
         if not ok:
             failures += 1
         status = "OK" if ok else (
             f"FAIL (missing {missing}, forbidden {present}, "
-            f"{n} exchanges > {max_ex}" + ("" if one_scan_ok else f", {scans} parquet scans") + ")"
+            f"{n} exchanges > {max_ex}" + ("" if one_scan_ok else f", {scans} parquet scans")
+            + ("" if shared_ok else ", assignment subtree not shared") + ")"
         )
         print(f"{status:40s} {name} (lazy plan)")
         lines += [

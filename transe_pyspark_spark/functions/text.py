@@ -498,3 +498,87 @@ def oov_rates(
             (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias("oov_rate"),
         )
     )
+
+
+def bm25_scores(
+    docs,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 relevance of every document against a fixed query
+    term set (Robertson & Zaragoza 2009, the Lucene ``ln(1 + (N - df
+    + 0.5)/(df + 0.5))`` idf variant, which is always positive) —
+    the retrieval-quality sibling of ``tfidf_features``, and unlike
+    the MLlib pipeline fully SQL-expressible, so the registered face
+    carries a value-hash oracle.
+
+    Plan: ONE corpus pass tokenizes (JVM regex split on
+    ``[^a-z0-9]+``, empties dropped — the oracle replays the exact
+    regex) and is pinned (repartition-on-id + cache) because three
+    consumers need it — the (N, avgdl) corpus aggregate, the per-term
+    document frequencies, and the per-(doc, term) tf rows; un-pinned,
+    each would re-run the scan+split (the repo's standing
+    multi-consumer trap). df_t and (N, avgdl) are aggregate-sized and
+    broadcast back, so scoring is narrow over the pinned frame: no
+    corpus shuffle after the pin.
+
+    Determinism contract: tf, dl, N, df are exact BIGINTs; the score
+    mixes ONE non-correctly-rounded transcendental (ln) whose ≤1-ulp
+    cross-engine drift is O(1e-15) absolute — rounding to 4 decimals
+    makes the hash safe by ~11 orders of magnitude (the repo's
+    exact-ints-plus-one-IEEE-op idiom, relaxed for the log).
+
+    Returns (doc_id, n_matched_terms, score) for docs matching ≥1
+    term, score = round(BM25, 4).
+    """
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+            ).alias("__toks"),
+        )
+        .withColumn("__dl", F.size("__toks").cast("long"))
+        .repartition(n_part, id_col)
+        .cache()
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        toks.select(id_col, "__dl", F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(list(terms)))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dft = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    idf = dft.crossJoin(stats).select(
+        "__t",
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n").cast("double") - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        ).alias("__idf"),
+        "__avgdl",
+    )
+    contrib = tf.join(F.broadcast(idf), "__t").select(
+        id_col,
+        (
+            F.col("__idf")
+            * (F.col("__tf").cast("double") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf").cast("double")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl"))
+            )
+        ).alias("__c"),
+    )
+    return contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        F.round(F.sum("__c"), 4).alias("score"),
+    )

@@ -609,3 +609,100 @@ def lpa_communities(
     for df in pinned:
         df.unpersist()
     return out
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS over the undirected simple graph: minimum hop
+    distance from ANY seed, bounded at ``max_hops`` (beyond-reference
+    north-star op; the reachability primitive under influence radii,
+    blast-radius audits, and k-hop feature neighborhoods).
+
+    Frontier expansion, not label flooding: round ``h`` joins ONLY the
+    newly-discovered frontier (shrinking, typically ≪ |V|) against the
+    pinned adjacency and anti-joins the visited set — each round is
+    one frontier-sized equi-join plus one anti-join, never a whole-
+    graph pass, which is what makes 100 TB feasible when the h-hop
+    ball is small. Early exit when a frontier comes back empty (the
+    ``kcore_peel`` converge guard: one aggregate on a frame already
+    needed — "model-sized by contract"). The adjacency is exploded
+    in-plan from ONE pass over the canonical edge set and pinned
+    repartitioned on ``node`` (every round's join key); the visited
+    set is re-pinned per round with its predecessor unpersisted (the
+    repo's iterative-leaf pattern — under AQE a localCheckpoint would
+    report UnknownPartitioning and re-shuffle both sides every round).
+
+    Fixpoint-equivalent to a recursive-CTE ``min(depth)`` walk, which
+    is exactly how the registered face's DuckDB oracle replays it —
+    the repo's first run-to-frontier-exhaustion iterative oracle (the
+    unrolled-SQL pattern of pagerank/kcore/lpa can't express early
+    exit; ``WITH RECURSIVE`` can).
+
+    Returns (node, hops) — one row per reachable node, hops ∈ [0,
+    max_hops], seeds at 0 (seeds not in any edge still appear).
+    """
+    if not isinstance(max_hops, int) or max_hops < 0:
+        raise ValueError(f"max_hops must be an int >= 0, got {max_hops!r}")
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("nbr")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("nbr")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .repartition(n_part, "node")
+        .cache()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .repartition(n_part, "node")
+        .cache()
+    )
+    visited.count()
+    frontier = visited
+    pinned = [adj, visited]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            adj.join(frontier.select("node"), "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .repartition(n_part, "node")
+            .cache()
+        )
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_visited = visited.unionByName(nxt).repartition(n_part, "node").cache()
+        new_visited.count()
+        pinned.append(nxt)
+        pinned.append(new_visited)
+        prev = visited
+        visited, frontier = new_visited, nxt
+        if prev is not adj:
+            prev.unpersist()
+            pinned.remove(prev)
+    out = visited.select("node", "hops").localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
+    return out

@@ -2037,3 +2037,43 @@ def rfm_segments(
     out = out.localCheckpoint(eager=True)
     per_cust.unpersist()
     return out
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline), minimizing both dimensions: keep
+    every row for which NO other row is <= on both axes and strictly <
+    on at least one (beyond-reference north-star op — the classic
+    "cheapest AND smallest" shortlist; SQL expresses it as a NOT
+    EXISTS anti-self-join, which is how the registered face's oracle
+    states the definition).
+
+    NOT a quadratic self-join and NOT a global sort: with two
+    dimensions the frontier is a staircase, so domination collapses to
+    per-x-value minima plus a strict prefix-min scan over x. Plan: one
+    hash aggregate ``min(y) GROUP BY x`` (the only corpus-sized
+    shuffle), a window prefix-min over the AGGREGATE (|distinct x|
+    rows — aggregate-sized by contract, the repo's window-over-post-
+    aggregate pattern, never a window over the corpus), and one
+    broadcast semi-join of the surviving (x, min_y) staircase back to
+    the full table. Ties co-survive: rows equal on BOTH axes don't
+    dominate each other (no strict inequality), so every row matching
+    a staircase step is kept — exactly the NOT EXISTS semantics.
+
+    Returns the input rows (all columns) on the frontier.
+    """
+    per_x = df.groupBy(x_col).agg(F.min(F.col(y_col)).alias("__min_y"))
+    w = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
+    steps = (
+        per_x.withColumn("__prev_best", F.min("__min_y").over(w))
+        .filter(F.col("__prev_best").isNull() | (F.col("__min_y") < F.col("__prev_best")))
+        .select(x_col, F.col("__min_y"))
+    )
+    return df.join(
+        F.broadcast(steps),
+        (df[x_col] == steps[x_col]) & (df[y_col] == steps["__min_y"]),
+        "left_semi",
+    )

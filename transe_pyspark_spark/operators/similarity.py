@@ -565,10 +565,14 @@ def semantic_near_pairs(
     is a cell EQUI-join of the exploded assignments with ``id_a <
     id_b`` as residual; the multi-cell duplicate collapse is one
     (id_a, id_b) hash agg. At 100 TB, cell sizes bound the intra-cell
-    quadratic exactly as cluster sizes bound SemDeDup. The self-join
-    evaluates the (narrow, matmul-cheap) assignment subtree once per
-    side — pin the input upstream if producing the vectors is the
-    expensive part.
+    quadratic exactly as cluster sizes bound SemDeDup. The exploded
+    assignment is PINNED (repartition-on-cell + cache) before the
+    self-join, so the Arrow assignment kernel runs ONCE over the
+    corpus — not once per join side — and the cell equi-join reads
+    two cell-aligned InMemoryTableScans (the repo's standing
+    multi-consumer pattern; under AQE a bare cache would report
+    UnknownPartitioning, the explicit repartition keeps the join
+    co-partitioned).
 
     Returns (id_a, id_b, cos_sim round 6) with id_a < id_b, distinct.
     """
@@ -604,8 +608,14 @@ def semantic_near_pairs(
                 "cell": cells.reshape(-1).astype(np.int32),
             })
 
-    binned = c.select("__id", "__v").mapInPandas(
-        assign, schema=f"__id long, __v {df.schema[vec_col].dataType.simpleString()}, cell int"
+    binned = (
+        c.select("__id", "__v")
+        .mapInPandas(
+            assign,
+            schema=f"__id long, __v {df.schema[vec_col].dataType.simpleString()}, cell int",
+        )
+        .repartition("cell")
+        .cache()
     )
     a = binned.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     b = binned.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
