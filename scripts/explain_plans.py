@@ -393,6 +393,18 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "come from one corner-explode hash agg, coefficients from exact "
         "BIGINT division — no per-node neighborhood materialization",
     ),
+    "pareto_frontier_parts": (
+        ["BroadcastHashJoin", "LeftSemi"],
+        "the skyline staircase (per-size min + strict prefix-min over "
+        "the AGGREGATE) broadcasts back as a semi-join — the corpus is "
+        "never self-joined and never globally windowed",
+    ),
+    "bm25_docs": (
+        ["InMemoryTableScan", "BroadcastHashJoin"],
+        "the tokenized corpus pins ONCE (three consumers: corpus "
+        "stats, document frequencies, tf rows); idf is aggregate-sized "
+        "and broadcast back — no corpus-sized shuffle after the pin",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -503,6 +515,17 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "customer-grain table (broadcast here; a shuffled equi-join at "
         "scale is equally fine); the 1-row max-date broadcast NLJ is "
         "the record_linkage precedent",
+    ),
+    "pareto_frontier_parts": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the NOT-EXISTS quadratic definition is the oracle's statement "
+        "of intent, never the plan — the skyline must stay one agg + "
+        "one aggregate-sized window + one broadcast semi-join",
+    ),
+    "bm25_docs": (
+        ["CartesianProduct"],
+        "corpus stats ride 1-row broadcasts; scoring joins are "
+        "term-keyed equi-joins over the pinned tokenization",
     ),
 }
 
@@ -910,6 +933,64 @@ def main() -> int:
         _lpa_adj.select("node").distinct()
         .select("node", _F.col("node").alias("community"))
     )
+    from transe_pyspark_spark.operators.dedup import _cc_round
+    from transe_pyspark_spark.operators.graph import _bfs_frontier
+
+    _cc_sel = (
+        _li.filter((_F.col("l_partkey") % 10 == 0) & (_F.col("l_quantity") >= 35))
+        .select(_F.col("l_orderkey").alias("ok"), _F.col("l_partkey").cast("long").alias("pk"))
+    )
+    _cc_pairs = (
+        _cc_sel.select("ok", _F.col("pk").alias("pa"))
+        .join(_cc_sel.select("ok", _F.col("pk").alias("pb")), "ok")
+        .filter(_F.col("pa") < _F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    _cc_edges = (
+        _cc_pairs.select(
+            _F.explode(
+                _F.array(
+                    _F.struct(_F.col("pa").alias("src"), _F.col("pb").alias("dst")),
+                    _F.struct(_F.col("pb").alias("src"), _F.col("pa").alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .distinct()
+        .repartition(32, "dst")
+        .cache()
+    )
+    _cc_edges.count()
+    _cc_labels0 = (
+        _cc_edges.select(_F.col("src").alias("id"))
+        .distinct()
+        .select("id", _F.col("id").alias("component"))
+    )
+    _bfs_adj = (
+        _kedges.select(
+            _F.explode(
+                _F.array(
+                    _F.struct(_F.col("src").alias("node"), _F.col("dst").alias("nbr")),
+                    _F.struct(_F.col("dst").alias("node"), _F.col("src").alias("nbr")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .repartition(32, "node")
+        .cache()
+    )
+    _bfs_adj.count()
+    _bfs_seeds = (
+        _T(spark, sf_dir, "supplier")
+        .filter(_F.col("s_nationkey") < 5)
+        .select((_F.lit(10000000) + _F.col("s_suppkey")).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", _F.lit(0).cast("long"))
+        .repartition(32, "node")
+        .cache()
+    )
+    _bfs_seeds.count()
     lazy_gates = [
         (
             "semantic_dedup_recall (pair stage)",
@@ -959,6 +1040,33 @@ def main() -> int:
             "(pinned); all four consumers read the cache — the 1-row "
             "session-total broadcast NLJ is fine",
         ),
+        (
+            "connected_components_parts (round stage)",
+            _cc_round(_cc_edges, _cc_labels0),
+            ["InMemoryTableScan", "HashAggregate"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+            9,
+            "each min-label round is one dst-keyed equi-join over the "
+            "PINNED doubled edge set + one min-neighbor hash aggregate "
+            "+ one node-keyed left join folding it back — the converged "
+            "face plan is an opaque localCheckpoint, so this gates the "
+            "per-round shape (the lpa_communities precedent; the budget "
+            "includes the pinned edge cache's printed DEFINITION "
+            "lineage — 6 of the 9 exchanges build the cache once)",
+        ),
+        (
+            "bfs_hops_trading (frontier stage)",
+            _bfs_frontier(_bfs_adj, _bfs_seeds, _bfs_seeds, 1),
+            ["InMemoryTableScan", "LeftAnti"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+            7,
+            "each hop is one FRONTIER-sized equi-join against the "
+            "pinned adjacency + a distinct + one anti-join against the "
+            "visited set — never a whole-graph pass; the face plan is "
+            "an opaque localCheckpoint, so this gates the per-hop shape "
+            "(4 of the 7 exchanges are the printed cache-definition "
+            "lineage, built once)",
+        ),
     ]
     for name, lazy_df, markers, forb, max_ex, why in lazy_gates:
         buf = io.StringIO()
@@ -970,11 +1078,20 @@ def main() -> int:
         n = count_exchange_nodes(plan)
         scans = sum(1 for line in plan.splitlines() if "Scan parquet" in line and line.strip().startswith("("))
         # kcore reads its two join tables; the semantic pair stage is a
-        # self-join (both sides scan the embedding table once each)
-        one_scan_ok = scans <= (
-            2 if name in ("kcore_trading_graph", "semantic_dedup_recall (pair stage)",
-                          "lpa_communities_trading (round stage)") else 1
-        )
+        # self-join (both sides scan the embedding table once each); the
+        # CC/BFS round stages read ONLY pinned caches at runtime, but
+        # explain prints each InMemoryRelation's DEFINITION lineage, so
+        # the count sees the co-purchase self-join's two lineitem scans
+        # (CC) / orders+lineitem+supplier (BFS) inside the cache
+        # definitions
+        _scan_allowance = {
+            "kcore_trading_graph": 2,
+            "semantic_dedup_recall (pair stage)": 2,
+            "lpa_communities_trading (round stage)": 2,
+            "connected_components_parts (round stage)": 2,
+            "bfs_hops_trading (frontier stage)": 3,
+        }
+        one_scan_ok = scans <= _scan_allowance.get(name, 1)
         shared_ok = True
         if name.startswith("semantic_dedup_recall"):
             # one assignment subtree, read from cache by both join

@@ -88,3 +88,109 @@ def test_semantic_near_pairs_assignment_runs_once(spark):
     # and the pin must not change results: pairs are still symmetric-free
     got = pairs.collect()
     assert all(r.id_a < r.id_b for r in got)
+
+
+# --------------------------------------------------------------- bfs_hops
+
+
+def test_bfs_hops_path_graph_distances_and_early_exit(spark):
+    """A 0-1-2-3-4-5 path seeded at {0}: hops = node index, bounded at
+    max_hops; with max_hops far beyond the diameter the frontier
+    empties and the loop early-exits (same contract as kcore's
+    converge mode). Node 99 is an isolated seed: distance 0, present
+    even though it touches no edge."""
+    from transe_pyspark_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3}
+    full = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=50).collect()}
+    assert full == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_bfs_hops_multi_source_takes_min(spark):
+    """Two seeds on a 6-cycle: every node's hops is the min over
+    sources; undirected edges walk both ways."""
+    from transe_pyspark_spark.operators.graph import bfs_hops
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=10).collect()}
+    assert got == {0: 0, 3: 0, 1: 1, 2: 1, 4: 1, 5: 1}
+
+
+# ------------------------------------------------------- pareto_frontier_2d
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Random integer points: the staircase plan must equal the
+    quadratic NOT-EXISTS definition, including co-surviving exact
+    duplicates (no strict inequality between equal points)."""
+    import random
+
+    from transe_pyspark_spark.operators.relational import pareto_frontier_2d
+
+    rng = random.Random(17)
+    pts = [(i, rng.randrange(20), rng.randrange(20)) for i in range(300)]
+    pts += [(1000, 0, 0), (1001, 0, 0)]  # duplicate extreme pair: both survive
+    df = spark.createDataFrame(pts, "pid long, x long, y long")
+    got = sorted(r.pid for r in pareto_frontier_2d(df, "x", "y").collect())
+    want = sorted(
+        p[0]
+        for p in pts
+        if not any(
+            q[1] <= p[1] and q[2] <= p[2] and (q[1] < p[1] or q[2] < p[2])
+            for q in pts
+        )
+    )
+    assert got == want
+    assert 1000 in got and 1001 in got
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_matches_python_model(spark):
+    """Four tiny docs vs a hand-rolled BM25 (same Lucene idf variant):
+    scores to 4 decimals, matched-term counts exact, non-matching doc
+    absent."""
+    import math
+
+    from transe_pyspark_spark.functions.text import bm25_scores
+
+    docs = [
+        (1, "cat dog cat"),
+        (2, "dog fish"),
+        (3, "bird bird bird bird"),
+        (4, "CAT, dog! cat cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["cat", "dog"]
+    toks = {d: [t for t in __import__("re").split(r"[^a-z0-9]+", txt.lower()) if t] for d, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, v in toks.items():
+        score, m = 0.0, 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if m:
+            want[d] = (m, round(score, 4))
+    got = {r.doc_id: (r.n_matched_terms, r.score) for r in bm25_scores(df, terms).collect()}
+    assert set(got) == {1, 2, 4}
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])

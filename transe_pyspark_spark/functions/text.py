@@ -570,7 +570,10 @@ def bm25_scores(
         id_col,
         (
             F.col("__idf")
-            * (F.col("__tf").cast("double") * F.lit(k1 + 1.0))
+            # (k1 + 1) as an ENGINE-SIDE IEEE add of the two literals,
+            # not a Python-folded constant: the oracle writes
+            # `(1.2 + 1.0)` so both engines round the same exact sum
+            * (F.col("__tf").cast("double") * (F.lit(k1) + F.lit(1.0)))
             / (
                 F.col("__tf").cast("double")
                 + F.lit(k1)

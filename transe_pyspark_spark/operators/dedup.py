@@ -597,6 +597,28 @@ def minhash_lsh_pairs(
     )
 
 
+def _cc_round(edges, labels):
+    """One min-label propagation round, un-pinned — the body of
+    ``connected_components``' loop, exposed so the plan gate can
+    explain the per-round shape (the converged result is an opaque
+    localCheckpoint by design): one dst-keyed equi-join over the
+    pinned doubled edge set + one hash aggregate (min neighbor label)
+    + one node-keyed left join folding the min back into the labels —
+    never a window, never anything quadratic."""
+    neighbor_min = (
+        edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nc"), "dst")
+        .groupBy("src")
+        .agg(F.min("__nc").alias("__min_nc"))
+    )
+    return (
+        labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
+        .select(
+            "id",
+            F.least(F.col("component"), F.coalesce(F.col("__min_nc"), F.col("component"))).alias("component"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -622,9 +644,20 @@ def connected_components(
     # the big edge side without a fresh Exchange — uncached-or-
     # unkeyed, the edge table re-shuffled once per iteration
     n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # doubled edges exploded in-plan from ONE pass over the pair list —
+    # a union of two projections would re-execute the (often expensive:
+    # LSH banding, semantic cell join) upstream pair subtree once per
+    # branch at materialization (the lpa_communities precedent)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
         .distinct()
         .repartition(n_part, "dst")
         .cache()
@@ -636,19 +669,7 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "__nc"), "dst")
-            .groupBy("src")
-            .agg(F.min("__nc").alias("__min_nc"))
-        )
-        updated = (
-            labels.join(neighbor_min.withColumnRenamed("src", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("__min_nc"), F.col("component"))).alias("component"),
-            )
-        )
-        updated = updated.localCheckpoint()
+        updated = _cc_round(edges, labels).localCheckpoint()
         changed = (
             updated.alias("u")
             .join(labels.alias("o"), "id")

@@ -611,6 +611,22 @@ def lpa_communities(
     return out
 
 
+def _bfs_frontier(adj: DataFrame, frontier: DataFrame, visited: DataFrame, h: int) -> DataFrame:
+    """One BFS expansion, un-pinned — the body of ``bfs_hops``' loop,
+    exposed so the plan gate can explain the per-hop shape (the
+    converged result is an opaque localCheckpoint by design): one
+    frontier-sized equi-join against the PINNED adjacency, a distinct
+    on the candidate neighbors, and one anti-join against the visited
+    set — never a whole-graph pass, never a window."""
+    return (
+        adj.join(frontier.select("node"), "node")
+        .select(F.col("nbr").alias("node"))
+        .distinct()
+        .join(visited.select("node"), "node", "left_anti")
+        .withColumn("hops", F.lit(h).cast("long"))
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,
@@ -682,11 +698,7 @@ def bfs_hops(
     pinned = [adj, visited]
     for h in range(1, max_hops + 1):
         nxt = (
-            adj.join(frontier.select("node"), "node")
-            .select(F.col("nbr").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h).cast("long"))
+            _bfs_frontier(adj, frontier, visited, h)
             .repartition(n_part, "node")
             .cache()
         )

@@ -6073,6 +6073,188 @@ def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- r10 wave
+
+
+@_register(
+    "connected_components_parts",
+    oracle="""
+    WITH RECURSIVE li AS (
+        SELECT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk FROM lineitem
+        WHERE l_partkey % 10 = 0 AND l_quantity >= 35),
+    e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    reach(node, lbl) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, reach.lbl FROM reach JOIN e ON e.a = reach.node)
+    SELECT node, CAST(min(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    tags=("graph", "iterative", "dedup"),
+)
+def q_connected_components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SPARSE part co-purchase graph
+    (parts sharing an order, both high-quantity `>= 35` lines from the
+    `partkey % 10` slice — a regime with ~24 components at sf0.01, so
+    the answer is structurally interesting, unlike the trading graph's
+    one giant bipartite block). The oracle runs TO FIXPOINT: `WITH
+    RECURSIVE` min-label flooding replays the operator's
+    converge-with-early-exit loop exactly (the `near_dup_components`
+    oracle pattern, here on a multi-component graph) — the
+    unrolled-SQL pattern of pagerank/kcore/lpa can only replay a
+    fixed round count.
+    The Spark side is the dedup suite's `connected_components`
+    (Pregel-style min-label propagation, one join + one agg per round,
+    diameter-bounded, early exit on a no-change round)."""
+    from transe_pyspark_spark.operators.dedup import connected_components
+
+    li = _T(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_partkey") % 10 == 0) & (F.col("l_quantity") >= 35)
+    ).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("pk")
+    )
+    a = sel.select("ok", F.col("pk").alias("pa"))
+    b = sel.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    )
+    return connected_components(pairs, id_a="pa", id_b="pb").select(
+        F.col("id").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@_register(
+    "bfs_hops_trading",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+                        CAST(10000000 + l_suppkey AS BIGINT) AS b
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    seeds AS (SELECT DISTINCT CAST(10000000 + s_suppkey AS BIGINT) AS node
+              FROM supplier WHERE s_nationkey < 5),
+    walk(node, hops) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.b, walk.hops + 1 FROM walk JOIN e ON e.a = walk.node
+        WHERE walk.hops < 3)
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def q_bfs_hops_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer<->supplier trading graph:
+    minimum hop distance (<= 3) from the nation<5 supplier cohort
+    (a predicate non-empty at every fixture SF, sf0.001 included) —
+    the k-hop influence ball / blast-radius primitive. The oracle is a
+    recursive-CTE `min(depth)` walk run to frontier exhaustion (the
+    run-to-fixpoint oracle pattern of `near_dup_components` /
+    `connected_components_parts`, extended with a depth column);
+    the Spark side expands a SHRINKING frontier against the pinned
+    adjacency (one frontier-sized join + one anti-join per hop — never
+    a whole-graph pass), `operators/graph.py:bfs_hops`."""
+    from transe_pyspark_spark.operators.graph import bfs_hops
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    s = _T(spark, sf_dir, "supplier")
+    edges = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = s.filter(F.col("s_nationkey") < 5).select(
+        (F.lit(10000000) + F.col("s_suppkey")).cast("long").alias("node")
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+@_register(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                      CAST(p_size AS BIGINT) AS p_size,
+                      CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+               FROM part)
+    SELECT p_partkey, p_size, price_cents
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM p q
+                      WHERE q.price_cents <= p.price_cents
+                        AND q.p_size <= p.p_size
+                        AND (q.price_cents < p.price_cents OR q.p_size < p.p_size))
+    """,
+    tags=("relational", "skyline"),
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of parts minimizing (size, price) — the
+    "smallest AND cheapest" skyline. The oracle states the textbook
+    NOT-EXISTS definition (a quadratic anti-self-join); the Spark side
+    is `pareto_frontier_2d`'s staircase plan — per-size min, a strict
+    prefix-min over the AGGREGATE (|sizes| rows, never a corpus
+    window), one broadcast semi-join back — the shape that survives
+    100 TB where the NOT EXISTS never could. Equal (size, price) ties
+    co-survive on both sides (no strict inequality)."""
+    from transe_pyspark_spark.operators.relational import pareto_frontier_2d
+
+    p = _T(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_size").cast("long").alias("p_size"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    return pareto_frontier_2d(p, "p_size", "price_cents")
+
+
+@_register(
+    "bm25_docs",
+    oracle="""
+    WITH dl AS (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
+    d2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM dl),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM d2),
+    tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d2)
+           WHERE t IN ('hash', 'join', 'stream', 'vector', 'window')
+           GROUP BY doc_id, dl, t),
+    dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    idf AS (SELECT t, ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM dft, stats),
+    c AS (SELECT tf.doc_id,
+                 idf.idf * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / idf.avgdl)) AS c
+          FROM tf JOIN idf ON idf.t = tf.t)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched_terms,
+           round(sum(c), 4) AS score
+    FROM c GROUP BY doc_id
+    """,
+    tags=("text", "ranking"),
+)
+def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against the fixed query
+    {hash, join, stream, vector, window} — the retrieval-quality
+    ranking `tfidf_docs` (MLlib, rows-only) cannot hash-check; this
+    face can, because `functions/text.py:bm25_scores` is pure
+    DataFrame algebra the SQL replays term by term. Determinism: tf /
+    dl / N / df are exact BIGINTs, every arithmetic step is IEEE-exact
+    and ordered identically in both engines, and the single
+    non-correctly-rounded op (ln) is rounded 11 orders of magnitude
+    below the 4-decimal output contract."""
+    from transe_pyspark_spark.functions.text import bm25_scores
+
+    d = _T(spark, sf_dir, "documents")
+    return bm25_scores(d, ["hash", "join", "stream", "vector", "window"])
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -6440,6 +6622,28 @@ _OVERFLOW_ORACLE = [
                                  # range_count_views (pinned) keeps R7
     "attribution_linear",        # time-series/sequence: same R8
                                  # coverage as above
+    # NOT rotated-out incumbents — the new r10 faces registered past
+    # the full window (mirror-checked + pytest-gated, never
+    # driver-checked): the r11 rotation queue, far below the 20-face
+    # drain demonstrated in r09:
+    "connected_components_parts",  # min-label CC on the sparse part
+                                 # co-purchase graph; run-to-fixpoint
+                                 # recursive-CTE oracle (WITH
+                                 # RECURSIVE replays the converge-
+                                 # early-exit loop exactly, the
+                                 # near_dup_components pattern)
+    "bfs_hops_trading",          # multi-source BFS hop distances from
+                                 # the nation-0 supplier cohort;
+                                 # shrinking-frontier expansion,
+                                 # recursive min(depth) oracle
+    "pareto_frontier_parts",     # 2-D skyline via per-size min +
+                                 # prefix-min-over-aggregate +
+                                 # broadcast semi-join; NOT EXISTS
+                                 # oracle states the definition
+    "bm25_docs",                 # Okapi BM25 ranking, fully
+                                 # SQL-replayed (exact-int tf/df/dl,
+                                 # ln drift 11 orders below the
+                                 # round-4 output contract)
 ]
 
 
