@@ -405,6 +405,21 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "stats, document frequencies, tf rows); idf is aggregate-sized "
         "and broadcast back — no corpus-sized shuffle after the pin",
     ),
+    "source_divergence_docs": (
+        ["InMemoryTableScan", "BroadcastHashJoin"],
+        "the (source, token) count aggregate pins ONCE (three "
+        "consumers: corpus token counts, per-source totals, scoring "
+        "join); totals broadcast back — the 1-row corpus-total NLJ is "
+        "the record_linkage precedent",
+    ),
+    "ks_value_drift_events": (
+        ["__pid", "BroadcastHashJoin"],
+        "the empirical CDFs ride the frozen-range-partition "
+        "distributed prefix (windows key on __pid, never a global "
+        "value-ordered window); per-partition offsets and the totals "
+        "broadcast back; the argmax is one exact decimal-128 "
+        "aggregate (pid-less-value-window absence is pytest-pinned)",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -526,6 +541,16 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["CartesianProduct"],
         "corpus stats ride 1-row broadcasts; scoring joins are "
         "term-keyed equi-joins over the pinned tokenization",
+    ),
+    "source_divergence_docs": (
+        ["CartesianProduct"],
+        "everything after the pinned (source, token) aggregate is "
+        "aggregate-sized; joins are token/source equi-joins",
+    ),
+    "ks_value_drift_events": (
+        ["CartesianProduct"],
+        "the only non-equi joins are 1-row broadcast totals; the "
+        "per-value aggregate is the single corpus-sized shuffle",
     ),
 }
 
@@ -991,6 +1016,47 @@ def main() -> int:
         .cache()
     )
     _bfs_seeds.count()
+    from transe_pyspark_spark.operators.graph import _sssp_relax, degree_assortativity
+
+    _ss_sel = (
+        _li.filter((_F.col("l_partkey") % 10 == 0) & (_F.col("l_quantity") >= 35))
+        .select(_F.col("l_orderkey").alias("ok"), _F.col("l_partkey").cast("long").alias("pk"))
+        .distinct()
+    )
+    _ss_ew = (
+        _ss_sel.select("ok", _F.col("pk").alias("pa"))
+        .join(_ss_sel.select("ok", _F.col("pk").alias("pb")), "ok")
+        .filter(_F.col("pa") < _F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(_F.count(_F.lit(1)).cast("long").alias("__nb"))
+        .select(
+            _F.col("pa").alias("a"), _F.col("pb").alias("b"),
+            _F.expr("CAST(1000000 AS BIGINT) div __nb").alias("w"),
+        )
+    )
+    _ss_adj = (
+        _ss_ew.select(
+            _F.explode(
+                _F.array(
+                    _F.struct(_F.col("a").alias("node"), _F.col("b").alias("nbr"), _F.col("w")),
+                    _F.struct(_F.col("b").alias("node"), _F.col("a").alias("nbr"), _F.col("w")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .repartition(32, "node")
+        .cache()
+    )
+    _ss_adj.count()
+    _ss_dist0 = (
+        _ss_sel.filter(_F.col("pk") % 40 == 0)
+        .select(_F.col("pk").alias("node"))
+        .distinct()
+        .withColumn("cost", _F.lit(0).cast("long"))
+        .repartition(32, "node")
+        .cache()
+    )
+    _ss_dist0.count()
     lazy_gates = [
         (
             "semantic_dedup_recall (pair stage)",
@@ -1067,6 +1133,31 @@ def main() -> int:
             "(4 of the 7 exchanges are the printed cache-definition "
             "lineage, built once)",
         ),
+        (
+            "sssp_copurchase_parts (relax stage)",
+            _sssp_relax(_ss_adj, _ss_dist0, _ss_dist0),
+            ["InMemoryTableScan", "HashAggregate"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+            12,
+            "each Bellman-Ford round is one FRONTIER-sized equi-join "
+            "against the pinned weighted adjacency + one min "
+            "hash-aggregate + one node-keyed full-outer fold — never a "
+            "whole-graph pass once the frontier shrinks; the face plan "
+            "is an opaque localCheckpoint, so this gates the per-round "
+            "shape (most of the 12-exchange budget is the printed "
+            "cache-definition lineage, built once)",
+        ),
+        (
+            "assortativity_trading (moment stage)",
+            degree_assortativity(_kedges, eager_cleanup=False),
+            ["InMemoryTableScan", "HashAggregate"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+            7,
+            "degrees hash-agg once over the pinned canonical edge set; "
+            "both endpoint joins are node-keyed equi-joins; the moment "
+            "products ride decimal(38,0) into ONE final 1-row "
+            "aggregate — nothing quadratic, no window, no sqrt",
+        ),
     ]
     for name, lazy_df, markers, forb, max_ex, why in lazy_gates:
         buf = io.StringIO()
@@ -1090,6 +1181,8 @@ def main() -> int:
             "lpa_communities_trading (round stage)": 2,
             "connected_components_parts (round stage)": 2,
             "bfs_hops_trading (frontier stage)": 3,
+            "sssp_copurchase_parts (relax stage)": 3,
+            "assortativity_trading (moment stage)": 2,
         }
         one_scan_ok = scans <= _scan_allowance.get(name, 1)
         shared_ok = True

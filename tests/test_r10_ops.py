@@ -194,3 +194,215 @@ def test_bm25_matches_python_model(spark):
     for d in got:
         assert got[d][0] == want[d][0]
         assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])
+
+
+# --------------------------------------------------------------- sssp
+
+
+def test_sssp_prefers_cheap_multi_hop_and_respects_bound(spark):
+    """Triangle 0-1-2 with an expensive direct edge 0→2 (10) and a
+    cheap two-hop path 0-1-2 (1+1): with 2+ rounds cost(2)=2; with
+    rounds=1 only the direct edge is reachable, cost(2)=10. An
+    isolated seed 99 sits at cost 0 either way."""
+    from transe_pyspark_spark.operators.graph import sssp_rounds
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 10)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    two = {r.node: r.cost for r in sssp_rounds(edges, seeds, rounds=3).collect()}
+    assert two == {0: 0, 99: 0, 1: 1, 2: 2}
+    one = {r.node: r.cost for r in sssp_rounds(edges, seeds, rounds=1).collect()}
+    assert one == {0: 0, 99: 0, 1: 1, 2: 10}
+
+
+def test_sssp_matches_python_bellman_ford(spark):
+    """Random sparse weighted graph vs a reference Bellman-Ford bounded
+    at the same number of edge relaxations (multi-source, min over
+    seeds) — including the early-exit path (rounds far beyond the
+    diameter)."""
+    import random
+
+    from transe_pyspark_spark.operators.graph import sssp_rounds
+
+    rng = random.Random(23)
+    n = 40
+    raw = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(1, 50)) for _ in range(60)
+    ]
+    seeds = [0, 7, 13]
+    # python model: undirected simple graph, parallel edges -> min w
+    best = {}
+    for u, v, w in raw:
+        if u == v:
+            continue
+        k = (min(u, v), max(u, v))
+        best[k] = min(best.get(k, 10**9), w)
+    adj = {}
+    for (u, v), w in best.items():
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    H = 50
+    dist = {s: 0 for s in seeds}
+    for _ in range(H):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj.get(u, []):
+                if d + w < nxt.get(v, 10**18):
+                    nxt[v] = d + w
+        if nxt == dist:
+            break
+        dist = nxt
+    edges = spark.createDataFrame(raw, "src long, dst long, w long")
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r.node: r.cost for r in sssp_rounds(edges, seeds_df, rounds=H).collect()}
+    assert got == dist
+
+
+# ------------------------------------------------------ degree assortativity
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """A star graph is perfectly disassortative: every edge joins the
+    hub (deg n) to a leaf (deg 1) — r = -1 exactly."""
+    from transe_pyspark_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 7)], "src long, dst long")
+    row = degree_assortativity(edges).collect()[0]
+    assert row.m_directed == 12
+    assert abs(row.r - (-1.0)) < 1e-12
+
+
+def test_assortativity_matches_python_model(spark):
+    """Random graph vs the direct Pearson-over-doubled-edges formula."""
+    import random
+
+    from transe_pyspark_spark.operators.graph import degree_assortativity
+
+    rng = random.Random(5)
+    raw = {(a, b) for a, b in ((rng.randrange(30), rng.randrange(30)) for _ in range(80)) if a != b}
+    und = {(min(a, b), max(a, b)) for a, b in raw}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in und] + [deg[b] for a, b in und]
+    ys = [deg[b] for a, b in und] + [deg[a] for a, b in und]
+    m = len(xs)
+    sx, sxy, sxx = sum(xs), sum(x * y for x, y in zip(xs, ys)), sum(x * x for x in xs)
+    want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    edges = spark.createDataFrame(sorted(raw), "src long, dst long")
+    row = degree_assortativity(edges).collect()[0]
+    assert row.m_directed == m and row.sum_deg == sx
+    assert abs(row.r - want) < 1e-12
+
+
+# ------------------------------------------------------- source divergence
+
+
+def test_source_divergence_matches_python_model(spark):
+    """Tiny two-source corpus vs a hand-rolled entropy/KL with the same
+    nano-quantization; a source identical to the corpus mix has small
+    KL, a skewed one large."""
+    import math
+    import re
+
+    from transe_pyspark_spark.functions.text import source_divergence
+
+    docs = [
+        (1, "a", "cat dog cat bird"),
+        (2, "a", "dog cat fish"),
+        (3, "b", "fish fish fish fish"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    # python model with identical quantization
+    st = {}
+    for _, s, txt in docs:
+        for t in (x for x in re.split(r"[^a-z0-9]+", txt.lower()) if x):
+            st[(s, t)] = st.get((s, t), 0) + 1
+    ct = {}
+    for (s, t), c in st.items():
+        ct[t] = ct.get(t, 0) + c
+    ns = {}
+    nd = {}
+    for (s, t), c in st.items():
+        ns[s] = ns.get(s, 0) + c
+        nd[s] = nd.get(s, 0) + 1
+    n = sum(ct.values())
+    kl_nano, pl_nano = {}, {}
+    for (s, t), c in st.items():
+        p = c / ns[s]
+        q = ct[t] / n
+        kl_nano[s] = kl_nano.get(s, 0) + round(p * math.log(p / q) * 1e9)
+        pl_nano[s] = pl_nano.get(s, 0) + round(p * math.log(p) * 1e9)
+    want = {
+        s: (ns[s], nd[s], round(-pl_nano[s] / 1e9, 4), round(kl_nano[s] / 1e9, 4))
+        for s in ns
+    }
+    got = {
+        r.source: (r.n_tokens, r.n_distinct_tokens, r.entropy, r.kl_vs_corpus)
+        for r in source_divergence(df).collect()
+    }
+    assert got == want
+    assert got["b"][3] > got["a"][3]  # the all-fish source diverges more
+
+
+# ------------------------------------------------------------ KS statistic
+
+
+def test_ks_statistic_matches_python_model(spark):
+    """Random two-sample data vs the direct max|cumA·nB − cumB·nA|
+    formula; a planted location shift must dominate a same-distribution
+    pair."""
+    import random
+
+    from transe_pyspark_spark.operators.relational import ks_statistic
+
+    rng = random.Random(11)
+    rows = [("a", float(rng.randrange(100))) for _ in range(400)]
+    rows += [("b", float(rng.randrange(100)) + 30.0) for _ in range(300)]  # shifted
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    vals = sorted({v for _, v in rows})
+    na = sum(1 for g, _ in rows if g == "a")
+    nb = len(rows) - na
+    cuma = cumb = dnum = 0
+    for v in vals:
+        cuma += sum(1 for g, x in rows if g == "a" and x == v)
+        cumb += sum(1 for g, x in rows if g == "b" and x == v)
+        dnum = max(dnum, abs(cuma * nb - cumb * na))
+    assert (got.n_a, got.n_b, got.d_num) == (na, nb, dnum)
+    assert abs(got.ks_d - dnum / (na * nb)) < 1e-15
+    assert got.ks_d > 0.25  # the 30-point shift is visible
+
+
+def test_ks_statistic_identical_samples_zero(spark):
+    """The same multiset in both groups: D == 0 exactly."""
+    from transe_pyspark_spark.operators.relational import ks_statistic
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in (1, 2, 2, 5, 9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_statistic(df, "g", "v", "a", "b").collect()[0]
+    assert got.d_num == 0 and got.ks_d == 0.0
+
+
+def test_ks_plan_has_no_pidless_value_window(spark):
+    """The cumulative CDFs must ride the distributed prefix: every
+    window ordered on the value column also partitions on __pid — a
+    pid-less value window is the single-task funnel the operator
+    exists to avoid."""
+    import re
+
+    from transe_pyspark_spark.operators.relational import ks_statistic
+
+    rows = [("a", float(i % 7)) for i in range(50)] + [("b", float(i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    plan = ks_statistic(df, "g", "v", "a", "b")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    bad = [
+        line.strip()[:120]
+        for line in plan.splitlines()
+        if "windowspecdefinition(__v#" in line and "__pid#" not in line
+    ]
+    assert not bad, bad

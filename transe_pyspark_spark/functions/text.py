@@ -585,3 +585,83 @@ def bm25_scores(
         F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
         F.round(F.sum("__c"), 4).alias("score"),
     )
+
+
+def source_divergence(
+    docs,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Per-source unigram distribution diagnostics: Shannon entropy of
+    each source's token distribution and its KL divergence from the
+    whole-corpus distribution — the domain-mixture skew report a
+    pretraining pipeline reads before setting mixture weights (a
+    source with high KL is lexically unlike the rest of the corpus;
+    entropy collapse flags template/boilerplate sources).
+
+    Plan: ONE tokenization pass (the ``bm25_scores`` regex) feeds the
+    (source, token) count aggregate — the only corpus-sized shuffle —
+    which is pinned (repartition-on-token + cache) because three
+    consumers need it: corpus per-token counts, per-source totals, and
+    the scoring join. Everything downstream is aggregate-sized
+    (|sources|·|vocab| rows); the per-source totals and the 1-row
+    corpus total broadcast back.
+
+    Determinism contract (the ``bm25_scores`` idiom, hardened for
+    big sums): counts are exact BIGINTs and every p/q division is a
+    same-shape IEEE op, but a SUM of thousands of ``p·ln(p/q)``
+    doubles is summation-order-dependent — so each per-term
+    contribution is QUANTIZED to integer nano-units
+    (``round(c·1e9) AS BIGINT``) and summed exactly; the quantized
+    sum is order-free, replayed term-for-term by the SQL oracle, and
+    11 orders below the round-4 output.
+
+    Returns (source, n_tokens, n_distinct_tokens, entropy,
+    kl_vs_corpus) — entropy/KL in nats, rounded to 4 decimals.
+    """
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    st = (
+        docs.select(
+            F.col(source_col).alias("__src"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            ).alias("__t"),
+        )
+        .groupBy("__src", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .repartition(n_part, "__t")
+        .cache()
+    )
+    per_token = st.groupBy("__t").agg(F.sum("__c").cast("long").alias("__ct"))
+    per_source = st.groupBy("__src").agg(
+        F.sum("__c").cast("long").alias("__ns"),
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+    )
+    total = st.agg(F.sum("__c").cast("long").alias("__n"))
+    p = F.col("__c").cast("double") / F.col("__ns").cast("double")
+    q = F.col("__ct").cast("double") / F.col("__n").cast("double")
+    scored = (
+        st.join(per_token, "__t")
+        .join(F.broadcast(per_source), "__src")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__src",
+            "__ns",
+            "__nd",
+            F.round((p * F.log(p / q)) * F.lit(1e9)).cast("long").alias("__kl_nano"),
+            F.round((p * F.log(p)) * F.lit(1e9)).cast("long").alias("__plogp_nano"),
+        )
+    )
+    return scored.groupBy("__src", "__ns", "__nd").agg(
+        F.round(-F.sum("__plogp_nano").cast("double") / F.lit(1e9), 4).alias("entropy"),
+        F.round(F.sum("__kl_nano").cast("double") / F.lit(1e9), 4).alias("kl_vs_corpus"),
+    ).select(
+        F.col("__src").alias("source"),
+        F.col("__ns").alias("n_tokens"),
+        F.col("__nd").alias("n_distinct_tokens"),
+        "entropy",
+        "kl_vs_corpus",
+    )

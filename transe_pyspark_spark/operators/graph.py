@@ -718,3 +718,198 @@ def bfs_hops(
     for df in pinned:
         df.unpersist()
     return out
+
+
+def _sssp_relax(adj: DataFrame, frontier: DataFrame, dist: DataFrame) -> DataFrame:
+    """One Bellman-Ford relaxation, un-pinned — the body of
+    ``sssp_rounds``' loop, exposed for the plan gate: one
+    FRONTIER-sized equi-join against the pinned weighted adjacency,
+    one min hash-aggregate over the candidates, and one node-keyed
+    full-outer fold into the running distances — never a whole-graph
+    pass once the frontier shrinks, never a window."""
+    cand = (
+        adj.join(frontier, "node")
+        .select(F.col("nbr").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        .groupBy("node")
+        .agg(F.min("cost").alias("cost"))
+    )
+    return (
+        dist.withColumnRenamed("cost", "__old")
+        .join(cand, "node", "full_outer")
+        .select(
+            "node",
+            F.least(
+                F.coalesce(F.col("__old"), F.col("cost")),
+                F.coalesce(F.col("cost"), F.col("__old")),
+            ).alias("cost"),
+            (
+                F.col("__old").isNull()
+                | (F.col("cost").isNotNull() & (F.col("cost") < F.col("__old")))
+            ).alias("__improved"),
+        )
+    )
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source shortest-path costs over the undirected
+    positively-weighted simple graph, bounded at ``rounds`` edges per
+    path — distributed Bellman-Ford with delta relaxation (the
+    weighted generalization of ``bfs_hops``; parallel edges collapse
+    to their MIN weight so the input is a simple graph either way).
+
+    Per round only the FRONTIER — nodes whose cost improved last
+    round — joins the pinned doubled adjacency; candidate costs
+    min-aggregate and fold into the running distance table with one
+    node-keyed full-outer join. The frontier shrinks as distances
+    settle, and an empty frontier early-exits: after round k the table
+    holds the exact min cost over paths of ≤ k edges (positive
+    weights, so min-over-walks == min-over-paths), which is precisely
+    what the registered face's recursive-CTE ``min(total_cost)`` walk
+    with ``hops < rounds`` recomputes — the fixpoint-oracle pattern
+    with a cost column. Costs stay exact BIGINTs end to end.
+
+    Returns (node, cost) — seeds at 0, plus every node reachable
+    within ``rounds`` edges.
+    """
+    if not isinstance(rounds, int) or rounds < 0:
+        raise ValueError(f"rounds must be an int >= 0, got {rounds!r}")
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"), F.col(weight).cast("long").alias("w"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    adj = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("node"), F.col("b").alias("nbr"), F.col("w")),
+                    F.struct(F.col("b").alias("node"), F.col("a").alias("nbr"), F.col("w")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .repartition(n_part, "node")
+        .cache()
+    )
+    dist = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .repartition(n_part, "node")
+        .cache()
+    )
+    dist.count()
+    frontier = dist
+    pinned = [adj, dist]
+    for _ in range(rounds):
+        relaxed = _sssp_relax(adj, frontier, dist).repartition(n_part, "node").cache()
+        nxt_frontier = relaxed.filter(F.col("__improved")).select("node", "cost")
+        nxt_dist = relaxed.select("node", "cost")
+        if nxt_frontier.limit(1).count() == 0:
+            relaxed.unpersist()
+            break
+        pinned.append(relaxed)
+        prev = dist
+        dist, frontier = nxt_dist, nxt_frontier
+        if prev is not adj and prev in pinned:
+            prev.unpersist()
+            pinned.remove(prev)
+    out = dist.select("node", "cost").localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
+    return out
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph — the
+    Pearson correlation of endpoint degrees over the DOUBLED edge
+    list (Newman 2002's r; positive = hubs link hubs, negative =
+    hubs link leaves; bipartite customer↔supplier graphs skew
+    strongly negative). The one-row graph-shape report beside
+    ``triangle_stats``' clustering census.
+
+    With both edge orientations listed, the x- and y-marginals are
+    identical, so ``r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)`` needs NO
+    square root: every moment is an exact BIGINT sum, the two
+    products ride decimal(38,0) (the ``daily_count_correlation``
+    idiom — DuckDB's HUGEINT takes the same exact-128-bit road), and
+    the result is ONE IEEE division — hash-checkable cross-engine.
+
+    Plan: canonical-distinct the edges (one shuffle), degree
+    hash-agg, join degrees to both endpoints (two key equi-joins over
+    the pinned canonical edge set), one global aggregate. Nothing
+    quadratic; the degree table is |V|-sized.
+
+    Returns ONE row: (m_directed, sum_deg, r) — r NULL on a
+    degree-regular graph (zero variance).
+    """
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = F.least(F.col(src), F.col(dst))
+    b = F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .repartition(n_part, "a")
+        .cache()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    )
+    # degrees onto both endpoints of each directed edge: join deg to
+    # the doubled edge list twice on the endpoint keys
+    doubled = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.*")
+    xy = (
+        doubled.join(deg.select(F.col("node").alias("u"), F.col("__deg").alias("__x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("__deg").alias("__y")), "v")
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("m_directed"),
+        F.sum("__x").cast("long").alias("sum_deg"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+    )
+
+    def d38(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (d38("m_directed") * d38("__sxy") - d38("sum_deg") * d38("sum_deg")).cast("double")
+    den = (d38("m_directed") * d38("__sxx") - d38("sum_deg") * d38("sum_deg")).cast("double")
+    out = m.select(
+        "m_directed",
+        "sum_deg",
+        F.when(den != 0, num / den).alias("r"),
+    )
+    if not eager_cleanup:
+        # lazy mode (plan gate): leaves the edge pin in the cache
+        # manager — library callers use the default
+        return out
+    out = out.localCheckpoint(eager=True)  # 1-row leaf — THEN release the pin
+    und.unpersist()
+    return out

@@ -6255,6 +6255,183 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(d, ["hash", "join", "stream", "vector", "window"])
 
 
+@_register(
+    "sssp_copurchase_parts",
+    oracle="""
+    WITH RECURSIVE li AS (
+        SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+        FROM lineitem WHERE l_partkey % 10 = 0 AND l_quantity >= 35),
+    ew AS (SELECT a.pk AS a, b.pk AS b, CAST(1000000 AS BIGINT) // count(*) AS w
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY a.pk, b.pk),
+    e AS (SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+    seeds AS (SELECT DISTINCT pk AS node FROM li WHERE pk % 40 = 0),
+    walk(node, cost, hops) AS (
+        SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+        UNION
+        SELECT e.b, walk.cost + e.w, walk.hops + 1 FROM walk JOIN e ON e.a = walk.node
+        WHERE walk.hops < 4)
+    SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM walk GROUP BY node
+    """,
+    tags=("graph", "iterative"),
+)
+def q_sssp_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source shortest-path costs over the sparse part
+    co-purchase graph, edge weight = `1000000 div shared_orders` (a
+    rarity cost: strongly co-purchased pairs are cheap to traverse),
+    seeds = the `pk % 40` part cohort, paths bounded at 4 edges. The
+    weighted generalization of `bfs_hops_trading`: distributed
+    Bellman-Ford with delta relaxation (`operators/graph.py:
+    sssp_rounds` — only the improved frontier joins the pinned
+    adjacency per round), replayed exactly by the recursive-CTE
+    `min(total_cost)` walk with `hops < 4`; costs exact BIGINTs."""
+    from transe_pyspark_spark.operators.graph import sssp_rounds
+
+    li = _T(spark, sf_dir, "lineitem")
+    sel = (
+        li.filter((F.col("l_partkey") % 10 == 0) & (F.col("l_quantity") >= 35))
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").cast("long").alias("pk")
+        )
+        .distinct()
+    )
+    a = sel.select("ok", F.col("pk").alias("pa"))
+    b = sel.select("ok", F.col("pk").alias("pb"))
+    ew = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+        .select(
+            F.col("pa").alias("src"),
+            F.col("pb").alias("dst"),
+            F.expr("CAST(1000000 AS BIGINT) div __nb").alias("w"),
+        )
+    )
+    seeds = sel.filter(F.col("pk") % 40 == 0).select(F.col("pk").alias("node")).distinct()
+    return sssp_rounds(ew, seeds, rounds=4)
+
+
+@_register(
+    "assortativity_trading",
+    oracle="""
+    WITH e0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a,
+                                CAST(10000000 + l_suppkey AS BIGINT) AS b
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY node),
+    xy AS (SELECT du.deg AS x, dv.deg AS y
+           FROM (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0) t
+           JOIN d du ON du.node = t.u JOIN d dv ON dv.node = t.v),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m_directed, CAST(sum(x) AS BIGINT) AS sum_deg,
+                 CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx FROM xy)
+    SELECT m_directed, sum_deg,
+           CASE WHEN CAST(m_directed AS HUGEINT)*sxx
+                     - CAST(sum_deg AS HUGEINT)*CAST(sum_deg AS HUGEINT) <> 0
+                THEN CAST(CAST(m_directed AS HUGEINT)*sxy
+                          - CAST(sum_deg AS HUGEINT)*CAST(sum_deg AS HUGEINT) AS DOUBLE)
+                     / CAST(CAST(m_directed AS HUGEINT)*sxx
+                            - CAST(sum_deg AS HUGEINT)*CAST(sum_deg AS HUGEINT) AS DOUBLE)
+           END AS r
+    FROM m
+    """,
+    tags=("graph", "stats"),
+)
+def q_assortativity_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trading graph (Newman's r over the
+    doubled edge list — strongly negative here, the bipartite
+    hub-to-leaf signature; measured ≈ −0.996 at sf0.01). Every moment
+    is an exact BIGINT, the two moment products ride decimal(38,0)
+    (HUGEINT on the DuckDB side), and the symmetric doubled-edge form
+    needs NO square root — one IEEE division, hash-exact.
+    `operators/graph.py:degree_assortativity`."""
+    from transe_pyspark_spark.operators.graph import degree_assortativity
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+@_register(
+    "source_divergence_docs",
+    oracle="""
+    WITH tok AS (SELECT source AS src,
+                        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                           x -> x <> '')) AS t
+                 FROM documents),
+    st AS (SELECT src, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY src, t),
+    pt AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY t),
+    ps AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns, CAST(count(*) AS BIGINT) AS nd
+           FROM st GROUP BY src),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+    sc AS (SELECT st.src, ps.ns, ps.nd,
+                  CAST(round((CAST(c AS DOUBLE)/CAST(ns AS DOUBLE))
+                             * ln((CAST(c AS DOUBLE)/CAST(ns AS DOUBLE))
+                                  / (CAST(ct AS DOUBLE)/CAST(n AS DOUBLE)))
+                             * 1e9) AS BIGINT) AS kl_nano,
+                  CAST(round((CAST(c AS DOUBLE)/CAST(ns AS DOUBLE))
+                             * ln(CAST(c AS DOUBLE)/CAST(ns AS DOUBLE))
+                             * 1e9) AS BIGINT) AS plogp_nano
+           FROM st JOIN pt USING (t) JOIN ps USING (src), tot)
+    SELECT src AS source, ns AS n_tokens, nd AS n_distinct_tokens,
+           round(-CAST(sum(plogp_nano) AS DOUBLE)/1e9, 4) AS entropy,
+           round(CAST(sum(kl_nano) AS DOUBLE)/1e9, 4) AS kl_vs_corpus
+    FROM sc GROUP BY src, ns, nd
+    """,
+    tags=("text", "stats"),
+)
+def q_source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy + KL divergence vs the whole-corpus
+    distribution — the domain-mixture skew report
+    (`functions/text.py:source_divergence`). One tokenization pass
+    pinned for its three consumers; every count exact BIGINT; the
+    order-dependent Σ p·ln(p/q) is quantized to integer nano-units
+    per term and summed exactly, so the oracle replays it
+    term-for-term (the bm25 determinism idiom, hardened for sums
+    with thousands of terms)."""
+    from transe_pyspark_spark.functions.text import source_divergence
+
+    return source_divergence(_T(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ks_value_drift_events",
+    oracle="""
+    WITH pv AS (SELECT value AS v,
+                       CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM events WHERE event_type IN ('view', 'purchase') GROUP BY value),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+    c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma, sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+    d AS (SELECT max(abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)) AS dnum FROM c, t)
+    SELECT na AS n_a, nb AS n_b, CAST(dnum AS BIGINT) AS d_num,
+           CAST(dnum AS DOUBLE)/CAST(CAST(na AS HUGEINT)*nb AS DOUBLE) AS ks_d
+    FROM d, t
+    """,
+    tags=("agg", "stats", "drift"),
+)
+def q_ks_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between the 'view' and
+    'purchase' event value distributions — the unbucketed
+    order-statistic drift screen next to `value_drift_weeks`' bucketed
+    total variation (`operators/relational.py:ks_statistic`). The
+    oracle's global window cumsum is the DEFINITION; the Spark plan
+    replaces it with the frozen-range-partition distributed prefix
+    (two running sums through one tiling), and the argmax rides exact
+    decimal-128 numerators into one IEEE division."""
+    from transe_pyspark_spark.operators.relational import ks_statistic
+
+    e = _T(spark, sf_dir, "events")
+    return ks_statistic(e, "event_type", "value", "view", "purchase")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -6644,6 +6821,18 @@ _OVERFLOW_ORACLE = [
                                  # SQL-replayed (exact-int tf/df/dl,
                                  # ln drift 11 orders below the
                                  # round-4 output contract)
+    "sssp_copurchase_parts",     # bounded Bellman-Ford with delta
+                                 # relaxation; recursive min(cost)
+                                 # walk oracle, exact BIGINT costs
+    "assortativity_trading",     # Newman degree assortativity; exact
+                                 # moments, decimal-128 products, one
+                                 # IEEE division, no sqrt
+    "source_divergence_docs",    # per-source entropy + KL vs corpus;
+                                 # nano-quantized transcendental sums
+                                 # replayed term-for-term
+    "ks_value_drift_events",     # exact two-sample KS D: distributed
+                                 # prefix cumsums, decimal-128
+                                 # numerators, one IEEE division
 ]
 
 
