@@ -125,6 +125,23 @@ SF1_HEADLINE = [
     # the fixture's changeset derivation (one full-outer key join)
     "lpa_communities_trading",
     "ivm_summary_customers",
+    # r10 faces at 10×: BFS pays the pinned 10× adjacency build then
+    # three shrinking-frontier joins; bm25/source-divergence are one
+    # pinned tokenization + aggregate-sized joins; KS exercises the
+    # distributed prefix over 10× distinct values; assortativity is
+    # two node-keyed joins over the 10× edge set. NOT here:
+    # connected_components_parts / sssp_copurchase_parts — their
+    # deliberately-sparse co-purchase graph stays tiny at any SF (the
+    # qty>=35 slice), so a 10× row would measure fixture filtering,
+    # not the operator; their per-round shapes are plan-gated instead.
+    "bfs_hops_trading",
+    "bm25_docs",
+    "source_divergence_docs",
+    "ks_value_drift_events",
+    "assortativity_trading",
+    # streaming drift at 10×: two chained stateful aggs + the narrow
+    # HOF fold drain the 10× event files under AvailableNow
+    "stream_value_drift",
 ]
 
 

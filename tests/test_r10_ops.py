@@ -406,3 +406,46 @@ def test_ks_plan_has_no_pidless_value_window(spark):
         if "windowspecdefinition(__v#" in line and "__pid#" not in line
     ]
     assert not bad, bad
+
+
+# --------------------------------------------------------- streaming drift
+
+
+def test_windowed_value_drift_known_histograms(spark):
+    """Batch twin on hand-built frames: a window identical to the
+    reference has TV 0; a window fully concentrated in one of two
+    equally-likely reference buckets has TV 0.5 exactly (exact
+    integers: tv_num = |4·4−2·4| + (4−2)·4 = 16, 16/(2·4·4) = 0.5)."""
+    import datetime
+
+    from transe_pyspark_spark.streaming.windows import windowed_value_drift
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    ref = [(0, 2), (1, 2)]  # buckets 0 and 1, 2 rows each, R = 4
+    skewed = [(None, t0, float(v)) for v in (1.0, 2.0, 3.0, 4.0)]  # all bucket 0
+    df = spark.createDataFrame(skewed, "user_id long, ts timestamp, value double")
+    row = windowed_value_drift(df, ref, 4).collect()[0]
+    assert (row.n_events, row.tv_num, row.tv) == (4, 16, 0.5)
+    same = [(None, t0, float(v)) for v in (1.0, 2.0, 11.0, 12.0)]  # 2 per bucket
+    df2 = spark.createDataFrame(same, "user_id long, ts timestamp, value double")
+    row2 = windowed_value_drift(df2, ref, 4).collect()[0]
+    assert (row2.n_events, row2.tv_num, row2.tv) == (4, 0, 0.0)
+
+
+def test_windowed_value_drift_ref_only_and_window_only_buckets(spark):
+    """Buckets present only in the reference contribute r_b·N; buckets
+    only in the window contribute n_b·R — both folds verified against
+    a hand model with NULL values excluded."""
+    import datetime
+
+    from transe_pyspark_spark.streaming.windows import windowed_value_drift
+
+    t0 = datetime.datetime(2024, 1, 1, 5, 10)
+    ref = [(0, 6), (5, 3)]  # R = 9
+    rows = [(None, t0, 51.0), (None, t0, 52.0), (None, t0, 99.0), (None, t0, None)]
+    # window: bucket 5 ×2, bucket 9 ×1 (NULL dropped) -> N = 3
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    row = windowed_value_drift(df, ref, 9).collect()[0]
+    # matched: |2*9 - 3*3| + |1*9 - 0*3| = 9 + 9 = 18; ref-only: (9-3)*3 = 18
+    assert (row.n_events, row.tv_num) == (3, 36)
+    assert abs(row.tv - 36 / (2 * 3 * 9)) < 1e-15

@@ -6432,6 +6432,66 @@ def q_ks_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_statistic(e, "event_type", "value", "view", "purchase")
 
 
+@_register(
+    "stream_value_drift",
+    oracle="""
+    WITH ref AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS r
+                 FROM events WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-08 00:00:00'
+                 GROUP BY 1),
+    rt AS (SELECT CAST(sum(r) AS BIGINT) AS tr FROM ref),
+    w1 AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, CAST(floor(value / 10.0) AS BIGINT) AS b,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    nw AS (SELECT ws, CAST(sum(n) AS BIGINT) AS n_events FROM w1 GROUP BY ws),
+    m AS (SELECT w1.ws,
+                 CAST(sum(abs(CAST(w1.n AS HUGEINT) * rt.tr
+                              - CAST(coalesce(ref.r, 0) AS HUGEINT) * nw.n_events)) AS BIGINT) AS matched,
+                 CAST(sum(coalesce(ref.r, 0)) AS BIGINT) AS covered
+          FROM w1 LEFT JOIN ref USING (b) JOIN nw USING (ws), rt
+          GROUP BY w1.ws),
+    tv AS (SELECT m.ws AS window_start, nw.n_events,
+                  CAST(m.matched + (rt.tr - m.covered) * nw.n_events AS BIGINT) AS tv_num,
+                  CASE WHEN nw.n_events > 0 AND rt.tr > 0 THEN
+                    CAST(m.matched + (rt.tr - m.covered) * nw.n_events AS DOUBLE)
+                    / CAST(2 * CAST(nw.n_events AS HUGEINT) * rt.tr AS DOUBLE) END AS tv
+           FROM m JOIN nw USING (ws), rt),
+    wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events)
+    SELECT window_start, n_events, tv_num, tv FROM tv, wm
+    WHERE window_start + INTERVAL '1 hour' <= wm.w
+    """,
+    tags=("streaming", "drift"),
+)
+def q_stream_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window drift alarm: exact total-variation distance
+    of each hour's bucketed value histogram vs the first WEEK's
+    distribution (the static known-good reference, computed batch-side
+    and folded in as a map literal — model-sized by contract). Chained
+    stateful aggs per `stream_chained_agg` (append mode, so only
+    finalized windows emit — the oracle replicates the watermark
+    gate); the TV fold is a narrow higher-order aggregate over each
+    window's collected ≤|buckets| histogram — exact BIGINTs, one IEEE
+    division (`streaming/windows.py:windowed_value_drift`)."""
+    from transe_pyspark_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        windowed_value_drift,
+    )
+
+    e = _T(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08").cast("timestamp")
+    ref_rows = (
+        e.filter(F.col("value").isNotNull() & (F.col("ts") < cut))
+        .groupBy(F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .collect()  # reference histogram: |buckets| rows, model-sized by contract
+    )
+    items = [(row.b, row.r) for row in ref_rows]
+    stream = windowed_value_drift(
+        read_events_stream(spark, sf_dir), items, sum(r for _, r in items)
+    )
+    return run_available_now(stream, spark, output_mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -6833,6 +6893,10 @@ _OVERFLOW_ORACLE = [
     "ks_value_drift_events",     # exact two-sample KS D: distributed
                                  # prefix cumsums, decimal-128
                                  # numerators, one IEEE division
+    "stream_value_drift",        # streaming TV-drift alarm vs a static
+                                 # reference histogram; chained
+                                 # stateful aggs + narrow HOF fold,
+                                 # watermark-gated append oracle
 ]
 
 

@@ -388,3 +388,76 @@ def chained_windowed_counts(
             "n_slices",
         )
     )
+
+
+def windowed_value_drift(
+    events: DataFrame,
+    ref_items: list[tuple[int, int]],
+    ref_total: int,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    bucket_width: float = 10.0,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per tumbling window, the
+    exact total-variation distance between the window's bucketed value
+    histogram and a STATIC reference histogram (``ref_items`` — e.g.
+    last week's known-good distribution; model-sized by contract, it
+    rides along as a map literal). The alarm that pages when an
+    upstream change shifts the value distribution — the streaming twin
+    of ``distribution_drift``'s batch screen, with the same exact
+    arithmetic: ``tv_num = Σ_b |n_b·R − r_b·N|`` (+ ``r_b·N`` for
+    reference buckets absent from the window, folded as
+    ``(R − covered)·N``), all BIGINT, and ONE IEEE division
+    ``tv = tv_num / (2·N·R)``.
+
+    Plan (the ``chained_windowed_counts`` cascade): per-(window,
+    bucket) counts are stateful agg #1; agg #2 windows over
+    ``window_time`` and collapses each window to ONE row —
+    ``collect_list(struct(bucket, n))`` (bounded: ≤ |buckets| entries,
+    not rows) plus the window total — so the TV fold is a narrow
+    higher-order ``aggregate`` over the collected histogram with the
+    reference map, zero further shuffles. Append mode emits only
+    finalized windows (end ≤ max event time − watermark); the batch
+    oracle replicates the gate. NULL values are excluded (they are the
+    quality monitor's business, not a bucket).
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    bucket = F.floor(F.col("value") / F.lit(bucket_width)).cast("long")
+    slices = (
+        src.filter(F.col("value").isNotNull())
+        .groupBy(F.window("ts", width).alias("w"), bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    rolled = slices.groupBy(F.window(F.window_time("w"), width).alias("w2")).agg(
+        F.collect_list(F.struct(F.col("__b"), F.col("__n"))).alias("__h"),
+        F.sum("__n").cast("long").alias("n_events"),
+    )
+    ref_map = F.create_map(
+        *[F.lit(x) for bc in ref_items for x in (int(bc[0]), int(bc[1]))]
+    ) if ref_items else F.create_map().cast("map<bigint,bigint>")
+    r_total = F.lit(int(ref_total)).cast("long")
+    rb = lambda e: F.coalesce(ref_map[e["__b"]], F.lit(0).cast("long"))  # noqa: E731
+    matched = F.aggregate(
+        F.col("__h"),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.abs(e["__n"] * r_total - rb(e) * F.col("n_events")),
+    )
+    covered = F.aggregate(
+        F.col("__h"), F.lit(0).cast("long"), lambda acc, e: acc + rb(e)
+    )
+    tv_num = (matched + (r_total - covered) * F.col("n_events")).cast("long")
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    return rolled.select(
+        F.col("w2.start").alias("window_start"),
+        "n_events",
+        tv_num.alias("tv_num"),
+        F.when(
+            (F.col("n_events") > 0) & (r_total > 0),
+            tv_num.cast("double")
+            / (F.lit(2).cast("decimal(38,0)") * d38(F.col("n_events")) * d38(r_total)).cast("double"),
+        ).alias("tv"),
+    )
