@@ -758,6 +758,17 @@ SF1_STABLE = [
     # shape at 10× (the |changes|-sized path must not become a base
     # table rescan)
     "ivm_summary_customers",
+    # r10: the lazy-plan faces keep their shapes at 10× — the skyline
+    # keeps its broadcast LeftSemi staircase (never a NOT-EXISTS
+    # shape), bm25/source-divergence keep the single pinned
+    # tokenization + broadcast aggregate joins, KS keeps the __pid
+    # distributed prefix (no pid-less value window at 10×). The
+    # checkpoint-truncated r10 graph faces are covered by their
+    # round-stage gates above instead.
+    "pareto_frontier_parts",
+    "bm25_docs",
+    "source_divergence_docs",
+    "ks_value_drift_events",
 ]
 
 
