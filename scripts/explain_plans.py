@@ -1162,12 +1162,15 @@ def main() -> int:
             "assortativity_trading (moment stage)",
             degree_assortativity(_kedges, eager_cleanup=False),
             ["InMemoryTableScan", "HashAggregate"],
-            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
-            7,
+            ["CartesianProduct", "Window"],
+            9,
             "degrees hash-agg once over the pinned canonical edge set; "
-            "both endpoint joins are node-keyed equi-joins; the moment "
-            "products ride decimal(38,0) into ONE final 1-row "
-            "aggregate — nothing quadratic, no window, no sqrt",
+            "M/Σx/Σx² are pure degree-power aggregates (no edge join at "
+            "all) and Σxy joins the CANONICAL half-sized edge set with "
+            "two node-keyed equi-joins; the two 1-row frames meet in a "
+            "broadcast NLJ (the record_linkage precedent) and the "
+            "moment products ride decimal(38,0) — nothing quadratic, "
+            "no window, no sqrt",
         ),
     ]
     for name, lazy_df, markers, forb, max_ex, why in lazy_gates:

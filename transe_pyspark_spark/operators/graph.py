@@ -875,26 +875,26 @@ def degree_assortativity(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
     )
-    # degrees onto both endpoints of each directed edge: join deg to
-    # the doubled edge list twice on the endpoint keys
-    doubled = und.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
-            )
-        ).alias("__e")
-    ).select("__e.*")
-    xy = (
-        doubled.join(deg.select(F.col("node").alias("u"), F.col("__deg").alias("__x")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("__deg").alias("__y")), "v")
+    # Three of the four moments never touch the edges: over the
+    # DOUBLED edge list each node v appears deg(v) times as the
+    # u-endpoint, so M = Σ_v deg(v), Σx = Σ_v deg(v)², Σx² = Σ_v
+    # deg(v)³ — pure |V|-sized degree-table aggregates. Only Σxy
+    # needs edges, and the symmetric doubling makes it 2·Σ over the
+    # CANONICAL (half-sized) edge set — one a-keyed + one b-keyed
+    # equi-join, never the doubled explode through two joins (the
+    # first cut shipped the 2|E| frame through two SortMergeJoins;
+    # this form halves the join traffic and drops the explode).
+    powers = deg.agg(
+        F.sum("__deg").cast("long").alias("m_directed"),
+        F.sum(F.col("__deg") * F.col("__deg")).cast("long").alias("sum_deg"),
+        F.sum(F.col("__deg") * F.col("__deg") * F.col("__deg")).cast("long").alias("__sxx"),
     )
-    m = xy.agg(
-        F.count(F.lit(1)).cast("long").alias("m_directed"),
-        F.sum("__x").cast("long").alias("sum_deg"),
-        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
-        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+    sxy_und = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("__deg").alias("__x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("__deg").alias("__y")), "b")
+        .agg((F.lit(2) * F.sum(F.col("__x") * F.col("__y"))).cast("long").alias("__sxy"))
     )
+    m = powers.crossJoin(F.broadcast(sxy_und))
 
     def d38(c):
         return F.col(c).cast("decimal(38,0)")
