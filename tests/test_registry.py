@@ -47,22 +47,16 @@ MUST_BE_IN_WINDOW = {
 #: scd2_merge_customers, stream_interval_join_outer), plus
 #: token_budget_mix / heavy_hitter_words in the second wave;
 #: incremental_neardedup_drop stays (front slot).
-#: the twenty r08 faces registered past the window and rotated INTO
-#: the window in r09 (front until driver-green — VERDICT r08 ask #1:
-#: the whole rotation queue drains in one round)
-NEW_IN_R09 = {
-    "event_transitions",
-    "time_to_convert_weekly",
-    "ab_conversion_ztest",
-    "cross_source_dup_matrix",
-    "kcore_trading_graph",
+#: the r09-era faces retained in the window through the r11 rotation
+#: as their families' in-window representatives (their siblings —
+#: event_transitions, time_to_convert_weekly, ab_conversion_ztest,
+#: top_event_paths, session_type_affinity, kcore_trading_graph,
+#: node_clustering_parts, oov_rate_docs, cross_source_dup_matrix —
+#: all twice-green r09+r10, rotated to overflow in r11)
+STAYING_R09 = {
     "daily_corr_view_purchase",
-    "top_event_paths",
     "cusum_change_events",
     "percent_rank_doc_length",
-    "oov_rate_docs",
-    "session_type_affinity",
-    "node_clustering_parts",
     "data_quality_audit",
     "rfm_segments_customers",
     "stream_quality_counts",
@@ -73,8 +67,9 @@ NEW_IN_R09 = {
     "tsv_sink_roundtrip",
 }
 
-#: the six r09-minted faces rotated into front slots in r10 — they
-#: hold the window until driver-green (then until twice-green)
+#: the six r09-minted faces rotated into front slots in r10 —
+#: once-green (CORRECTNESS_r10), they hold the window until
+#: twice-green
 NEW_IN_R10 = {
     "semantic_dedup_recall",
     "lpa_communities_trading",
@@ -84,11 +79,26 @@ NEW_IN_R10 = {
     "interval_islands_events",
 }
 
+#: the nine r10-minted faces rotated into front slots in r11
+#: (VERDICT r10 ask #1) — mirror-green at both SFs, never
+#: driver-checked; they hold front slots until driver-green
+NEW_IN_R11 = {
+    "connected_components_parts",
+    "bfs_hops_trading",
+    "pareto_frontier_parts",
+    "bm25_docs",
+    "sssp_copurchase_parts",
+    "assortativity_trading",
+    "source_divergence_docs",
+    "ks_value_drift_events",
+    "stream_value_drift",
+}
 
-def test_r10_rotation_inside_window():
+
+def test_r11_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (NEW_IN_R09 | NEW_IN_R10) - window
-    assert not missing, f"r10 must-check queries fell out of the driver window: {missing}"
+    missing = (STAYING_R09 | NEW_IN_R10 | NEW_IN_R11) - window
+    assert not missing, f"r11 must-check queries fell out of the driver window: {missing}"
 
 
 def test_driver_window_is_all_oracle_backed():

@@ -6859,44 +6859,33 @@ _OVERFLOW_ORACLE = [
                                  # range_count_views (pinned) keeps R7
     "attribution_linear",        # time-series/sequence: same R8
                                  # coverage as above
-    # NOT rotated-out incumbents — the new r10 faces registered past
-    # the full window (mirror-checked + pytest-gated, never
-    # driver-checked): the r11 rotation queue, far below the 20-face
-    # drain demonstrated in r09:
-    "connected_components_parts",  # min-label CC on the sparse part
-                                 # co-purchase graph; run-to-fixpoint
-                                 # recursive-CTE oracle (WITH
-                                 # RECURSIVE replays the converge-
-                                 # early-exit loop exactly, the
-                                 # near_dup_components pattern)
-    "bfs_hops_trading",          # multi-source BFS hop distances from
-                                 # the nation-0 supplier cohort;
-                                 # shrinking-frontier expansion,
-                                 # recursive min(depth) oracle
-    "pareto_frontier_parts",     # 2-D skyline via per-size min +
-                                 # prefix-min-over-aggregate +
-                                 # broadcast semi-join; NOT EXISTS
-                                 # oracle states the definition
-    "bm25_docs",                 # Okapi BM25 ranking, fully
-                                 # SQL-replayed (exact-int tf/df/dl,
-                                 # ln drift 11 orders below the
-                                 # round-4 output contract)
-    "sssp_copurchase_parts",     # bounded Bellman-Ford with delta
-                                 # relaxation; recursive min(cost)
-                                 # walk oracle, exact BIGINT costs
-    "assortativity_trading",     # Newman degree assortativity; exact
-                                 # moments, decimal-128 products, one
-                                 # IEEE division, no sqrt
-    "source_divergence_docs",    # per-source entropy + KL vs corpus;
-                                 # nano-quantized transcendental sums
-                                 # replayed term-for-term
-    "ks_value_drift_events",     # exact two-sample KS D: distributed
-                                 # prefix cumsums, decimal-128
-                                 # numerators, one IEEE division
-    "stream_value_drift",        # streaming TV-drift alarm vs a static
-                                 # reference histogram; chained
-                                 # stateful aggs + narrow HOF fold,
-                                 # watermark-gated append oracle
+    # r11 rotation (VERDICT r10 ask #1): the nine r10-minted faces left
+    # overflow for front slots; these nine twice-green (r09+r10)
+    # incumbents take their place, every family keeping >=1 in-window
+    # member:
+    "event_transitions",         # sequences: daily_corr_view_purchase
+                                 # + cusum_change_events keep the
+                                 # family in-window
+    "time_to_convert_weekly",    # sequences: same coverage
+    "ab_conversion_ztest",       # sequences: same coverage
+    "top_event_paths",           # sequences: same coverage
+    "session_type_affinity",     # sequences/market-basket: same
+                                 # coverage; the gap-rule session
+                                 # assignment stays pytest-gated
+    "kcore_trading_graph",       # graph: lpa_communities_trading
+                                 # (once-green) + the four NEW
+                                 # fixpoint faces (CC, BFS, SSSP,
+                                 # assortativity) keep the family
+                                 # amply covered in-window
+    "node_clustering_parts",     # graph: same coverage; the wedge
+                                 # bound stays pytest-pinned
+    "oov_rate_docs",             # text: benchmark_decontaminate
+                                 # (front) + bm25_docs +
+                                 # source_divergence_docs (NEW) keep
+                                 # the text family
+    "cross_source_dup_matrix",   # dedup: incremental_dedup_drop
+                                 # (front) + semantic_dedup_recall
+                                 # (once-green) keep the family
 ]
 
 
@@ -6904,22 +6893,26 @@ def _reorder_registry() -> None:
     front = [
         # the flagship keeps slot 0 (pinned by test_flagship_is_first)
         "transe_rank_eval",
-        # r09 rotation (VERDICT r08 ask #1): ALL TWENTY r08 faces
-        # registered past the window (mirror-green at both SFs +
-        # pytest-gated, never driver-checked) take front slots until
-        # driver-green — the full queue drains in one rotation.
-        "event_transitions",
-        "time_to_convert_weekly",
-        "ab_conversion_ztest",
-        "cross_source_dup_matrix",
-        "kcore_trading_graph",
+        # r11 rotation (VERDICT r10 ask #1): the nine r10-minted faces
+        # (mirror-green at both SFs + pytest-gated, never
+        # driver-checked) take front slots until driver-green; nine
+        # twice-green r09-era incumbents rotated to overflow (see
+        # _OVERFLOW_ORACLE's r11 block).
+        "connected_components_parts",
+        "bfs_hops_trading",
+        "pareto_frontier_parts",
+        "bm25_docs",
+        "sssp_copurchase_parts",
+        "assortativity_trading",
+        "source_divergence_docs",
+        "ks_value_drift_events",
+        "stream_value_drift",
+        # once-green r09-era faces that stay until twice-green, plus
+        # the sequence/agg/warehouse/source family representatives the
+        # r11 rotation keeps in-window:
         "daily_corr_view_purchase",
-        "top_event_paths",
         "cusum_change_events",
         "percent_rank_doc_length",
-        "oov_rate_docs",
-        "session_type_affinity",
-        "node_clustering_parts",
         "data_quality_audit",
         "rfm_segments_customers",
         "stream_quality_counts",
