@@ -352,7 +352,8 @@ def test_semantic_near_pairs_no_cross_cluster_join(spark):
     from transe_pyspark_spark.sources.readers import load_table
 
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    pairs = semantic_near_pairs(e, threshold=0.4, n_cells=8, n_assign=2)
+    pairs = semantic_near_pairs(e, threshold=0.4, n_cells=8, n_assign=2,
+                                eager_cleanup=False)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         pairs.explain("formatted")

@@ -77,7 +77,8 @@ def test_semantic_near_pairs_assignment_runs_once(spark):
     rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
     df = spark.createDataFrame(rows, "id long, emb array<double>")
     pairs = semantic_near_pairs(df, id_col="id", vec_col="emb",
-                                threshold=0.2, n_cells=4, n_assign=2)
+                                threshold=0.2, n_cells=4, n_assign=2,
+                                eager_cleanup=False)
     plan = pairs._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )

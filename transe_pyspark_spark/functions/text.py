@@ -507,6 +507,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    eager_cleanup: bool = True,
 ):
     """Okapi BM25 relevance of every document against a fixed query
     term set (Robertson & Zaragoza 2009, the Lucene ``ln(1 + (N - df
@@ -532,7 +533,13 @@ def bm25_scores(
     exact-ints-plus-one-IEEE-op idiom, relaxed for the log).
 
     Returns (doc_id, n_matched_terms, score) for docs matching ≥1
-    term, score = round(BM25, 4).
+    term, score = round(BM25, 4). With the default
+    ``eager_cleanup=True`` the (doc-count-sized) result is
+    materialized via ``localCheckpoint`` and the corpus-sized
+    tokenization pin is RELEASED before returning — repeated calls
+    don't accumulate pinned caches (r10 advisory; the
+    ``degree_assortativity`` idiom). ``eager_cleanup=False`` keeps
+    the lazy plan for the structural gate.
     """
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     toks = (
@@ -581,10 +588,17 @@ def bm25_scores(
             )
         ).alias("__c"),
     )
-    return contrib.groupBy(id_col).agg(
+    out = contrib.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
         F.round(F.sum("__c"), 4).alias("score"),
     )
+    if not eager_cleanup:
+        # lazy mode (plan gate): leaves the tokenization pin in the
+        # cache manager — library callers use the default
+        return out
+    out = out.localCheckpoint(eager=True)  # scored leaf — THEN release the pin
+    toks.unpersist()
+    return out
 
 
 def source_divergence(
@@ -592,6 +606,7 @@ def source_divergence(
     text_col: str = "text",
     source_col: str = "source",
     id_col: str = "doc_id",
+    eager_cleanup: bool = True,
 ):
     """Per-source unigram distribution diagnostics: Shannon entropy of
     each source's token distribution and its KL divergence from the
@@ -618,7 +633,12 @@ def source_divergence(
     11 orders below the round-4 output.
 
     Returns (source, n_tokens, n_distinct_tokens, entropy,
-    kl_vs_corpus) — entropy/KL in nats, rounded to 4 decimals.
+    kl_vs_corpus) — entropy/KL in nats, rounded to 4 decimals. With
+    the default ``eager_cleanup=True`` the |sources|-sized result is
+    materialized via ``localCheckpoint`` and the corpus-sized
+    (source, token) pin is RELEASED before returning (r10 advisory;
+    the ``degree_assortativity`` idiom); ``eager_cleanup=False``
+    keeps the lazy plan for the structural gate.
     """
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     st = (
@@ -655,7 +675,7 @@ def source_divergence(
             F.round((p * F.log(p)) * F.lit(1e9)).cast("long").alias("__plogp_nano"),
         )
     )
-    return scored.groupBy("__src", "__ns", "__nd").agg(
+    out = scored.groupBy("__src", "__ns", "__nd").agg(
         F.round(-F.sum("__plogp_nano").cast("double") / F.lit(1e9), 4).alias("entropy"),
         F.round(F.sum("__kl_nano").cast("double") / F.lit(1e9), 4).alias("kl_vs_corpus"),
     ).select(
@@ -665,3 +685,10 @@ def source_divergence(
         "entropy",
         "kl_vs_corpus",
     )
+    if not eager_cleanup:
+        # lazy mode (plan gate): leaves the (source, token) pin in
+        # the cache manager — library callers use the default
+        return out
+    out = out.localCheckpoint(eager=True)  # |sources|-row leaf — THEN release
+    st.unpersist()
+    return out

@@ -22,6 +22,22 @@ from pyspark.sql import functions as F
 #: rank scale: 1.0 == 1_000_000 micro-units
 SCALE = 1_000_000
 
+#: truncate the iterative-state lineage (localCheckpoint + re-pin)
+#: every this many rounds in the unbounded-depth loops (bfs_hops,
+#: sssp_rounds) — the cache makes physical re-reads cheap, but the
+#: LOGICAL plan grows EXPONENTIALLY with rounds (each round's state
+#: references the previous round's subtree 2-3×: union + anti-join +
+#: frontier), and past ~7 un-truncated rounds the plan STRING Spark
+#: renders for AQE events alone OOMs the driver (measured: heap
+#: exhaustion inside QueryExecution.explainString on a 7-round BFS).
+#: 4 keeps ≤3³ leaf-rooted subtrees between truncations (with
+#: `spark.sql.maxPlanStringLength` as the categorical backstop) and
+#: stays off the bfs face's 3-hop walk; the sssp face's 4th round
+#: picks up one extra checkpoint+repartition on a tiny frame, with
+#: its gates on the round stage and its oracle values unchanged
+#: (r10 advisory)
+_LINEAGE_CHECKPOINT_EVERY = 4
+
 
 def pagerank_integer(
     edges: DataFrame,
@@ -653,6 +669,14 @@ def bfs_hops(
     set is re-pinned per round with its predecessor unpersisted (the
     repo's iterative-leaf pattern — under AQE a localCheckpoint would
     report UnknownPartitioning and re-shuffle both sides every round).
+    Frontier h−1 is dead once round h's visited set materializes (its
+    content is folded into ``visited``), so it is unpersisted IN-LOOP
+    — at most the adjacency + current visited + current frontier stay
+    pinned mid-loop, bounding executor storage on deep walks (r10
+    advisory). Every ``_LINEAGE_CHECKPOINT_EVERY`` rounds the visited
+    frame is localCheckpoint-truncated and re-pinned (one extra
+    shuffle to restore the node partitioning) so analyzer time and
+    plan depth stay bounded at high hop counts.
 
     Fixpoint-equivalent to a recursive-CTE ``min(depth)`` walk, which
     is exactly how the registered face's DuckDB oracle replays it —
@@ -706,14 +730,36 @@ def bfs_hops(
             nxt.unpersist()
             break
         new_visited = visited.unionByName(nxt).repartition(n_part, "node").cache()
-        new_visited.count()
-        pinned.append(nxt)
+        if h % _LINEAGE_CHECKPOINT_EVERY == 0:
+            # truncate lineage so plan size stays bounded on deep
+            # walks; re-pin to restore the node partitioning the
+            # checkpoint drops (UnknownPartitioning under AQE)
+            trunc = (
+                new_visited.localCheckpoint(eager=True)
+                .repartition(n_part, "node")
+                .cache()
+            )
+            new_visited.unpersist()
+            new_visited = trunc
+            new_visited.count()
+            # the frontier IS the hop-h slice of visited — re-derive
+            # it from the truncated leaf (a filter over the new cache)
+            # so the frontier's lineage is truncated too; the old
+            # cached frontier is folded in and dead
+            nxt.unpersist(blocking=True)
+            nxt = new_visited.filter(F.col("hops") == h)
+        else:
+            new_visited.count()
+            pinned.append(nxt)
         pinned.append(new_visited)
-        prev = visited
+        prev_visited, prev_frontier = visited, frontier
         visited, frontier = new_visited, nxt
-        if prev is not adj:
-            prev.unpersist()
-            pinned.remove(prev)
+        # prev_visited's rows now live in new_visited's cache; the
+        # h−1 frontier is a subset of prev_visited — both are dead
+        for dead in (prev_visited, prev_frontier):
+            if dead is not adj and dead in pinned:
+                dead.unpersist(blocking=True)
+                pinned.remove(dead)
     out = visited.select("node", "hops").localCheckpoint(eager=True)
     for df in pinned:
         df.unpersist()
@@ -776,6 +822,13 @@ def sssp_rounds(
     with ``hops < rounds`` recomputes — the fixpoint-oracle pattern
     with a cost column. Costs stay exact BIGINTs end to end.
 
+    Round r−1's relaxed frame is dead once round r's materializes (its
+    rows are folded in) and is unpersisted IN-LOOP, so mid-loop
+    storage is bounded at the adjacency + one live round regardless of
+    the round count; every ``_LINEAGE_CHECKPOINT_EVERY`` rounds the
+    state is localCheckpoint-truncated and re-pinned to keep the
+    logical plan depth bounded too (r10 advisory).
+
     Returns (node, cost) — seeds at 0, plus every node reachable
     within ``rounds`` edges.
     """
@@ -813,19 +866,45 @@ def sssp_rounds(
     dist.count()
     frontier = dist
     pinned = [adj, dist]
-    for _ in range(rounds):
+    prev_relaxed = None
+    for r in range(1, rounds + 1):
         relaxed = _sssp_relax(adj, frontier, dist).repartition(n_part, "node").cache()
+        if r % _LINEAGE_CHECKPOINT_EVERY == 0:
+            # bound logical-plan depth on high round counts; re-pin to
+            # restore the node partitioning the checkpoint drops
+            trunc = (
+                relaxed.localCheckpoint(eager=True)
+                .repartition(n_part, "node")
+                .cache()
+            )
+            relaxed.unpersist()
+            relaxed = trunc
+        # materialize the WHOLE round (next round's fold reads every
+        # row anyway) so the superseded round's frame can be released
+        # now instead of accumulating until exit (r10 advisory)
+        relaxed.count()
         nxt_frontier = relaxed.filter(F.col("__improved")).select("node", "cost")
         nxt_dist = relaxed.select("node", "cost")
         if nxt_frontier.limit(1).count() == 0:
+            # converged: nothing improved, so relaxed holds the same
+            # costs dist already has — discard it and keep dist (whose
+            # backing frame, prev_relaxed or the seed pin, is still
+            # pinned for the final checkpoint)
             relaxed.unpersist()
             break
         pinned.append(relaxed)
         prev = dist
         dist, frontier = nxt_dist, nxt_frontier
         if prev is not adj and prev in pinned:
-            prev.unpersist()
+            prev.unpersist(blocking=True)
             pinned.remove(prev)
+        if prev_relaxed is not None and prev_relaxed in pinned:
+            # round r−1's frame: its rows are folded into this round's
+            # relaxed cache, so it is dead the moment relaxed.count()
+            # returns
+            prev_relaxed.unpersist(blocking=True)
+            pinned.remove(prev_relaxed)
+        prev_relaxed = relaxed
     out = dist.select("node", "cost").localCheckpoint(eager=True)
     for df in pinned:
         df.unpersist()

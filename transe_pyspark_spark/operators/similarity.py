@@ -546,6 +546,7 @@ def semantic_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pair discovery (r09 —
     the embedding-level dedup modality next to the text-side exact /
@@ -575,6 +576,14 @@ def semantic_near_pairs(
     co-partitioned).
 
     Returns (id_a, id_b, cos_sim round 6) with id_a < id_b, distinct.
+    With the default ``eager_cleanup=True`` the pair set is
+    materialized via ``localCheckpoint`` and the corpus-sized
+    exploded-assignment pin is RELEASED before returning — callers
+    looping ``semantic_dedup_keep`` no longer accumulate pinned
+    caches (r10 advisory; the ``degree_assortativity`` idiom), and
+    multi-consumer callers (components + recall census) read the
+    checkpoint instead of re-running the join. ``eager_cleanup=False``
+    keeps the lazy plan for the structural gate.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -619,7 +628,7 @@ def semantic_near_pairs(
     )
     a = binned.select("cell", F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     b = binned.select("cell", F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    return (
+    out = (
         a.join(b, ["cell"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", V.cosine(F.col("__va"), F.col("__vb")).alias("__cos"))
@@ -629,6 +638,13 @@ def semantic_near_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.round(F.max("__cos"), 6).alias("cos_sim"))
     )
+    if not eager_cleanup:
+        # lazy mode (plan gate): leaves the assignment pin in the
+        # cache manager — library callers use the default
+        return out
+    out = out.localCheckpoint(eager=True)  # pair leaf — THEN release the pin
+    binned.unpersist()
+    return out
 
 
 def semantic_dedup_keep(

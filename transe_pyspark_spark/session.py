@@ -42,6 +42,15 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.warehouse.dir": "/tmp/spark-graft-warehouse",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # Iterative operators (BFS/SSSP/LPA/CC/PageRank) grow the LOGICAL
+    # plan multiplicatively per round until their periodic checkpoint
+    # truncation; Spark stringifies every executed plan for listener
+    # events even with the UI off, and an uncapped render of a deep
+    # iterative plan OOMs the driver building one giant string
+    # (measured: heap exhaustion inside PlanStringConcat on a 7-round
+    # BFS). 2M chars is ~100× the repo's largest gated explain, so
+    # plan gates are unaffected.
+    "spark.sql.maxPlanStringLength": "2000000",
 }
 
 

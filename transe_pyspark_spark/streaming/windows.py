@@ -407,8 +407,11 @@ def windowed_value_drift(
     of ``distribution_drift``'s batch screen, with the same exact
     arithmetic: ``tv_num = Σ_b |n_b·R − r_b·N|`` (+ ``r_b·N`` for
     reference buckets absent from the window, folded as
-    ``(R − covered)·N``), all BIGINT, and ONE IEEE division
-    ``tv = tv_num / (2·N·R)``.
+    ``(R − covered)·N``) — counts in BIGINT, every product and the
+    running sum in decimal(38,0) (the ``distribution_drift`` /
+    ``ks_statistic`` idiom; the oracle's HUGEINT takes the same
+    road), one cast back to BIGINT at ``tv_num``, and ONE IEEE
+    division ``tv = tv_num / (2·N·R)``.
 
     Plan (the ``chained_windowed_counts`` cascade): per-(window,
     bucket) counts are stateful agg #1; agg #2 windows over
@@ -437,19 +440,28 @@ def windowed_value_drift(
     ) if ref_items else F.create_map().cast("map<bigint,bigint>")
     r_total = F.lit(int(ref_total)).cast("long")
     rb = lambda e: F.coalesce(ref_map[e["__b"]], F.lit(0).cast("long"))  # noqa: E731
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    # products and the running sum ride decimal(38,0), matching the
+    # batch siblings and the oracle's HUGEINT — a BIGINT·BIGINT
+    # product here would silently wrap past 2⁶³ at large
+    # window-count × reference-total scales (r10 advisory); the one
+    # cast back to BIGINT happens at tv_num, where the docstring's
+    # exactness contract applies
     matched = F.aggregate(
         F.col("__h"),
-        F.lit(0).cast("long"),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, e: acc
-        + F.abs(e["__n"] * r_total - rb(e) * F.col("n_events")),
+        + F.abs(d38(e["__n"]) * d38(r_total) - d38(rb(e)) * d38(F.col("n_events"))),
     )
     covered = F.aggregate(
         F.col("__h"), F.lit(0).cast("long"), lambda acc, e: acc + rb(e)
     )
-    tv_num = (matched + (r_total - covered) * F.col("n_events")).cast("long")
-
-    def d38(c):
-        return c.cast("decimal(38,0)")
+    tv_num = (
+        matched + d38(r_total - covered) * d38(F.col("n_events"))
+    ).cast("long")
 
     return rolled.select(
         F.col("w2.start").alias("window_start"),
