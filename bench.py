@@ -142,6 +142,15 @@ SF1_HEADLINE = [
     # streaming drift at 10×: two chained stateful aggs + the narrow
     # HOF fold drain the 10× event files under AvailableNow
     "stream_value_drift",
+    # r11 (VERDICT r10 ask #5): the weighted-relaxation family's
+    # measured 10× point — the co-purchase SSSP face's qty>=35 slice
+    # stays tiny at any SF, so the DENSE trading-graph variant (the
+    # bfs_hops_trading construction plus familiarity weights) is the
+    # face that pays corpus-proportional frontiers at sf1; the r11
+    # continuous-x skyline exercises the staircase's distributed
+    # prefix over ~600k distinct x values
+    "sssp_trading_graph",
+    "pareto_frontier_lineitem",
 ]
 
 
@@ -312,6 +321,25 @@ def _bucketed_join_seconds(spark, sf_dir: str) -> float:
     return sorted(samples)[len(samples) // 2], samples
 
 
+def _probe_codegen(spark) -> float:
+    """The jvm_codegen probe alone (median of 3, after a warmup) —
+    the cheap section-bracket sample. r11 (VERDICT r10 ask #4): a
+    single run-level probe midpoint divided every normalized row, so
+    when machine speed drifted MID-RUN (r10: the midpoint nearly
+    halved r09→r10) 18 normalized ratios moved while only 4 raw rows
+    did — the normalization manufactured false movers. Each section
+    now gets its own (start, end) bracket and its rows normalize by
+    that bracket's midpoint."""
+    fn = lambda: spark.range(500_000_000).selectExpr("sum(id * 2 + 7)").collect()  # noqa: E731
+    fn()  # warmup
+    s = []
+    for _ in range(3):
+        t0 = time.time()
+        fn()
+        s.append(round(time.time() - t0, 3))
+    return sorted(s)[1]
+
+
 def _calibration(spark) -> dict[str, float]:
     """Machine-speed probes on FIXED synthetic work — no testdata, no
     repo code — so a cross-round shift in these numbers measures the
@@ -335,9 +363,7 @@ def _calibration(spark) -> dict[str, float]:
         return sorted(s)[1]
 
     out = {}
-    out["jvm_codegen"] = med(
-        lambda: spark.range(500_000_000).selectExpr("sum(id * 2 + 7)").collect()
-    )
+    out["jvm_codegen"] = _probe_codegen(spark)
     out["jvm_shuffle"] = med(
         lambda: spark.range(20_000_000)
         .groupBy((F.col("id") % 100_000).alias("k"))
@@ -381,6 +407,10 @@ def main() -> None:
         _bucketed_join_seconds(spark, sf_dir)
     )
     print(f"# bucketed_orders_lineitem: {times['bucketed_orders_lineitem']}s", file=sys.stderr)
+
+    # headline-section end bracket (VERDICT r10 ask #4)
+    probe_headline_end = _probe_codegen(spark)
+    print(f"# probe_headline_end: {probe_headline_end}", file=sys.stderr)
 
     # Scale-path reference points, NOT summed into ``value``: the
     # relational trainer deliberately pays per-batch shuffles to keep
@@ -448,6 +478,10 @@ def main() -> None:
         scale_paths[f"skew_join_{mode}"] = med
         runs[f"skew_join_{mode}"] = samples
         print(f"# skew_join_{mode}: {med}s", file=sys.stderr)
+
+    # scale-paths-section end bracket (VERDICT r10 ask #4)
+    probe_scale_end = _probe_codegen(spark)
+    print(f"# probe_scale_end: {probe_scale_end}", file=sys.stderr)
 
     # sf1 scale-proof section (VERDICT r04 ask #6): the 5 most
     # expensive headline queries at 10× the bench scale, NOT summed
@@ -525,24 +559,37 @@ def main() -> None:
     print(f"# calibration_end: {calibration_end}", file=sys.stderr)
 
     # calibration-normalized ratios (VERDICT r06 ask #8): query time
-    # divided by the same run's jvm_codegen probe — a dimensionless
+    # divided by a same-run jvm_codegen probe — a dimensionless
     # number that factors host-speed drift out of cross-round
     # comparisons (the r05/r06 small-suite "regressions" were pinned
-    # plans + drifting probes; this makes that call mechanical). The
-    # start/end probe medians bound within-run drift, so normalize by
-    # their midpoint.
+    # plans + drifting probes; this makes that call mechanical).
+    # r11 (VERDICT r10 ask #4): each SECTION is bracketed by its own
+    # (start, end) probe pair and its rows normalize by that
+    # bracket's midpoint — a multi-minute run drifts mid-flight, and
+    # one run-level midpoint dividing every row made 18 normalized
+    # sf1 ratios move r09→r10 while only 4 raw rows did. The
+    # run-level pair (calibration/calibration_end) remains the
+    # cross-section drift bound.
+    section_probes = {
+        "headline": [calibration["jvm_codegen"], probe_headline_end],
+        "scale_paths": [probe_headline_end, probe_scale_end],
+        "sf1": [probe_scale_end, calibration_end["jvm_codegen"]],
+    }
+    p_head, p_scale, p_sf1 = (
+        sum(section_probes[k]) / 2 for k in ("headline", "scale_paths", "sf1")
+    )
     probe = (calibration["jvm_codegen"] + calibration_end["jvm_codegen"]) / 2
-    normalized = {n: round(times[n] / probe, 2) for n in HEADLINE}
+    normalized = {n: round(times[n] / p_head, 2) for n in HEADLINE}
     # r09 (VERDICT r08 ask #2): the sf1 and scale-path rows get the
     # same treatment — the r07/r08 "regressions" that cost manual
     # quiet-host triage were both sf1 rows, which the normalized block
     # didn't cover. A mover whose normalized ratio is flat across
     # rounds is host drift; a mover whose ratio moved is real.
     normalized_sf1 = {
-        n: round(v / probe, 2) for n, v in sf1.items() if isinstance(v, (int, float))
+        n: round(v / p_sf1, 2) for n, v in sf1.items() if isinstance(v, (int, float))
     }
     normalized_scale_paths = {
-        k: round(v / probe, 2)
+        k: round(v / p_scale, 2)
         for k, v in scale_paths.items()
         if isinstance(v, (int, float))
     }
@@ -557,6 +604,12 @@ def main() -> None:
         "normalized_sf1": normalized_sf1,
         "normalized_scale_paths": normalized_scale_paths,
         "normalized_probe": round(probe, 4),
+        "section_probes": section_probes,
+        "section_probe_midpoints": {
+            "headline": round(p_head, 4),
+            "scale_paths": round(p_scale, 4),
+            "sf1": round(p_sf1, 4),
+        },
         "scale_paths": scale_paths,
         "sf1": sf1,
         "calibration": calibration,

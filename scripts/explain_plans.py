@@ -394,10 +394,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "BIGINT division — no per-node neighborhood materialization",
     ),
     "pareto_frontier_parts": (
-        ["BroadcastHashJoin", "LeftSemi"],
-        "the skyline staircase (per-size min + strict prefix-min over "
-        "the AGGREGATE) broadcasts back as a semi-join — the corpus is "
-        "never self-joined and never globally windowed",
+        ["__pid", "BroadcastHashJoin", "LeftSemi"],
+        "the skyline staircase (per-x min + strict prefix-min on the "
+        "frozen-range-partition distributed prefix — r11: the x window "
+        "keys on __pid, never a pid-less global window, so a "
+        "CONTINUOUS x can't funnel through one task) broadcasts back "
+        "as a semi-join — the corpus is never self-joined",
     ),
     "bm25_docs": (
         ["InMemoryTableScan", "BroadcastHashJoin"],
@@ -1068,11 +1070,50 @@ def main() -> int:
         .cache()
     )
     _ss_dist0.count()
+    # r11 (VERDICT r10 ask #5): the DENSE trading-graph SSSP face —
+    # the weighted bfs_hops_trading construction (familiarity weights
+    # 1 + 1000 div n_orders), seeded at the nation<5 supplier cohort
+    _st_ew = (
+        _o.join(_li, _F.col("l_orderkey") == _F.col("o_orderkey"))
+        .groupBy(
+            _F.col("o_custkey").cast("long").alias("a"),
+            (_F.lit(10000000) + _F.col("l_suppkey")).cast("long").alias("b"),
+        )
+        .agg(_F.count(_F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "a", "b", (_F.lit(1) + _F.expr("1000 div __c")).cast("long").alias("w")
+        )
+    )
+    _st_adj = (
+        _st_ew.select(
+            _F.explode(
+                _F.array(
+                    _F.struct(_F.col("a").alias("node"), _F.col("b").alias("nbr"), _F.col("w")),
+                    _F.struct(_F.col("b").alias("node"), _F.col("a").alias("nbr"), _F.col("w")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.*")
+        .repartition(32, "node")
+        .cache()
+    )
+    _st_adj.count()
+    _st_dist0 = (
+        _T(spark, sf_dir, "supplier")
+        .filter(_F.col("s_nationkey") < 5)
+        .select((_F.lit(10000000) + _F.col("s_suppkey")).cast("long").alias("node"))
+        .distinct()
+        .withColumn("cost", _F.lit(0).cast("long"))
+        .repartition(32, "node")
+        .cache()
+    )
+    _st_dist0.count()
     lazy_gates = [
         (
             "semantic_dedup_recall (pair stage)",
             semantic_near_pairs(
-                _lt(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=8, n_assign=2
+                _lt(spark, sf_dir, "embeddings"), threshold=0.4, n_cells=8,
+                n_assign=2, eager_cleanup=False,
             ),
             ["MapInPandas", "InMemoryTableScan"],
             ["CartesianProduct", "BroadcastNestedLoopJoin"],
@@ -1159,6 +1200,20 @@ def main() -> int:
             "cache-definition lineage, built once)",
         ),
         (
+            "sssp_trading_graph (relax stage)",
+            _sssp_relax(_st_adj, _st_dist0, _st_dist0),
+            ["InMemoryTableScan", "HashAggregate"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+            12,
+            "the DENSE-graph regime of the relax stage (r11, the "
+            "sf1-benched weighted face): identical per-round shape to "
+            "the co-purchase gate — frontier equi-join against the "
+            "pinned familiarity-weighted trading adjacency, min "
+            "hash-agg, node-keyed full-outer fold — with "
+            "corpus-proportional frontiers instead of the qty>=35 "
+            "sliver",
+        ),
+        (
             "assortativity_trading (moment stage)",
             degree_assortativity(_kedges, eager_cleanup=False),
             ["InMemoryTableScan", "HashAggregate"],
@@ -1196,6 +1251,7 @@ def main() -> int:
             "connected_components_parts (round stage)": 2,
             "bfs_hops_trading (frontier stage)": 3,
             "sssp_copurchase_parts (relax stage)": 3,
+            "sssp_trading_graph (relax stage)": 3,
             "assortativity_trading (moment stage)": 2,
         }
         one_scan_ok = scans <= _scan_allowance.get(name, 1)

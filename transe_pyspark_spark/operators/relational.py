@@ -2055,26 +2055,48 @@ def pareto_frontier_2d(
     dimensions the frontier is a staircase, so domination collapses to
     per-x-value minima plus a strict prefix-min scan over x. Plan: one
     hash aggregate ``min(y) GROUP BY x`` (the only corpus-sized
-    shuffle), a window prefix-min over the AGGREGATE (|distinct x|
-    rows — aggregate-sized by contract, the repo's window-over-post-
-    aggregate pattern, never a window over the corpus), and one
-    broadcast semi-join of the surviving (x, min_y) staircase back to
-    the full table. Ties co-survive: rows equal on BOTH axes don't
-    dominate each other (no strict inequality), so every row matching
-    a staircase step is kept — exactly the NOT EXISTS semantics.
+    shuffle); the strict prefix-min over that aggregate rides the
+    ``_frozen_range_partition`` distributed prefix — range-partition
+    by x with partition identity frozen, per-partition minima
+    broadcast back as exclusive cross-partition offsets, the running
+    min inside each tile — because for a CONTINUOUS x the aggregate
+    is ~corpus-sized and a pid-less ``Window.orderBy(x)`` would
+    funnel it through one task (the ``ks_statistic`` tiling;
+    prefix-min is associative so the same two-pass shape applies).
+    The surviving (x, min_y) staircase is FRONTIER-sized (output-
+    sized by contract) and broadcast-semi-joins back to the full
+    table. Ties co-survive: rows equal on BOTH axes don't dominate
+    each other (no strict inequality), so every row matching a
+    staircase step is kept — exactly the NOT EXISTS semantics.
 
     Returns the input rows (all columns) on the frontier.
     """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     per_x = df.groupBy(x_col).agg(F.min(F.col(y_col)).alias("__min_y"))
-    w = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
+    part = _frozen_range_partition(per_x, x_col, n_part)
+    tile_mins = part.groupBy("__pid").agg(F.min("__min_y").alias("__tmin"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = F.broadcast(
+        tile_mins.select("__pid", F.min("__tmin").over(w_off).alias("__off_min"))
+    )
+    w_in = Window.partitionBy("__pid").orderBy(x_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     steps = (
-        per_x.withColumn("__prev_best", F.min("__min_y").over(w))
+        part.join(offs, "__pid")
+        .withColumn(
+            "__prev_best", F.least(F.min("__min_y").over(w_in), F.col("__off_min"))
+        )
         .filter(F.col("__prev_best").isNull() | (F.col("__min_y") < F.col("__prev_best")))
         .select(x_col, F.col("__min_y"))
     )
-    return df.join(
-        F.broadcast(steps),
-        (df[x_col] == steps[x_col]) & (df[y_col] == steps["__min_y"]),
+    # qualified aliases: steps descends from df, and Spark's ambiguous-
+    # self-join detection flags dataset-indexed columns across that
+    # shared lineage on file-sourced frames
+    return df.alias("__sky_base").join(
+        F.broadcast(steps.alias("__sky_steps")),
+        (F.col(f"__sky_base.{x_col}") == F.col(f"__sky_steps.{x_col}"))
+        & (F.col(f"__sky_base.{y_col}") == F.col("__sky_steps.__min_y")),
         "left_semi",
     )
 
@@ -2146,8 +2168,12 @@ def ks_statistic(
         (F.sum("__ca").over(w_in) + F.col("__offa")).cast("long").alias("__cuma"),
         (F.sum("__cb").over(w_in) + F.col("__offb")).cast("long").alias("__cumb"),
     )
-    totals = pv.agg(
-        F.sum("__ca").cast("long").alias("n_a"), F.sum("__cb").cast("long").alias("n_b")
+    # totals from the already-materialized frozen frame (via the tiny
+    # per-partition sizes), NOT from pv — an uncached pv here would
+    # re-execute the corpus filter+groupBy a second time (the repo's
+    # multi-consumer trap; r10 advisory)
+    totals = sizes.agg(
+        F.sum("__sa").cast("long").alias("n_a"), F.sum("__sb").cast("long").alias("n_b")
     )
 
     def d38(c):

@@ -6252,7 +6252,12 @@ def q_bm25_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transe_pyspark_spark.functions.text import bm25_scores
 
     d = _T(spark, sf_dir, "documents")
-    return bm25_scores(d, ["hash", "join", "stream", "vector", "window"])
+    # lazy form: the registered face is what the structural plan gate
+    # explains; the library default (eager_cleanup=True) is the
+    # leak-free form
+    return bm25_scores(
+        d, ["hash", "join", "stream", "vector", "window"], eager_cleanup=False
+    )
 
 
 @_register(
@@ -6398,7 +6403,9 @@ def q_source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with thousands of terms)."""
     from transe_pyspark_spark.functions.text import source_divergence
 
-    return source_divergence(_T(spark, sf_dir, "documents"))
+    # lazy form for the structural plan gate; library callers get the
+    # leak-free eager default
+    return source_divergence(_T(spark, sf_dir, "documents"), eager_cleanup=False)
 
 
 @_register(
@@ -6490,6 +6497,114 @@ def q_stream_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream(spark, sf_dir), items, sum(r for _, r in items)
     )
     return run_available_now(stream, spark, output_mode="append")
+
+
+@_register(
+    "pareto_frontier_lineitem",
+    oracle="""
+    WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                       CAST(l_partkey AS BIGINT) AS l_partkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                       CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem)
+    SELECT l_orderkey, l_partkey, price_cents, qty
+    FROM li AS p
+    WHERE NOT EXISTS (SELECT 1 FROM li AS q
+                      WHERE q.price_cents <= p.price_cents
+                        AND q.qty <= p.qty
+                        AND (q.price_cents < p.price_cents OR q.qty < p.qty))
+    """,
+    tags=("relational", "skyline"),
+)
+def q_pareto_frontier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-x regime of the skyline (r11 — VERDICT r10 ask
+    #2): cheapest-AND-smallest lineitems over x = `price_cents`
+    (~59.8k distinct values in 60k rows at sf0.01 — per-x aggregate ≈
+    corpus-sized), where the r10 pid-less `Window.orderBy(x)` would
+    have funneled the whole aggregate through ONE task. The staircase
+    prefix-min now rides the `_frozen_range_partition` distributed
+    prefix (`ks_statistic`'s tiling — prefix-min is associative, the
+    same two-pass shape), gated by the pid-less-window plan test. The
+    oracle states the quadratic NOT-EXISTS definition."""
+    from transe_pyspark_spark.operators.relational import pareto_frontier_2d
+
+    li = _T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_partkey").cast("long").alias("l_partkey"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return pareto_frontier_2d(li, "price_cents", "qty")
+
+
+@_register(
+    "sssp_trading_graph",
+    oracle="""
+    WITH cnt AS (SELECT CAST(o_custkey AS BIGINT) AS a,
+                        CAST(10000000 + l_suppkey AS BIGINT) AS b,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 GROUP BY 1, 2),
+    und AS (SELECT a, b, CAST(1 + 1000 // c AS BIGINT) AS w FROM cnt),
+    adj AS (SELECT a AS node, b AS nbr, w FROM und
+            UNION ALL
+            SELECT b AS node, a AS nbr, w FROM und),
+    d0 AS (SELECT CAST(10000000 + s_suppkey AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS cost
+           FROM supplier WHERE s_nationkey < 5),
+    d1 AS (SELECT node, min(cost) AS cost FROM (
+             SELECT node, cost FROM d0
+             UNION ALL
+             SELECT adj.nbr AS node, d0.cost + adj.w AS cost
+             FROM d0 JOIN adj ON adj.node = d0.node) GROUP BY node),
+    d2 AS (SELECT node, min(cost) AS cost FROM (
+             SELECT node, cost FROM d1
+             UNION ALL
+             SELECT adj.nbr AS node, d1.cost + adj.w AS cost
+             FROM d1 JOIN adj ON adj.node = d1.node) GROUP BY node),
+    d3 AS (SELECT node, min(cost) AS cost FROM (
+             SELECT node, cost FROM d2
+             UNION ALL
+             SELECT adj.nbr AS node, d2.cost + adj.w AS cost
+             FROM d2 JOIN adj ON adj.node = d2.node) GROUP BY node)
+    SELECT node, CAST(cost AS BIGINT) AS cost FROM d3
+    """,
+    tags=("graph", "iterative"),
+)
+def q_sssp_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DENSE-graph regime of the weighted relaxation family (r11 —
+    VERDICT r10 ask #5): bounded Bellman-Ford over the full
+    customer↔supplier trading graph (the `bfs_hops_trading`
+    construction plus a familiarity weight, `w = 1 + 1000 div
+    n_orders` — many trades make a hop cheap), seeded at the nation<5
+    supplier cohort, 3 rounds. The co-purchase face's qty≥35 slice
+    stays tiny at any SF, so THIS face is the one `bench.py` runs at
+    sf1 (`sf1_sssp_trading_graph`) — frontiers here are
+    corpus-proportional. Fixed rounds make the unrolled-SQL oracle
+    (the `kcore_peel` precedent) exact: three min-fold rounds replay
+    the delta relaxation's cumulative result without enumerating
+    walks. Exact BIGINT costs end to end
+    (`operators/graph.py:sssp_rounds`)."""
+    from transe_pyspark_spark.operators.graph import sssp_rounds
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    s = _T(spark, sf_dir, "supplier")
+    ew = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.lit(10000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "src", "dst", (F.lit(1) + F.expr("1000 div __c")).cast("long").alias("w")
+        )
+    )
+    seeds = s.filter(F.col("s_nationkey") < 5).select(
+        (F.lit(10000000) + F.col("s_suppkey")).cast("long").alias("node")
+    )
+    return sssp_rounds(ew, seeds, rounds=3)
 
 
 # ---------------------------------------------------------------------------
@@ -6886,6 +7001,19 @@ _OVERFLOW_ORACLE = [
     "cross_source_dup_matrix",   # dedup: incremental_dedup_drop
                                  # (front) + semantic_dedup_recall
                                  # (once-green) keep the family
+    # NOT a rotated-out incumbent — the new r11 face registered past
+    # the full window (mirror-checked + pytest-gated, never
+    # driver-checked): the r12 rotation queue:
+    "pareto_frontier_lineitem",  # the skyline's CONTINUOUS-x regime:
+                                 # the staircase prefix-min on the
+                                 # frozen-range-partition distributed
+                                 # prefix (~60k distinct x), NOT
+                                 # EXISTS oracle
+    "sssp_trading_graph",        # Bellman-Ford's DENSE-graph regime
+                                 # (trading graph + familiarity
+                                 # weights, the sf1-benched face);
+                                 # 3-round unrolled-SQL min-fold
+                                 # oracle
 ]
 
 
