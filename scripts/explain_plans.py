@@ -198,6 +198,14 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "checkpoint's LogicalRDD loses under AQE, so iterations reuse one "
         "partitioning instead of re-Exchanging the edge table)",
     ),
+    "ppr_copurchase_parts": (
+        ["HashAggregate", "InMemoryTableScan"],
+        "the restart-vector variant keeps pagerank's iteration shape "
+        "(node-keyed equi-joins + one destination hash agg over the "
+        "pinned edge/degree/seed-flag leaves); only NONZERO-rank nodes "
+        "join the edge table, so pre-spread iterations are "
+        "seed-ball-sized",
+    ),
     "copurchase_parts": (
         ["TakeOrderedAndProject", "HashAggregate"],
         "candidates come from the basket-keyed self-equi-join (bounded by "
@@ -483,6 +491,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "rank propagation is a node-keyed equi-join per iteration",
     ),
+    "ppr_copurchase_parts": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+        "rank propagation is a node-keyed equi-join per iteration; the "
+        "seed flag rides a left join, never a window",
+    ),
     "interval_overlap_purchases": (
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
         "the overlap theta predicate must ride the bucket equi-join, "
@@ -612,6 +625,10 @@ MAX_EXCHANGES = {
     # shuffle is the contribution agg (+ the one-time repartition/degree
     # builds inside the cached plans); was 13 with checkpointed leaves
     "pagerank_trading_graph": 9,
+    # pagerank's 9 plus the co-purchase pair self-join and the pinned
+    # seed-flag leaf's printed cache-DEFINITION lineage (built once;
+    # explain counts definition nodes alongside the live plan)
+    "ppr_copurchase_parts": 16,
     # distinct (basket, item) agg + pair-key agg + the self-join side
     "copurchase_parts": 3,
     # 3 key profiles × (per-key count agg + single-row rollup)

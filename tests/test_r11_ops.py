@@ -164,6 +164,81 @@ def test_pareto_plan_has_no_pidless_x_window(spark):
     assert not bad, bad
 
 
+# ------------------------------------------------- personalized PageRank
+
+
+def _ppr_model(edge_list, seeds, iters=3):
+    """Pure-python exact-integer PPR twin of
+    personalized_pagerank_integer (same div semantics)."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, d in edge_list:
+        out[s].append(d)
+    r = {v: (1_000_000 if v in seeds else 0) for v in out}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for u, ds in out.items():
+            c = r[u] // len(ds)
+            for d in ds:
+                inc[d] += c
+        r = {
+            v: (150_000 if v in seeds else 0) + (85 * inc.get(v, 0)) // 100
+            for v in out
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_model(spark):
+    """Random doubled graph + seed cohort: exact-integer PPR is a pure
+    function of (edges, seeds) — Spark must equal the python model
+    bit-for-bit, including nodes the rank ball hasn't reached (0)."""
+    import random
+
+    from transe_pyspark_spark.operators.graph import personalized_pagerank_integer
+
+    rng = random.Random(11)
+    und = {(a, b) for a, b in ((rng.randrange(30), rng.randrange(30)) for _ in range(60)) if a != b}
+    edge_list = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    seeds = [0, 1, 2]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in personalized_pagerank_integer(edges, sd, iterations=3).collect()
+    }
+    assert got == _ppr_model(edge_list, set(seeds))
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_personalized_pagerank_mass_stays_in_seed_component(spark):
+    """Two disconnected triangles, seeds only in the first: the second
+    component's ranks are exactly 0 at every node (the restart vector
+    is the ONLY mass source), and seed-component ranks are positive."""
+    from transe_pyspark_spark.operators.graph import personalized_pagerank_integer
+
+    tri = lambda o: [(o, o + 1), (o + 1, o + 2), (o + 2, o)]  # noqa: E731
+    und = tri(0) + tri(10)
+    edge_list = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    sd = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in personalized_pagerank_integer(edges, sd, iterations=4).collect()
+    }
+    assert all(got[n] == 0 for n in (10, 11, 12))
+    assert got[0] > got[1] > 0 and got[1] == got[2]
+
+
+def test_personalized_pagerank_rejects_dangling(spark):
+    from transe_pyspark_spark.operators.graph import personalized_pagerank_integer
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")  # 2 dangles
+    sd = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="dangling"):
+        personalized_pagerank_integer(edges, sd)
+
+
 # --------------------------------------- eager-cleanup for r10 corpus pins
 
 

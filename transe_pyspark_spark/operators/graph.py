@@ -159,6 +159,111 @@ def pagerank_integer(
     return out
 
 
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    checkpoint_every: int = 5,
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Personalized PageRank (r11 — the restart-vector variant of
+    ``pagerank_integer``, and the recommendation primitive: rank every
+    node by its proximity to a SEED set — "customers like these",
+    "parts bought with this one"). The restart mass teleports to the
+    seeds instead of uniformly:
+    ``r'(v) = seed(v)·(100−d)·SCALE/100 + d·Σ (r(u) div outdeg(u))/100``
+    with ranks starting at ``SCALE`` on seeds and 0 elsewhere — every
+    operation exact-BIGINT (the ``pagerank_integer`` determinism
+    contract), so a fixed-iteration run unrolls into the same
+    hash-checkable SQL oracle pattern.
+
+    Same no-dangling contract as ``pagerank_integer`` (enforced);
+    seeds not in the graph's node set hold no mass (they have no
+    out-edges to push it through) and are dropped by the node join.
+
+    Scale posture: identical per-iteration shape to
+    ``pagerank_integer`` (node-keyed joins over the once-pinned edge /
+    degree / seed-flag leaves + one destination-keyed hash-agg) with
+    one sparse-regime addition: only nodes with NONZERO rank join the
+    edge table (a zero rank contributes ``0 div outdeg = 0``), so
+    before the rank mass spreads graph-wide the per-iteration join is
+    seed-ball-sized — the ``bfs_hops`` shrinking-frontier posture
+    applied to rank propagation.
+
+    Returns (node, rank_micro) for every node with an out-edge.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    n_part = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ed = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .repartition(int(n_part), "__s")
+        .cache()
+    )
+    dg = ed.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__outdeg")
+    ).cache()
+    dg.count()
+    n_dangling = (
+        ed.select(F.col("__d").alias("__s"))
+        .distinct()
+        .join(dg.select("__s"), "__s", "left_anti")
+        .count()
+    )
+    if n_dangling:
+        raise ValueError(
+            f"{n_dangling} dangling node(s) (in-edges but no out-edges) — "
+            "personalized_pagerank_integer requires every node to have an "
+            "out-edge; add self-loops or reverse edges first"
+        )
+    sd = seeds.select(F.col(seed_col).cast("long").alias("node")).distinct()
+    # the per-node restart flag is read every iteration (the rank
+    # rebuild's left side) — pin it node-partitioned like the leaves
+    flagged = (
+        dg.select(F.col("__s").alias("node"))
+        .join(sd.withColumn("__seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce("__seed", F.lit(0)).cast("long").alias("__seed"))
+        .repartition(int(n_part), "node")
+        .cache()
+    )
+    flagged.count()
+    ranks = flagged.select(
+        "node", (F.col("__seed") * F.lit(SCALE)).cast("long").alias("r")
+    )
+    base = (100 - damping_pct) * SCALE // 100
+    for i in range(iterations):
+        active = ranks.filter(F.col("r") != 0)
+        contrib = (
+            ed.join(active, ed["__s"] == active["node"])
+            .join(dg, "__s")
+            .select("__d", F.expr("r div __outdeg").alias("__c"))
+        )
+        incoming = contrib.groupBy(F.col("__d").alias("node")).agg(
+            F.sum("__c").alias("__in")
+        )
+        ranks = flagged.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.col("__seed") * F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(__in, 0L)) div 100")
+            ).cast("long").alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", F.col("r").alias("rank_micro"))
+    if not eager_cleanup:
+        # lazy mode (plan gate); library callers use the default
+        return out
+    out = out.localCheckpoint(eager=True)
+    for df in (ed, dg, flagged):
+        df.unpersist()
+    return out
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",
