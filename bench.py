@@ -151,6 +151,10 @@ SF1_HEADLINE = [
     # prefix over ~600k distinct x values
     "sssp_trading_graph",
     "pareto_frontier_lineitem",
+    # r11 widen: the weighted-Jaccard prefix path pays the occurrence
+    # expansion (~doc_len rows/doc instead of distinct terms) at 10x --
+    # the measured cost of the multiset upgrade over the set path above
+    "weighted_jaccard_prefix_docs",
 ]
 
 

@@ -83,6 +83,16 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         ["HashAggregate"],
         "prefix-filtered candidate join; all shuffles hash-partitioned on shingle/pair keys",
     ),
+    "weighted_jaccard_prefix_docs": (
+        ["HashAggregate"],
+        "occurrence-expanded PPJoin: weighted Jaccard rides the same "
+        "prefix-filtered candidate equi-join as the set path",
+    ),
+    "tf_cosine_docs": (
+        ["HashAggregate"],
+        "inverted-index dot product: one BIGINT hash agg over per-term "
+        "posting pairs; norms ride the posting structs (no norm join)",
+    ),
     "ann_ivf_pq_neighbors": (
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",
@@ -464,6 +474,19 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "prefix filtering exists to keep the candidate join an equi-join",
     ),
+    "weighted_jaccard_docs": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "multiset Jaccard must never plan an all-pairs nested loop",
+    ),
+    "weighted_jaccard_prefix_docs": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the occurrence-expansion prefix filter exists to keep the "
+        "candidate join an equi-join",
+    ),
+    "tf_cosine_docs": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "sparse cosine comes from the inverted index, never all pairs",
+    ),
     "gap_fill_hourly": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "grid generation must stay per-key explode, never a time-range cross join",
@@ -788,6 +811,10 @@ SF1_STABLE = [
     "bm25_docs",
     "source_divergence_docs",
     "ks_value_drift_events",
+    # r11 widen: the weighted-Jaccard scale path keeps the occurrence-
+    # expanded prefix-filter equi-join shape at 10x (the guarded exact
+    # twins stay out -- their eager row guard raises at sf1 by design)
+    "weighted_jaccard_prefix_docs",
 ]
 
 

@@ -293,3 +293,73 @@ def test_r10_corpus_ops_default_eager_cleanup_releases_pins(spark):
         "semantic_near_pairs default left the assignment pinned"
     )
     assert any((r["id_a"], r["id_b"]) == (0, 1) for r in pairs)
+
+
+# --------------------------------- weighted (tf) similarity — r11 widen
+
+
+def _tf_docs(spark):
+    # d1/d4 exact dups; d2 shares terms at different multiplicities;
+    # d3 disjoint. Hand math:
+    #   wJ(1,2) = (min(3,2)+min(1,2)) / (4+4-3) = 3/5 = 0.6  (boundary!)
+    #   wJ(1,4) = 4/4 = 1.0, wJ(2,4) = 0.6, d3 pairs unreachable
+    #   cos(1,2) = (3·2+1·2)/(√10·√8) = 8/√80 ≈ 0.894427
+    rows = [(1, "a a a b"), (2, "a a b b"), (3, "c"), (4, "a a a b")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_weighted_jaccard_hand_model(spark):
+    from transe_pyspark_spark.operators import dedup as D
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["wjaccard"]
+        for r in D.weighted_jaccard_pairs(_tf_docs(spark), 0.6).collect()
+    }
+    assert got == {(1, 2): 0.6, (1, 4): 1.0, (2, 4): 0.6}
+
+
+def test_weighted_jaccard_prefix_matches_exact(spark):
+    """The occurrence-expansion prefix path returns the identical pair
+    set — including the t·n boundary pair (wJ exactly 0.6), which
+    exercises the eps-nudged ceil in the shared PPJoin pipeline."""
+    from transe_pyspark_spark.operators import dedup as D
+
+    docs = _tf_docs(spark)
+    exact = sorted(map(tuple, D.weighted_jaccard_pairs(docs, 0.6).collect()))
+    prefix = sorted(map(tuple, D.weighted_jaccard_prefix_pairs(docs, 0.6).collect()))
+    assert exact == prefix and len(exact) == 3
+
+
+def test_tf_cosine_hand_model(spark):
+    import math
+
+    from transe_pyspark_spark.operators import dedup as D
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["tf_cosine"]
+        for r in D.tf_cosine_pairs(_tf_docs(spark), 0.85).collect()
+    }
+    expected = round(8.0 / (math.sqrt(10.0) * math.sqrt(8.0)), 6)
+    assert got == {(1, 2): expected, (1, 4): 1.0, (2, 4): expected}
+
+
+def test_weighted_similarity_guards(spark):
+    """The exact paths are guarded eager (require_bounded_input) and
+    reject threshold <= 0 (disjoint pairs are unreachable by
+    construction — a 0-threshold call would be silently incomplete)."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators import dedup as D
+
+    big = spark.range(10_001).select(
+        F.col("id").alias("doc_id"), F.lit("x y").alias("text")
+    )
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        D.weighted_jaccard_pairs(big, 0.6).collect()
+    with pytest.raises(ValueError, match="allow_quadratic"):
+        D.tf_cosine_pairs(big, 0.9).collect()
+    small = _tf_docs(spark)
+    with pytest.raises(ValueError, match="threshold > 0"):
+        D.weighted_jaccard_pairs(small, 0.0)
+    with pytest.raises(ValueError, match="threshold > 0"):
+        D.tf_cosine_pairs(small, -1.0)

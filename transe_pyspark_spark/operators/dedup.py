@@ -217,6 +217,17 @@ def jaccard_prefix_pairs(
     self-join, verify join, final agg — all hash-partitioned on
     shingle/doc/pair keys; nothing quadratic in the corpus."""
     ex = shingle_rows_arrow(df, text_col, id_col, shingle_n)
+    return _prefix_pairs_from_rows(ex, threshold, id_col, "jaccard")
+
+
+def _prefix_pairs_from_rows(
+    ex: DataFrame, threshold: float, id_col: str, score_col: str
+) -> DataFrame:
+    """The AllPairs/PPJoin pipeline over pre-exploded ``(id, shingle,
+    n_shingles)`` rows — shared by the set path (``jaccard_prefix_pairs``)
+    and the multiset path (``weighted_jaccard_prefix_pairs``, which feeds
+    occurrence-expanded shingles so set Jaccard on the expansion IS
+    weighted Jaccard on the term frequencies)."""
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("shingle").asc())
     pos = ex.join(dfreq, "shingle").withColumn("__pos", F.row_number().over(w))
@@ -278,9 +289,9 @@ def jaccard_prefix_pairs(
     )
     jac = F.col("__i").cast("double") / (F.col("__na") + F.col("__nb") - F.col("__i")).cast("double")
     return (
-        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias(score_col))
+        .filter(F.col(score_col) >= threshold)
+        .select("doc_a", "doc_b", F.round(score_col, 6).alias(score_col))
     )
 
 
@@ -892,4 +903,236 @@ def cross_source_dup_matrix(
         pairs.groupBy("source_a", "source_b")
         .agg(F.sum("__p").cast("long").alias("dup_pairs"))
         .filter(F.col("dup_pairs") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (multiset / term-frequency) similarity — bridges the set-dedup
+# family (R18) and the vector-similarity family (R17): the same posting-
+# list machinery, but each term counts as many times as it occurs.
+# ---------------------------------------------------------------------------
+
+
+def tf_rows_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expand: bool = False,
+) -> DataFrame:
+    """Exploded TERM-FREQUENCY rows in one Arrow batch pass (narrow map,
+    no shuffle — the multiset sibling of ``shingle_rows_arrow``).
+
+    ``expand=False`` (default): one ``(id, term, tf, doc_len)`` row per
+    distinct term per document, ``doc_len`` = Σ tf (the document's total
+    token count), carried per row so callers never re-aggregate it.
+
+    ``expand=True``: the OCCURRENCE EXPANSION — ``(id, shingle,
+    n_shingles)`` rows where the k-th occurrence of a term becomes the
+    distinct pseudo-shingle ``term⟂k`` (``\\x01`` separator, unreachable
+    by space-split tokens) and ``n_shingles = doc_len``. Identity used
+    by the scale path: for multisets A, B with expansions Â, B̂,
+    ``|Â ∩ B̂| = Σ_t min(tf_A, tf_B)`` and ``|Â ∪ B̂| = Σ_t max`` —
+    so SET Jaccard on the expansion IS weighted Jaccard on the term
+    frequencies, and the whole AllPairs/PPJoin prefix-filter theory
+    applies unchanged. Expansion factor is doc_len / n_distinct_terms
+    (≈2-3× on natural text), not quadratic in anything.
+
+    Tokenization matches ``functions.text.words`` (split on runs of
+    spaces, empties dropped), so the DuckDB oracle's
+    ``string_split_regex(trim(text), ' +')`` sees identical multisets."""
+    from collections.abc import Iterator
+    from collections import Counter
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            lens: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in str(text).split(" ") if w]
+                if not ws:
+                    continue
+                counts = Counter(ws)
+                n = len(ws)
+                if expand:
+                    for term, tf in counts.items():
+                        for k in range(tf):
+                            ids.append(int(doc_id))
+                            terms.append(f"{term}\x01{k}")
+                            lens.append(n)
+                else:
+                    for term, tf in counts.items():
+                        ids.append(int(doc_id))
+                        terms.append(term)
+                        tfs.append(tf)
+                        lens.append(n)
+            if expand:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "shingle": pd.Series(terms, dtype=object),
+                        "n_shingles": pd.Series(lens, dtype="int64"),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype="int64"),
+                        "term": pd.Series(terms, dtype=object),
+                        "tf": pd.Series(tfs, dtype="int64"),
+                        "doc_len": pd.Series(lens, dtype="int64"),
+                    }
+                )
+
+    schema = (
+        f"{id_col} long, shingle string, n_shingles long"
+        if expand
+        else f"{id_col} long, term string, tf long, doc_len long"
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Exact pairwise WEIGHTED Jaccard ≥ threshold (a < b) over term
+    frequencies: ``J_w = Σ min(tf_A, tf_B) / Σ max(tf_A, tf_B)`` — the
+    multiset generalization of ``jaccard_pairs`` (repeated boilerplate
+    counts; a doc that repeats one paragraph 5× no longer looks like its
+    single-copy source, which set Jaccard cannot distinguish).
+
+    Same inverted-index plan as ``jaccard_pairs``: per-term posting
+    lists of ``(id, tf, doc_len)`` structs, positional i<j pair
+    generation map-side, then ONE hash aggregate computing
+    ``I = Σ min(tf_a, tf_b)`` per pair — exact BIGINT. The denominator
+    needs no second pass: ``Σ max = len_A + len_B − I`` (mirroring
+    ``|A∪B| = |A|+|B|−|A∩B|``). Pairs sharing no term are unreachable
+    (J_w = 0), so any ``threshold > 0`` is exact. Guarded eager like its
+    set sibling; ``weighted_jaccard_prefix_pairs`` is the unguarded
+    scale door."""
+    from transe_pyspark_spark.operators._guards import require_bounded_input
+
+    if threshold <= 0:
+        raise ValueError(
+            "weighted_jaccard_pairs requires threshold > 0: only pairs "
+            "sharing at least one term are ever materialized"
+        )
+    require_bounded_input(df, allow_quadratic, "weighted_jaccard_pairs")
+    tf = tf_rows_arrow(df, text_col, id_col)
+    postings = (
+        tf.groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "tf", "doc_len"))).alias("__ds"))
+        .filter(F.size("__ds") >= 2)
+    )
+    pairs = postings.select(
+        F.posexplode("__ds").alias("__i", "__a"), "__ds"
+    ).select("__a", F.explode(F.slice("__ds", F.col("__i") + 2, F.size("__ds"))).alias("__b"))
+    inter = pairs.groupBy(
+        F.col(f"__a.{id_col}").alias("doc_a"),
+        F.col(f"__b.{id_col}").alias("doc_b"),
+        F.col("__a.doc_len").alias("__la"),
+        F.col("__b.doc_len").alias("__lb"),
+    ).agg(F.sum(F.least(F.col("__a.tf"), F.col("__b.tf"))).cast("long").alias("__i"))
+    # same two integers as the oracle's Σmin / (la+lb−Σmin): identical
+    # IEEE doubles, hash-stable
+    wj = F.col("__i").cast("double") / (F.col("__la") + F.col("__lb") - F.col("__i")).cast("double")
+    return (
+        inter.select("doc_a", "doc_b", wj.alias("wjaccard"))
+        .filter(F.col("wjaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("wjaccard", 6).alias("wjaccard"))
+    )
+
+
+def weighted_jaccard_prefix_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact weighted Jaccard ≥ threshold via PREFIX FILTERING — same
+    result set as ``weighted_jaccard_pairs``, UNGUARDED because the
+    candidate set is provably bounded (the 100 TB door).
+
+    Rides the occurrence-expansion identity (``tf_rows_arrow``
+    ``expand=True``): weighted Jaccard over term frequencies equals SET
+    Jaccard over occurrence-expanded pseudo-shingles, so the exact
+    AllPairs/PPJoin pipeline (global rarest-first order, prefix-only
+    candidate equi-join, length filter, positional overlap bound,
+    keyed verify join — ``_prefix_pairs_from_rows``) applies verbatim.
+    The expansion also sharpens the filter for free: a term occurring
+    5× in one doc and 1× in another matches on only ONE pseudo-shingle
+    (``term⟂0``), so high-tf boilerplate stops generating cross-doc
+    candidates beyond the shared multiplicity."""
+    ex = tf_rows_arrow(df, text_col, id_col, expand=True)
+    return _prefix_pairs_from_rows(ex, threshold, id_col, "wjaccard")
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allow_quadratic: bool = False,
+) -> DataFrame:
+    """Exact pairwise COSINE over raw term-frequency vectors ≥ threshold
+    (a < b) — the lexical bridge between the dedup family (R18) and the
+    embedding-similarity family (R17): same sparse-vector math as
+    ``similarity.cosine_pairs``, but the vectors are term counts and the
+    plan is the inverted index, not a dense-vector join.
+
+    ``cos = Σ tf_A·tf_B / (√Σtf_A² · √Σtf_B²)``: the dot product folds
+    as exact BIGINT inside one hash aggregate over per-term posting
+    pairs (tf products are ≤ doc_len², far inside int64); per-doc
+    squared norms fold BIGINT in the same Arrow-fed aggregate tree and
+    ride the posting structs, so no separate norm join. Only the final
+    ``√·√`` division is IEEE double, with the same expression shape as
+    the DuckDB oracle (sqrt is correctly rounded — bit-identical both
+    engines). Pairs sharing no term are unreachable (cos = 0), so any
+    ``threshold > 0`` is exact.
+
+    Guarded eager: this is the oracle-checkable ground truth. The scale
+    paths for cosine live in ``similarity``: LSH / IVF over embeddings,
+    ``semantic_near_pairs`` for SemDeDup-style near-dup."""
+    from transe_pyspark_spark.operators._guards import require_bounded_input
+
+    if threshold <= 0:
+        raise ValueError(
+            "tf_cosine_pairs requires threshold > 0: only pairs sharing "
+            "at least one term are ever materialized"
+        )
+    require_bounded_input(df, allow_quadratic, "tf_cosine_pairs")
+    tf = tf_rows_arrow(df, text_col, id_col)
+    # squared norm per doc, folded once and carried into the postings
+    norms = tf.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("__n2")
+    )
+    rows = tf.join(norms, id_col)
+    postings = (
+        rows.groupBy("term")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "tf", "__n2"))).alias("__ds"))
+        .filter(F.size("__ds") >= 2)
+    )
+    pairs = postings.select(
+        F.posexplode("__ds").alias("__i", "__a"), "__ds"
+    ).select("__a", F.explode(F.slice("__ds", F.col("__i") + 2, F.size("__ds"))).alias("__b"))
+    dots = pairs.groupBy(
+        F.col(f"__a.{id_col}").alias("doc_a"),
+        F.col(f"__b.{id_col}").alias("doc_b"),
+        F.col("__a.__n2").alias("__na2"),
+        F.col("__b.__n2").alias("__nb2"),
+    ).agg(F.sum(F.col("__a.tf") * F.col("__b.tf")).cast("long").alias("__dot"))
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__na2").cast("double")) * F.sqrt(F.col("__nb2").cast("double"))
+    )
+    return (
+        dots.select("doc_a", "doc_b", cos.alias("tf_cosine"))
+        .filter(F.col("tf_cosine") >= threshold)
+        .select("doc_a", "doc_b", F.round("tf_cosine", 6).alias("tf_cosine"))
     )

@@ -6686,6 +6686,84 @@ def q_ppr_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared tokenize→term-frequency CTE prefix for the weighted-similarity
+#: oracles — same multiset as ``tf_rows_arrow`` (space-split, empties
+#: dropped)
+_TF_CTE = """
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(trim(text), ' +'), x -> x <> '')) AS term
+                 FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)"""
+
+_WJ_ORACLE = _TF_CTE + """,
+         l  AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+         i  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(least(a.tf, b.tf)) AS inter
+                FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         s  AS (SELECT doc_a, doc_b,
+                       CAST(inter AS DOUBLE) / CAST(la.len + lb.len - inter AS DOUBLE) AS wjaccard
+                FROM i JOIN l la ON la.doc_id = i.doc_a JOIN l lb ON lb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, round(wjaccard, 6) AS wjaccard FROM s WHERE wjaccard >= 0.6
+    """
+
+
+@_register(
+    "weighted_jaccard_docs",
+    oracle=_WJ_ORACLE,
+    tags=("dedup", "text"),
+)
+def q_weighted_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED (multiset) Jaccard near-dup ≥ 0.6 over term
+    frequencies (r11, VERDICT r10 optional widen: the tf bridge between
+    R18 set-dedup and R17 vector similarity). ``Σmin/Σmax`` from ONE
+    posting-list hash aggregate — ``Σmax = len_A + len_B − Σmin``, so
+    the denominator is free. A doc repeating one paragraph 5× scores
+    honestly against its single-copy source, which set Jaccard cannot
+    distinguish."""
+    return D.weighted_jaccard_pairs(_T(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@_register(
+    "weighted_jaccard_prefix_docs",
+    oracle=_WJ_ORACLE,
+    tags=("dedup", "text"),
+)
+def q_weighted_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Jaccard via PREFIX FILTERING — identical result set to
+    `weighted_jaccard_docs` (same oracle SQL) but the unguarded 100 TB
+    door: the occurrence expansion turns term frequencies into distinct
+    pseudo-shingles, SET Jaccard on the expansion IS weighted Jaccard,
+    and the exact AllPairs/PPJoin pipeline (prefix equi-join + length
+    filter + positional bound + keyed verify) applies verbatim —
+    nothing quadratic in the corpus."""
+    return D.weighted_jaccard_prefix_pairs(_T(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@_register(
+    "tf_cosine_docs",
+    oracle=_TF_CTE + """,
+         n  AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+         d  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.tf * b.tf) AS dot
+                FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         s  AS (SELECT doc_a, doc_b,
+                       CAST(dot AS DOUBLE) /
+                       (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS tf_cosine
+                FROM d JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b)
+    SELECT doc_a, doc_b, round(tf_cosine, 6) AS tf_cosine FROM s WHERE tf_cosine >= 0.9
+    """,
+    tags=("dedup", "text", "vector"),
+)
+def q_tf_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lexical cosine ≥ 0.9 over raw term-frequency vectors —
+    sparse-vector similarity on the INVERTED INDEX (dot product = one
+    BIGINT hash aggregate over per-term posting pairs; squared norms
+    ride the posting structs, no separate norm join; only the final
+    √·√ division is IEEE double). Ground truth for the embedding-side
+    ANN/SemDeDup scale paths."""
+    return D.tf_cosine_pairs(_T(spark, sf_dir, "documents"), threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -7098,6 +7176,15 @@ _OVERFLOW_ORACLE = [
                                  # sparse active-frontier regime);
                                  # seed-flagged 3x-unrolled SQL
                                  # oracle
+    # the r11 weighted-similarity widen (VERDICT r10 ask #7's other
+    # half — tf bridge between R18 set-dedup and R17 vector
+    # similarity), also r12-queue:
+    "weighted_jaccard_docs",         # exact multiset Jaccard Σmin/Σmax,
+                                     # one posting-list hash agg
+    "weighted_jaccard_prefix_docs",  # occurrence-expansion PPJoin scale
+                                     # path (same oracle SQL as exact)
+    "tf_cosine_docs",                # inverted-index lexical cosine,
+                                     # BIGINT dots + posting-rider norms
 ]
 
 
