@@ -93,6 +93,16 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "inverted-index dot product: one BIGINT hash agg over per-term "
         "posting pairs; norms ride the posting structs (no norm join)",
     ),
+    "unigram_nll_docs": (
+        ["HashAggregate", "InMemoryTableScan"],
+        "one pinned (doc, token) tokenization pass feeds both the vocab "
+        "counts and the scoring join; the 1-row total broadcasts back",
+    ),
+    "pit_enrich_events": (
+        ["BroadcastHashJoin"],
+        "the SCD2 validity predicate rides the key equi-join as a "
+        "residual — the dim broadcasts, facts never shuffle",
+    ),
     "ann_ivf_pq_neighbors": (
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",
@@ -486,6 +496,16 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
     "tf_cosine_docs": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "sparse cosine comes from the inverted index, never all pairs",
+    ),
+    "unigram_nll_docs": (
+        ["CartesianProduct"],
+        "the only non-equi join is the 1-row corpus-total broadcast "
+        "(fine); a Cartesian over doc/token rows is not",
+    ),
+    "pit_enrich_events": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "point-in-time lookup must stay a key equi-join with a "
+        "residual range filter, never a temporal nested loop",
     ),
     "gap_fill_hourly": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],

@@ -363,3 +363,84 @@ def test_weighted_similarity_guards(spark):
         D.weighted_jaccard_pairs(small, 0.0)
     with pytest.raises(ValueError, match="threshold > 0"):
         D.tf_cosine_pairs(small, -1.0)
+
+
+# ------------------------------ unigram NLL quality screen — r11 widen
+
+
+def test_unigram_nll_hand_model(spark):
+    """Tiny corpus: 'a' has corpus prob 4/6, 'b' 1/6, 'c' 1/6 — hand
+    math replayed through the nano-quantization contract."""
+    import math
+
+    from transe_pyspark_spark.functions.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+        for r in unigram_nll(docs).collect()
+    }
+
+    def nano(tf, q):
+        return round(tf * math.log(q) * 1e9)
+
+    d1 = -(nano(3, 4 / 6) + nano(1, 1 / 6)) / 1e9 / 4
+    d2 = -(nano(1, 4 / 6) + nano(1, 1 / 6)) / 1e9 / 2
+    assert got == {1: (4, round(d1, 4)), 2: (2, round(d2, 4))}
+    # boilerplate (all-common-token) doc scores LOWER than a rare-token
+    # doc — the direction the quality screen relies on
+    assert got[1][1] < got[2][1]
+
+
+def test_unigram_nll_eager_cleanup_releases_pin(spark):
+    from transe_pyspark_spark.functions.text import unigram_nll
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame([(1, "x y"), (2, "y z")], "doc_id long, text string")
+    out = unigram_nll(docs)  # default eager_cleanup=True
+    assert out.count() == 2
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "unigram_nll leaked its corpus-sized (doc, token) pin"
+    )
+
+
+# --------------------------------- SCD2 point-in-time join — r11 widen
+
+
+def test_pit_join_picks_version_valid_at_event_time(spark):
+    """Each fact matches exactly the version covering its timestamp:
+    inclusive at valid_from, exclusive at valid_to, open version for
+    the tail; 'left' keeps facts predating the first version."""
+    from transe_pyspark_spark.operators.relational import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (7, "old", "2024-01-01", "2024-01-16"),
+            (7, "new", "2024-01-16", None),
+            (8, "only", "2024-01-10", None),
+        ],
+        "k long, attr string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "attr", "cast(valid_from as date) valid_from", "cast(valid_to as date) valid_to"
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-15 23:59:59"),  # last instant of v1
+            (2, 7, "2024-01-16 00:00:00"),  # valid_from is INCLUSIVE -> v2
+            (3, 8, "2024-01-09 12:00:00"),  # predates first version
+        ],
+        "fid long, key long, ts string",
+    ).selectExpr("fid", "key", "cast(ts as timestamp) ts")
+
+    inner = {
+        (r["fid"], r["attr"])
+        for r in pit_join(facts, dim, "key", "k", "ts").collect()
+    }
+    assert inner == {(1, "old"), (2, "new")}
+    left = {
+        r["fid"]: r["attr"]
+        for r in pit_join(facts, dim, "key", "k", "ts", how="left").collect()
+    }
+    assert left == {1: "old", 2: "new", 3: None}

@@ -692,3 +692,85 @@ def source_divergence(
     out = out.localCheckpoint(eager=True)  # |sources|-row leaf — THEN release
     st.unpersist()
     return out
+
+
+def unigram_nll(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eager_cleanup: bool = True,
+):
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram distribution — the perplexity-style quality filter of
+    pretraining pipelines (docs whose tokens the corpus finds SURPRISING
+    score high: OCR noise, wrong-language fragments, hash dumps; docs of
+    pure boilerplate score low). The corpus is its own language model,
+    so no external LM assets are needed — the in-engine stand-in for
+    the KenLM/CCNet perplexity screen.
+
+    Plan: ONE tokenization pass (the ``source_divergence`` regex) feeds
+    the (doc, token) count aggregate — corpus-sized, pinned
+    (repartition-on-token + cache) for its two token-keyed consumers:
+    the vocab-sized corpus counts and the scoring join (both ride the
+    pin's partitioning, no re-shuffle). The 1-row total broadcasts
+    back; the only other corpus-sized exchange is the final per-doc
+    aggregate, which is the result's own key.
+
+    Determinism contract (the ``source_divergence`` idiom): counts are
+    exact BIGINTs; each per-term ``tf·ln(q)`` contribution is quantized
+    to integer nano-units and summed exactly, so the sum is
+    order-free and the SQL oracle replays it term-for-term; ONE final
+    division by the doc's token count, rounded to 4 decimals.
+
+    Returns (doc_id, n_tokens, mean_nll) — nats/token. Default
+    ``eager_cleanup=True`` materializes via ``localCheckpoint`` and
+    releases the corpus-sized pin before returning;
+    ``eager_cleanup=False`` keeps the lazy plan for the structural
+    gate."""
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    dt = (
+        docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            ).alias("__t"),
+        )
+        .groupBy("__d", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+        .repartition(n_part, "__t")
+        .cache()
+    )
+    pt = dt.groupBy("__t").agg(F.sum("__tf").cast("long").alias("__ct"))
+    total = pt.agg(F.sum("__ct").cast("long").alias("__n"))
+    q = F.col("__ct").cast("double") / F.col("__n").cast("double")
+    scored = (
+        dt.join(pt, "__t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__d",
+            "__tf",
+            F.round(F.col("__tf").cast("double") * F.log(q) * F.lit(1e9))
+            .cast("long")
+            .alias("__nll_nano"),
+        )
+    )
+    out = (
+        scored.groupBy("__d")
+        .agg(
+            F.sum("__tf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum("__nll_nano").cast("double")
+                / F.lit(1e9)
+                / F.sum("__tf").cast("double"),
+                4,
+            ).alias("mean_nll"),
+        )
+        .select(F.col("__d").alias(id_col), "n_tokens", "mean_nll")
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)  # |docs|-row leaf — THEN release
+    dt.unpersist()
+    return out

@@ -493,6 +493,46 @@ def scd2_merge(
     return closed_rows.unionByName(kept_open).unionByName(closed_now).unionByName(opened)
 
 
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "inner",
+    broadcast_dim: bool = False,
+) -> DataFrame:
+    """Point-in-time (AS OF) enrichment against an SCD2 dimension: each
+    fact row joins the dimension VERSION that was valid at the fact's
+    event time (``valid_from ≤ ts < valid_to``, open versions have NULL
+    ``valid_to``) — the temporal-correctness join every versioned
+    warehouse needs (training-data labeling reads features AS OF the
+    example's timestamp; joining today's dimension row onto last
+    year's facts is silent leakage).
+
+    Scale posture: the version predicate is a RESIDUAL on a key
+    equi-join — Spark plans hash/broadcast/sort-merge on the key and
+    evaluates the range condition as a post-join filter, so the plan is
+    never a nested loop at any fact size (validity windows per key are
+    few and disjoint, so the key join's fan-out is the version count,
+    not a range explosion). ``broadcast_dim=True`` for dimension tables
+    that fit (the common case); leave False and Spark/AQE pick sides.
+
+    Because SCD2 validity windows partition each key's timeline, a
+    fact matches AT MOST one version; ``how='left'`` keeps facts that
+    predate their key's first version (NULL attributes),
+    ``how='inner'`` drops them."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    cond = (
+        (fact[fact_key] == d[dim_key])
+        & (fact[ts_col] >= d[valid_from_col].cast("timestamp"))
+        & (d[valid_to_col].isNull() | (fact[ts_col] < d[valid_to_col].cast("timestamp")))
+    )
+    return fact.join(d, cond, how)
+
+
 def token_budget_sample(
     df: DataFrame,
     stratum_col: str,

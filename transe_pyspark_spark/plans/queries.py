@@ -6764,6 +6764,95 @@ def q_tf_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.tf_cosine_pairs(_T(spark, sf_dir, "documents"), threshold=0.9)
 
 
+@_register(
+    "unigram_nll_docs",
+    oracle="""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                           x -> x <> '')) AS t
+                 FROM documents),
+    dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, t),
+    pt AS (SELECT t, CAST(sum(tf) AS BIGINT) AS ct FROM dt GROUP BY t),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM pt),
+    sc AS (SELECT doc_id, tf,
+                  CAST(round(CAST(tf AS DOUBLE)
+                             * ln(CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+                             * 1e9) AS BIGINT) AS nll_nano
+           FROM dt JOIN pt USING (t), tot)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(-CAST(sum(nll_nano) AS DOUBLE)/1e9/CAST(sum(tf) AS DOUBLE), 4) AS mean_nll
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("text", "stats"),
+)
+def q_unigram_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean negative log-likelihood under the corpus's own
+    unigram distribution — the perplexity-style quality screen
+    (`functions/text.py:unigram_nll`; the in-engine stand-in for the
+    KenLM/CCNet filter — no external LM assets). One pinned
+    tokenization pass; per-term tf·ln(q) contributions quantized to
+    nano-units and summed exactly (the `source_divergence` determinism
+    idiom), one final division per doc."""
+    return X.unigram_nll(_T(spark, sf_dir, "documents"), eager_cleanup=False)
+
+
+@_register(
+    "pit_enrich_events",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-01-16' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED-' || c_mktsegment, DATE '2024-01-16', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 3 = 0),
+    j AS (SELECT d.c_mktsegment, d.valid_from, e.value
+          FROM events e JOIN dim d ON e.user_id = d.c_custkey
+           AND e.ts >= CAST(d.valid_from AS TIMESTAMP)
+           AND (d.valid_to IS NULL OR e.ts < CAST(d.valid_to AS TIMESTAMP)))
+    SELECT c_mktsegment, valid_from, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM j GROUP BY c_mktsegment, valid_from
+    """,
+    tags=("warehouse", "join", "scd2"),
+)
+def q_pit_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: events join the customer-dimension
+    VERSION valid at each event's timestamp (`relational.py:pit_join`)
+    — custkeys ≡ 0 mod 3 change segment mid-January, so events before
+    the 16th see the original version and later ones the upgraded one
+    (joining only the latest version would silently mislabel half the
+    month: the leakage this operator exists to prevent). The version
+    predicate rides a key equi-join as a residual — broadcast hash
+    join here, never a nested loop; per-version counts and exact
+    cents sums."""
+    from transe_pyspark_spark.operators.relational import pit_join
+
+    cust = _T(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.to_date(F.lit("2024-01-01")).alias("valid_from"),
+        F.when(F.col("c_custkey") % 3 == 0, F.to_date(F.lit("2024-01-16"))).alias("valid_to"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPGRADED-"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.to_date(F.lit("2024-01-16")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    ev = _T(spark, sf_dir, "events")
+    return (
+        pit_join(ev, dim, "user_id", "c_custkey", "ts", broadcast_dim=True)
+        .groupBy("c_mktsegment", "valid_from")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(_cents("value")).cast("long").alias("value_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -7185,6 +7274,12 @@ _OVERFLOW_ORACLE = [
                                      # path (same oracle SQL as exact)
     "tf_cosine_docs",                # inverted-index lexical cosine,
                                      # BIGINT dots + posting-rider norms
+    "unigram_nll_docs",              # perplexity-style quality screen:
+                                     # corpus-as-its-own-LM mean NLL,
+                                     # nano-quantized tf·ln(q) sums
+    "pit_enrich_events",             # SCD2 point-in-time enrichment:
+                                     # version predicate as residual on
+                                     # a broadcast key equi-join
 ]
 
 
