@@ -151,10 +151,12 @@ SF1_HEADLINE = [
     # prefix over ~600k distinct x values
     "sssp_trading_graph",
     "pareto_frontier_lineitem",
-    # r11 widen: the weighted-Jaccard prefix path pays the occurrence
-    # expansion (~doc_len rows/doc instead of distinct terms) at 10x --
-    # the measured cost of the multiset upgrade over the set path above
-    "weighted_jaccard_prefix_docs",
+    # r11 widen: the weighted-Jaccard prefix path's 10x point runs the
+    # 3-GRAM configuration (near-unique pseudo-shingles, the same
+    # regime the set path benches): the unigram variant's candidates
+    # are quadratic in a lexical family and stall at sf1 -- measured,
+    # documented in the operator docstring, not benched
+    "weighted_jaccard3_prefix_docs",
 ]
 
 

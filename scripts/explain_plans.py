@@ -88,6 +88,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "occurrence-expanded PPJoin: weighted Jaccard rides the same "
         "prefix-filtered candidate equi-join as the set path",
     ),
+    "weighted_jaccard3_prefix_docs": (
+        ["HashAggregate"],
+        "3-gram occurrence-expanded PPJoin: the 10x-benched multiset "
+        "configuration keeps the same prefix equi-join shape",
+    ),
     "tf_cosine_docs": (
         ["HashAggregate"],
         "inverted-index dot product: one BIGINT hash agg over per-term "
@@ -493,6 +498,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "the occurrence-expansion prefix filter exists to keep the "
         "candidate join an equi-join",
     ),
+    "weighted_jaccard3_prefix_docs": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "the occurrence-expansion prefix filter exists to keep the "
+        "candidate join an equi-join",
+    ),
     "tf_cosine_docs": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "sparse cosine comes from the inverted index, never all pairs",
@@ -831,10 +841,11 @@ SF1_STABLE = [
     "bm25_docs",
     "source_divergence_docs",
     "ks_value_drift_events",
-    # r11 widen: the weighted-Jaccard scale path keeps the occurrence-
-    # expanded prefix-filter equi-join shape at 10x (the guarded exact
-    # twins stay out -- their eager row guard raises at sf1 by design)
-    "weighted_jaccard_prefix_docs",
+    # r11 widen: the weighted-Jaccard scale path (3-gram configuration,
+    # the sf1-benched face) keeps the occurrence-expanded prefix-filter
+    # equi-join shape at 10x (the guarded exact twins stay out -- their
+    # eager row guard raises at sf1 by design)
+    "weighted_jaccard3_prefix_docs",
 ]
 
 

@@ -444,3 +444,26 @@ def test_pit_join_picks_version_valid_at_event_time(spark):
         for r in pit_join(facts, dim, "key", "k", "ts", how="left").collect()
     }
     assert left == {1: "old", 2: "new", 3: None}
+
+
+def test_weighted_jaccard_3gram_hand_model(spark):
+    """Gram multiset math: d1 = 3x'x y z' pasted (grams xyz:3 yzx:2
+    zxy:2, len 7), d2 = 2x (xyz:2 yzx:1 zxy:1, len 4) ->
+    wJ = (2+1+1)/(7+4-4) = 4/7 — repeated-paragraph inflation visible
+    at gram granularity; prefix path identical to exact."""
+    from transe_pyspark_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "x y z x y z x y z"), (2, "x y z x y z"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    expect = {(1, 2): round(4 / 7, 6)}
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["wjaccard"]
+        for r in D.weighted_jaccard_pairs(docs, 0.5, shingle_n=3).collect()
+    }
+    prefix = {
+        (r["doc_a"], r["doc_b"]): r["wjaccard"]
+        for r in D.weighted_jaccard_prefix_pairs(docs, 0.5, shingle_n=3).collect()
+    }
+    assert exact == expect and prefix == expect

@@ -918,6 +918,7 @@ def tf_rows_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     expand: bool = False,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Exploded TERM-FREQUENCY rows in one Arrow batch pass (narrow map,
     no shuffle — the multiset sibling of ``shingle_rows_arrow``).
@@ -937,6 +938,14 @@ def tf_rows_arrow(
     applies unchanged. Expansion factor is doc_len / n_distinct_terms
     (≈2-3× on natural text), not quadratic in anything.
 
+    ``shingle_n > 1`` counts word n-GRAM occurrences instead of single
+    words (``doc_len`` becomes the gram count ``|words| − n + 1``;
+    shorter docs yield no rows) — the multiset that makes repeated
+    PARAGRAPHS visible: a doc that pastes one passage 5× repeats every
+    gram of it 5×, and — decisive for the prefix-filter scale path —
+    n-gram (pseudo-)shingles are nearly corpus-unique, so posting
+    lists stay family-sized where unigram lists go corpus-dense.
+
     Tokenization matches ``functions.text.words`` (split on runs of
     spaces, empties dropped), so the DuckDB oracle's
     ``string_split_regex(trim(text), ' +')`` sees identical multisets."""
@@ -953,8 +962,13 @@ def tf_rows_arrow(
             lens: list[int] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 ws = [w for w in str(text).split(" ") if w]
-                if not ws:
+                if len(ws) < shingle_n:
                     continue
+                if shingle_n > 1:
+                    ws = [
+                        " ".join(ws[i : i + shingle_n])
+                        for i in range(len(ws) - shingle_n + 1)
+                    ]
                 counts = Counter(ws)
                 n = len(ws)
                 if expand:
@@ -1000,6 +1014,7 @@ def weighted_jaccard_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 1,
     allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact pairwise WEIGHTED Jaccard ≥ threshold (a < b) over term
@@ -1025,7 +1040,7 @@ def weighted_jaccard_pairs(
             "sharing at least one term are ever materialized"
         )
     require_bounded_input(df, allow_quadratic, "weighted_jaccard_pairs")
-    tf = tf_rows_arrow(df, text_col, id_col)
+    tf = tf_rows_arrow(df, text_col, id_col, shingle_n=shingle_n)
     postings = (
         tf.groupBy("term")
         .agg(F.sort_array(F.collect_list(F.struct(id_col, "tf", "doc_len"))).alias("__ds"))
@@ -1055,6 +1070,7 @@ def weighted_jaccard_prefix_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Exact weighted Jaccard ≥ threshold via PREFIX FILTERING — same
     result set as ``weighted_jaccard_pairs``, UNGUARDED because the
@@ -1069,8 +1085,19 @@ def weighted_jaccard_prefix_pairs(
     The expansion also sharpens the filter for free: a term occurring
     5× in one doc and 1× in another matches on only ONE pseudo-shingle
     (``term⟂0``), so high-tf boilerplate stops generating cross-doc
-    candidates beyond the shared multiplicity."""
-    ex = tf_rows_arrow(df, text_col, id_col, expand=True)
+    candidates beyond the shared multiplicity.
+
+    SCALE CAVEAT — pick ``shingle_n`` by corpus shape: at ``shingle_n=1``
+    the pseudo-shingle space is the vocabulary, and inside a family of
+    lexically-similar documents (one template, many instances) even the
+    RAREST unigrams are family-wide, so prefix candidates grow with
+    |family|² — bounded, but quadratic in the family, not the corpus.
+    ``shingle_n>=3`` grams are nearly corpus-unique (the benched 10×
+    configuration, like the set path's ``jaccard_prefix_near_pairs``),
+    keeping posting lists near-dup-sized; repeated-paragraph inflation
+    is still fully visible because a pasted passage repeats all its
+    grams."""
+    ex = tf_rows_arrow(df, text_col, id_col, expand=True, shingle_n=shingle_n)
     return _prefix_pairs_from_rows(ex, threshold, id_col, "wjaccard")
 
 

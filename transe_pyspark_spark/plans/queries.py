@@ -6730,13 +6730,51 @@ def q_weighted_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_weighted_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted Jaccard via PREFIX FILTERING — identical result set to
-    `weighted_jaccard_docs` (same oracle SQL) but the unguarded 100 TB
-    door: the occurrence expansion turns term frequencies into distinct
+    `weighted_jaccard_docs` (same oracle SQL) but unguarded: the
+    occurrence expansion turns term frequencies into distinct
     pseudo-shingles, SET Jaccard on the expansion IS weighted Jaccard,
     and the exact AllPairs/PPJoin pipeline (prefix equi-join + length
-    filter + positional bound + keyed verify) applies verbatim —
-    nothing quadratic in the corpus."""
+    filter + positional bound + keyed verify) applies verbatim. The
+    UNIGRAM pseudo-shingle space makes candidates quadratic in a
+    lexical FAMILY (see the operator docstring); the 10×-benched scale
+    configuration is the 3-gram variant below."""
     return D.weighted_jaccard_prefix_pairs(_T(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@_register(
+    "weighted_jaccard3_prefix_docs",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+               FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ws) - 1),
+                                            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS t
+               FROM w WHERE len(ws) >= 3),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY doc_id, t),
+         l  AS (SELECT doc_id, sum(tf) AS len FROM tf GROUP BY doc_id),
+         i  AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(least(a.tf, b.tf)) AS inter
+                FROM tf a JOIN tf b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         s  AS (SELECT doc_a, doc_b,
+                       CAST(inter AS DOUBLE) / CAST(la.len + lb.len - inter AS DOUBLE) AS wjaccard
+                FROM i JOIN l la ON la.doc_id = i.doc_a JOIN l lb ON lb.doc_id = i.doc_b)
+    SELECT doc_a, doc_b, round(wjaccard, 6) AS wjaccard FROM s WHERE wjaccard >= 0.6
+    """,
+    tags=("dedup", "text"),
+)
+def q_weighted_jaccard3_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 3-GRAM Jaccard via prefix filtering — the 100 TB
+    configuration of the multiset family (benched at sf1): gram
+    multiplicities still expose repeated-paragraph inflation (a pasted
+    passage repeats all its grams), while 3-gram pseudo-shingles are
+    nearly corpus-unique, so posting lists stay near-dup-sized where
+    the unigram regime's go family-dense — the same reason the SET
+    path benches `jaccard_prefix_near_pairs` (3-gram) rather than
+    `jaccard_near_pairs` (unigram) at 10×."""
+    return D.weighted_jaccard_prefix_pairs(
+        _T(spark, sf_dir, "documents"), threshold=0.6, shingle_n=3
+    )
 
 
 @_register(
@@ -7280,6 +7318,8 @@ _OVERFLOW_ORACLE = [
     "pit_enrich_events",             # SCD2 point-in-time enrichment:
                                      # version predicate as residual on
                                      # a broadcast key equi-join
+    "weighted_jaccard3_prefix_docs", # the multiset family's 10x-benched
+                                     # 3-gram configuration
 ]
 
 
