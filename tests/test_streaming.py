@@ -379,3 +379,26 @@ def test_events_stream_survives_retyped_parquet(spark, sf_dir, tmp_path):
         assert (
             _rows(got, ["window_start", "event_type", "n_events"]) == want
         ), f"layout {name} streamed wrong windows"
+
+
+def test_stream_pit_enrich_matches_batch_twin(spark):
+    """The stream-static PIT enrichment (each micro-batch joins the
+    SCD2 version valid at the event's own timestamp) produces exactly
+    the batch face's rows — the complete-mode aggregate after
+    AvailableNow drain IS the batch aggregate."""
+    from transe_pyspark_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["c_mktsegment"], r["valid_from"]): (r["n_events"], r["value_cents"])
+        for r in REGISTRY["pit_enrich_events"].fn(spark, sf).collect()
+    }
+    stream = {
+        (r["c_mktsegment"], r["valid_from"]): (r["n_events"], r["value_cents"])
+        for r in REGISTRY["stream_pit_enrich"].fn(spark, sf).collect()
+    }
+    assert stream == batch and len(batch) > 0
+    # both versions of the flipped keys actually received events —
+    # the face proves version SELECTION, not a constant join
+    assert any(seg.startswith("UPGRADED-") for seg, _ in batch)
+    assert any(not seg.startswith("UPGRADED-") for seg, _ in batch)

@@ -6866,6 +6866,22 @@ def q_pit_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents sums."""
     from transe_pyspark_spark.operators.relational import pit_join
 
+    dim = _pit_customer_dim(spark, sf_dir)
+    ev = _T(spark, sf_dir, "events")
+    return (
+        pit_join(ev, dim, "user_id", "c_custkey", "ts", broadcast_dim=True)
+        .groupBy("c_mktsegment", "valid_from")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(_cents("value")).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def _pit_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-version SCD2 customer dimension the PIT faces share:
+    custkeys ≡ 0 mod 3 flip segment on 2024-01-16 (mid-fixture, so
+    both versions actually receive events)."""
     cust = _T(spark, sf_dir, "customer")
     v1 = cust.select(
         "c_custkey",
@@ -6879,16 +6895,48 @@ def q_pit_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(F.lit("2024-01-16")).alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
     )
-    dim = v1.unionByName(v2)
-    ev = _T(spark, sf_dir, "events")
-    return (
-        pit_join(ev, dim, "user_id", "c_custkey", "ts", broadcast_dim=True)
-        .groupBy("c_mktsegment", "valid_from")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(_cents("value")).cast("long").alias("value_cents"),
-        )
+    return v1.unionByName(v2)
+
+
+@_register(
+    "stream_pit_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
+             CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-01-16' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPGRADED-' || c_mktsegment, DATE '2024-01-16', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 3 = 0),
+    j AS (SELECT d.c_mktsegment, d.valid_from, e.value
+          FROM events e JOIN dim d ON e.user_id = d.c_custkey
+           AND e.ts >= CAST(d.valid_from AS TIMESTAMP)
+           AND (d.valid_to IS NULL OR e.ts < CAST(d.valid_to AS TIMESTAMP)))
+    SELECT c_mktsegment, valid_from, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM j GROUP BY c_mktsegment, valid_from
+    """,
+    tags=("streaming", "warehouse", "scd2"),
+)
+def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING point-in-time enrichment — the stream-static twin of
+    `pit_enrich_events` (same oracle SQL): each micro-batch joins the
+    SCD2 version valid at the event's own timestamp (stateless
+    stream-static join, dim broadcast per micro-batch), then one
+    complete-mode stateful aggregate bounded by |segments|×|versions|.
+    A replayed/late event still picks the version valid WHEN IT
+    HAPPENED — the leakage guard, streaming form
+    (`streaming/windows.py:stream_pit_enriched_counts`)."""
+    from transe_pyspark_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        stream_pit_enriched_counts,
     )
+
+    stream = stream_pit_enriched_counts(
+        read_events_stream(spark, sf_dir), _pit_customer_dim(spark, sf_dir)
+    )
+    return run_available_now(stream, spark, output_mode="complete")
 
 
 # ---------------------------------------------------------------------------
@@ -7320,6 +7368,9 @@ _OVERFLOW_ORACLE = [
                                      # a broadcast key equi-join
     "weighted_jaccard3_prefix_docs", # the multiset family's 10x-benched
                                      # 3-gram configuration
+    "stream_pit_enrich",             # streaming twin of the PIT join:
+                                     # stateless stream-static version
+                                     # lookup + bounded stateful agg
 ]
 
 

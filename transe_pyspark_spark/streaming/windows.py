@@ -473,3 +473,34 @@ def windowed_value_drift(
             / (F.lit(2).cast("decimal(38,0)") * d38(F.col("n_events")) * d38(r_total)).cast("double"),
         ).alias("tv"),
     )
+
+
+def stream_pit_enriched_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static POINT-IN-TIME enrichment (R23 × SCD2): each
+    micro-batch's events join the dimension VERSION valid at the
+    event's own timestamp — ``relational.pit_join``'s residual-on-
+    equi-join shape, unchanged, because stream-static inner joins are
+    stateless (the dim broadcasts into every micro-batch; no join
+    state, no dim-side watermark). This is the streaming form of the
+    latest-version-leakage guard: a replayed/late event still picks
+    the version that was valid WHEN IT HAPPENED, not today's row.
+
+    Downstream: one stateful aggregate per (segment, version) — state
+    bounded by |segments| × |versions per key| regardless of stream
+    length. Complete-mode output, run to completion under AvailableNow
+    by the face; the batch twin is the oracle."""
+    from transe_pyspark_spark.operators.relational import pit_join
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        pit_join(src, dim, "user_id", "c_custkey", "ts", broadcast_dim=True)
+        .groupBy("c_mktsegment", "valid_from")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+    )
