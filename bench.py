@@ -157,6 +157,9 @@ SF1_HEADLINE = [
     # are quadratic in a lexical family and stall at sf1 -- measured,
     # documented in the operator docstring, not benched
     "weighted_jaccard3_prefix_docs",
+    # the corpus-as-its-own-LM quality screen: one pinned tokenization
+    # pass + vocab-sized broadcast-back, corpus-proportional by design
+    "unigram_nll_docs",
 ]
 
 

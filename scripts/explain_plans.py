@@ -108,6 +108,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "the SCD2 validity predicate rides the key equi-join as a "
         "residual — the dim broadcasts, facts never shuffle",
     ),
+    "bm25_topk_retrieval": (
+        ["WindowGroupLimit", "HashAggregate"],
+        "per-query top-k keeps O(k) pre-shuffle state (partial window "
+        "limit); one scored corpus pass shared across the query batch",
+    ),
     "ann_ivf_pq_neighbors": (
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",
@@ -846,6 +851,9 @@ SF1_STABLE = [
     # equi-join shape at 10x (the guarded exact twins stay out -- their
     # eager row guard raises at sf1 by design)
     "weighted_jaccard3_prefix_docs",
+    # the NLL screen keeps its pinned-tokenization + broadcast-total
+    # shape at 10x (no corpus re-scan sneaks in)
+    "unigram_nll_docs",
 ]
 
 

@@ -467,3 +467,47 @@ def test_weighted_jaccard_3gram_hand_model(spark):
         for r in D.weighted_jaccard_prefix_pairs(docs, 0.5, shingle_n=3).collect()
     }
     assert exact == expect and prefix == expect
+
+
+# --------------------------------------- BM25 top-k retrieval — r11 widen
+
+
+def test_bm25_topk_ranks_and_bound(spark):
+    """Each query's result is exactly ranks 1..k by (rounded score
+    desc, doc_id) with no score inversions; k bounds the list."""
+    from transe_pyspark_spark.functions.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = bm25_topk(
+        docs, {"q1": ["hash", "join"], "q2": ["stream"]}, k=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"q1", "q2"}
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 6))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True), f"{q} score inversion"
+        # tiebreak: equal scores must be doc_id-ascending
+        for a, b in zip(rows, rows[1:]):
+            if a["score"] == b["score"]:
+                assert a["doc_id"] < b["doc_id"]
+
+
+def test_bm25_topk_plan_uses_window_group_limit(spark):
+    """The per-query top-k must plan the partial WindowGroupLimit —
+    O(k) state per partition before the shuffle, never a full sort of
+    a query's candidate list."""
+    import contextlib
+    import io
+
+    from transe_pyspark_spark.functions.text import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = bm25_topk(docs, {"q": ["hash"]}, k=3, eager_cleanup=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

@@ -774,3 +774,106 @@ def unigram_nll(
     out = out.localCheckpoint(eager=True)  # |docs|-row leaf — THEN release
     dt.unpersist()
     return out
+
+
+def bm25_topk(
+    docs,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    eager_cleanup: bool = True,
+):
+    """Multi-query BM25 TOP-K RETRIEVAL — the search-engine face of
+    ``bm25_scores``: score every document against a BATCH of queries in
+    one corpus pass and keep each query's k best. This is the offline
+    retrieval shape (query batch × corpus → ranked lists) behind both
+    eval-set retrieval and hard-negative mining.
+
+    Plan: the ``bm25_scores`` pinned-tokenization skeleton, shared
+    across ALL queries — per-(doc, term) BM25 contributions are
+    query-independent, so the corpus is tokenized and scored ONCE for
+    the union of query terms; the tiny (query, term) map broadcasts
+    onto the contributions and one hash aggregate per (query, doc)
+    sums them. The final per-query top-k is a rank window ordered by
+    the ROUNDED score with doc-id tiebreak: ordering on the 4-decimal
+    contract (not the raw double) keeps ranks identical across
+    engines, and Spark's WindowGroupLimit keeps per-partition state at
+    O(k) before the shuffle — ≤ k·n_partitions rows exchange per
+    query, never a query's full candidate list.
+
+    Returns (query_id, rank, doc_id, n_matched_terms, score), rank
+    1..k. Same eager-cleanup contract as ``bm25_scores``."""
+    from pyspark.sql import Window
+
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+            ).alias("__toks"),
+        )
+        .withColumn("__dl", F.size("__toks").cast("long"))
+        .repartition(n_part, id_col)
+        .cache()
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        toks.select(id_col, "__dl", F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(all_terms))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dft = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    idf = dft.crossJoin(stats).select(
+        "__t",
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n").cast("double") - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        ).alias("__idf"),
+        "__avgdl",
+    )
+    contrib = tf.join(F.broadcast(idf), "__t").select(
+        id_col,
+        "__t",
+        (
+            F.col("__idf")
+            * (F.col("__tf").cast("double") * (F.lit(k1) + F.lit(1.0)))
+            / (
+                F.col("__tf").cast("double")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl"))
+            )
+        ).alias("__c"),
+    )
+    qt = docs.sparkSession.createDataFrame(
+        [(q, t) for q, ts in sorted(queries.items()) for t in sorted(set(ts))],
+        "query_id string, __t string",
+    )
+    scores = (
+        contrib.join(F.broadcast(qt), "__t")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+            F.round(F.sum("__c"), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col).asc())
+    out = (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "n_matched_terms", "score")
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)  # ≤ |queries|·k leaf — THEN release
+    toks.unpersist()
+    return out

@@ -6939,6 +6939,67 @@ def q_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, spark, output_mode="complete")
 
 
+@_register(
+    "bm25_topk_retrieval",
+    oracle="""
+    WITH qt(query_id, t) AS (VALUES
+        ('hash_join', 'hash'), ('hash_join', 'join'), ('hash_join', 'merge'),
+        ('scan_filter', 'column'), ('scan_filter', 'filter'), ('scan_filter', 'scan'),
+        ('stream_window', 'batch'), ('stream_window', 'stream'), ('stream_window', 'window')),
+    dl AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+    d2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM dl),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM d2),
+    tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d2)
+           WHERE t IN (SELECT DISTINCT t FROM qt)
+           GROUP BY doc_id, dl, t),
+    dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    idf AS (SELECT t, ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM dft, stats),
+    c AS (SELECT tf.doc_id, tf.t,
+                 idf.idf * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / idf.avgdl)) AS c
+          FROM tf JOIN idf ON idf.t = tf.t),
+    s AS (SELECT qt.query_id, c.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_matched_terms,
+                 round(sum(c.c), 4) AS score
+          FROM c JOIN qt ON qt.t = c.t
+          GROUP BY qt.query_id, c.doc_id),
+    r AS (SELECT query_id, doc_id, n_matched_terms, score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM s)
+    SELECT query_id, rank, doc_id, n_matched_terms, score FROM r WHERE rank <= 10
+    """,
+    tags=("text", "ranking"),
+)
+def q_bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 top-10 retrieval (`functions/text.py:bm25_topk`)
+    — three query batches share ONE tokenized-and-scored corpus pass
+    (per-(doc, term) contributions are query-independent; the tiny
+    (query, term) map broadcasts on). The per-query ranking orders by
+    the ROUNDED 4-decimal score with doc-id tiebreak, so ranks are
+    engine-identical, and WindowGroupLimit bounds pre-shuffle state at
+    O(k) per partition."""
+    from transe_pyspark_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        _T(spark, sf_dir, "documents"),
+        {
+            "hash_join": ["hash", "join", "merge"],
+            "scan_filter": ["scan", "filter", "column"],
+            "stream_window": ["stream", "window", "batch"],
+        },
+        k=10,
+        eager_cleanup=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -7371,6 +7432,9 @@ _OVERFLOW_ORACLE = [
     "stream_pit_enrich",             # streaming twin of the PIT join:
                                      # stateless stream-static version
                                      # lookup + bounded stateful agg
+    "bm25_topk_retrieval",           # multi-query top-k search: one
+                                     # scored corpus pass, rank window
+                                     # on the rounded-score contract
 ]
 
 
