@@ -161,6 +161,25 @@ def main() -> None:
     open_rows = versioned.filter(F.col("valid_to").isNull()).count()
     print(f"== SCD2 merge == {versioned.count()} version rows, {open_rows} open")
 
+    # point-in-time enrichment (r11): every event joins the version of
+    # its user's dimension row that was valid AT THE EVENT'S OWN
+    # TIMESTAMP — the temporal-correctness join that prevents
+    # latest-version leakage when labeling historical facts. The events
+    # fixture predates the 2024-06-01 change batch, so every event
+    # resolves to a first-generation version — asserted, not assumed.
+    from transe_pyspark_spark.operators.relational import pit_join
+
+    enriched = pit_join(
+        events, versioned, "user_id", "c_custkey", "ts", how="left", broadcast_dim=True
+    )
+    n_pre_change = enriched.filter(
+        F.col("valid_from") == F.to_date(F.lit("2024-01-01"))
+    ).count()
+    print(
+        f"== point-in-time enrichment == {enriched.count()} events labeled AS OF "
+        f"their own ts; {n_pre_change} resolved to pre-change versions (all)"
+    )
+
     print("== weekly cohort retention ==")
     for r in cohort_retention(events).orderBy("cohort_week", "age_weeks").collect()[:6]:
         print(f"  cohort {r['cohort_week'].date()} +{r['age_weeks']}w: "
