@@ -349,6 +349,32 @@ def _probe_codegen(spark) -> float:
     return sorted(s)[1]
 
 
+def _probe_shuffle(spark) -> float:
+    """The jvm_shuffle probe alone (median of 3, after a warmup) — the
+    exchange-machinery section-bracket sample. Added late-r11: the r11
+    run showed the codegen bracket STABLE across the sf1 section
+    (0.121→0.123) while every shuffle-heavy row ran ~2× its r10 time
+    and the run-level jvm_shuffle probe sat at 1.3-1.6× its r10 value —
+    shuffle capacity (disk/IPC) drifts independently of ALU throughput,
+    so shuffle-bound rows must triage against a shuffle bracket, not
+    the codegen one."""
+    from pyspark.sql import functions as F
+
+    fn = lambda: (  # noqa: E731
+        spark.range(20_000_000)
+        .groupBy((F.col("id") % 100_000).alias("k"))
+        .agg(F.sum("id"))
+        .count()
+    )
+    fn()  # warmup
+    s = []
+    for _ in range(3):
+        t0 = time.time()
+        fn()
+        s.append(round(time.time() - t0, 3))
+    return sorted(s)[1]
+
+
 def _calibration(spark) -> dict[str, float]:
     """Machine-speed probes on FIXED synthetic work — no testdata, no
     repo code — so a cross-round shift in these numbers measures the
@@ -373,12 +399,7 @@ def _calibration(spark) -> dict[str, float]:
 
     out = {}
     out["jvm_codegen"] = _probe_codegen(spark)
-    out["jvm_shuffle"] = med(
-        lambda: spark.range(20_000_000)
-        .groupBy((F.col("id") % 100_000).alias("k"))
-        .agg(F.sum("id"))
-        .count()
-    )
+    out["jvm_shuffle"] = _probe_shuffle(spark)
     a = np.random.default_rng(0).random((2000, 2000))
     out["numpy_matmul"] = med(lambda: a @ a)
     return out
@@ -419,7 +440,8 @@ def main() -> None:
 
     # headline-section end bracket (VERDICT r10 ask #4)
     probe_headline_end = _probe_codegen(spark)
-    print(f"# probe_headline_end: {probe_headline_end}", file=sys.stderr)
+    probe_headline_end_sh = _probe_shuffle(spark)
+    print(f"# probe_headline_end: {probe_headline_end} / shuffle {probe_headline_end_sh}", file=sys.stderr)
 
     # Scale-path reference points, NOT summed into ``value``: the
     # relational trainer deliberately pays per-batch shuffles to keep
@@ -490,7 +512,8 @@ def main() -> None:
 
     # scale-paths-section end bracket (VERDICT r10 ask #4)
     probe_scale_end = _probe_codegen(spark)
-    print(f"# probe_scale_end: {probe_scale_end}", file=sys.stderr)
+    probe_scale_end_sh = _probe_shuffle(spark)
+    print(f"# probe_scale_end: {probe_scale_end} / shuffle {probe_scale_end_sh}", file=sys.stderr)
 
     # sf1 scale-proof section (VERDICT r04 ask #6): the 5 most
     # expensive headline queries at 10× the bench scale, NOT summed
@@ -579,6 +602,13 @@ def main() -> None:
     # sf1 ratios move r09→r10 while only 4 raw rows did. The
     # run-level pair (calibration/calibration_end) remains the
     # cross-section drift bound.
+    # shuffle-capacity brackets (late-r11): shuffle-bound rows triage
+    # against these; the codegen brackets miss disk/IPC drift
+    section_probes_shuffle = {
+        "headline": [calibration["jvm_shuffle"], probe_headline_end_sh],
+        "scale_paths": [probe_headline_end_sh, probe_scale_end_sh],
+        "sf1": [probe_scale_end_sh, calibration_end["jvm_shuffle"]],
+    }
     section_probes = {
         "headline": [calibration["jvm_codegen"], probe_headline_end],
         "scale_paths": [probe_headline_end, probe_scale_end],
@@ -614,6 +644,7 @@ def main() -> None:
         "normalized_scale_paths": normalized_scale_paths,
         "normalized_probe": round(probe, 4),
         "section_probes": section_probes,
+        "section_probes_shuffle": section_probes_shuffle,
         "section_probe_midpoints": {
             "headline": round(p_head, 4),
             "scale_paths": round(p_scale, 4),
