@@ -113,6 +113,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "per-query top-k keeps O(k) pre-shuffle state (partial window "
         "limit); one scored corpus pass shared across the query batch",
     ),
+    "winnow_pairs_docs": (
+        ["HashAggregate"],
+        "winnowed fingerprints ride the inverted-index posting pattern "
+        "— one fp-keyed aggregate, pairs only from shared fingerprints",
+    ),
     "ann_ivf_pq_neighbors": (
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",
@@ -521,6 +526,10 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "point-in-time lookup must stay a key equi-join with a "
         "residual range filter, never a temporal nested loop",
+    ),
+    "winnow_pairs_docs": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "fingerprint pairs come from posting lists, never all pairs",
     ),
     "gap_fill_hourly": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],

@@ -511,3 +511,65 @@ def test_bm25_topk_plan_uses_window_group_limit(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+# ------------------------------------ winnowing fingerprints — r11 widen
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """The winnowing guarantee: any shared run of >= w+k-1 = 6 words
+    yields at least one shared fingerprint, wherever the run sits in
+    each document — and unrelated docs share none."""
+    from transe_pyspark_spark.operators import dedup as D
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 shared words
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {run} four five six"),
+            (2, f"seven eight {run} nine ten eleven twelve"),
+            (3, "totally different words entirely unrelated here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in D.winnow_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(3 not in pair for pair in got)
+
+
+def test_winnow_fingerprints_match_python_replay(spark):
+    """Bit-exact replay of the Arrow kernel in pure Python: word poly
+    hashes (base 131, init 7), gram combine (base 131313), window-of-4
+    minima with the short-doc boundary rule."""
+    from transe_pyspark_spark.operators import dedup as D
+
+    M = (1 << 31) - 1
+    texts = {1: "a b c d e f g h", 2: "x y z"}  # long + shorter-than-window
+
+    def replay(text, k=3, w=4):
+        ws = [x for x in text.split(" ") if x]
+        wh = []
+        for word in ws:
+            acc = 7
+            for ch in word:
+                acc = (acc * 131 + ord(ch)) % M
+            wh.append(acc)
+        grams = []
+        for i in range(len(wh) - k + 1):
+            acc = wh[i]
+            for j in range(1, k):
+                acc = (acc * 131313 + wh[i + j]) % M
+            grams.append(acc)
+        if len(grams) <= w:
+            return {min(grams)}
+        return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = D.winnow_fingerprint_rows_arrow(docs).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert r["n_fps"] == len(replay(texts[r["doc_id"]]))
+    assert got == {d: replay(t) for d, t in texts.items()}

@@ -1163,3 +1163,136 @@ def tf_cosine_pairs(
         .filter(F.col("tf_cosine") >= threshold)
         .select("doc_a", "doc_b", F.round("tf_cosine", 6).alias("tf_cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+# the MOSS local-similarity algorithm): guaranteed detection of shared
+# runs with a bounded fingerprint density, where MinHash only bounds
+# WHOLE-document resemblance.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprint_rows_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Distinct winnowed fingerprints per document — one Arrow batch
+    pass (narrow, no shuffle), emitting ``(id, fp, n_fps)`` rows.
+
+    Winnowing: hash every k-gram, slide a window of ``w`` consecutive
+    gram hashes, keep each window's MINIMUM. Guarantees: any shared run
+    of ≥ w+k−1 words yields at least one shared fingerprint (every
+    window inside the run selects from the same hashes), and density is
+    bounded at ~2/(w+1) fingerprints per gram — tunable recall/cost,
+    per-position evidence, unlike MinHash's whole-document resemblance
+    bound. Documents shorter than one window keep the min of all their
+    grams (standard boundary rule), so every ≥k-word doc has ≥1
+    fingerprint.
+
+    Hashes are the module's engine-independent polynomial family
+    (base-131 code-point word hashes, base-131313 gram combine, mod
+    2³¹−1 — the ``_word_hashes`` / ``_shingles_from_word_hashes``
+    constants), so a DuckDB oracle replays every fingerprint exactly;
+    nothing depends on Spark's hash implementation."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if k < 1 or w < 1:
+        raise ValueError("winnowing needs k >= 1 and w >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            out_fps: list[int] = []
+            ns: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ws = [x for x in str(text).split(" ") if x]
+                if len(ws) < k:
+                    continue
+                wh = []
+                for word in ws:
+                    acc = 7
+                    for ch in word:
+                        acc = (acc * 131 + ord(ch)) % _MERSENNE
+                    wh.append(acc)
+                grams = []
+                for i in range(len(wh) - k + 1):
+                    acc = wh[i]
+                    for j in range(1, k):
+                        acc = (acc * 131313 + wh[i + j]) % _MERSENNE
+                    grams.append(acc)
+                if len(grams) <= w:
+                    sel = {min(grams)}
+                else:
+                    sel = {
+                        min(grams[i : i + w])
+                        for i in range(len(grams) - w + 1)
+                    }
+                ids.extend([int(doc_id)] * len(sel))
+                out_fps.extend(sorted(sel))
+                ns.extend([len(sel)] * len(sel))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(out_fps, dtype="int64"),
+                    "n_fps": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, fp long, n_fps long"
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints
+    (a < b) — MOSS-style LOCAL similarity: a pasted span of ≥ w+k−1
+    words contributes fingerprints wherever it lands, so partial
+    plagiarism/boilerplate reuse surfaces even when whole-document
+    resemblance (Jaccard, MinHash) stays low.
+
+    Plan: one narrow Arrow fingerprint pass, then the inverted-index
+    posting pattern (``jaccard_pairs``): per-fingerprint posting lists,
+    positional i<j pair generation, ONE hash aggregate counting shared
+    fingerprints — exact BIGINTs end to end, no floats anywhere.
+    UNGUARDED like the prefix paths: winnowed k-gram fingerprints are
+    near-unique outside genuinely shared runs (density ~2/(w+1) of
+    grams), so posting lists stay reuse-sized, never corpus-dense.
+
+    Returns (doc_a, doc_b, n_shared, nf_a, nf_b) — the caller picks a
+    containment-style score (e.g. n_shared / min(nf)) downstream; this
+    operator stays in exact integers."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1 (0 would require all pairs)")
+    ex = winnow_fingerprint_rows_arrow(df, text_col, id_col, k, w)
+    postings = (
+        ex.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct(id_col, "n_fps"))).alias("__ds"))
+        .filter(F.size("__ds") >= 2)
+    )
+    pairs = postings.select(
+        F.posexplode("__ds").alias("__i", "__a"), "__ds"
+    ).select("__a", F.explode(F.slice("__ds", F.col("__i") + 2, F.size("__ds"))).alias("__b"))
+    return (
+        pairs.groupBy(
+            F.col(f"__a.{id_col}").alias("doc_a"),
+            F.col(f"__b.{id_col}").alias("doc_b"),
+            F.col("__a.n_fps").alias("nf_a"),
+            F.col("__b.n_fps").alias("nf_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b", "n_shared", "nf_a", "nf_b")
+    )

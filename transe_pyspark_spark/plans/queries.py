@@ -7000,6 +7000,54 @@ def q_bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "winnow_pairs_docs",
+    oracle="""
+    WITH w0 AS (SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), ' +'), x -> x <> '') AS ws
+                FROM documents),
+    wh AS (SELECT doc_id,
+                  list_transform(ws, s -> list_reduce(
+                      list_prepend(CAST(7 AS BIGINT),
+                                   list_transform(string_split(s, ''),
+                                                  c -> CAST(ascii(c) AS BIGINT))),
+                      (acc, x) -> (acc * 131 + x) % 2147483647)) AS wh
+           FROM w0 WHERE len(ws) >= 3),
+    g AS (SELECT doc_id, unnest(range(1, len(wh) - 1)) AS pos, wh,
+                 CAST(len(wh) - 2 AS BIGINT) AS ng
+          FROM wh),
+    gh AS (SELECT doc_id, pos, ng,
+                  ((wh[pos] * 131313 + wh[pos + 1]) % 2147483647
+                   * 131313 + wh[pos + 2]) % 2147483647 AS gh
+           FROM g),
+    mins AS (SELECT doc_id, pos, ng,
+                    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mg
+             FROM gh),
+    sel AS (SELECT DISTINCT doc_id, mg FROM mins WHERE pos <= greatest(1, ng - 3)),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM sel GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+          FROM sel a JOIN sel b ON a.mg = b.mg AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared, sa.nf AS nf_a, sb.nf AS nf_b
+    FROM p JOIN sizes sa ON sa.doc_id = p.doc_a JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE n_shared >= 5
+    """,
+    tags=("dedup", "text"),
+)
+def q_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint pairs sharing ≥5 fingerprints
+    (k=3-gram hashes, w=4 windows —
+    `operators/dedup.py:winnow_pairs`): LOCAL similarity with a
+    guarantee — any shared run of ≥ w+k−1 = 6 words yields a shared
+    fingerprint — at a bounded ~2/(w+1) fingerprint density, the span
+    evidence MinHash's whole-document resemblance bound cannot give.
+    Every hash is the module's engine-independent polynomial family,
+    so the oracle replays each fingerprint exactly; the whole face is
+    BIGINT end to end (no floats anywhere)."""
+    return D.winnow_pairs(_T(spark, sf_dir, "documents"), min_shared=5, k=3, w=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -7435,6 +7483,9 @@ _OVERFLOW_ORACLE = [
     "bm25_topk_retrieval",           # multi-query top-k search: one
                                      # scored corpus pass, rank window
                                      # on the rounded-score contract
+    "winnow_pairs_docs",             # MOSS winnowing: guaranteed local
+                                     # similarity, all-BIGINT, engine-
+                                     # independent polynomial hashes
 ]
 
 
