@@ -739,3 +739,123 @@ def test_nearest_join_fuzz_vs_python(spark, sides):
             else (None, None)
         )
         assert got[lid] == want, (lid, got[lid], want)
+
+
+# --- r11 weighted similarity + winnowing vs brute force --------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(word_soup)
+def test_weighted_jaccard_matches_bruteforce(spark, corpus):
+    """Posting-list weighted Jaccard == Counter brute force, and the
+    occurrence-expansion prefix path returns the identical pair set
+    (exercises repeated words, identical docs, empty docs, and the
+    t·n boundary)."""
+    from collections import Counter
+
+    from transe_pyspark_spark.operators.dedup import (
+        weighted_jaccard_pairs,
+        weighted_jaccard_prefix_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.wjaccard
+        for r in weighted_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b): r.wjaccard
+        for r in weighted_jaccard_prefix_pairs(docs, threshold=0.3).collect()
+    }
+    cnts = [Counter(_py_words(t)) for t in corpus]
+    want = {}
+    for a in range(len(cnts)):
+        for b in range(a + 1, len(cnts)):
+            inter = sum(min(cnts[a][t], cnts[b][t]) for t in cnts[a].keys() & cnts[b].keys())
+            la, lb = sum(cnts[a].values()), sum(cnts[b].values())
+            union = la + lb - inter
+            if union and inter / union >= 0.3:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
+    assert prefix == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(word_soup)
+def test_tf_cosine_matches_bruteforce(spark, corpus):
+    """Inverted-index tf cosine == Counter brute force with the same
+    IEEE expression shape (dot / (sqrt(na2)·sqrt(nb2)))."""
+    from collections import Counter
+
+    from transe_pyspark_spark.operators.dedup import tf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.tf_cosine
+        for r in tf_cosine_pairs(docs, threshold=0.3).collect()
+    }
+    cnts = [Counter(_py_words(t)) for t in corpus]
+    want = {}
+    for a in range(len(cnts)):
+        for b in range(a + 1, len(cnts)):
+            dot = sum(cnts[a][t] * cnts[b][t] for t in cnts[a].keys() & cnts[b].keys())
+            if not dot:
+                continue
+            na2 = sum(v * v for v in cnts[a].values())
+            nb2 = sum(v * v for v in cnts[b].values())
+            c = float(dot) / (math.sqrt(float(na2)) * math.sqrt(float(nb2)))
+            if c >= 0.3:
+                want[(a, b)] = round(c, 6)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(word_soup)
+def test_winnow_pairs_match_bruteforce(spark, corpus):
+    """Distributed winnowing == a full pure-Python replay (word poly
+    hashes, gram combine, window-of-w minima, short-doc boundary,
+    shared-fingerprint counting)."""
+    from transe_pyspark_spark.operators.dedup import winnow_pairs
+
+    M = (1 << 31) - 1
+    K, W = 2, 3  # small params so 8-word soup docs produce windows
+
+    def fps(text):
+        ws = _py_words(text)
+        if len(ws) < K:
+            return set()
+        wh = []
+        for word in ws:
+            acc = 7
+            for ch in word:
+                acc = (acc * 131 + ord(ch)) % M
+            wh.append(acc)
+        grams = []
+        for i in range(len(wh) - K + 1):
+            acc = wh[i]
+            for j in range(1, K):
+                acc = (acc * 131313 + wh[i + j]) % M
+            grams.append(acc)
+        if len(grams) <= W:
+            return {min(grams)}
+        return {min(grams[i : i + W]) for i in range(len(grams) - W + 1)}
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.nf_a, r.nf_b)
+        for r in winnow_pairs(docs, min_shared=1, k=K, w=W).collect()
+    }
+    sets = [fps(t) for t in corpus]
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            shared = len(sets[a] & sets[b])
+            if shared >= 1:
+                want[(a, b)] = (shared, len(sets[a]), len(sets[b]))
+    assert got == want
