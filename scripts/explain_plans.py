@@ -118,6 +118,11 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "winnowed fingerprints ride the inverted-index posting pattern "
         "— one fp-keyed aggregate, pairs only from shared fingerprints",
     ),
+    "psi_value_drift_events": (
+        ["HashAggregate"],
+        "bucket counts per side + bucket-cardinality full-outer join; "
+        "totals and the bucket count broadcast as 1-row aggregates",
+    ),
     "ann_ivf_pq_neighbors": (
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",

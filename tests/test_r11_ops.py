@@ -573,3 +573,39 @@ def test_winnow_fingerprints_match_python_replay(spark):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
         assert r["n_fps"] == len(replay(texts[r["doc_id"]]))
     assert got == {d: replay(t) for d, t in texts.items()}
+
+
+# --------------------------------------------- PSI drift — r11 widen
+
+
+def test_psi_drift_hand_model(spark):
+    """Hand math with an EMPTY bucket on one side (the case that
+    killed the unsmoothed form): a = {0:3, 1:1}, b = {0:1, 2:3},
+    B = 3 observed buckets, Laplace add-one on both sides."""
+    import math
+
+    from transe_pyspark_spark.operators.relational import psi_drift
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(0,), (0,), (0,), (1,)], "v long")
+    b = spark.createDataFrame([(0,), (2,), (2,), (2,)], "v long")
+    row = psi_drift(a, b, F.col("v")).collect()[0]
+    assert (row["n_a"], row["n_b"], row["n_buckets"]) == (4, 4, 3)
+
+    def term(ca, cb, na=4, nb=4, B=3):
+        p = (ca + 1) / (na + B)
+        q = (cb + 1) / (nb + B)
+        return round((p - q) * math.log(p / q) * 1e9)
+
+    nano = term(3, 1) + term(1, 0) + term(0, 3)
+    assert row["psi"] == round(nano / 1e9, 4)
+    assert row["psi"] > 0  # PSI is non-negative, strictly so when p != q
+
+
+def test_psi_drift_identical_distributions_near_zero(spark):
+    from transe_pyspark_spark.operators.relational import psi_drift
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(i % 5,) for i in range(100)], "v long")
+    row = psi_drift(a, a, F.col("v")).collect()[0]
+    assert row["psi"] == 0.0

@@ -1324,9 +1324,11 @@ def distribution_drift(
     are exact decimal(38,0) integers (counts × totals overflow int64
     at warehouse scale), so the per-bucket drift values and their sum
     (TV distance = Σ contributions) are order-free and hash-check.
-    PSI's ``ln(p/q)`` is deliberately NOT here: logs are libm-
-    dependent and blow up on empty buckets; TV distance is the
-    bounded, exact alternative.
+    PSI originally stayed out of this report because logs are
+    libm-dependent and blow up on empty buckets; once the nano-unit
+    quantization idiom matured (source_divergence / unigram_nll),
+    ``psi_drift`` below landed it with Laplace smoothing — TV remains
+    the bounded, log-free alternative this report carries per bucket.
 
     Cost: one hash-agg per side on the bucket key (map-side partials),
     a full-outer bucket join (≤ bucket-cardinality rows), totals as
@@ -1364,6 +1366,67 @@ def distribution_drift(
         F.round(F.col("n_a").cast("double") / F.col("__na").cast("double"), 6).alias("rate_a"),
         F.round(F.col("n_b").cast("double") / F.col("__nb").cast("double"), 6).alias("rate_b"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("tv_contrib"),
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bucket: Column,
+) -> DataFrame:
+    """Population Stability Index between two samples over a shared
+    bucketing — THE model-monitoring drift score (credit-risk lineage;
+    the common operating bands: <0.1 stable, 0.1-0.25 shifting, >0.25
+    action): ``PSI = Σ_b (p_b − q_b)·ln(p_b / q_b)``.
+
+    The two classic failure modes are handled the house way:
+
+    * **empty buckets** (ln blows up): Laplace smoothing —
+      ``p_b = (n_a+1)/(N_a+B)``, ``q_b = (n_b+1)/(N_b+B)`` with B the
+      OBSERVED bucket count — the standard add-one estimator, exact in
+      both engines because B and the totals are BIGINTs broadcast from
+      1-row aggregates;
+    * **order-dependent transcendental sums** (libm ln + float
+      addition): each bucket's term is quantized to integer NANO-UNITS
+      (``round(c·1e9) AS BIGINT``) and summed exactly — the
+      ``source_divergence`` determinism idiom — so the DuckDB oracle
+      replays the sum term-for-term.
+
+    Cost: one hash-agg per side on the bucket key, a full-outer bucket
+    join (≤ bucket-cardinality rows), three 1-row broadcast aggregates.
+    Returns ONE row: (n_a, n_b, n_buckets, psi), psi rounded to 4
+    decimals (the quantization sits 5 orders below the round)."""
+    bname = "__bk"
+    a = df_a.select(bucket.alias(bname)).groupBy(bname).agg(
+        F.count(F.lit(1)).cast("long").alias("__ca")
+    )
+    b = df_b.select(bucket.alias(bname)).groupBy(bname).agg(
+        F.count(F.lit(1)).cast("long").alias("__cb")
+    )
+    tot_a = F.broadcast(df_a.agg(F.count(F.lit(1)).cast("long").alias("__na")))
+    tot_b = F.broadcast(df_b.agg(F.count(F.lit(1)).cast("long").alias("__nb")))
+    j = a.join(b, bname, "full_outer").select(
+        bname,
+        F.coalesce(F.col("__ca"), F.lit(0)).cast("long").alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).cast("long").alias("__cb"),
+    )
+    nb = F.broadcast(j.agg(F.count(F.lit(1)).cast("long").alias("__B")))
+    terms = j.crossJoin(tot_a).crossJoin(tot_b).crossJoin(nb)
+    p = (F.col("__ca") + F.lit(1)).cast("double") / (F.col("__na") + F.col("__B")).cast("double")
+    q = (F.col("__cb") + F.lit(1)).cast("double") / (F.col("__nb") + F.col("__B")).cast("double")
+    scored = terms.select(
+        "__na",
+        "__nb",
+        "__B",
+        F.round((p - q) * F.log(p / q) * F.lit(1e9)).cast("long").alias("__psi_nano"),
+    )
+    return scored.groupBy("__na", "__nb", "__B").agg(
+        F.round(F.sum("__psi_nano").cast("double") / F.lit(1e9), 4).alias("psi")
+    ).select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.col("__B").alias("n_buckets"),
+        "psi",
     )
 
 

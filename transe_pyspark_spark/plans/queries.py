@@ -7001,6 +7001,53 @@ def q_bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "psi_value_drift_events",
+    oracle="""
+    WITH a AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bk, CAST(count(*) AS BIGINT) AS ca
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    b AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bk, CAST(count(*) AS BIGINT) AS cb
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    j AS (SELECT coalesce(a.bk, b.bk) AS bk,
+                 CAST(coalesce(ca, 0) AS BIGINT) AS ca,
+                 CAST(coalesce(cb, 0) AS BIGINT) AS cb
+          FROM a FULL OUTER JOIN b ON a.bk = b.bk),
+    na AS (SELECT CAST(count(*) AS BIGINT) AS na FROM events WHERE event_type = 'view'),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM events WHERE event_type = 'purchase'),
+    bb AS (SELECT CAST(count(*) AS BIGINT) AS B FROM j),
+    sc AS (SELECT na, nb, B,
+                  CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(na + B AS DOUBLE)
+                              - CAST(cb + 1 AS DOUBLE) / CAST(nb + B AS DOUBLE))
+                             * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + B AS DOUBLE))
+                                  / (CAST(cb + 1 AS DOUBLE) / CAST(nb + B AS DOUBLE)))
+                             * 1e9) AS BIGINT) AS psi_nano
+           FROM j, na, nb, bb)
+    SELECT na AS n_a, nb AS n_b, B AS n_buckets,
+           round(CAST(sum(psi_nano) AS DOUBLE) / 1e9, 4) AS psi
+    FROM sc GROUP BY na, nb, B
+    """,
+    tags=("agg", "stats", "drift"),
+)
+def q_psi_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between view and purchase value
+    distributions (`relational.py:psi_drift`, decade buckets) —
+    completing the drift suite (TV exact, KL, KS exact, streaming TV):
+    PSI is the model-monitoring score with standard operating bands.
+    Laplace smoothing handles empty buckets exactly (B and the totals
+    are broadcast BIGINTs); each bucket's `(p−q)·ln(p/q)` term is
+    nano-quantized and summed exactly, so the oracle replays the sum
+    term-for-term — the same idiom that brought ln into
+    `source_divergence_docs` after the TV-only r06 design note."""
+    from transe_pyspark_spark.operators.relational import psi_drift
+
+    ev = _T(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        F.floor(F.col("value") / 10.0).cast("long"),
+    )
+
+
+@_register(
     "winnow_pairs_docs",
     oracle="""
     WITH w0 AS (SELECT doc_id,
@@ -7486,6 +7533,9 @@ _OVERFLOW_ORACLE = [
     "winnow_pairs_docs",             # MOSS winnowing: guaranteed local
                                      # similarity, all-BIGINT, engine-
                                      # independent polynomial hashes
+    "psi_value_drift_events",        # PSI completes the drift suite:
+                                     # Laplace-smoothed, nano-quantized
+                                     # (p-q)·ln(p/q) sums
 ]
 
 
