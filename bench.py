@@ -160,6 +160,28 @@ SF1_HEADLINE = [
     # the corpus-as-its-own-LM quality screen: one pinned tokenization
     # pass + vocab-sized broadcast-back, corpus-proportional by design
     "unigram_nll_docs",
+    # r11 third wave at 10×: the symmetric-delete join pays ~(len+1)
+    # deletion variants per name (150k names → ~2.9M postings) and a
+    # ~2M-pair verify; hybrid RRF's legs are one tokenized corpus pass
+    # + one broadcast knn sweep, the fusion itself output-sized; the
+    # rollup cascade is the single-scan contract at 10× (coarser
+    # levels fold checkpointed partials)
+    "edit_near_names_customers",
+    "hybrid_rrf_docs",
+    "multires_rollup_events",
+    # r11 fifth wave at 10×: MI is one joint-cell aggregate over 1M
+    # events; the robust screen pays two prefix-rank passes (median,
+    # then MAD) over the same; assoc rules pay the basket-keyed pair
+    # join over 6M lineitems + support pruning
+    "mutual_info_events",
+    "robust_outliers_events",
+    "assoc_rules_parts",
+    # r11 sixth wave at 10×: eventually-follows pays one (user, day,
+    # type) min-ts aggregate over 1M events + the basket-keyed pair
+    # join; absence pays one user-keyed anti join with the residual
+    # hour window
+    "eventually_follows_events",
+    "absent_followup_events",
 ]
 
 

@@ -123,6 +123,51 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "bucket counts per side + bucket-cardinality full-outer join; "
         "totals and the bucket count broadcast as 1-row aggregates",
     ),
+    "edit_near_names_customers": (
+        ["Generate", "HashAggregate"],
+        "deletion-variant posting lists (codegen'd explode) feed an "
+        "equi-join; candidates dedup (hash agg) before one Levenshtein "
+        "verify per surviving pair — never the oracle's n² definition",
+    ),
+    "hybrid_rrf_docs": (
+        ["WindowGroupLimit", "FullOuter"],
+        "both legs keep their own O(k) top-k contracts; the fusion "
+        "full-outer join and rank window touch only the two "
+        "output-sized lists",
+    ),
+    "multires_rollup_events": (
+        ["HashAggregate", "Union", "Scan ExistingRDD"],
+        "hour level materializes once (checkpointed partials); day and "
+        "week fold THOSE — the unioned plan re-reads the checkpoint, "
+        "never the raw table",
+    ),
+    "mutual_info_events": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        "one joint |X·Y|-cell aggregate is the only corpus shuffle; "
+        "marginals re-aggregate the cells and broadcast back",
+    ),
+    "robust_outliers_events": (
+        ["HashAggregate", "__pid", "BroadcastHashJoin"],
+        "both medians ride the __pid distributed prefix-rank (no "
+        "per-group window funnel); |groups|-sized fences broadcast",
+    ),
+    "assoc_rules_parts": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        "within-basket pair join keyed on the basket id (Σ|b|² bound); "
+        "item counts and the basket total broadcast back onto the "
+        "support-pruned, output-sized rule table",
+    ),
+    "eventually_follows_events": (
+        ["HashAggregate", "BroadcastHashJoin", "Scan ExistingRDD"],
+        "one (basket, type) min-ts aggregate is the only corpus "
+        "shuffle; the self-join and totals ride the checkpointed "
+        "first-occurrence frame, basket-keyed",
+    ),
+    "absent_followup_events": (
+        ["LeftAnti", "HashAggregate"],
+        "the NOT EXISTS decorrelates to a key-equi anti join carrying "
+        "the time window as a residual predicate",
+    ),
     "ann_ivf_pq_neighbors": (
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",
@@ -536,6 +581,45 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "fingerprint pairs come from posting lists, never all pairs",
     ),
+    "edit_near_names_customers": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "edit-distance candidates come from deletion-variant equi-joins "
+        "only — the quadratic Levenshtein stays in the oracle",
+    ),
+    "hybrid_rrf_docs": (
+        ["CartesianProduct"],
+        "the fusion join is keyed on (query, doc); only the knn leg's "
+        "deliberate broadcast-of-3-queries NLJ is allowed upstream",
+    ),
+    "multires_rollup_events": (
+        ["Scan parquet", "BroadcastNestedLoopJoin", "CartesianProduct"],
+        "no raw-table scan may survive into the returned plan — every "
+        "level rides the checkpointed hourly partials",
+    ),
+    "mutual_info_events": (
+        ["CartesianProduct"],
+        "cells join marginals on their keys; only the 1-row totals "
+        "frame rides a deliberate broadcast NLJ",
+    ),
+    "robust_outliers_events": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "median/MAD/fence joins are all keyed on the group column",
+    ),
+    "assoc_rules_parts": (
+        ["CartesianProduct"],
+        "pairs come from the basket-keyed self-join only — never "
+        "across baskets; the 1-row basket total broadcasts",
+    ),
+    "eventually_follows_events": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "precedence pairs come from the basket-keyed first-occurrence "
+        "join only — never across baskets",
+    ),
+    "absent_followup_events": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        "the time-range predicate must stay a residual on the user "
+        "equi-key — never a temporal nested loop",
+    ),
     "gap_fill_hourly": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "grid generation must stay per-key explode, never a time-range cross join",
@@ -868,6 +952,27 @@ SF1_STABLE = [
     # the NLL screen keeps its pinned-tokenization + broadcast-total
     # shape at 10x (no corpus re-scan sneaks in)
     "unigram_nll_docs",
+    # r11 third wave: the symmetric-delete join keeps its explode →
+    # posting-equi-join → dedup-agg shape at 10× (the quadratic
+    # Levenshtein stays in the oracle at every SF); hybrid RRF keeps
+    # both legs' O(k) contracts and the output-sized full-outer
+    # fusion; the rollup cascade keeps ZERO raw scans in the returned
+    # plan at 10× (every level rides the checkpointed hourly partials)
+    "edit_near_names_customers",
+    "hybrid_rrf_docs",
+    "multires_rollup_events",
+    # r11 fifth wave: MI keeps its single joint-cell corpus aggregate
+    # at 10× (marginals from cells, never a second pass); the robust
+    # screen keeps both medians on the __pid prefix-rank; assoc rules
+    # keep the basket-keyed pair join + broadcast count joins
+    "mutual_info_events",
+    "robust_outliers_events",
+    "assoc_rules_parts",
+    # r11 sixth wave: eventually-follows keeps its single min-ts
+    # corpus aggregate + basket-keyed join at 10×; absence keeps the
+    # residual-on-equi-key LeftAnti (no temporal nested loop at 10×)
+    "eventually_follows_events",
+    "absent_followup_events",
 ]
 
 

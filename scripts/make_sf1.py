@@ -43,13 +43,13 @@ EVENTID_OFF = 10_000_000
 USERID_OFF = 1_000_000
 PARTKEY_OFF = 1_000_000
 
-SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "events", "part", "supplier")
+SF1_TABLES = ("lineitem", "orders", "customer", "nation", "region", "documents", "events", "part", "supplier", "embeddings")
 
 #: bump when the replication logic or its parameters change — the
 #: cached fixture regenerates on mismatch, so sf1 numbers and plan
 #: gates always reflect the CURRENT generator (a bare _DONE marker
 #: silently served stale fixtures across code versions)
-GENERATOR_VERSION = f"v5|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF},{PARTKEY_OFF}"
+GENERATOR_VERSION = f"v6|replicas={REPLICAS}|offs={ORDERKEY_OFF},{CUSTKEY_OFF},{DOCID_OFF},{EVENTID_OFF},{USERID_OFF},{PARTKEY_OFF}"
 
 
 def sf1_dir() -> str:
@@ -129,6 +129,12 @@ def ensure_sf1(spark: SparkSession, src_dir: str = "/root/testdata/sf0.1") -> st
         # lineitems keep their base l_suppkey, so the audit face's FK
         # check sees 10× children against the same parent key set
         "supplier": load("supplier"),
+        # embeddings replicate with the DOCUMENT offset so the
+        # vec_id ↔ doc_id row correspondence survives at 10×; vectors
+        # are byte-identical across replicas — exact top-k stays
+        # deterministic through the (dist, id) tiebreak, and the knn
+        # sweep cost (the thing the sf1 row measures) is unaffected
+        "embeddings": _replicate(load("embeddings"), {"vec_id": DOCID_OFF}),
     }
     for name, df in plans.items():
         dest = os.path.join(out, f"{name}.parquet")

@@ -609,3 +609,412 @@ def test_psi_drift_identical_distributions_near_zero(spark):
     a = spark.createDataFrame([(i % 5,) for i in range(100)], "v long")
     row = psi_drift(a, a, F.col("v")).collect()[0]
     assert row["psi"] == 0.0
+
+
+# ------------------------------------------------ symmetric-delete edit join
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_symmetric_delete_pairs_matches_bruteforce(spark):
+    """Completeness + exactness at both supported radii against a
+    Python brute force, on names engineered to exercise every edit
+    kind (substitution, insertion, deletion) plus far-apart pairs."""
+    from transe_pyspark_spark.operators.linkage import symmetric_delete_pairs
+
+    names = [
+        "kettle", "kettlz", "kettl", "kettles",  # sub / del / ins of 0
+        "bottle", "bottles", "botle",            # ins / del
+        "kelp", "whale", "xylophone", "a", "ab",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for d in (1, 2):
+        want = sorted(
+            (i, j, _py_levenshtein(a, b))
+            for i, a in rows
+            for j, b in rows
+            if i < j and _py_levenshtein(a, b) <= d
+        )
+        got = sorted(
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in symmetric_delete_pairs(df, "id", "name", d).collect()
+        )
+        assert got == want, f"d={d}: {got} != {want}"
+
+
+def test_symmetric_delete_pairs_rejects_large_radius(spark):
+    from transe_pyspark_spark.operators.linkage import symmetric_delete_pairs
+
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    with pytest.raises(ValueError, match="max_distance in"):
+        symmetric_delete_pairs(df, "id", "name", 3)
+
+
+def test_symmetric_delete_plan_is_posting_list_join(spark):
+    """The oracle states the quadratic definition; the plan must not
+    contain it — the join is an equi-join on the exploded deletion
+    variants, never a cartesian/BNLJ over the name pairs."""
+    from transe_pyspark_spark.operators.linkage import symmetric_delete_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    plan = symmetric_delete_pairs(df, "c_custkey", "c_name", 1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the variant posting lists
+
+
+# ------------------------------------------------------- hybrid RRF fusion
+
+
+def test_hybrid_rrf_hand_model(spark):
+    """Exact integer nano-unit fusion on a two-list hand model: a doc
+    in both lists outranks single-list docs; absent legs contribute 0;
+    flags report which leg carried each doc."""
+    from transe_pyspark_spark.operators.similarity import hybrid_rrf_fuse
+
+    text = spark.createDataFrame(
+        [("q0", 1, 1), ("q0", 2, 2)], "query_id string, doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [("q0", 2, 1), ("q0", 3, 2)], "query_id string, doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["rrf_nano"], r["in_text"], r["in_vector"])
+        for r in hybrid_rrf_fuse(text, vec, k=10).collect()
+    }
+    r61, r62 = 10**9 // 61, 10**9 // 62
+    assert got == {
+        2: (1, r61 + r62, True, True),   # both lists
+        1: (2, r61, True, False),        # text only, rank 1
+        3: (3, r62, False, True),        # vector only, rank 2
+    }
+
+
+def test_hybrid_rrf_respects_k_and_tiebreak(spark):
+    """Equal-score docs order by doc_id; k truncates per query
+    independently."""
+    from transe_pyspark_spark.operators.similarity import hybrid_rrf_fuse
+
+    text = spark.createDataFrame(
+        [("a", 5, 1), ("a", 9, 1), ("b", 7, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    vec = spark.createDataFrame([], "query_id string, doc_id long, rank long")
+    out = hybrid_rrf_fuse(text, vec, k=1).collect()
+    got = {(r["query_id"], r["doc_id"], r["rank"]) for r in out}
+    assert got == {("a", 5, 1), ("b", 7, 1)}  # doc 9 ties doc 5, loses on id
+
+
+# ------------------------------------------------- multi-resolution rollup
+
+
+def test_multires_rollup_matches_raw_definition(spark):
+    """Every cascaded level equals its definitional GROUP BY on raw —
+    including NULL-value rows (counted, excluded from sums) and a week
+    straddling two days."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import multires_rollup
+
+    rows = [
+        ("2024-01-01 10:15:00", 1.00),
+        ("2024-01-01 10:45:00", 2.50),
+        ("2024-01-01 23:10:00", None),      # counted, not summed
+        ("2024-01-02 00:05:00", 4.00),      # next day, same ISO week
+        ("2024-01-08 09:00:00", 8.00),      # next ISO week (Monday)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    got = {
+        (r["level"], str(r["bucket_start"]), r["n_events"], r["value_cents"])
+        for r in multires_rollup(df, "ts", cents, ("hour", "day", "week")).collect()
+    }
+    want = set()
+    for lvl in ("hour", "day", "week"):
+        for r in (
+            df.groupBy(F.date_trunc(lvl, "ts").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+            .collect()
+        ):
+            want.add((lvl, str(r["b"]), r["n"], r["c"]))
+    assert got == want
+    # spot-pin the cascade arithmetic: Jan-1 week holds 4 events, 750¢
+    assert ("week", "2024-01-01 00:00:00", 4, 750) in got
+    assert ("week", "2024-01-08 00:00:00", 1, 800) in got
+
+
+def test_multires_rollup_single_scan_and_guard(spark):
+    """The returned plan holds NO raw-table scan at all — day and week
+    read the checkpointed hourly partials (the continuous-aggregate
+    contract: one corpus pass per call, not per level)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import multires_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    out = multires_rollup(ev, "ts", cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, "a coarser level re-scanned the raw table"
+    with _pytest.raises(ValueError, match=">= 2 levels"):
+        multires_rollup(ev, "ts", cents, ("hour",))
+
+
+# ------------------------------------------------------ mutual information
+
+
+def test_mutual_information_hand_model(spark):
+    """Perfect dependence between two binary facets carries exactly
+    ln(2) nats (quantized to nano-nats then rounded to 4dp)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import mutual_information
+
+    rows = [("a", 0)] * 5 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "x string, y long")
+    r = mutual_information(df, F.col("x"), F.col("y")).collect()[0]
+    assert (r["n_rows"], r["n_x"], r["n_y"], r["n_cells"]) == (10, 2, 2, 2)
+    assert r["mi"] == round(round(math.log(2.0) * 1e9) * 2 * 0.5 / 1e9, 4)
+
+
+def test_mutual_information_independent_is_zero(spark):
+    """A product distribution (every (x, y) cell = p(x)·p(y)) has MI
+    exactly 0 — each term's ln argument is exactly 1."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import mutual_information
+
+    rows = [(x, y) for x in ("a", "b", "c") for y in (0, 1) for _ in range(4)]
+    df = spark.createDataFrame(rows, "x string, y long")
+    r = mutual_information(df, F.col("x"), F.col("y")).collect()[0]
+    assert r["mi"] == 0.0 and r["n_cells"] == 6
+
+
+# ------------------------------------------------------ robust MAD outliers
+
+
+def test_robust_outliers_hand_model(spark):
+    """Known median/MAD on an odd group: values [10,11,12,13,100] →
+    med 12, devs [2,1,0,1,88] → MAD 1, fence 3·1 → only 100 flags.
+    The classic robustness point: one wild value cannot move the
+    fence. NULL values are excluded entirely."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import robust_outliers
+
+    rows = [("g", i, v) for i, v in enumerate([10.0, 11.0, 12.0, 13.0, 100.0])]
+    rows.append(("g", 99, None))
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    cents = F.round(F.col("v") * 100, 0).cast("long")
+    r = robust_outliers(df, "grp", cents, "id", 3, 1).collect()[0]
+    assert (r["n"], r["med_cents"], r["mad_cents"], r["n_outliers"]) == (5, 1200, 100, 1)
+
+
+def test_robust_outliers_matches_python_model(spark):
+    """Randomized multi-group check against a python twin using the
+    same type-1 discrete quantile (element at ceil(n/2))."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import robust_outliers
+
+    rng = random.Random(7)
+    rows = [
+        (f"g{g}", g * 1000 + i, float(rng.randint(-50, 500)))
+        for g in range(4)
+        for i in range(rng.randint(3, 40))
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    cents = F.round(F.col("v") * 100, 0).cast("long")
+    got = {
+        r["grp"]: (r["n"], r["med_cents"], r["mad_cents"], r["n_outliers"])
+        for r in robust_outliers(df, "grp", cents, "id", 3, 1).collect()
+    }
+
+    def q_disc(vals):
+        s = sorted(vals)
+        return s[max(1, -(-len(s) // 2)) - 1]  # ceil(n/2), 1-based
+
+    want = {}
+    for g in {r[0] for r in rows}:
+        vals = [round(v * 100) for gg, _, v in rows if gg == g]
+        med = q_disc(vals)
+        devs = [abs(c - med) for c in vals]
+        mad = q_disc(devs)
+        want[g] = (len(vals), med, mad, sum(1 for d in devs if d > 3 * mad))
+    assert got == want
+
+
+# ---------------------------------------------------------- association rules
+
+
+def test_assoc_rules_hand_model(spark):
+    """Four baskets: {1,2} ×3, {1,3} ×1 → pair (1,2) support 3 keeps,
+    (1,3) support 1 prunes at min_support 2. Directed math:
+    conf(1→2) = 3/4, conf(2→1) = 3/3, lift = 3·4/(4·3) = 1 exactly."""
+    from transe_pyspark_spark.operators.relational import assoc_rules
+
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2), (13, 1), (13, 3)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_ab"], r["n_a"], r["n_b"], r["conf_nano"], r["lift_nano"]
+        )
+        for r in assoc_rules(df, "b", "i", min_support=2).collect()
+    }
+    assert got == {
+        (1, 2): (3, 4, 3, 750_000_000, 1_000_000_000),
+        (2, 1): (3, 3, 4, 1_000_000_000, 1_000_000_000),
+    }
+
+
+def test_assoc_rules_dedups_repeat_items(spark):
+    """A basket listing the same item twice counts it once (DISTINCT
+    membership — the market-basket convention)."""
+    from transe_pyspark_spark.operators.relational import assoc_rules
+
+    rows = [(1, "x"), (1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {(r["antecedent"], r["consequent"]): r["n_ab"]
+           for r in assoc_rules(df, "b", "i", min_support=2).collect()}
+    assert got == {("x", "y"): 2, ("y", "x"): 2}
+
+
+def test_r11_wave5_default_eager_cleanup_releases_pins(spark):
+    """The fifth-wave operators leave NO cache-manager entries behind
+    under their library defaults (ADVICE r10 contract): assoc_rules
+    pins its membership frame, robust_outliers its values + deviation
+    frames — all released once the output-sized result materializes;
+    mutual_information uses only GC-managed checkpoints (never a pin)."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.relational import (
+        assoc_rules,
+        mutual_information,
+        robust_outliers,
+    )
+
+    spark.catalog.clearCache()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    mutual_information(ev, F.col("event_type"), F.hour("ts").cast("long")).collect()
+    robust_outliers(ev, "event_type", cents, "event_id").collect()
+    assoc_rules(li, "l_orderkey", "l_partkey").collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a fifth-wave operator left a cache-manager pin behind"
+    )
+
+
+# ------------------------------------------------ eventually-follows matrix
+
+
+def test_eventually_follows_hand_model(spark):
+    """Hand-built baskets: strict first-occurrence precedence, ties
+    count in neither direction, repeats collapse to the first, and
+    the ratio divides by baskets CONTAINING the source type."""
+    from transe_pyspark_spark.operators.sequences import eventually_follows
+
+    rows = [
+        # basket 1: a(t1) b(t2) a(t9)  -> a→b (repeat a ignored)
+        (1, "a", "2024-01-01 00:00:01"),
+        (1, "b", "2024-01-01 00:00:02"),
+        (1, "a", "2024-01-01 00:00:09"),
+        # basket 2: b(t1) a(t2)        -> b→a
+        (2, "b", "2024-01-01 00:00:01"),
+        (2, "a", "2024-01-01 00:00:02"),
+        # basket 3: a and b at the SAME instant -> neither direction
+        (3, "a", "2024-01-01 00:00:05"),
+        (3, "b", "2024-01-01 00:00:05"),
+        # basket 4: a only -> no pair, but counts in a's total
+        (4, "a", "2024-01-01 00:00:01"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "bk long, event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r["t_from"], r["t_to"]): (r["n_baskets"], r["n_from"], r["ratio_nano"])
+        for r in eventually_follows(df, ["bk"]).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 4, 250_000_000),  # 1 of 4 a-baskets
+        ("b", "a"): (1, 3, 333_333_333),  # 1 of 3 b-baskets
+    }
+
+
+def test_eventually_follows_beats_adjacent_transitions(spark):
+    """The defining case vs transition_counts: a → x → b is an
+    eventually-follows (a, b) pair even though a and b are never
+    adjacent."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.sequences import eventually_follows
+
+    rows = [(1, t, f"2024-01-01 00:00:0{i}") for i, t in enumerate(["a", "x", "b"], 1)]
+    df = spark.createDataFrame(rows, "bk long, event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {(r["t_from"], r["t_to"]) for r in eventually_follows(df, ["bk"]).collect()}
+    assert ("a", "b") in got and ("b", "a") not in got
+
+
+# ---------------------------------------------------- absence anti-join
+
+
+def test_absent_followup_hand_model(spark):
+    """Boundary semantics: a purchase exactly AT the trigger counts
+    (inclusive lower), exactly at trigger+window does NOT (exclusive
+    upper); keys with no triggers emit nothing; all-answered keys
+    emit n_unanswered = 0."""
+    from pyspark.sql import functions as F
+
+    from transe_pyspark_spark.operators.asof import absent_followup
+
+    rows = [
+        # user 1: view at :00 answered at :00 (inclusive), view at :10 unanswered
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "purchase", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-01 12:00:00"),
+        # user 2: purchase lands exactly at +1h -> EXCLUSIVE, unanswered
+        (2, "view", "2024-01-01 09:00:00"),
+        (2, "purchase", "2024-01-01 10:00:00"),
+        # user 3: purchases only -> no output row
+        (3, "purchase", "2024-01-01 09:30:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["user_id"]: (r["n_triggers"], r["n_unanswered"])
+        for r in absent_followup(df, "view", "purchase", 3600).collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 1)}
+
+
+def test_absent_followup_plan_is_keyed_anti_join(spark):
+    """The NOT-EXISTS stays in the oracle: the plan must carry the
+    time window as a residual on a key-equi LeftAnti, never a
+    cartesian/BNLJ."""
+    from transe_pyspark_spark.operators.asof import absent_followup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = absent_followup(ev, "view", "purchase", 3600)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

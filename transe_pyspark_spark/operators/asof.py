@@ -970,3 +970,65 @@ def interval_islands(
         )
         .drop("__island")
     )
+
+
+def absent_followup(
+    events: DataFrame,
+    trigger_type: str,
+    expected_type: str,
+    window_seconds: int,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """ABSENCE detection — the time-window anti-join: per key, how many
+    trigger events were NOT followed by the expected event within the
+    window ("views with no purchase inside the hour", "alert with no
+    ack in 15 min" — the SLA/abandonment primitive). The as-of family
+    answers "what happened nearest/next"; this answers the operational
+    complement, "what never happened in time", which SQL states as
+    NOT EXISTS over a time range.
+
+    Plan: both sides prune to their type at the scan, then ONE
+    key-equi anti join carries the window predicate
+    ``trigger.ts ≤ expected.ts < trigger.ts + window`` as a residual —
+    candidates are key-co-partitioned (one shuffle each side, the
+    equi-key anti form Catalyst plans as SMJ/ShuffledHash LeftAnti),
+    never a time-range cross join. The inclusive/exclusive bounds are
+    exact-µs comparisons (``unix_micros``), so the result is
+    hash-exact. Returns (key, n_triggers, n_unanswered) per key that
+    has at least one trigger.
+    """
+    # NTZ-tolerant: both sides take the same cast, so the window
+    # comparison is unaffected by the session zone
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    trig = events.filter(F.col(type_col) == trigger_type).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        t_us.alias("__us"),
+    )
+    exp = events.filter(F.col(type_col) == expected_type).select(
+        F.col(key_col).alias("__k"), t_us.alias("__eus")
+    )
+    win_us = int(window_seconds) * 1_000_000
+    unanswered = trig.join(
+        exp,
+        (trig["__k"] == exp["__k"])
+        & (F.col("__eus") >= F.col("__us"))
+        & (F.col("__eus") < F.col("__us") + F.lit(win_us)),
+        "left_anti",
+    )
+    n_un = unanswered.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unanswered")
+    )
+    n_tr = trig.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triggers")
+    )
+    return (
+        n_tr.join(n_un, "__k", "left")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_triggers",
+            F.coalesce("n_unanswered", F.lit(0)).cast("long").alias("n_unanswered"),
+        )
+    )

@@ -88,3 +88,94 @@ def blocked_levenshtein_pairs(
         .filter(F.col("distance") <= d)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
+
+
+def _one_char_deletions(s):
+    """Array of every string obtained by deleting exactly one character
+    of ``s`` — pure built-ins (sequence → transform → substring
+    concat), so the expansion stays inside whole-stage codegen."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            s.substr(i + 1, F.length(s)),
+        ),
+    )
+
+
+def symmetric_delete_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """EXHAUSTIVE small-radius edit-distance self-join (SymSpell /
+    FastSS symmetric-delete): every id pair (a < b) with
+    ``levenshtein(name_a, name_b) ≤ max_distance`` — no blocking-key
+    assumption, unlike ``blocked_levenshtein_pairs``, whose contract
+    silently drops true matches that land in different blocks.
+
+    Completeness proof sketch: fix an optimal alignment realizing
+    ``ed(a, b) = e ≤ d``. For each substitution delete the aligned
+    position from BOTH strings; for each character inserted into b
+    delete it from b; for each character deleted from a delete it from
+    a. Each side loses ≤ e ≤ d characters and the results are EQUAL —
+    so the ≤d-deletion variant sets of any true pair intersect, and an
+    equi-join on variants finds every candidate. Candidates are then
+    verified with the exact DP kernel, so the result is exact; the
+    deletion signatures only bound WHERE the join looks.
+
+    Scale posture (the reason this beats the quadratic NOT-EXISTS
+    definition the oracle states): each string emits
+    O(len^d) deletion variants (len+1 at d=1) built by codegen'd array
+    transforms — the join is posting-list-shaped on the variant
+    string, exactly the inverted-index discipline of the dedup family
+    (`dedup.py` prefix/PPJoin), never an all-pairs product. Variant
+    posting lists are Zipf-bounded by construction (a variant is a
+    near-unique string); a pathological hot variant (e.g. mass-
+    duplicated names) is ordinary join skew — AQE skew split or the
+    repo's ``salted_join``. The candidate set is deduplicated BEFORE
+    the O(len²) verify kernel so each surviving pair pays Levenshtein
+    once.
+
+    ``max_distance`` ≤ 2 is enforced: the variant count is the scale
+    dial and d ≥ 3 wants the PassJoin segment-signature family
+    instead (documented trade, not a silent fallback).
+
+    Returns (id_a, id_b, distance), distance ≤ ``max_distance``;
+    BIGINT throughout so the result hash-checks exactly.
+    """
+    d = int(max_distance)
+    if not 1 <= d <= 2:
+        raise ValueError(
+            f"symmetric_delete_pairs supports max_distance in [1, 2], got {d} "
+            "(d >= 3 explodes the deletion neighborhood — use PassJoin segments)"
+        )
+    s = F.col(name_col)
+    variants = F.array(s)
+    frontier = F.array(s)
+    for _ in range(d):
+        frontier = F.array_distinct(F.flatten(F.transform(frontier, _one_char_deletions)))
+        variants = F.array_union(variants, frontier)
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        F.explode(variants).alias("__sig"),
+    )
+    a = sig.select(
+        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), "__sig"
+    )
+    b = sig.select(
+        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), "__sig"
+    )
+    cand = (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("distance") <= d)
+        .select("id_a", "id_b", "distance")
+    )

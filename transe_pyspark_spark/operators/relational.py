@@ -2296,3 +2296,311 @@ def ks_statistic(
             / (d38(F.col("n_a")) * d38(F.col("n_b"))).cast("double")
         ).alias("ks_d"),
     )
+
+
+def multires_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_cents: Column,
+    levels: tuple[str, ...] = ("hour", "day", "week"),
+) -> DataFrame:
+    """Multi-resolution time rollup — the hypertable "continuous
+    aggregate" cascade: event counts and exact value sums at every
+    granularity in ``levels``, where each COARSER level is folded from
+    the next finer level's PARTIALS, never from raw rows.
+
+    That cascade is the whole point at 100 TB: the raw table is
+    scanned exactly once (for the finest level); every coarser level
+    is a re-aggregation of an already aggregate-sized frame (≤ one row
+    per finest bucket), so adding a granularity costs an
+    |buckets|-sized shuffle, not another corpus pass. Counts and
+    integer cent-sums are both associative, which is what makes the
+    fold exact — the same partial-reuse contract Spark's own partial
+    hash aggregation applies WITHIN one level, applied ACROSS levels.
+
+    ``levels`` must be ordered finest → coarsest with each level a
+    ``date_trunc`` unit that nests into the next (hour ⊂ day ⊂ week —
+    every finer bucket lies wholly inside one coarser bucket;
+    date_trunc guarantees it for the calendar chain minute/hour/day/
+    week/month/quarter/year because truncation is idempotent across
+    nested units).
+
+    The finest frame is materialized once via an eager localCheckpoint
+    (the repo's eager-cleanup idiom — no cache-manager pin outlives
+    the call) and consumed |levels| times. Returns
+    (level, bucket_start, n_events, value_cents) — BIGINT counts and
+    cent sums, so the union hash-checks exactly.
+    """
+    if len(levels) < 2:
+        raise ValueError(f"multires_rollup wants >= 2 levels, got {levels!r}")
+    finest = (
+        df.groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(value_cents).cast("long").alias("value_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = finest.select(
+        F.lit(levels[0]).alias("level"), "bucket_start", "n_events", "value_cents"
+    )
+    cur = finest
+    for lvl in levels[1:]:
+        cur = cur.groupBy(
+            F.date_trunc(lvl, F.col("bucket_start")).alias("bucket_start")
+        ).agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+        out = out.unionByName(
+            cur.select(F.lit(lvl).alias("level"), "bucket_start", "n_events", "value_cents")
+        )
+    return out
+
+
+def mutual_information(
+    df: DataFrame,
+    x_expr: Column,
+    y_expr: Column,
+) -> DataFrame:
+    """EXACT empirical mutual information between two categorical
+    expressions — the dependence screen between dataset facets (does
+    event mix shift by hour? does language predict source?):
+    ``MI = Σ_xy (n_xy/N)·ln(n_xy·N / (n_x·n_y))``, in nats.
+
+    Determinism contract (the ``psi_drift`` / ``source_divergence``
+    idiom): every per-cell term is quantized to nano-nats —
+    ``round((n_xy/N)·ln((n_xy·N)/(n_x·n_y)) · 1e9)`` as BIGINT — and
+    SUMMED EXACTLY, so summation order cannot matter and any engine
+    replays the total term-for-term. The ln argument is built from
+    BIGINT counts with one double division, the same expression shape
+    on both engines. Empty cells contribute nothing (0·ln0 = 0 is the
+    MI convention and they never appear in the joint group-by).
+
+    Plan: one |X·Y|-cells joint hash aggregate over the corpus (the
+    only corpus-sized shuffle — map-side partials reduce it to the
+    cell cardinality), marginals re-aggregated FROM the joint cells
+    (aggregate-sized, never a second corpus pass), broadcast back onto
+    the cells, one scalar sum. The joint cells have FOUR consumers
+    (both marginals, the totals, the cell join), so they materialize
+    once via an eager localCheckpoint — cell-cardinality data, no
+    cache-manager pin, and without it every consumer would re-pay the
+    corpus aggregate (the multi-consumer trap). Output one row:
+    (n_rows, n_x, n_y, n_cells, mi).
+    """
+    joint = (
+        df.groupBy(x_expr.alias("__x"), y_expr.alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__nxy"))
+        .localCheckpoint(eager=True)
+    )
+    mx = joint.groupBy("__x").agg(F.sum("__nxy").cast("long").alias("__nx"))
+    my = joint.groupBy("__y").agg(F.sum("__nxy").cast("long").alias("__ny"))
+    tot = F.broadcast(
+        joint.agg(
+            F.sum("__nxy").cast("long").alias("__n"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )
+    cells = (
+        joint.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(tot)
+    )
+    term = (
+        F.col("__nxy").cast("double")
+        / F.col("__n").cast("double")
+        * F.log(
+            (F.col("__nxy").cast("double") * F.col("__n").cast("double"))
+            / (F.col("__nx").cast("double") * F.col("__ny").cast("double"))
+        )
+    )
+    return (
+        cells.withColumn("__t", F.round(term * 1e9, 0).cast("long"))
+        .groupBy()
+        .agg(
+            F.first("__n").alias("n_rows"),
+            F.count_distinct("__x").cast("long").alias("n_x"),
+            F.count_distinct("__y").cast("long").alias("n_y"),
+            F.first("n_cells").alias("n_cells"),
+            F.round(F.sum("__t").cast("double") / 1e9, 4).alias("mi"),
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_cents: Column,
+    id_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Per-group ROBUST outlier screen — median/MAD, the
+    breakdown-point-0.5 alternative to mean/stddev z-scores (one wild
+    value cannot move the fence, the property that matters for
+    quality screens over heavy-tailed corpus stats): per group the
+    exact discrete median m, the exact discrete median of |x − m|
+    (MAD), and how many rows sit beyond ``|x − m| > (k_num/k_den)·MAD``.
+
+    Everything stays in BIGINT: values enter as exact cents, both
+    medians are the ``discrete_quantiles`` ELEMENT-SELECTION primitive
+    (type-1 / DuckDB ``quantile_disc`` semantics on the distributed
+    prefix-rank — no per-group window funnel), and the fence
+    comparison ``dev·k_den > k_num·MAD`` is integer cross-
+    multiplication, so the result hash-checks exactly on any engine.
+
+    Plan: two prefix-rank passes (median, then MAD over the
+    |group|-broadcast-joined deviations) + one counting aggregate —
+    each pass is one range-repartition of the corpus; the median/MAD
+    tables are |groups|-sized and broadcast. The projected values and
+    the deviation frame each have two consumers (a quantile pass + the
+    next stage), so both are cache-pinned; the default eager_cleanup
+    releases both pins once the |groups|-sized result materializes
+    (``eager_cleanup=False`` keeps the lazy plan for the structural
+    gates). NULL values are excluded throughout (SQL aggregate
+    semantics). Returns (group, n, med_cents, mad_cents, n_outliers).
+    """
+    vals = df.select(
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        value_cents.alias("__cents"),
+    ).filter(F.col("__cents").isNotNull()).cache()
+    med = discrete_quantiles(vals, "__grp", "__cents", "__id", [(1, 2)]).select(
+        F.col("__grp"), F.col("__cents").alias("med_cents")
+    )
+    dev = vals.join(F.broadcast(med), "__grp").select(
+        "__grp", "__id", F.abs(F.col("__cents") - F.col("med_cents")).alias("__dev")
+    ).cache()
+    mad = discrete_quantiles(dev, "__grp", "__dev", "__id", [(1, 2)]).select(
+        F.col("__grp"), F.col("__dev").alias("mad_cents")
+    )
+    fences = F.broadcast(med.join(mad, "__grp"))
+    kn, kd = int(k_num), int(k_den)
+    out = (
+        dev.join(fences, "__grp")
+        .groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("__dev") * F.lit(kd) > F.lit(kn) * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .withColumnRenamed("__grp", group_col)
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    dev.unpersist()
+    vals.unpersist()
+    return out
+
+
+def assoc_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Association rules over (basket, item) memberships — the classic
+    market-basket miner (directed rules a→b with support, confidence,
+    lift), the co-occurrence primitive behind "frequently bought
+    together" and corpus-level topic-affinity screens.
+
+    Support pruning FIRST, rules after: the within-basket pair
+    self-join is bounded by Σ_b |b|² (baskets are small by data
+    contract — the join is keyed on the basket id, never across
+    baskets), pairs below ``min_support`` drop before any rule math,
+    and the surviving pair table is output-sized. Item counts and the
+    basket total are aggregate-sized and broadcast back. At 100 TB a
+    hot basket (one order holding thousands of items) is the quadratic
+    regime — the Σ|b|² bound is the operator's contract, stated here
+    rather than silently assumed (the `jaccard` family's guarded-
+    quadratic discipline; pre-cap baskets upstream if the contract
+    does not hold).
+
+    Exactness: confidence and lift are integer-rational and computed
+    with DECIMAL(38,0) cross-products + integer DIV into nano-units —
+    ``conf_nano = 1e9·n_ab div n_a``,
+    ``lift_nano = 1e9·n_ab·N div (n_a·n_b)`` — bit-identical on any
+    engine (DuckDB replays them in HUGEINT), no float anywhere.
+    Both rule directions are emitted. Returns
+    (antecedent, consequent, n_ab, n_a, n_b, conf_nano, lift_nano).
+
+    The DISTINCT membership frame has four consumers (basket total,
+    item counts, both pair-join sides), so it is PINNED once
+    (repartition on the basket join key + cache, the
+    ``session_type_affinity`` pattern) — without the pin each consumer
+    re-pays the corpus scan + distinct shuffle. Same eager-cleanup
+    contract as the rest of the family: by default the output-sized
+    result materializes via localCheckpoint and the pin is released
+    before returning; ``eager_cleanup=False`` keeps the lazy plan for
+    the structural gates.
+    """
+    n_part = int(
+        baskets.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    m = (
+        baskets.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .repartition(n_part, "__b")
+        .cache()
+    )
+    m.count()
+    n_baskets = F.broadcast(
+        m.select("__b").distinct().agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    )
+    item_counts = m.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a = m.select("__b", F.col("__i").alias("__ia"))
+    b = m.select("__b", F.col("__i").alias("__ib"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_support))
+    )
+    directed = pairs.select(
+        F.col("__ia").alias("antecedent"), F.col("__ib").alias("consequent"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("__ib").alias("antecedent"), F.col("__ia").alias("consequent"), "n_ab"
+        )
+    )
+    ca = F.broadcast(item_counts.select(F.col("__i").alias("antecedent"), F.col("__n").alias("n_a")))
+    cb = F.broadcast(item_counts.select(F.col("__i").alias("consequent"), F.col("__n").alias("n_b")))
+    out = (
+        directed.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(n_baskets)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((CAST(1000000000 AS DECIMAL(38,0)) * n_ab) DIV n_a AS LONG)"
+            ).alias("conf_nano"),
+            # integer DIV, never `/`: decimal true-division rounds at
+            # its result scale and can cross the floor boundary
+            F.expr(
+                "CAST((CAST(1000000000 AS DECIMAL(38,0)) * n_ab * __N) "
+                "DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS LONG)"
+            ).alias("lift_nano"),
+        )
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    m.unpersist()
+    return out

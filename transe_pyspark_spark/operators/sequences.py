@@ -515,3 +515,67 @@ def session_type_affinity(
     out = out.localCheckpoint(eager=True)
     st.unpersist()
     return out
+
+
+def eventually_follows(
+    events: DataFrame,
+    basket_cols: list[str],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Directed EVENTUALLY-FOLLOWS matrix — the process-mining
+    primitive (the alpha-algorithm's input relation): for every
+    ordered type pair (a → b), in how many baskets does a's FIRST
+    occurrence strictly precede b's first occurrence — "a happens,
+    and b eventually happens after it", regardless of what runs in
+    between. Complements the repo's ADJACENT `transition_counts`
+    (direct succession) and fixed-step `funnel_ordered_steps`:
+    eventually-follows is the order relation process discovery
+    actually consumes.
+
+    Plan: one (basket, type) min-ts hash aggregate is the only
+    corpus-sized shuffle (map-side partials collapse each basket's
+    events per type); the within-basket self-join runs on that
+    |baskets|·|types|-sized frame keyed on the basket — ≤|types|² pairs
+    per basket, never across baskets — and the (from, to) count is a
+    |types|²-group aggregate. Per-type basket totals re-aggregate the
+    SAME first-occurrence frame (checkpointed once for its three
+    consumers — first-ts data is tiny relative to the corpus) and
+    broadcast back for the support ratio
+    ``ratio_nano = 1e9·n_baskets div n_from`` (integer DIV — exact on
+    any engine).
+
+    Strict ``<`` on first timestamps: a tie (both types debut on the
+    same microsecond) counts in NEITHER direction — deterministic on
+    any engine, no tiebreak needed. Returns
+    (t_from, t_to, n_baskets, n_from, ratio_nano).
+    """
+    b = [F.col(c) for c in basket_cols]
+    firsts = (
+        events.groupBy(*b, F.col(type_col).alias("__t"))
+        .agg(F.min(ts_col).alias("__mt"))
+        .localCheckpoint(eager=True)
+    )
+    totals = F.broadcast(
+        firsts.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("n_from"))
+    )
+    a = firsts.select(*basket_cols, F.col("__t").alias("t_from"), F.col("__mt").alias("__ma"))
+    c = firsts.select(*basket_cols, F.col("__t").alias("t_to"), F.col("__mt").alias("__mb"))
+    pairs = (
+        a.join(c, basket_cols)
+        .filter((F.col("t_from") != F.col("t_to")) & (F.col("__ma") < F.col("__mb")))
+        .groupBy("t_from", "t_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
+    return (
+        pairs.join(totals.withColumnRenamed("__t", "t_from"), "t_from")
+        .select(
+            "t_from",
+            "t_to",
+            "n_baskets",
+            "n_from",
+            F.expr(
+                "CAST((CAST(1000000000 AS DECIMAL(38,0)) * n_baskets) DIV n_from AS LONG)"
+            ).alias("ratio_nano"),
+        )
+    )

@@ -677,3 +677,73 @@ def semantic_dedup_keep(
         .join(keep_map, id_col, "left")
         .select(id_col, F.coalesce("keep", F.lit(True)).alias("keep"))
     )
+
+
+def hybrid_rrf_fuse(
+    text_ranked: DataFrame,
+    vector_ranked: DataFrame,
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    ranked retrieval lists — the standard hybrid-search combiner for
+    "BM25 ∪ embedding" retrieval, where the lexical and semantic lists
+    disagree and rank (not score) is the only comparable unit.
+
+    Both inputs carry (query_id, doc_id, rank); the fused score is
+        rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d)),
+    computed here in EXACT integer nano-units —
+    ``1_000_000_000 div (k_rrf + rank)`` — because ranks are small
+    integers, so the fusion needs no float at all and the result
+    hash-checks bit-for-bit on any engine (the repo's nano-quantization
+    idiom, minus the quantization error: `div` is exact).
+
+    Plan shape: the two lists are OUTPUT-sized (≤ |queries|·k rows by
+    their own contracts — `bm25_topk` WindowGroupLimit, `knn_*` top-k),
+    so the full-outer join on (query_id, doc_id) and the per-query rank
+    window both run on list-sized data; nothing corpus-sized enters
+    this operator. Missing-from-one-list docs contribute 0 from that
+    list (the RRF convention). Final order: rrf_nano DESC with doc_id
+    tiebreak — deterministic ranks by construction.
+
+    Returns (query_id, rank, doc_id, rrf_nano, in_text, in_vector),
+    rank 1..k per query.
+    """
+    t = text_ranked.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("__rt"),
+    )
+    v = vector_ranked.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("long").alias("__rv"),
+    )
+    nano = F.lit(1_000_000_000).cast("long")
+    fused = (
+        t.join(v, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_nano",
+            F.coalesce(
+                F.floor(nano / (F.lit(int(k_rrf)) + F.col("__rt"))).cast("long"),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.floor(nano / (F.lit(int(k_rrf)) + F.col("__rv"))).cast("long"),
+                F.lit(0),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "rrf_nano",
+            F.col("__rt").isNotNull().alias("in_text"),
+            F.col("__rv").isNotNull().alias("in_vector"),
+        )
+    )

@@ -7095,6 +7095,355 @@ def q_winnow_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_pairs(_T(spark, sf_dir, "documents"), min_shared=5, k=3, w=4)
 
 
+@_register(
+    "edit_near_names_customers",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("linkage", "dedup", "join"),
+)
+def q_edit_near_names_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXHAUSTIVE edit-distance-1 name pairs via the symmetric-delete
+    join (`operators/linkage.py:symmetric_delete_pairs`, SymSpell /
+    FastSS): unlike `record_linkage_parts`' blocking-key contract
+    (a true match must share the block), the deletion-variant
+    signatures PROVABLY cover every pair within the radius — the
+    oracle states the quadratic NOT-EXISTS-style definition
+    (levenshtein over all n² ordered pairs) that the plan must never
+    contain: the Spark side is a posting-list equi-join on ~(len+1)
+    codegen'd deletion variants per name, candidates deduplicated
+    before one exact Levenshtein verify each."""
+    from transe_pyspark_spark.operators.linkage import symmetric_delete_pairs
+
+    return symmetric_delete_pairs(
+        _T(spark, sf_dir, "customer"), "c_custkey", "c_name", max_distance=1
+    )
+
+
+@_register(
+    "hybrid_rrf_docs",
+    oracle=f"""
+    WITH qt(query_id, t) AS (VALUES
+        ('q0', 'hash'), ('q0', 'join'), ('q0', 'merge'),
+        ('q1', 'column'), ('q1', 'filter'), ('q1', 'scan'),
+        ('q2', 'batch'), ('q2', 'stream'), ('q2', 'window')),
+    dl AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS ts
+           FROM documents),
+    d2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl, ts FROM dl),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM d2),
+    tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, dl, unnest(ts) AS t FROM d2)
+           WHERE t IN (SELECT DISTINCT t FROM qt)
+           GROUP BY doc_id, dl, t),
+    dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    idf AS (SELECT t, ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM dft, stats),
+    c AS (SELECT tf.doc_id, tf.t,
+                 idf.idf * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) / idf.avgdl)) AS c
+          FROM tf JOIN idf ON idf.t = tf.t),
+    s AS (SELECT qt.query_id, c.doc_id, round(sum(c.c), 4) AS score
+          FROM c JOIN qt ON qt.t = c.t
+          GROUP BY qt.query_id, c.doc_id),
+    rt AS (SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS BIGINT) AS r
+           FROM s QUALIFY r <= 10),
+    qv AS (SELECT vec_id, 'q' || CAST(vec_id AS VARCHAR) AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 3),
+    sv AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                  {_FOLD_SUM.format(terms="list_transform(list_zip(qe, embedding), z -> ((z[1]::DOUBLE) - (z[2]::DOUBLE)) * ((z[1]::DOUBLE) - (z[2]::DOUBLE)))")} AS dist
+           FROM qv, embeddings e WHERE e.vec_id <> qv.vec_id),
+    rv AS (SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dist, doc_id) AS BIGINT) AS r
+           FROM sv QUALIFY r <= 10),
+    f AS (SELECT coalesce(rt.query_id, rv.query_id) AS query_id,
+                 coalesce(rt.doc_id, rv.doc_id) AS doc_id,
+                 CAST(coalesce(CAST(floor(1000000000.0 / (60 + rt.r)) AS BIGINT), 0)
+                      + coalesce(CAST(floor(1000000000.0 / (60 + rv.r)) AS BIGINT), 0)
+                      AS BIGINT) AS rrf_nano,
+                 rt.r IS NOT NULL AS in_text, rv.r IS NOT NULL AS in_vector
+          FROM rt FULL OUTER JOIN rv
+            ON rt.query_id = rv.query_id AND rt.doc_id = rv.doc_id)
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_nano DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, rrf_nano, in_text, in_vector
+    FROM f QUALIFY rank <= 10
+    """,
+    tags=("vector", "knn", "text", "ranking"),
+)
+def q_hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — BM25 lexical top-10 fused with exact
+    embedding top-10 by reciprocal-rank fusion
+    (`operators/similarity.py:hybrid_rrf_fuse`): the standard
+    two-tower search combiner (RRF, Cormack et al. 2009), here with
+    the fusion computed in EXACT integer nano-units
+    (`1e9 div (60 + rank)`) so the result hash-checks on any engine.
+    Each leg keeps its own determinism contract — BM25 ranks on the
+    rounded-score + doc-id order, the vector leg on (L2², id) — and
+    the fusion operator touches only the two OUTPUT-sized lists
+    (≤ |queries|·k rows): the corpus-scale work happened inside the
+    legs, one tokenized pass and one broadcast scoring pass
+    respectively. vec_id ↔ doc_id is the testdata's own row
+    correspondence (`TESTDATA.md`)."""
+    docs = _T(spark, sf_dir, "documents")
+    emb = _T(spark, sf_dir, "embeddings")
+    text_ranked = X.bm25_topk(
+        docs,
+        {
+            "q0": ["hash", "join", "merge"],
+            "q1": ["scan", "filter", "column"],
+            "q2": ["stream", "window", "batch"],
+        },
+        k=10,
+    ).select("query_id", "doc_id", "rank")
+    vec_ranked = S.knn_relational(
+        emb.filter(F.col("vec_id") < 3), emb, k=10
+    ).select(
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return S.hybrid_rrf_fuse(text_ranked, vec_ranked, k=10, k_rrf=60)
+
+
+@_register(
+    "multires_rollup_events",
+    oracle="""
+    SELECT 'hour' AS level, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(date_trunc('day', ts) AS TIMESTAMP),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'week', CAST(date_trunc('week', ts) AS TIMESTAMP),
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY 2
+    """,
+    tags=("agg", "timeseries", "rollup"),
+)
+def q_multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade
+    (`operators/relational.py:multires_rollup`) — the hypertable
+    "continuous aggregate" shape: hour / day / week event counts and
+    exact cent sums where each coarser level folds the next FINER
+    level's partials (counts and integer sums are associative), so
+    the raw table is scanned exactly once however many granularities
+    are asked for. The oracle states every level's definitional
+    GROUP BY against raw — the equivalence the cascade must preserve;
+    the plan gate asserts the Spark side holds only ONE events scan
+    (the checkpointed hourly frame feeds day and week)."""
+    from transe_pyspark_spark.operators.relational import multires_rollup
+
+    return multires_rollup(
+        _T(spark, sf_dir, "events"), "ts", _cents("value"), ("hour", "day", "week")
+    )
+
+
+@_register(
+    "mutual_info_events",
+    oracle="""
+    WITH j AS (SELECT event_type AS x, CAST(extract(hour FROM ts) AS BIGINT) AS y,
+                      CAST(count(*) AS BIGINT) AS nxy
+               FROM events GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells FROM j),
+    t AS (SELECT n, n_cells, x, y,
+                 CAST(round(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)
+                            * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+                                 / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+                            * 1e9) AS BIGINT) AS tn
+          FROM j JOIN mx USING (x) JOIN my USING (y), tot)
+    SELECT CAST(min(n) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+           CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+           CAST(min(n_cells) AS BIGINT) AS n_cells,
+           round(CAST(sum(tn) AS DOUBLE) / 1e9, 4) AS mi
+    FROM t
+    """,
+    tags=("agg", "stats"),
+)
+def q_mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact empirical mutual information between event type and
+    hour-of-day (`relational.py:mutual_information`) — the dependence
+    screen between dataset facets, completing the information-theory
+    suite (entropy/KL per source, PSI, now MI): per-cell
+    ``(n_xy/N)·ln(n_xy·N/(n_x·n_y))`` terms nano-quantized and summed
+    exactly, marginals re-aggregated from the JOINT cells (one corpus
+    shuffle total; the marginal/total frames are aggregate-sized and
+    broadcast)."""
+    from transe_pyspark_spark.operators.relational import mutual_information
+
+    ev = _T(spark, sf_dir, "events")
+    return mutual_information(
+        ev, F.col("event_type"), F.hour("ts").cast("long")
+    )
+
+
+@_register(
+    "robust_outliers_events",
+    oracle="""
+    WITH v AS (SELECT event_type AS g, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+    m AS (SELECT g, quantile_disc(c, 0.5) AS med_cents FROM v GROUP BY 1),
+    d AS (SELECT v.g, abs(c - med_cents) AS dev, med_cents
+          FROM v JOIN m USING (g)),
+    md AS (SELECT g, quantile_disc(dev, 0.5) AS mad_cents FROM d GROUP BY 1)
+    SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(d.med_cents) AS BIGINT) AS med_cents,
+           CAST(min(md.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(sum(CASE WHEN dev * 1 > 3 * md.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM d JOIN md USING (g) GROUP BY 1
+    """,
+    tags=("agg", "stats", "quality"),
+)
+def q_robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen per event type
+    (`relational.py:robust_outliers`, fence 3·MAD) — the
+    breakdown-point-0.5 sibling of the z-score anomaly faces: both
+    medians are the EXACT discrete-quantile element selection on the
+    distributed prefix-rank (the `discrete_quantiles_orders`
+    primitive, quantile_disc semantics), deviations and the fence
+    comparison stay in BIGINT cents (integer cross-multiplication
+    ``dev·k_den > k_num·MAD``), so the whole face hash-checks with no
+    float anywhere."""
+    from transe_pyspark_spark.operators.relational import robust_outliers
+
+    # lazy form for the structural gates (the assoc_rules/bm25
+    # precedent); the library default releases both cache pins eagerly
+    return robust_outliers(
+        _T(spark, sf_dir, "events"), "event_type", _cents("value"), "event_id",
+        3, 1, eager_cleanup=False,
+    )
+
+
+@_register(
+    "assoc_rules_parts",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_total FROM m),
+    ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+    p AS (SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS n_ab
+          FROM m a JOIN m b2 ON a.b = b2.b AND a.i < b2.i
+          GROUP BY 1, 2 HAVING count(*) >= 3),
+    d AS (SELECT ia AS antecedent, ib AS consequent, n_ab FROM p
+          UNION ALL
+          SELECT ib AS antecedent, ia AS consequent, n_ab FROM p)
+    SELECT d.antecedent, d.consequent, d.n_ab, ca.n AS n_a, cb.n AS n_b,
+           CAST((1000000000::HUGEINT * d.n_ab) // ca.n AS BIGINT) AS conf_nano,
+           CAST((1000000000::HUGEINT * d.n_ab * n_total) // (ca.n::HUGEINT * cb.n) AS BIGINT)
+               AS lift_nano
+    FROM d JOIN ic ca ON ca.i = d.antecedent
+           JOIN ic cb ON cb.i = d.consequent, nb
+    """,
+    tags=("agg", "join", "basket"),
+)
+def q_assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order→part baskets
+    (`relational.py:assoc_rules`, min_support 3): the classic
+    market-basket miner — support pruning before rule math, the
+    within-basket pair join keyed on the basket id (Σ|b|² bounded,
+    never across baskets), directed confidence and lift in EXACT
+    nano-units via DECIMAL(38,0) cross-products + integer DIV (the
+    oracle replays them in HUGEINT) — the large-item-universe,
+    support-pruned complement of `session_type_affinity`'s
+    small-universe lift table."""
+    from transe_pyspark_spark.operators.relational import assoc_rules
+
+    # lazy form (the bm25_topk_retrieval precedent): the structural
+    # plan gates read the real join/aggregate shape, not a checkpoint
+    # scan; the library default releases the membership pin eagerly
+    return assoc_rules(
+        _T(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        min_support=3, eager_cleanup=False,
+    )
+
+
+@_register(
+    "eventually_follows_events",
+    oracle="""
+    WITH f AS (SELECT user_id, date_trunc('day', ts) AS d, event_type AS t,
+                      min(ts) AS mt
+               FROM events GROUP BY 1, 2, 3),
+    tot AS (SELECT t AS t_from, CAST(count(*) AS BIGINT) AS n_from FROM f GROUP BY 1),
+    p AS (SELECT a.t AS t_from, b.t AS t_to, CAST(count(*) AS BIGINT) AS n_baskets
+          FROM f a JOIN f b
+            ON a.user_id = b.user_id AND a.d = b.d AND a.t <> b.t AND a.mt < b.mt
+          GROUP BY 1, 2)
+    SELECT p.t_from, p.t_to, p.n_baskets, tot.n_from,
+           CAST((1000000000::HUGEINT * p.n_baskets) // tot.n_from AS BIGINT) AS ratio_nano
+    FROM p JOIN tot USING (t_from)
+    """,
+    tags=("sequence", "agg"),
+)
+def q_eventually_follows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed eventually-follows matrix over (user, day) baskets
+    (`operators/sequences.py:eventually_follows`) — the process-mining
+    order relation (alpha-algorithm input): in how many baskets does
+    each type's FIRST occurrence strictly precede another's, plus the
+    exact support ratio in integer nano-units. Complements the
+    ADJACENT `event_transitions` and fixed-step funnel: one
+    (basket, type) min-ts aggregate is the only corpus shuffle; the
+    self-join runs basket-keyed on that first-occurrence frame
+    (≤|types|² per basket); first-ts ties count in neither direction
+    (strict <, engine-deterministic)."""
+    from transe_pyspark_spark.operators.sequences import eventually_follows
+
+    ev = _T(spark, sf_dir, "events").withColumn(
+        "__day", F.date_trunc("day", F.col("ts"))
+    )
+    return eventually_follows(ev, ["user_id", "__day"])
+
+
+@_register(
+    "absent_followup_events",
+    oracle="""
+    WITH t AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    u AS (SELECT t.user_id, CAST(count(*) AS BIGINT) AS n_unanswered
+          FROM t WHERE NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = t.user_id
+                AND p.ts >= t.ts AND p.ts < t.ts + INTERVAL 1 HOUR)
+          GROUP BY 1),
+    n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_triggers FROM t GROUP BY 1)
+    SELECT n.user_id, n.n_triggers,
+           CAST(coalesce(u.n_unanswered, 0) AS BIGINT) AS n_unanswered
+    FROM n LEFT JOIN u USING (user_id)
+    """,
+    tags=("asof", "join", "sequence"),
+)
+def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection (`operators/asof.py:absent_followup`): per
+    user, views NOT followed by a purchase within one hour — the
+    SLA/abandonment primitive, the operational complement of the
+    as-of family's "what happened next". The oracle states the
+    NOT-EXISTS-over-a-time-range definition; the plan carries the
+    window predicate as a RESIDUAL on one user-keyed anti join
+    (exact-µs bounds), never a time-range cross join."""
+    from transe_pyspark_spark.operators.asof import absent_followup
+
+    return absent_followup(
+        _T(spark, sf_dir, "events"), "view", "purchase", 3600
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -7536,6 +7885,32 @@ _OVERFLOW_ORACLE = [
     "psi_value_drift_events",        # PSI completes the drift suite:
                                      # Laplace-smoothed, nano-quantized
                                      # (p-q)·ln(p/q) sums
+    "edit_near_names_customers",     # exhaustive d<=1 edit-distance
+                                     # self-join: symmetric-delete
+                                     # signatures (SymSpell), quadratic
+                                     # levenshtein oracle
+    "hybrid_rrf_docs",               # BM25 ∪ embedding top-k fused by
+                                     # reciprocal-rank fusion in exact
+                                     # integer nano-units
+    "multires_rollup_events",        # hour/day/week continuous-
+                                     # aggregate cascade: coarser
+                                     # levels fold finer partials, one
+                                     # raw scan total
+    "mutual_info_events",            # exact MI between facets: nano-
+                                     # quantized (n_xy/N)·ln terms,
+                                     # marginals from the joint cells
+    "robust_outliers_events",        # median/MAD fence per group, all
+                                     # BIGINT on the prefix-rank
+                                     # element selection
+    "assoc_rules_parts",             # market-basket rules: support-
+                                     # pruned basket-keyed pair join,
+                                     # DECIMAL-DIV exact conf/lift
+    "eventually_follows_events",     # process-mining order relation:
+                                     # first-occurrence strict
+                                     # precedence per (user, day)
+    "absent_followup_events",        # absence detection: NOT EXISTS
+                                     # in a time window as a residual
+                                     # user-keyed anti join
 ]
 
 
