@@ -182,6 +182,21 @@ SF1_HEADLINE = [
     # hour window
     "eventually_follows_events",
     "absent_followup_events",
+    # r11 seventh wave at 10×: TF-IDF keywords and collocations pay
+    # one tokenization pin each over 50k docs (keywords re-shuffles
+    # (doc, term) tf once; collocations zip pairs map-side off the
+    # pin); the two-sample screens pay one per-value aggregate over
+    # ~600k distinct cents values + the frozen-tile prefix; chi²/FD
+    # are one-or-two cell-sized aggregates
+    "tfidf_top_terms_docs",
+    "collocations_docs",
+    "wasserstein_value_drift_events",
+    "mannwhitney_value_events",
+    "chi2_lang_source_docs",
+    "fd_violations_docs",
+    # spearman pays one pair pin + two per-value prefix aggregates +
+    # two value-keyed rank joins over 6M lineitems
+    "spearman_qty_price_lineitem",
 ]
 
 

@@ -168,6 +168,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "the NOT EXISTS decorrelates to a key-equi anti join carrying "
         "the time window as a residual predicate",
     ),
+    "tfidf_top_terms_docs": (
+        ["WindowGroupLimit", "BroadcastHashJoin", "InMemoryTableScan"],
+        "one (doc, term) tf aggregate is pinned for its two term-keyed "
+        "consumers; the vocab-sized idf broadcasts into the scoring "
+        "join; the per-doc rank is WindowGroupLimit-bounded O(k)",
+    ),
     "ann_ivf_pq_neighbors": (
         ["FlatMapGroupsInPandas"],
         "ADC scoring runs as grouped Arrow batches per (query, cell); codes join on cell key only",
@@ -515,6 +521,43 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "broadcast back; the argmax is one exact decimal-128 "
         "aggregate (pid-less-value-window absence is pytest-pinned)",
     ),
+    "wasserstein_value_drift_events": (
+        ["__pid", "BroadcastHashJoin"],
+        "the CDF-gap area rides the same frozen-tile prefix as KS; "
+        "the next-value handoff joins the broadcast per-tile minima "
+        "(aggregate-sized), never a global value-ordered window",
+    ),
+    "chi2_lang_source_docs": (
+        ["HashAggregate", "Scan ExistingRDD", "BroadcastHashJoin"],
+        "one joint-cell corpus aggregate, checkpointed for its four "
+        "consumers; marginals re-aggregate the cells; the zero-filled "
+        "grid is the broadcast marginal×marginal product",
+    ),
+    "collocations_docs": (
+        ["Scan ExistingRDD", "BroadcastHashJoin"],
+        "the visible plan reads the CHECKPOINTED pair/unigram "
+        "aggregates (the tokenization pin + map-side slice/zip pair "
+        "build executed upstream of the truncation — "
+        "test_collocations_* pin that shape); scoring joins broadcast",
+    ),
+    "fd_violations_docs": (
+        ["HashAggregate"],
+        "two hash aggregates total — the (det, dep) cell count is the "
+        "only corpus shuffle and max(cnt) IS the mode",
+    ),
+    "spearman_qty_price_lineitem": (
+        ["__pid", "InMemoryTableScan"],
+        "both rank maps ride the frozen-tile prefix off the shared "
+        "pair pin; the value→rank joins are EQUI-joins whose strategy "
+        "AQE picks per axis (the 50-value quantity map broadcasts, "
+        "the continuous price map sort-merges — never forced "
+        "broadcast, rank maps can be corpus-sized)",
+    ),
+    "mannwhitney_value_events": (
+        ["__pid", "BroadcastHashJoin"],
+        "the rank-sum fold rides the frozen-tile prefix — per-value "
+        "counts and cumsums only, no midrank window anywhere",
+    ),
 }
 
 def check_no_stratum_only_window(plan: str) -> list[str]:
@@ -620,6 +663,12 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "the time-range predicate must stay a residual on the user "
         "equi-key — never a temporal nested loop",
     ),
+    "tfidf_top_terms_docs": (
+        ["CartesianProduct"],
+        "the scoring join is term-keyed and the rank window is per-doc "
+        "(the 1-row doc-count broadcast NLJ is fine; a Cartesian over "
+        "the tf table is not)",
+    ),
     "gap_fill_hourly": (
         ["BroadcastNestedLoopJoin", "CartesianProduct"],
         "grid generation must stay per-key explode, never a time-range cross join",
@@ -722,6 +771,36 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["CartesianProduct"],
         "the only non-equi joins are 1-row broadcast totals; the "
         "per-value aggregate is the single corpus-sized shuffle",
+    ),
+    "wasserstein_value_drift_events": (
+        ["CartesianProduct"],
+        "the only non-equi joins are 1-row broadcast totals; the "
+        "per-value aggregate is the single corpus-sized shuffle",
+    ),
+    "mannwhitney_value_events": (
+        ["CartesianProduct"],
+        "the only non-equi joins are 1-row broadcast totals; the "
+        "per-value aggregate is the single corpus-sized shuffle",
+    ),
+    "chi2_lang_source_docs": (
+        ["CartesianProduct"],
+        "the marginal×marginal grid is a deliberate broadcast NLJ of "
+        "two aggregate-sized frames; a Cartesian over row-level data "
+        "is not allowed",
+    ),
+    "collocations_docs": (
+        ["CartesianProduct", "SortMergeJoin"],
+        "scoring joins ride the broadcast vocab table; pairs build "
+        "map-side from the pin — no position self-join",
+    ),
+    "fd_violations_docs": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin", "Window"],
+        "nothing but the two hash aggregates and the violator filter",
+    ),
+    "spearman_qty_price_lineitem": (
+        ["CartesianProduct"],
+        "the only non-equi joins are the 1-row broadcast totals; rank "
+        "maps join back on the value key",
     ),
 }
 
@@ -973,6 +1052,22 @@ SF1_STABLE = [
     # residual-on-equi-key LeftAnti (no temporal nested loop at 10×)
     "eventually_follows_events",
     "absent_followup_events",
+    # r11 seventh wave: the TF-IDF keyword face keeps its single tf
+    # pin + broadcast idf + WindowGroupLimit shape at 10×; the two new
+    # two-sample screens keep the frozen-tile prefix (one per-value
+    # corpus aggregate, broadcast offsets/minima/totals) at 10×
+    "tfidf_top_terms_docs",
+    "wasserstein_value_drift_events",
+    "mannwhitney_value_events",
+    # chi² keeps MI's single joint-cell corpus aggregate at 10× (the
+    # grid is marginal-sized); collocations keep the one-pin/two-
+    # consumer token shape; the FD audit keeps its two-aggregate plan
+    "chi2_lang_source_docs",
+    "collocations_docs",
+    "fd_violations_docs",
+    # spearman keeps one pin + two prefix aggregates + two value-keyed
+    # rank joins at 10× (join strategy is AQE's per-axis call)
+    "spearman_qty_price_lineitem",
 ]
 
 

@@ -6,6 +6,7 @@ and the eager-cleanup default for the r10 corpus pins (ADVICE r10).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _n_cache_entries(spark) -> int:
@@ -1018,3 +1019,328 @@ def test_absent_followup_plan_is_keyed_anti_join(spark):
     plan = absent_followup(ev, "view", "purchase", 3600)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------ TF-IDF keyword extraction
+
+
+def test_top_terms_per_doc_hand_model(spark):
+    """Exact integer ordering on a 3-doc corpus: a term in every doc
+    gets the minimum idf (ln(1)+1 = 1e9 nano) and loses to rarer
+    terms at equal tf; ties order by term; k truncates."""
+    import math
+
+    from transe_pyspark_spark.functions.text import top_terms_per_doc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common zebra"),
+            (2, "common plain"),
+            (3, "common plain"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score_nano"])
+        for r in top_terms_per_doc(docs, k=2).collect()
+    }
+    idf = lambda df: round((math.log((3 + 1) / (df + 1)) + 1.0) * 1e9)
+    # doc 1: common tf=2 score 2e9; rare/zebra tf=1 score idf(1) ≈ 1.69e9
+    assert got[(1, 1)] == ("common", 2, 2 * idf(3))
+    assert got[(1, 2)] == ("rare", 1, idf(1))  # ties zebra, wins on term
+    # docs 2/3: plain (df=2) beats common (df=3) at equal tf
+    assert got[(2, 1)] == ("plain", 1, idf(2))
+    assert got[(2, 2)] == ("common", 1, idf(3))
+
+
+def test_top_terms_plan_and_cleanup(spark):
+    """Lazy form keeps WindowGroupLimit (O(k) pre-shuffle state);
+    eager default releases the tf pin."""
+    from transe_pyspark_spark.functions.text import top_terms_per_doc
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lazy = top_terms_per_doc(docs, k=5, eager_cleanup=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    spark.catalog.clearCache()
+    top_terms_per_doc(docs, k=5).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# --------------------------------------------- Wasserstein-1 / Mann-Whitney
+
+
+def test_wasserstein_1d_hand_model(spark):
+    """A={0,0,10}, B={5,10,10,20}: Σ|F_a−F_b|·Δv = 95/12 exactly —
+    numerators 40+25+30 over the shared denominator n_a·n_b=12, the
+    globally-last value contributing nothing."""
+    from transe_pyspark_spark.operators.relational import wasserstein_1d
+
+    rows = [("a", v) for v in (0, 0, 10)] + [("b", v) for v in (5, 10, 10, 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = wasserstein_1d(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["w1_num"]) == (3, 4, 95)
+    assert r["w1"] == 95 / 12
+
+
+def test_wasserstein_constant_shift_is_exact(spark):
+    """W1 between a sample and its +7 translate is exactly 7 — the
+    transport-units contract KS cannot make (KS saturates at the
+    overlap gap regardless of distance)."""
+    from transe_pyspark_spark.operators.relational import wasserstein_1d
+
+    vals = [1, 3, 3, 8, 20, 41, 41, 41, 100]
+    rows = [("a", v) for v in vals] + [("b", v + 7) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = wasserstein_1d(df, "g", "v", "a", "b", num_partitions=4).collect()[0]
+    assert r["w1"] == 7.0
+    assert r["w1_num"] == 7 * len(vals) * len(vals)
+
+
+def test_mannwhitney_hand_model(spark):
+    """A=[1,2,2,5], B=[2,3]: U_a = 0 + ½ + ½ + 2 = 3 (half credit on
+    the value-2 ties), U_b = 5; doubled statistics 6 and 10 with the
+    exact invariant u2_a + u2_b = 2·n_a·n_b = 16; AUC 6/16."""
+    from transe_pyspark_spark.operators.relational import mannwhitney_u
+
+    rows = [("a", v) for v in (1.0, 2.0, 2.0, 5.0)] + [("b", v) for v in (2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"]) == (4, 2, 6, 10)
+    assert r["auc_a"] == 6 / 16
+
+
+def test_mannwhitney_invariant_and_symmetry(spark):
+    """On real data: u2_a + u2_b = 2·n_a·n_b term-for-term, and
+    swapping the groups swaps the statistics."""
+    from transe_pyspark_spark.operators.relational import mannwhitney_u
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = mannwhitney_u(ev, "event_type", "value", "view", "purchase").collect()[0]
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+    s = mannwhitney_u(ev, "event_type", "value", "purchase", "view").collect()[0]
+    assert (s["u2_a"], s["u2_b"]) == (r["u2_b"], r["u2_a"])
+
+
+def test_two_sample_prefix_plan_has_no_pidless_window(spark):
+    """All three siblings ride the frozen-tile prefix: no window in
+    the executed plan may order without a partitionBy over the
+    value-cardinality frame (the tiny __pid-ordered offset windows are
+    driver-small and explicitly allowed)."""
+    from transe_pyspark_spark.operators.relational import (
+        mannwhitney_u,
+        wasserstein_1d,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for fn, args in (
+        (wasserstein_1d, (ev, "event_type", F.round(F.col("value") * 100, 0).cast("long"), "view", "purchase")),
+        (mannwhitney_u, (ev, "event_type", "value", "view", "purchase")),
+    ):
+        plan = fn(*args)._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window " in line and "windowspecdefinition(__v" in line:
+                raise AssertionError(f"pid-less value window: {line.strip()}")
+
+
+# --------------------------------------------------- chi² independence
+
+
+def test_chi2_hand_model_includes_empty_cells(spark):
+    """2×2 with an EMPTY cell: x=a → y only 'p'; x=b → 2×'p', 2×'q'.
+    N=6, margins: n_a=2, n_b=4, n_p=4, n_q=2. Expected counts
+    e = (4/3, 2/3 / 8/3, 4/3); χ² = Σ(o−e)²/e = (2−4/3)²/(4/3) +
+    (0−2/3)²/(2/3) + (2−8/3)²/(8/3) + (2−4/3)²/(4/3) = 1.5 exactly —
+    the (a,q) zero cell contributes its full expected mass 2/3."""
+    from transe_pyspark_spark.operators.relational import chi2_independence
+
+    rows = [("a", "p"), ("a", "p"), ("b", "p"), ("b", "p"), ("b", "q"), ("b", "q")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, F.col("x"), F.col("y")).collect()[0]
+    assert (r["n_rows"], r["n_x"], r["n_y"], r["dof"]) == (6, 2, 2, 1)
+    assert r["chi2"] == 1.5
+    assert r["cramers_v"] == 0.5  # √(1.5/(6·1)) = 0.5 exactly
+
+
+def test_chi2_exact_independence_is_zero(spark):
+    """A perfectly factorized table (every (x,y) count = n_x·n_y/N)
+    scores exactly 0."""
+    from transe_pyspark_spark.operators.relational import chi2_independence
+
+    rows = []
+    for x, cx in (("a", 1), ("b", 2)):
+        for y, cy in (("p", 1), ("q", 3)):
+            rows += [(x, y)] * (cx * cy)
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = chi2_independence(df, F.col("x"), F.col("y")).collect()[0]
+    assert r["chi2"] == 0.0
+    assert r["n_rows"] == 12
+
+
+def test_chi2_matches_numpy_replay(spark):
+    """Against a direct numpy contingency-table replay on real data
+    (no continuity correction — the raw Pearson statistic)."""
+    import numpy as np
+
+    from transe_pyspark_spark.operators.relational import chi2_independence
+    from transe_pyspark_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    x, y = F.col("event_type"), (F.hour("ts") % 4).cast("long")
+    r = chi2_independence(ev, x, y).collect()[0]
+    pdf = ev.select(x.alias("x"), y.alias("y")).toPandas()
+    ct = pdf.groupby(["x", "y"]).size().unstack(fill_value=0).to_numpy().astype(float)
+    e = np.outer(ct.sum(1), ct.sum(0)) / ct.sum()
+    assert abs(r["chi2"] - ((ct - e) ** 2 / e).sum()) < 1e-3
+
+
+# ------------------------------------------------------ PMI collocations
+
+
+def test_collocations_hand_model(spark):
+    """3 docs, min_count=2: only (new,york) ×3 and (the,the) ×2
+    survive; N_uni=10, N_pairs=7; PMI replayed exactly at nano
+    precision with the same float expression shape."""
+    import math
+
+    from transe_pyspark_spark.functions.text import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "new york city"), (3, "the the the")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["term_1"], r["term_2"]): (r["n_pair"], r["pmi_nano"])
+        for r in collocations(docs, min_count=2).collect()
+    }
+    pmi = lambda c12, c1, c2: round(
+        math.log((float(c12) * 10 * 10) / (7.0 * c1 * c2)) * 1e9
+    )
+    assert got == {
+        ("new", "york"): (3, pmi(3, 3, 3)),
+        ("the", "the"): (2, pmi(2, 3, 3)),
+    }
+    # the repeated-word bigram scores BELOW the genuine collocation
+    assert got[("the", "the")][1] < got[("new", "york")][1]
+
+
+def test_collocations_single_token_docs_and_cleanup(spark):
+    """Docs with <2 tokens contribute no pairs (the slice guard);
+    the eager default releases the token-array pin."""
+    from transe_pyspark_spark.functions.text import collocations
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b a b")], "doc_id long, text string"
+    )
+    rows = collocations(docs, min_count=2).collect()
+    assert {(r["term_1"], r["term_2"]): r["n_pair"] for r in rows} == {
+        ("a", "b"): 2
+    }
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# ------------------------------------------------- FD-violation audit
+
+
+def test_fd_violations_hand_model(spark):
+    """det 'a' → {p,p,q}: 1 repair; det 'b' → {p,p}: satisfied,
+    excluded; det 'c' → {NULL,p}: NULL is a conflicting dependent
+    value (the profiler must see it)."""
+    from transe_pyspark_spark.operators.quality import fd_violations
+
+    rows = [("a", "p"), ("a", "p"), ("a", "q"), ("b", "p"), ("b", "p"),
+            ("c", None), ("c", "p")]
+    df = spark.createDataFrame(rows, "d string, v string")
+    got = {r["det"]: (r["n_rows"], r["n_dep"], r["mode_n"], r["n_violating"])
+           for r in fd_violations(df, "d", "v").collect()}
+    assert got == {"a": (3, 2, 2, 1), "c": (2, 2, 1, 1)}
+
+
+def test_fd_violations_repair_cost_is_minimal(spark):
+    """g3 semantics: n_violating equals the brute-force minimum number
+    of dependent changes per group on a random table."""
+    import random
+    from collections import Counter, defaultdict
+
+    from transe_pyspark_spark.operators.quality import fd_violations
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(8), rng.randrange(3)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "d long, v long")
+    groups = defaultdict(list)
+    for d, v in rows:
+        groups[d].append(v)
+    want = {
+        d: len(vs) - Counter(vs).most_common(1)[0][1]
+        for d, vs in groups.items()
+        if len(vs) > Counter(vs).most_common(1)[0][1]
+    }
+    got = {r["det"]: r["n_violating"] for r in fd_violations(df, "d", "v").collect()}
+    assert got == want
+
+
+# --------------------------------------------------- Spearman correlation
+
+
+def test_spearman_hand_model_with_ties(spark):
+    """x=[1,2,2,4], y=[10,30,30,20]: midranks x=(1,2.5,2.5,4),
+    y=(1,3.5,3.5,2); centered doubled dx=(-3,0,0,3), dy=(-3,2,2,-1);
+    ρ = Σdxdy/√(Σdx²Σdy²) = (9+0+0−3)/√(18·18) = 6/18 = 1/3."""
+    from transe_pyspark_spark.operators.relational import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 30.0), (2.0, 30.0), (4.0, 20.0)], "x double, y double"
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["n_rows"] == 4
+    assert r["spearman"] == round(1 / 3, 6)
+
+
+def test_spearman_monotone_invariance_and_scipy(spark):
+    """Perfect monotone ⇒ exactly 1.0; a random sample matches
+    scipy.stats.spearmanr (tie-corrected) to 1e-6; NULLs drop
+    pairwise."""
+    import random
+
+    from transe_pyspark_spark.operators.relational import spearman_corr
+
+    rng = random.Random(7)
+    xs = [rng.randrange(100) for _ in range(300)]
+    mono = [(float(v), float(v * v * v)) for v in xs]  # cubic: nonlinear, monotone
+    df = spark.createDataFrame(mono, "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0]["spearman"] == 1.0
+
+    pairs = [(float(rng.randrange(50)), float(rng.randrange(50))) for _ in range(400)]
+    df2 = spark.createDataFrame(pairs + [(None, 1.0), (2.0, None)], "x double, y double")
+    got = spearman_corr(df2, "x", "y").collect()[0]
+    try:
+        from scipy.stats import spearmanr
+
+        want = spearmanr([p[0] for p in pairs], [p[1] for p in pairs]).statistic
+        assert abs(got["spearman"] - want) < 1e-6
+    except ImportError:
+        # scipy absent in this container: replay via numpy midranks
+        import numpy as np
+
+        a = np.array([p[0] for p in pairs])
+        b = np.array([p[1] for p in pairs])
+
+        def midrank(v):
+            order = np.argsort(v, kind="stable")
+            ranks = np.empty(len(v))
+            sv = v[order]
+            i = 0
+            while i < len(v):
+                j = i
+                while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2 + 1
+                i = j + 1
+            return ranks
+
+        ra, rb = midrank(a), midrank(b)
+        want = np.corrcoef(ra, rb)[0, 1]
+        assert abs(got["spearman"] - want) < 1e-6
+    assert got["n_rows"] == 400

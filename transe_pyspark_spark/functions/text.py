@@ -877,3 +877,186 @@ def bm25_topk(
     out = out.localCheckpoint(eager=True)  # ≤ |queries|·k leaf — THEN release
     toks.unpersist()
     return out
+
+
+def top_terms_per_doc(
+    docs,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eager_cleanup: bool = True,
+):
+    """Per-document TOP-K TF-IDF terms — keyword extraction: the k
+    terms that most distinguish each document from the corpus (doc
+    tagging, index-term selection, near-dup triage by shared
+    keywords). The reversible-vocabulary complement of
+    ``tfidf_features``' hashed vectors: that face returns opaque
+    hash-bucket weights for ML, this one returns the TERMS.
+
+    Determinism contract — the ordering needs NO float at all: the
+    per-term smooth idf ``ln((N+1)/(df+1)) + 1`` is quantized ONCE to
+    integer nano-units per VOCAB term, and each (doc, term) score is
+    then the exact BIGINT product ``tf · idf_nano`` — so the rank
+    window orders on (BIGINT score, term) and any engine reproduces
+    the ranks bit-for-bit (the idf is per-term, so quantizing before
+    the tf multiply loses nothing the 4-dp contract would keep).
+
+    Plan: ONE tokenization pass feeds the (doc, term) tf aggregate —
+    corpus-sized, pinned (repartition-on-term + cache, the
+    ``unigram_nll`` skeleton) for its two term-keyed consumers: the
+    vocab-sized df aggregate (broadcast back with the idf already
+    quantized) and the scoring join, both riding the pin's
+    partitioning. The per-doc top-k is a rank window partitioned by
+    doc — ``WindowGroupLimit`` keeps pre-shuffle state at O(k).
+    Returns (doc_id, rank, term, tf, score_nano), rank 1..k. Same
+    eager-cleanup contract as the family.
+    """
+    from pyspark.sql import Window
+
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    tf = (
+        docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            ).alias("__t"),
+        )
+        .groupBy("__d", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .repartition(n_part, "__t")
+        .cache()
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    idf = F.broadcast(
+        tf.groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__t",
+            F.round(
+                (
+                    F.log(
+                        (F.col("__n").cast("double") + 1.0)
+                        / (F.col("__df").cast("double") + 1.0)
+                    )
+                    + 1.0
+                )
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("__idf_nano"),
+        )
+    )
+    w = Window.partitionBy("__d").orderBy(
+        F.col("score_nano").desc(), F.col("__t").asc()
+    )
+    out = (
+        tf.join(idf, "__t")
+        .withColumn("score_nano", F.col("tf") * F.col("__idf_nano"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("__d").alias(id_col),
+            "rank",
+            F.col("__t").alias("term"),
+            "tf",
+            "score_nano",
+        )
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    return out
+
+
+def collocations(
+    docs,
+    min_count: int = 5,
+    text_col: str = "text",
+    eager_cleanup: bool = True,
+):
+    """Adjacent-bigram collocation extraction ranked by pointwise
+    mutual information — PHRASE MINING, the word2vec-phrases pass a
+    tokenizer pipeline runs before vocabulary building ("new york" /
+    "machine learning" detection): bigrams whose joint frequency beats
+    what independent unigrams would predict.
+
+    PMI per surviving bigram, in nats:
+    ``ln((c12/N_pairs) / ((c1/N_uni)·(c2/N_uni)))
+      = ln(c12·N_uni² / (N_pairs·c1·c2))`` — the ln argument is built
+    from exact BIGINT counts with the same double expression shape on
+    both engines and the result is quantized ONCE to integer
+    nano-nats (the ``mutual_information`` determinism contract), so
+    the face hash-checks. PMI may be negative (anti-collocations);
+    half-away-from-zero rounding agrees on both engines.
+
+    Plan: ONE tokenization pass pins the per-doc token arrays (the
+    corpus-sized cache, released before return under the family's
+    eager-cleanup contract) for its TWO consumers — the unigram
+    explode and the adjacent-pair zip. Pairs build MAP-SIDE from the
+    pinned arrays (``slice(1..n−1) ⨝ slice(2..n)`` zipped, then one
+    explode): no position numbering, no self-join, no second
+    tokenization. Support pruning (``c12 ≥ min_count``) happens on the
+    pair aggregate BEFORE any join (the ``assoc_rules`` discipline);
+    the pruned pair table then joins the vocab-sized unigram counts
+    twice (broadcast) plus the two 1-row totals. The pair aggregate is
+    |bigrams|-sized and eagerly checkpointed for its two consumers
+    (the pre-prune total and the pruned scoring join).
+
+    Returns (term_1, term_2, n_pair, pmi_nano), one row per bigram
+    with ``n_pair ≥ min_count``.
+    """
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+        ).alias("__ts"),
+    ).cache()
+    uni = (
+        toks.select(F.explode("__ts").alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)  # vocab-sized: totals + two joins
+    )
+    nu = F.broadcast(uni.agg(F.sum("__c").cast("long").alias("__nu")))
+    ln_1 = F.greatest(F.size("__ts") - F.lit(1), F.lit(0))
+    pc = (
+        toks.select(
+            F.slice("__ts", 1, ln_1).alias("__l"),
+            F.slice("__ts", 2, ln_1).alias("__r"),
+        )
+        .select(F.explode(F.arrays_zip("__l", "__r")).alias("__p"))
+        .groupBy(
+            F.col("__p.__l").alias("__w1"), F.col("__p.__r").alias("__w2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__c12"))
+        .localCheckpoint(eager=True)  # |bigrams|-sized: total + pruned join
+    )
+    np_tot = F.broadcast(pc.agg(F.sum("__c12").cast("long").alias("__np")))
+    u1 = F.broadcast(uni.select(F.col("__t").alias("__w1"), F.col("__c").alias("__c1")))
+    u2 = F.broadcast(uni.select(F.col("__t").alias("__w2"), F.col("__c").alias("__c2")))
+    pmi = F.log(
+        (F.col("__c12").cast("double") * F.col("__nu") * F.col("__nu"))
+        / (F.col("__np").cast("double") * F.col("__c1") * F.col("__c2"))
+    )
+    out = (
+        pc.filter(F.col("__c12") >= int(min_count))
+        .join(u1, "__w1")
+        .join(u2, "__w2")
+        .crossJoin(nu)
+        .crossJoin(np_tot)
+        .select(
+            F.col("__w1").alias("term_1"),
+            F.col("__w2").alias("term_2"),
+            F.col("__c12").alias("n_pair"),
+            F.round(pmi * 1e9, 0).cast("long").alias("pmi_nano"),
+        )
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out

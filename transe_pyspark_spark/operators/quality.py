@@ -218,3 +218,49 @@ def constraint_audit(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+def fd_violations(
+    df: DataFrame,
+    det_col: str,
+    dep_col: str,
+) -> DataFrame:
+    """Functional-dependency audit ``det_col → dep_col`` — the
+    schema-discovery / data-contract check ("does source determine
+    language?", "does order status determine priority?") profilers run
+    before trusting a column as a lookup key: for every determinant
+    value that maps to MORE THAN ONE dependent value, report the
+    conflict and its repair cost.
+
+    Per violating determinant: ``n_rows`` (its row count), ``n_dep``
+    (distinct dependents observed), ``mode_n`` (rows agreeing with the
+    most common dependent), and ``n_violating = n_rows − mode_n`` —
+    the MINIMUM number of rows whose dependent must change for the FD
+    to hold (the standard g3-style repair cost, exact). A determinant
+    satisfies the FD iff ``n_rows == mode_n``; only violators are
+    returned, so the output is violation-sized.
+
+    Plan: one (det, dep) count aggregate over the corpus (the only
+    corpus-sized shuffle; map-side partials reduce it to the cell
+    cardinality), then one cell-sized re-aggregate per determinant —
+    ``max(cnt)`` IS the mode count and needs no window or sort. NULL
+    dependents count as a value (a NULL-dep group conflicts with a
+    non-NULL one — the profiler wants to see that).
+
+    Returns (det, n_rows, n_dep, mode_n, n_violating), violators only.
+    """
+    cells = df.groupBy(
+        F.col(det_col).alias("det"), F.col(dep_col).alias("__dep")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    per_det = cells.groupBy("det").agg(
+        F.sum("__cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_dep"),
+        F.max("__cnt").cast("long").alias("mode_n"),
+    )
+    return per_det.filter(F.col("n_rows") > F.col("mode_n")).select(
+        "det",
+        "n_rows",
+        "n_dep",
+        "mode_n",
+        (F.col("n_rows") - F.col("mode_n")).cast("long").alias("n_violating"),
+    )

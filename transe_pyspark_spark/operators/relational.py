@@ -2204,6 +2204,73 @@ def pareto_frontier_2d(
     )
 
 
+def _two_sample_value_prefix(
+    df: DataFrame,
+    group_col: str,
+    value_expr,
+    group_a,
+    group_b,
+    n_part: int,
+):
+    """Shared scaffolding for the exact two-sample order statistics
+    (``ks_statistic`` sup-norm, ``wasserstein_1d`` integral,
+    ``mannwhitney_u`` rank-sum): the per-distinct-value count
+    aggregate for the two samples — the ONLY corpus-sized shuffle any
+    of them pays — with BOTH cumulative counts carried through the
+    ``_frozen_range_partition`` distributed prefix (per-tile running
+    sums + broadcast exclusive offsets), never a pid-less global
+    window.
+
+    Returns ``(cum, sizes, totals)``: ``cum`` has one row per distinct
+    value — (__pid, __v, __ca, __cb, __cuma, __cumb), cumulative
+    counts INCLUSIVE of the row's value; ``sizes`` is the tiny
+    per-tile frame (__pid, __sa, __sb, __vmin — the minima give
+    cross-tile successors to gap-based statistics); ``totals`` is the
+    one-row (n_a, n_b) derived from ``sizes``, never from the
+    uncached per-value aggregate (the multi-consumer trap; r10
+    advisory). Unused columns prune away per consumer.
+    """
+    val = F.col(value_expr) if isinstance(value_expr, str) else value_expr
+    ga, gb = F.col(group_col) == F.lit(group_a), F.col(group_col) == F.lit(group_b)
+    pv = (
+        df.filter(ga | gb)
+        .groupBy(val.alias("__v"))
+        .agg(
+            F.sum(F.when(ga, 1).otherwise(0)).cast("long").alias("__ca"),
+            F.sum(F.when(gb, 1).otherwise(0)).cast("long").alias("__cb"),
+        )
+    )
+    part = _frozen_range_partition(pv, "__v", n_part)
+    sizes = part.groupBy("__pid").agg(
+        F.sum("__ca").cast("long").alias("__sa"),
+        F.sum("__cb").cast("long").alias("__sb"),
+        F.min("__v").alias("__vmin"),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = F.broadcast(
+        sizes.select(
+            "__pid",
+            F.coalesce(F.sum("__sa").over(w_off), F.lit(0)).cast("long").alias("__offa"),
+            F.coalesce(F.sum("__sb").over(w_off), F.lit(0)).cast("long").alias("__offb"),
+        )
+    )
+    w_in = Window.partitionBy("__pid").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = part.join(offs, "__pid").select(
+        "__pid",
+        "__v",
+        "__ca",
+        "__cb",
+        (F.sum("__ca").over(w_in) + F.col("__offa")).cast("long").alias("__cuma"),
+        (F.sum("__cb").over(w_in) + F.col("__offb")).cast("long").alias("__cumb"),
+    )
+    totals = sizes.agg(
+        F.sum("__sa").cast("long").alias("n_a"), F.sum("__sb").cast("long").alias("n_b")
+    )
+    return cum, sizes, totals
+
+
 def ks_statistic(
     df: DataFrame,
     group_col: str,
@@ -2242,41 +2309,8 @@ def ks_statistic(
     n_part = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    ga, gb = F.col(group_col) == F.lit(group_a), F.col(group_col) == F.lit(group_b)
-    pv = (
-        df.filter(ga | gb)
-        .groupBy(F.col(value_col).alias("__v"))
-        .agg(
-            F.sum(F.when(ga, 1).otherwise(0)).cast("long").alias("__ca"),
-            F.sum(F.when(gb, 1).otherwise(0)).cast("long").alias("__cb"),
-        )
-    )
-    part = _frozen_range_partition(pv, "__v", n_part)
-    sizes = part.groupBy("__pid").agg(
-        F.sum("__ca").cast("long").alias("__sa"),
-        F.sum("__cb").cast("long").alias("__sb"),
-    )
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = F.broadcast(
-        sizes.select(
-            "__pid",
-            F.coalesce(F.sum("__sa").over(w_off), F.lit(0)).cast("long").alias("__offa"),
-            F.coalesce(F.sum("__sb").over(w_off), F.lit(0)).cast("long").alias("__offb"),
-        )
-    )
-    w_in = Window.partitionBy("__pid").orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = part.join(offs, "__pid").select(
-        (F.sum("__ca").over(w_in) + F.col("__offa")).cast("long").alias("__cuma"),
-        (F.sum("__cb").over(w_in) + F.col("__offb")).cast("long").alias("__cumb"),
-    )
-    # totals from the already-materialized frozen frame (via the tiny
-    # per-partition sizes), NOT from pv — an uncached pv here would
-    # re-execute the corpus filter+groupBy a second time (the repo's
-    # multi-consumer trap; r10 advisory)
-    totals = sizes.agg(
-        F.sum("__sa").cast("long").alias("n_a"), F.sum("__sb").cast("long").alias("n_b")
+    cum, sizes, totals = _two_sample_value_prefix(
+        df, group_col, value_col, group_a, group_b, n_part
     )
 
     def d38(c):
@@ -2296,6 +2330,257 @@ def ks_statistic(
             / (d38(F.col("n_a")) * d38(F.col("n_b"))).cast("double")
         ).alias("ks_d"),
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_expr,
+    group_a,
+    group_b,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
+    samples — the INTEGRAL drift screen that completes the suite: TV
+    (bucketed L1), KL/PSI (likelihood ratios), KS (sup-norm of the CDF
+    gap), and now W1 = the AREA of the CDF gap, ``∫ |F_a − F_b| dv``.
+    Unlike KS it weighs HOW FAR mass moved, not just the worst single
+    gap — a uniform small shift and one relocated outlier that KS
+    scores identically separate cleanly, and the result reads in VALUE
+    UNITS (mean transport distance), the number a pipeline alert can
+    threshold meaningfully.
+
+    For empirical CDFs the integral is the exact finite sum
+    ``Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)`` over sorted
+    distinct observed values. ``value_expr`` must be INTEGRAL (cents —
+    the house exactness idiom): every term is then the exact integer
+    ``|cuma·n_b − cumb·n_a| · Δv``, the sum rides decimal(38,0)
+    (DuckDB HUGEINT takes the same road), and ONE IEEE division at the
+    end gives ``w1 = w1_num / (n_a·n_b)``.
+
+    Scale path: the ``_two_sample_value_prefix`` tiling — per-value
+    counts on the frozen range partition, both cumsums as broadcast
+    exclusive offsets + in-tile running sums. The next-value gap costs
+    one extra move: ``lead(v)`` INSIDE each tile, with each tile's
+    LAST row taking the NEXT tile's first value from the broadcast
+    per-tile minima the sizes frame already carries — the cross-tile
+    handoff stays aggregate-sized, never a pid-less window. The
+    globally last value has no successor and contributes 0 (both CDFs
+    are 1 there, so the gap beyond it is 0 anyway).
+
+    Returns ONE row: (n_a, n_b, w1_num, w1) with w1_num BIGINT (exact
+    while it fits 2⁶³ — at larger scales read w1, whose decimal-128
+    intermediates never overflow).
+    """
+    n_part = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cum, sizes, totals = _two_sample_value_prefix(
+        df, group_col, value_expr, group_a, group_b, n_part
+    )
+    w_pid = Window.orderBy("__pid")
+    nxt = F.broadcast(
+        sizes.select("__pid", F.lead("__vmin").over(w_pid).alias("__tile_next"))
+    )
+    w_lead = Window.partitionBy("__pid").orderBy("__v")
+    gaps = cum.join(nxt, "__pid").withColumn(
+        "__nv", F.coalesce(F.lead("__v").over(w_lead), F.col("__tile_next"))
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    num = gaps.crossJoin(F.broadcast(totals)).agg(
+        F.sum(
+            F.when(
+                F.col("__nv").isNotNull(),
+                F.abs(
+                    d38(F.col("__cuma")) * d38(F.col("n_b"))
+                    - d38(F.col("__cumb")) * d38(F.col("n_a"))
+                )
+                * d38(F.col("__nv").cast("long") - F.col("__v").cast("long")),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("__w1num")
+    )
+    return num.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.col("__w1num").cast("long").alias("w1_num"),
+        (
+            F.col("__w1num").cast("double")
+            / (d38(F.col("n_a")) * d38(F.col("n_b"))).cast("double")
+        ).alias("w1"),
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) with
+    midrank tie handling — the nonparametric LOCATION screen beside
+    ``ks_statistic``'s shape test: its normalization
+    ``auc_a = U_a / (n_a·n_b)`` is literally P(random A > random B,
+    ties half) — the common-language effect size / ROC-AUC of the two
+    samples, so drift reads as a probability (0.5 = no shift).
+
+    Exactness — NO midrank floats ever materialize: counting pairs per
+    distinct value, ``U_a = Σ_v ca·(cumb − cb) + ca·cb/2`` (strict
+    wins over everything below v, half credit on ties at v), so the
+    DOUBLED statistic ``2·U_a = Σ_v ca·(2·cumb − cb)`` is an exact
+    integer; the DuckDB oracle replays it in HUGEINT, and the
+    invariant ``u2_a + u2_b = 2·n_a·n_b`` holds term-for-term. ONE
+    IEEE division at the end gives the AUC.
+
+    Same scale path as the siblings: ``_two_sample_value_prefix`` —
+    per-value counts, frozen-tile cumsums, broadcast offsets; the U
+    fold is one scalar aggregate over the value-cardinality frame.
+    Returns ONE row: (n_a, n_b, u2_a, u2_b, auc_a) with u2_a/u2_b
+    exact BIGINT.
+    """
+    n_part = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    cum, sizes, totals = _two_sample_value_prefix(
+        df, group_col, value_col, group_a, group_b, n_part
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    u = cum.agg(
+        F.sum(
+            d38(F.col("__ca")) * d38(F.lit(2) * F.col("__cumb") - F.col("__cb"))
+        ).alias("__u2a"),
+        F.sum(
+            d38(F.col("__cb")) * d38(F.lit(2) * F.col("__cuma") - F.col("__ca"))
+        ).alias("__u2b"),
+    )
+    return u.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.col("__u2a").cast("long").alias("u2_a"),
+        F.col("__u2b").cast("long").alias("u2_b"),
+        (
+            F.col("__u2a").cast("double")
+            / (d38(F.lit(2)) * d38(F.col("n_a")) * d38(F.col("n_b"))).cast("double")
+        ).alias("auc_a"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_expr,
+    y_expr,
+    num_partitions: int | None = None,
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """Exact Spearman rank correlation between two columns — the
+    MONOTONE-dependence screen next to ``daily_corr``'s Pearson:
+    invariant under any monotone transform of either axis (log-scaled
+    metrics, heavy tails, price-vs-quantity curves), it answers "do
+    these move together" without assuming linearity, with ties
+    handled by textbook midranks.
+
+    Exactness — NO midrank floats, NO mean-centering floats: the
+    CENTERED DOUBLED midrank of a value with inclusive cumulative
+    count ``cum`` and tie count ``c`` is the exact integer
+    ``d = 2·cum − c − n`` (= 2·(avg rank) − (n+1); doubling clears the
+    ½s, and Σd = 0 by construction so no mean ever needs computing).
+    Then ``ρ = Σ dx·dy / √(Σdx² · Σdy²)`` with all three sums exact
+    decimal-128 (|d| ≤ n keeps Σd² ≤ n³ inside 38 digits up to
+    n ≈ 10¹²) — one sqrt + one IEEE division at the end, rounded to
+    the 6-dp output contract. DuckDB replays the ranks with
+    ``2·rank() + count(*) OVER (PARTITION BY v) − 1`` in HUGEINT.
+
+    Scale path: the not-null pair projection pins ONCE (three
+    consumers: both per-value count aggregates and the scoring join);
+    each axis pays one per-value aggregate carried through the
+    ``_frozen_range_partition`` distributed prefix (the two-sample
+    siblings' tiling — never a pid-less rank window), and the
+    value→rank maps join back by hash equi-join (value-cardinality
+    right sides — NOT broadcast, they can be corpus-sized for
+    continuous axes). Total: one pin + two aggregate shuffles + two
+    keyed joins + one scalar fold.
+
+    Returns ONE row: (n_rows, spearman). Undefined (NULL) when either
+    axis is constant (zero rank variance).
+    """
+    n_part = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    x = F.col(x_expr) if isinstance(x_expr, str) else x_expr
+    y = F.col(y_expr) if isinstance(y_expr, str) else y_expr
+    p = (
+        df.select(x.alias("__x"), y.alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .cache()
+    )
+
+    def _centered_ranks(col: str, alias: str):
+        """(col, d) — per distinct value, the centered doubled
+        midrank as an exact BIGINT; and the 1-row total count."""
+        pv = p.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        part = _frozen_range_partition(pv, col, n_part)
+        sizes = part.groupBy("__pid").agg(F.sum("__c").cast("long").alias("__s"))
+        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offs = F.broadcast(
+            sizes.select(
+                "__pid",
+                F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("long").alias("__off"),
+            )
+        )
+        w_in = Window.partitionBy("__pid").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        tot = F.broadcast(sizes.agg(F.sum("__s").cast("long").alias("__n")))
+        cum = (
+            part.join(offs, "__pid")
+            .withColumn("__cum", (F.sum("__c").over(w_in) + F.col("__off")).cast("long"))
+            .crossJoin(tot)
+            .select(
+                col,
+                (F.lit(2) * F.col("__cum") - F.col("__c") - F.col("__n"))
+                .cast("long")
+                .alias(alias),
+                "__n",
+            )
+        )
+        return cum
+
+    rx = _centered_ranks("__x", "__dx")
+    ry = _centered_ranks("__y", "__dy").drop("__n")
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    s = (
+        p.join(rx, "__x")
+        .join(ry, "__y")
+        .agg(
+            F.first("__n").alias("n_rows"),
+            F.sum(d38(F.col("__dx")) * d38(F.col("__dy"))).alias("__sxy"),
+            F.sum(d38(F.col("__dx")) * d38(F.col("__dx"))).alias("__sxx"),
+            F.sum(d38(F.col("__dy")) * d38(F.col("__dy"))).alias("__syy"),
+        )
+    )
+    out = s.select(
+        "n_rows",
+        F.round(
+            F.col("__sxy").cast("double")
+            / F.sqrt(F.col("__sxx").cast("double") * F.col("__syy").cast("double")),
+            6,
+        ).alias("spearman"),
+    )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    p.unpersist()
+    return out
 
 
 def multires_rollup(
@@ -2427,6 +2712,102 @@ def mutual_information(
     )
 
 
+def chi2_independence(
+    df: DataFrame,
+    x_expr: Column,
+    y_expr: Column,
+) -> DataFrame:
+    """Pearson's chi-squared test of independence between two
+    categorical expressions — the FREQUENTIST sibling of
+    ``mutual_information`` (same joint-cell sufficient statistics,
+    different functional): ``χ² = Σ_xy (n_xy − e_xy)²/e_xy`` with
+    ``e_xy = n_x·n_y/N``, algebraically
+    ``Σ_xy (N·n_xy − n_x·n_y)² / (N·n_x·n_y)`` — the deviation
+    ``N·n_xy − n_x·n_y`` is an exact decimal-128 integer; its square
+    and the division are the only float ops, and each per-cell term is
+    quantized to nano-units and SUMMED EXACTLY (the
+    ``mutual_information`` determinism contract: summation order
+    cannot matter, any engine replays term-for-term).
+
+    The one semantic fork from MI: chi² needs the EMPTY cells too
+    (n_xy = 0 contributes e_xy = n_x·n_y/N, the full expected mass) —
+    so the cell table is the marginal×marginal GRID (aggregate-sized:
+    |X|·|Y| rows built from two broadcast-sized marginal frames) left-
+    joined to the observed joint cells, zero-filled. MI skips them
+    (0·ln 0 = 0); chi² cannot.
+
+    Plan: one joint |X·Y|-cell hash aggregate over the corpus (the
+    only corpus-sized shuffle), eagerly checkpointed for its four
+    consumers; marginals re-aggregate the cells; the grid join and the
+    term fold are all aggregate-sized. Output one row:
+    (n_rows, n_x, n_y, dof, chi2, cramers_v) with
+    dof = (n_x−1)·(n_y−1) and Cramér's V = √(χ²/(N·min(n_x−1, n_y−1)))
+    — the [0, 1] effect size a threshold can act on, where raw χ²
+    grows with N.
+    """
+    joint = (
+        df.groupBy(x_expr.alias("__x"), y_expr.alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__nxy"))
+        .localCheckpoint(eager=True)
+    )
+    mx = joint.groupBy("__x").agg(F.sum("__nxy").cast("long").alias("__nx"))
+    my = joint.groupBy("__y").agg(F.sum("__nxy").cast("long").alias("__ny"))
+    tot = F.broadcast(joint.agg(F.sum("__nxy").cast("long").alias("__n")))
+    grid = (
+        F.broadcast(mx)
+        .crossJoin(F.broadcast(my))
+        .join(joint, ["__x", "__y"], "left")
+        .withColumn("__o", F.coalesce(F.col("__nxy"), F.lit(0)).cast("long"))
+        .crossJoin(tot)
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    # dev = N·n_xy − n_x·n_y is EXACT decimal-128 (both products are
+    # ≤ N², inside 38 digits for any real N); its square would not be,
+    # so the square happens in double — one rounding, same expression
+    # shape on both engines
+    dev = (
+        d38(F.col("__n")) * d38(F.col("__o"))
+        - d38(F.col("__nx")) * d38(F.col("__ny"))
+    ).cast("double")
+    term = (dev * dev) / (
+        d38(F.col("__n")) * d38(F.col("__nx")) * d38(F.col("__ny"))
+    ).cast("double")
+    agg = (
+        grid.withColumn("__t", F.round(term * 1e9, 0).cast("long"))
+        .groupBy()
+        .agg(
+            F.first("__n").alias("n_rows"),
+            F.count_distinct("__x").cast("long").alias("n_x"),
+            F.count_distinct("__y").cast("long").alias("n_y"),
+            (
+                (F.count_distinct("__x") - F.lit(1))
+                * (F.count_distinct("__y") - F.lit(1))
+            )
+            .cast("long")
+            .alias("dof"),
+            F.round(F.sum("__t").cast("double") / 1e9, 4).alias("chi2"),
+        )
+    )
+    # Cramér's V normalizes χ² to [0, 1] (the effect size a threshold
+    # can act on, where raw χ² grows with N): V = √(χ²/(N·min_dim)).
+    # Derived from the already-rounded chi2 so both engines share the
+    # rounding point; one sqrt, rounded to the 4-dp output contract.
+    min_dim = F.least(F.col("n_x") - F.lit(1), F.col("n_y") - F.lit(1))
+    return agg.withColumn(
+        "cramers_v",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n_rows") * min_dim).cast("double")
+            ),
+            4,
+        ),
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     group_col: str,
@@ -2442,6 +2823,16 @@ def robust_outliers(
     quality screens over heavy-tailed corpus stats): per group the
     exact discrete median m, the exact discrete median of |x − m|
     (MAD), and how many rows sit beyond ``|x − m| > (k_num/k_den)·MAD``.
+
+    This is the SCALE-PATH sibling of ``mad_outliers`` (r06, same
+    rule): that face computes interpolated medians with Spark's
+    ``percentile``, whose aggregation state holds each group's values
+    — exact only while groups fit an executor, with an approx-sketch
+    swap as its documented 100 TB door. Here both medians are
+    ``discrete_quantiles``' ELEMENT SELECTION on the distributed
+    prefix-rank, so the screen stays EXACT at any group size and the
+    whole face is BIGINT (the no-float hash-check contract the
+    interpolated form cannot give).
 
     Everything stays in BIGINT: values enter as exact cents, both
     medians are the ``discrete_quantiles`` ELEMENT-SELECTION primitive

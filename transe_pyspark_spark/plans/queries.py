@@ -7444,6 +7444,268 @@ def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "spearman_qty_price_lineitem",
+    oracle="""
+    WITH p AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+    r AS (SELECT CAST(2 * rank() OVER (ORDER BY x)
+                      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2x,
+                 CAST(2 * rank() OVER (ORDER BY y)
+                      + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2y
+          FROM p),
+    d AS (SELECT CAST(r2x - n - 1 AS HUGEINT) AS dx,
+                 CAST(r2y - n - 1 AS HUGEINT) AS dy FROM r, n),
+    s AS (SELECT sum(dx*dy) AS sxy, sum(dx*dx) AS sxx, sum(dy*dy) AS syy FROM d)
+    SELECT n.n AS n_rows,
+           round(CAST(sxy AS DOUBLE)
+                 / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6) AS spearman
+    FROM s, n
+    """,
+    tags=("agg", "stats"),
+)
+def q_spearman_qty_price_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between order-line quantity and
+    extended price (`relational.py:spearman_corr`) — the
+    monotone-dependence screen beside `daily_corr_view_purchase`'s
+    Pearson: tie midranks as exact CENTERED DOUBLED integers
+    (`2·cum − c − n`, Σd = 0 by construction — no midrank floats, no
+    mean-centering floats), rank maps from the frozen-tile prefix
+    (never a pid-less rank window), decimal-128 moment sums, one
+    sqrt+division at the end. The oracle replays the ranks with
+    `2·rank() + count(*) OVER (PARTITION BY v) − 1` in HUGEINT."""
+    from transe_pyspark_spark.operators.relational import spearman_corr
+
+    li = _T(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", eager_cleanup=False
+    )
+
+
+@_register(
+    "fd_violations_docs",
+    oracle="""
+    WITH c AS (SELECT source AS det, lang AS dep, CAST(count(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY 1, 2),
+    g AS (SELECT det, CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_dep,
+                 CAST(max(cnt) AS BIGINT) AS mode_n
+          FROM c GROUP BY det)
+    SELECT det, n_rows, n_dep, mode_n,
+           CAST(n_rows - mode_n AS BIGINT) AS n_violating
+    FROM g WHERE n_rows > mode_n
+    """,
+    tags=("quality",),
+)
+def q_fd_violations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit `source → lang` over the corpus
+    (`operators/quality.py:fd_violations`) — the schema-discovery
+    check next to `data_quality_audit`'s row screens: per violating
+    source, the exact g3 repair cost `n_rows − mode_n` (minimum
+    dependent changes for the FD to hold). Two hash aggregates total —
+    the (det, dep) cell count is the only corpus shuffle and
+    `max(cnt)` IS the mode, no window anywhere."""
+    from transe_pyspark_spark.operators.quality import fd_violations
+
+    return fd_violations(_T(spark, sf_dir, "documents"), "source", "lang")
+
+
+@_register(
+    "collocations_docs",
+    oracle="""
+    WITH dl AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
+    uni AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(ts) AS t FROM dl) GROUP BY 1),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    pr AS (SELECT ts[i] AS w1, ts[i + 1] AS w2
+           FROM dl, unnest(generate_series(1, len(ts) - 1)) AS r(i)),
+    pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pr GROUP BY 1, 2),
+    np AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM pc)
+    SELECT w1 AS term_1, w2 AS term_2, c12 AS n_pair,
+           CAST(round(ln((CAST(c12 AS DOUBLE) * nu.n * nu.n)
+                         / (CAST(np.n AS DOUBLE) * u1.c * u2.c)) * 1e9) AS BIGINT) AS pmi_nano
+    FROM pc JOIN uni u1 ON u1.w = pc.w1 JOIN uni u2 ON u2.w = pc.w2, nu, np
+    WHERE c12 >= 5
+    """,
+    tags=("text", "stats"),
+)
+def q_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked adjacent-bigram collocations over the corpus with
+    min_count 5 (`functions/text.py:collocations`) — the phrase-mining
+    pass (word2vec-phrases style) a tokenizer pipeline runs before
+    vocabulary building. One tokenization pins the token arrays for
+    BOTH consumers (unigram explode, map-side slice/zip pair build —
+    no position join); support pruning precedes the vocab-broadcast
+    scoring joins; PMI is nano-quantized from exact BIGINT counts
+    (negative PMI included — half-away-from-zero rounding agrees on
+    both engines)."""
+    return X.collocations(
+        _T(spark, sf_dir, "documents"), min_count=5, eager_cleanup=False
+    )
+
+
+@_register(
+    "chi2_lang_source_docs",
+    oracle="""
+    WITH j AS (SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS nxy
+               FROM documents GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
+    g AS (SELECT mx.x, my.y, mx.nx, my.ny,
+                 CAST(coalesce(j.nxy, 0) AS BIGINT) AS o
+          FROM mx CROSS JOIN my LEFT JOIN j ON j.x = mx.x AND j.y = my.y),
+    t AS (SELECT x, y,
+                 CAST(round(
+                   CAST(CAST(n AS HUGEINT)*o - CAST(nx AS HUGEINT)*ny AS DOUBLE)
+                   * CAST(CAST(n AS HUGEINT)*o - CAST(nx AS HUGEINT)*ny AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT)*nx*ny AS DOUBLE) * 1e9) AS BIGINT) AS tn,
+                 n
+          FROM g, tot),
+    agg AS (SELECT CAST(min(n) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+                 CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+                 CAST((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1) AS BIGINT) AS dof,
+                 round(CAST(sum(tn) AS DOUBLE) / 1e9, 4) AS chi2
+          FROM t)
+    SELECT n_rows, n_x, n_y, dof, chi2,
+           round(sqrt(chi2 / CAST(n_rows * least(n_x - 1, n_y - 1) AS DOUBLE)), 4) AS cramers_v
+    FROM agg
+    """,
+    tags=("agg", "stats"),
+)
+def q_chi2_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence between document language and
+    source (`relational.py:chi2_independence`) — the frequentist
+    sibling of `mutual_info_events` on the SAME joint-cell sufficient
+    statistics, answering the corpus-curation question "does language
+    predict source" as a test statistic. Zero cells carry their full
+    expected mass via the marginal×marginal grid (aggregate-sized);
+    the deviation `N·n_xy − n_x·n_y` stays exact decimal-128/HUGEINT,
+    per-cell terms nano-quantized and summed exactly."""
+    from transe_pyspark_spark.operators.relational import chi2_independence
+
+    d = _T(spark, sf_dir, "documents")
+    return chi2_independence(d, F.col("lang"), F.col("source"))
+
+
+@_register(
+    "wasserstein_value_drift_events",
+    oracle="""
+    WITH pv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                       CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+    c AS (SELECT v, lead(v) OVER (ORDER BY v) AS nv,
+                 sum(ca) OVER (ORDER BY v) AS cuma,
+                 sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+    w AS (SELECT sum(CASE WHEN nv IS NULL THEN CAST(0 AS HUGEINT)
+                          ELSE abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+                               * (nv - v) END) AS wnum
+          FROM c, t)
+    SELECT na AS n_a, nb AS n_b, CAST(wnum AS BIGINT) AS w1_num,
+           CAST(wnum AS DOUBLE) / CAST(CAST(na AS HUGEINT)*nb AS DOUBLE) AS w1
+    FROM w, t
+    """,
+    tags=("agg", "stats", "drift"),
+)
+def q_wasserstein_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the
+    'view' and 'purchase' value distributions in CENTS
+    (`operators/relational.py:wasserstein_1d`) — the INTEGRAL of the
+    CDF gap that completes the drift suite (TV bucketed-L1, KL/PSI
+    likelihood, KS sup-norm): mass-distance-weighted, so the result
+    reads in value units. The oracle's global window is the
+    definition; the Spark plan rides the `_two_sample_value_prefix`
+    frozen-tile distributed prefix with the next-value handoff across
+    tiles from the broadcast per-tile minima. Every term is exact
+    integer `|cuma·n_b − cumb·n_a|·Δv` in decimal-128/HUGEINT; one
+    IEEE division at the end."""
+    return R.wasserstein_1d(
+        _T(spark, sf_dir, "events"), "event_type", _cents("value"),
+        "view", "purchase",
+    )
+
+
+@_register(
+    "mannwhitney_value_events",
+    oracle="""
+    WITH pv AS (SELECT value AS v,
+                       CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+                FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pv),
+    c AS (SELECT ca, cb,
+                 sum(ca) OVER (ORDER BY v) AS cuma,
+                 sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+    u AS (SELECT sum(CAST(ca AS HUGEINT) * (2*cumb - cb)) AS u2a,
+                 sum(CAST(cb AS HUGEINT) * (2*cuma - ca)) AS u2b FROM c)
+    SELECT na AS n_a, nb AS n_b,
+           CAST(u2a AS BIGINT) AS u2_a, CAST(u2b AS BIGINT) AS u2_b,
+           CAST(u2a AS DOUBLE) / CAST(2 * CAST(na AS HUGEINT) * nb AS DOUBLE) AS auc_a
+    FROM u, t
+    """,
+    tags=("agg", "stats", "drift"),
+)
+def q_mannwhitney_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Mann-Whitney U between 'view' and 'purchase'
+    values (`operators/relational.py:mannwhitney_u`) — the rank-sum
+    LOCATION screen beside `ks_value_drift_events`' shape test, with
+    `auc_a = U_a/(n_a·n_b)` = P(view value > purchase value, ties
+    half) — drift as a probability. No midrank floats exist anywhere:
+    the DOUBLED statistic `2·U_a = Σ_v ca·(2·cumb − cb)` is exact
+    HUGEINT/decimal-128 on both engines with the invariant
+    `u2_a + u2_b = 2·n_a·n_b`; same frozen-tile prefix as the
+    siblings."""
+    return R.mannwhitney_u(
+        _T(spark, sf_dir, "events"), "event_type", "value", "view", "purchase"
+    )
+
+
+@_register(
+    "tfidf_top_terms_docs",
+    oracle="""
+    WITH dl AS (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS ts
+                FROM documents),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(ts) AS t FROM dl) GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    idf AS (SELECT t, CAST(round((ln((CAST(n AS DOUBLE) + 1.0)
+                                     / (CAST(count(*) AS DOUBLE) + 1.0)) + 1.0)
+                                 * 1e9) AS BIGINT) AS idf_nano
+            FROM tf, nd GROUP BY t, n),
+    s AS (SELECT tf.doc_id, tf.t AS term, tf.tf,
+                 tf.tf * idf.idf_nano AS score_nano
+          FROM tf JOIN idf ON idf.t = tf.t),
+    r AS (SELECT doc_id, term, tf, score_nano,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_nano DESC, term) AS BIGINT) AS rank
+          FROM s)
+    SELECT doc_id, rank, term, tf, score_nano FROM r WHERE rank <= 5
+    """,
+    tags=("text", "ranking"),
+)
+def q_tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms
+    (`functions/text.py:top_terms_per_doc`) — keyword extraction with
+    a NO-FLOAT ordering: the smooth idf quantizes once per vocab term
+    to nano-units, each (doc, term) score is the exact BIGINT product
+    `tf · idf_nano`, and the per-doc rank window orders on
+    (score_nano, term) — ranks engine-identical by construction,
+    `WindowGroupLimit`-bounded. The reversible-terms complement of the
+    hashed `tfidf_docs` vectors (rows-only by nature) and the TF-IDF
+    sibling of `doc_keywords_lift`'s lift-ranked extraction."""
+    return X.top_terms_per_doc(
+        _T(spark, sf_dir, "documents"), k=5, eager_cleanup=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the external correctness driver consumes only the
 # FIRST 50 entries of queries() (verified against CORRECTNESS_r01.json,
@@ -7911,6 +8173,27 @@ _OVERFLOW_ORACLE = [
     "absent_followup_events",        # absence detection: NOT EXISTS
                                      # in a time window as a residual
                                      # user-keyed anti join
+    "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
+                                     # BIGINT tf·idf_nano ordering,
+                                     # WindowGroupLimit-bounded
+    "spearman_qty_price_lineitem",   # exact Spearman: centered doubled
+                                     # midranks on the frozen-tile
+                                     # prefix, decimal-128 moments
+    "fd_violations_docs",            # FD audit source→lang: g3 repair
+                                     # cost from two hash aggregates,
+                                     # max(cnt) is the mode
+    "collocations_docs",             # PMI phrase mining: map-side
+                                     # slice/zip pairs off one token
+                                     # pin, support-pruned, nano-PMI
+    "chi2_lang_source_docs",         # Pearson chi²: MI's joint cells
+                                     # + the zero-filled marginal grid,
+                                     # exact decimal-128 deviations
+    "wasserstein_value_drift_events",  # exact 1-D earth-mover drift:
+                                       # CDF-gap area on the frozen-
+                                       # tile prefix, integer terms
+    "mannwhitney_value_events",      # exact rank-sum U / AUC drift:
+                                     # doubled-statistic integers,
+                                     # u2_a+u2_b = 2·n_a·n_b
 ]
 
 
