@@ -197,6 +197,9 @@ SF1_HEADLINE = [
     # spearman pays one pair pin + two per-value prefix aggregates +
     # two value-keyed rank joins over 6M lineitems
     "spearman_qty_price_lineitem",
+    # KM pays the cohort derivation (two user-keyed aggregates + one
+    # left join over 1M events) + two chained duration prefixes
+    "km_conversion_events",
 ]
 
 

@@ -545,6 +545,13 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "two hash aggregates total — the (det, dep) cell count is the "
         "only corpus shuffle and max(cnt) IS the mode",
     ),
+    "km_conversion_events": (
+        ["__pid", "Scan ExistingRDD", "HashAggregate"],
+        "both KM passes (at-risk, log-survival) ride one frozen-tile "
+        "prefix; the between-pass frame is checkpointed "
+        "(duration-cardinality) and the per-duration aggregate is the "
+        "only subject-sized shuffle",
+    ),
     "spearman_qty_price_lineitem": (
         ["__pid", "InMemoryTableScan"],
         "both rank maps ride the frozen-tile prefix off the shared "
@@ -801,6 +808,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         ["CartesianProduct"],
         "the only non-equi joins are the 1-row broadcast totals; rank "
         "maps join back on the value key",
+    ),
+    "km_conversion_events": (
+        ["CartesianProduct"],
+        "the only non-equi joins are the 1-row horizon/totals "
+        "broadcasts; cohort joins are user-keyed",
     ),
 }
 
@@ -1066,8 +1078,10 @@ SF1_STABLE = [
     "collocations_docs",
     "fd_violations_docs",
     # spearman keeps one pin + two prefix aggregates + two value-keyed
-    # rank joins at 10× (join strategy is AQE's per-axis call)
+    # rank joins at 10× (join strategy is AQE's per-axis call); KM
+    # keeps its one subject aggregate + two chained prefixes
     "spearman_qty_price_lineitem",
+    "km_conversion_events",
 ]
 
 

@@ -1344,3 +1344,59 @@ def test_spearman_monotone_invariance_and_scipy(spark):
         want = np.corrcoef(ra, rb)[0, 1]
         assert abs(got["spearman"] - want) < 1e-6
     assert got["n_rows"] == 400
+
+
+# --------------------------------------------------- Kaplan-Meier survival
+
+
+def test_km_survival_hand_model(spark):
+    """Textbook: events at t=1 (1 of 6), t=3 (2 of 4 after a
+    censoring), t=5 (the last remaining subject — survival exactly 0);
+    censor times emit no rows but shrink the risk set."""
+    from transe_pyspark_spark.operators.sequences import km_survival
+
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    got = {
+        r["duration"]: (r["n_risk"], r["n_event"], r["survival"])
+        for r in km_survival(df, "dur", "ev").collect()
+    }
+    assert got == {
+        1: (6, 1, 0.833333),  # 5/6
+        3: (4, 2, 0.416667),  # 5/6 · 2/4 = 5/12
+        5: (1, 1, 0.0),       # d = n_risk ⇒ exact 0
+    }
+
+
+def test_km_survival_matches_python_replay_and_partitions(spark):
+    """Random censored cohort: n_risk/n_event exact, survival within
+    1e-6 of a direct python product; partition count changes nothing
+    (the two chained prefixes are tiling-invariant)."""
+    import math
+    import random
+    from collections import Counter
+
+    from transe_pyspark_spark.operators.sequences import km_survival
+
+    rng = random.Random(31)
+    subj = [(rng.randrange(50), rng.random() < 0.6) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(t, int(e)) for t, e in subj], "dur long, ev int"
+    )
+    base = {tuple(r) for r in km_survival(df, "dur", "ev").collect()}
+    again = {tuple(r) for r in km_survival(df, "dur", "ev", num_partitions=5).collect()}
+    assert base == again
+
+    deaths = Counter(t for t, e in subj if e)
+    at_risk = lambda t: sum(1 for u, _ in subj if u >= t)
+    s, want = 1.0, {}
+    for t in sorted({t for t, e in subj if e}):
+        n, d = at_risk(t), deaths[t]
+        s *= (n - d) / n
+        want[t] = (n, d, s)
+    got = {r["duration"]: (r["n_risk"], r["n_event"], r["survival"])
+           for r in km_survival(df, "dur", "ev").collect()}
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][:2] == want[t][:2]
+        assert abs(got[t][2] - want[t][2]) < 1e-6

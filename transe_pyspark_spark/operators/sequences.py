@@ -579,3 +579,121 @@ def eventually_follows(
             ).alias("ratio_nano"),
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator over CENSORED
+    durations — the time-to-event readout (`time_to_convert` gives
+    percentiles of COMPLETED conversions; KM answers the question
+    censoring makes those percentiles lie about: "what fraction has
+    NOT converted by time t", counting the users who never converted
+    for exactly as long as they were observed). The churn/conversion/
+    TTL curve every retention team plots.
+
+    Definition: at each distinct duration t with ≥1 event,
+    ``n_risk = |duration ≥ t|``, ``n_event = d``, and
+    ``S(t) = Π_{u ≤ t} (1 − d_u/n_u)``.
+
+    Determinism contract: each factor enters as
+    ``ln((n−d)/n)`` quantized ONCE to integer nano-nats — the
+    ``mutual_information`` idiom — and the RUNNING PRODUCT becomes a
+    RUNNING SUM of exact BIGINTs, so the curve's log (``log_s_nano``)
+    hash-checks term-for-term on any engine. ``survival`` is one
+    ``exp`` of the exact sum, rounded to 6 dp (a ≤1-ulp libm
+    difference would need a value within ~1e-16 of a rounding
+    boundary to flip — the BM25 single-``ln`` precedent). A time
+    where EVERYONE remaining dies (d = n_risk) sets survival exactly
+    0 (it can only be the globally last event time).
+
+    Scale path: one per-duration count aggregate (the only
+    subject-sized shuffle), then TWO chained distributed prefixes over
+    the duration-cardinality frame on ONE ``_frozen_range_partition``
+    tiling: pass 1 accumulates at-risk counts (reverse-cumulative via
+    ``N − cum + c``), pass 2 accumulates the nano-log terms; each pass
+    is per-tile running sums + broadcast exclusive offsets — never a
+    pid-less window. The between-pass frame is eagerly checkpointed
+    (duration-cardinality-sized) because pass 2's offsets and rows
+    both read it.
+
+    Returns one row per distinct duration with ≥1 event:
+    (duration, n_risk, n_event, log_s_nano, survival).
+    """
+    from transe_pyspark_spark.operators.relational import _frozen_range_partition
+
+    n_part = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    pv = (
+        df.filter(F.col(duration_col).isNotNull())
+        .groupBy(F.col(duration_col).cast("long").alias("__t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__c"),
+            F.sum(F.when(F.col(event_col).cast("boolean"), 1).otherwise(0))
+            .cast("long")
+            .alias("__d"),
+        )
+    )
+    part = _frozen_range_partition(pv, "__t", n_part)
+    sizes = part.groupBy("__pid").agg(F.sum("__c").cast("long").alias("__s"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = F.broadcast(
+        sizes.select(
+            "__pid",
+            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        )
+    )
+    tot = F.broadcast(sizes.agg(F.sum("__s").cast("long").alias("__n")))
+    w_in = Window.partitionBy("__pid").orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = (
+        part.join(offs, "__pid")
+        .crossJoin(tot)
+        .withColumn("__cum", (F.sum("__c").over(w_in) + F.col("__off")).cast("long"))
+        .withColumn("__nr", (F.col("__n") - F.col("__cum") + F.col("__c")).cast("long"))
+        .withColumn(
+            "__tn",
+            F.when(
+                (F.col("__d") > 0) & (F.col("__d") < F.col("__nr")),
+                F.round(
+                    F.log(
+                        (F.col("__nr") - F.col("__d")).cast("double")
+                        / F.col("__nr").cast("double")
+                    )
+                    * 1e9,
+                    0,
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "__dead", F.when(F.col("__d") == F.col("__nr"), F.lit(1)).otherwise(F.lit(0))
+        )
+        .localCheckpoint(eager=True)
+    )
+    offs2 = F.broadcast(
+        base.groupBy("__pid")
+        .agg(F.sum("__tn").cast("long").alias("__s2"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__s2").over(w_off), F.lit(0)).cast("long").alias("__off2"),
+        )
+    )
+    return (
+        base.join(offs2, "__pid")
+        .withColumn("__snano", (F.sum("__tn").over(w_in) + F.col("__off2")).cast("long"))
+        .filter(F.col("__d") > 0)
+        .select(
+            F.col("__t").alias("duration"),
+            F.col("__nr").alias("n_risk"),
+            F.col("__d").alias("n_event"),
+            F.col("__snano").alias("log_s_nano"),
+            F.when(F.col("__dead") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("__snano").cast("double") / 1e9), 6))
+            .alias("survival"),
+        )
+    )

@@ -7445,6 +7445,76 @@ def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "km_conversion_events",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    fp AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= v.t0 GROUP BY 1),
+    mx AS (SELECT max(ts) AS m FROM events),
+    subj AS (SELECT (epoch_us(coalesce(fp.tp, mx.m)) - epoch_us(v.t0)) // 1000000 AS t,
+                    CASE WHEN fp.tp IS NOT NULL THEN 1 ELSE 0 END AS e
+             FROM v LEFT JOIN fp USING (user_id), mx),
+    pv AS (SELECT t, CAST(count(*) AS BIGINT) AS c, CAST(sum(e) AS BIGINT) AS d
+           FROM subj GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pv),
+    c1 AS (SELECT t, c, d, sum(c) OVER (ORDER BY t) AS cum FROM pv),
+    r AS (SELECT t, CAST(n.n - cum + c AS BIGINT) AS nr, d,
+                 CASE WHEN d > 0 AND d < (n.n - cum + c)
+                      THEN CAST(round(ln(CAST(n.n - cum + c - d AS DOUBLE)
+                                         / CAST(n.n - cum + c AS DOUBLE)) * 1e9) AS BIGINT)
+                      ELSE 0 END AS tn,
+                 CASE WHEN d = (n.n - cum + c) THEN 1 ELSE 0 END AS dead
+          FROM c1, n),
+    s AS (SELECT t, nr, d, dead, CAST(sum(tn) OVER (ORDER BY t) AS BIGINT) AS sn FROM r)
+    SELECT t AS duration, nr AS n_risk, d AS n_event, sn AS log_s_nano,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE round(exp(CAST(sn AS DOUBLE) / 1e9), 6) END AS survival
+    FROM s WHERE d > 0
+    """,
+    tags=("sequence", "stats"),
+)
+def q_km_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier view→purchase conversion curve
+    (`operators/sequences.py:km_survival`): per user with ≥1 view, the
+    seconds from FIRST view to FIRST at-or-after purchase, CENSORED at
+    the corpus horizon for users who never converted — the
+    time-to-event readout `time_to_convert_weekly`'s completed-only
+    percentiles cannot give. The product-limit factors enter as
+    nano-quantized `ln((n−d)/n)` terms summed exactly on two chained
+    frozen-tile prefixes (at-risk pass, then log-survival pass), so
+    `log_s_nano` hash-checks term-for-term; `survival` is one exp of
+    the exact sum, 6 dp."""
+    from transe_pyspark_spark.operators.sequences import km_survival
+
+    ev = _T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__t0"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("__t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__tp"))
+    )
+    mx = F.broadcast(ev.agg(F.max("ts").alias("__mx")))
+    subj = (
+        v.join(fp, "user_id", "left")
+        .crossJoin(mx)
+        .select(
+            F.expr(
+                "(unix_micros(coalesce(__tp, __mx)) - unix_micros(__t0)) div 1000000"
+            ).alias("dur_s"),
+            F.col("__tp").isNotNull().cast("int").alias("converted"),
+        )
+    )
+    return km_survival(subj, "dur_s", "converted")
+
+
+@_register(
     "spearman_qty_price_lineitem",
     oracle="""
     WITH p AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
@@ -8176,6 +8246,10 @@ _OVERFLOW_ORACLE = [
     "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
                                      # BIGINT tf·idf_nano ordering,
                                      # WindowGroupLimit-bounded
+    "km_conversion_events",          # Kaplan-Meier conversion curve:
+                                     # censored durations, two chained
+                                     # frozen-tile prefixes, exact
+                                     # nano-log survival
     "spearman_qty_price_lineitem",   # exact Spearman: centered doubled
                                      # midranks on the frozen-tile
                                      # prefix, decimal-128 moments
