@@ -200,6 +200,13 @@ SF1_HEADLINE = [
     # KM pays the cohort derivation (two user-keyed aggregates + one
     # left join over 1M events) + two chained duration prefixes
     "km_conversion_events",
+    # golden record pays one corpus pin + 1+|mode_cols| aggregates;
+    # vocab growth one tokenized (source, term) shuffle over 50k
+    # docs; HITS two node-keyed joins + two aggs per round over the
+    # ~600k-edge bipartite purchase graph
+    "golden_record_docs",
+    "vocab_growth_sources",
+    "hits_copurchase_parts",
 ]
 
 

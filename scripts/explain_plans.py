@@ -545,6 +545,27 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "two hash aggregates total — the (det, dep) cell count is the "
         "only corpus shuffle and max(cnt) IS the mode",
     ),
+    "golden_record_docs": (
+        ["InMemoryTableScan", "HashAggregate", "BroadcastHashJoin"],
+        "the projected input pins once (min/max/count pass + one "
+        "cell pass per mode column); mode argmax is "
+        "min(struct(-count, value)) — no window, no sort; the "
+        "|groups|-sized pieces broadcast-join",
+    ),
+    "vocab_growth_sources": (
+        ["Scan ExistingRDD", "HashAggregate", "Window"],
+        "the checkpointed (source, term) aggregate serves both the "
+        "per-source totals and the first-seen regroup; the running "
+        "vocabulary window runs over the |sources|-row result "
+        "(bounded by contract)",
+    ),
+    "hits_copurchase_parts": (
+        ["Scan ExistingRDD"],
+        "the returned frame is the final checkpoint of the iterative "
+        "run (per-round truncation is the pagerank discipline); the "
+        "per-round dataflow is pinned by "
+        "test_hits_integer_matches_python_model",
+    ),
     "km_conversion_events": (
         ["__pid", "Scan ExistingRDD", "HashAggregate"],
         "both KM passes (at-risk, log-survival) ride one frozen-tile "
@@ -814,6 +835,20 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "the only non-equi joins are the 1-row horizon/totals "
         "broadcasts; cohort joins are user-keyed",
     ),
+    "golden_record_docs": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+        "every join keys on the block; the mode argmax is an "
+        "aggregate, never a rank window",
+    ),
+    "vocab_growth_sources": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        "the per-source pieces are aggregate-sized and broadcast-join",
+    ),
+    "hits_copurchase_parts": (
+        ["CartesianProduct"],
+        "per-round joins are node-keyed; the normalization totals are "
+        "1-row broadcasts (inside the checkpointed rounds)",
+    ),
 }
 
 #: max Exchange *nodes* allowed (each extra exchange is a full shuffle);
@@ -1082,6 +1117,12 @@ SF1_STABLE = [
     # keeps its one subject aggregate + two chained prefixes
     "spearman_qty_price_lineitem",
     "km_conversion_events",
+    # golden record keeps one pin + per-field aggregates at 10×;
+    # vocab growth keeps its single (source, term) corpus shuffle;
+    # HITS keeps two node-keyed joins + two aggregates per round
+    "golden_record_docs",
+    "vocab_growth_sources",
+    "hits_copurchase_parts",
 ]
 
 

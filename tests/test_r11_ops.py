@@ -1400,3 +1400,164 @@ def test_km_survival_matches_python_replay_and_partitions(spark):
     for t in want:
         assert got[t][:2] == want[t][:2]
         assert abs(got[t][2] - want[t][2]) < 1e-6
+
+
+# ------------------------------------------------ HITS hubs/authorities
+
+
+def _hits_model(edge_list, iters, scale=10**9):
+    """Pure-python exact-integer twin of hits_integer (same L1
+    integer-DIV normalization)."""
+    from collections import defaultdict
+
+    out_, in_ = defaultdict(list), defaultdict(list)
+    for s, d in edge_list:
+        out_[s].append(d)
+        in_[d].append(s)
+    h = {u: scale for u in out_}
+    a = {}
+    for _ in range(iters):
+        raw_a = {v: sum(h.get(u, 0) for u in in_[v]) for v in in_}
+        t = sum(raw_a.values())
+        a = {v: (r * scale) // t for v, r in raw_a.items()}
+        raw_h = {u: sum(a[v] for v in out_[u]) for u in out_}
+        t = sum(raw_h.values())
+        h = {u: (r * scale) // t for u, r in raw_h.items()}
+    return {n: (h.get(n, 0), a.get(n, 0)) for n in set(h) | set(a)}
+
+
+def test_hits_integer_matches_python_model(spark):
+    """Random bipartite multigraph (parallel edges kept — multigraph
+    semantics): Spark equals the integer model bit-for-bit, including
+    role-less zeros."""
+    import random
+
+    from transe_pyspark_spark.operators.graph import hits_integer
+
+    rng = random.Random(13)
+    el = [(rng.randrange(20), 100 + rng.randrange(15)) for _ in range(120)]
+    df = spark.createDataFrame(el, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_nano"], r["auth_nano"])
+        for r in hits_integer(df, iterations=3).collect()
+    }
+    assert got == _hits_model(el, 3)
+
+
+def test_hits_integer_known_shape(spark):
+    """Star into one sink: the sink takes the entire authority mass
+    (scale exactly) and all hubs tie; pure sources score 0 authority."""
+    from transe_pyspark_spark.operators.graph import hits_integer
+
+    el = [(u, 99) for u in range(4)]
+    df = spark.createDataFrame(el, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_nano"], r["auth_nano"])
+        for r in hits_integer(df, iterations=2).collect()
+    }
+    assert got[99] == (0, 10**9)
+    hubs = {got[u][0] for u in range(4)}
+    assert hubs == {10**9 // 4} and all(got[u][1] == 0 for u in range(4))
+
+
+# --------------------------------------------------- golden-record merge
+
+
+def test_golden_record_hand_model(spark):
+    """Survivorship rules per field: min id is canonical, max takes
+    the longest/latest, mode majority-votes with ties broken by
+    smallest value, NULLs lose every rule, singleton groups drop."""
+    from transe_pyspark_spark.operators.dedup import golden_record
+
+    rows = [
+        # group "k1": ids 5,3,9 — modes tie on src (a,a,b → a wins by count)
+        ("k1", 5, 100, "a"), ("k1", 3, 200, "a"), ("k1", 9, None, "b"),
+        # group "k2": perfect mode tie (x,y) → smallest value "x" wins
+        ("k2", 1, 10, "y"), ("k2", 2, 20, "x"),
+        # singleton: excluded
+        ("k3", 7, 1, "z"),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, n long, src string")
+    got = {
+        r["canonical_id"]: (r["n_members"], r["max_n"], r["mode_src"])
+        for r in golden_record(
+            df, "g", "id", max_cols=("n",), mode_cols=("src",)
+        ).collect()
+    }
+    assert got == {3: (3, 200, "a"), 1: (2, 20, "x")}
+
+
+def test_golden_record_mode_matches_python_and_cleanup(spark):
+    """Random groups: mode_* equals the python (max count, min value)
+    rule exactly; the eager default releases the pin."""
+    import random
+    from collections import Counter, defaultdict
+
+    from transe_pyspark_spark.operators.dedup import golden_record
+
+    spark.catalog.clearCache()
+    rng = random.Random(3)
+    rows = [(rng.randrange(12), i, rng.choice("abcde")) for i in range(300)]
+    df = spark.createDataFrame(rows, "g long, id long, v string")
+    groups = defaultdict(list)
+    for g, i, v in rows:
+        groups[g].append((i, v))
+    want = {}
+    for g, members in groups.items():
+        if len(members) < 2:
+            continue
+        cnt = Counter(v for _, v in members)
+        best = min(((-n, v) for v, n in cnt.items()))[1]
+        want[min(i for i, _ in members)] = (len(members), best)
+    got = {
+        r["canonical_id"]: (r["n_members"], r["mode_v"])
+        for r in golden_record(df, "g", "id", mode_cols=("v",)).collect()
+    }
+    assert got == want
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# --------------------------------------------------- vocabulary growth
+
+
+def test_vocab_growth_hand_model(spark):
+    """Three slices in order: s1 brings {a,b}; s2 re-treads a,b and
+    adds c; s3 adds nothing new — n_new tracks FIRST-SEEN under the
+    slice order, vocab_cum is its running sum."""
+    from transe_pyspark_spark.functions.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [("s1", "a b a"), ("s2", "b c a"), ("s3", "c c b")],
+        "source string, text string",
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["n_distinct"], r["n_new"], r["vocab_cum"])
+        for r in vocab_growth(docs).collect()
+    }
+    assert got == {
+        "s1": (3, 2, 2, 2),
+        "s2": (3, 3, 1, 3),
+        "s3": (3, 2, 0, 3),
+    }
+
+
+def test_vocab_growth_invariants(spark):
+    """On the real corpus: Σn_new = final vocab_cum = global distinct
+    vocabulary; n_new ≤ n_distinct per slice; vocab_cum nondecreasing."""
+    from transe_pyspark_spark.functions.text import vocab_growth
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(vocab_growth(docs).collect(), key=lambda r: r["source"])
+    assert all(r["n_new"] <= r["n_distinct"] for r in rows)
+    cums = [r["vocab_cum"] for r in rows]
+    assert cums == sorted(cums)
+    assert sum(r["n_new"] for r in rows) == cums[-1]
+    total_vocab = (
+        docs.selectExpr(
+            "explode(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) AS t"
+        )
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == total_vocab

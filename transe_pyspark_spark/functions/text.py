@@ -1060,3 +1060,72 @@ def collocations(
     out = out.localCheckpoint(eager=True)
     toks.unpersist()
     return out
+
+
+def vocab_growth(
+    docs,
+    order_col: str = "source",
+    text_col: str = "text",
+):
+    """Marginal-vocabulary growth across corpus SLICES in a stated
+    acquisition order — the Heaps-law curve of the curation question
+    "what does adding this slice actually buy": per slice, total
+    tokens, distinct terms, terms FIRST SEEN in that slice (under the
+    order), and the running vocabulary size. A slice whose n_new is
+    near zero is lexical re-tread regardless of its token count — the
+    data-buying signal token counts alone cannot give.
+
+    Determinism: the order over slices is the natural ordering of
+    ``order_col`` (dates, or lexicographic source names) — stated,
+    total, engine-independent; every output is an exact BIGINT count.
+
+    Plan: ONE tokenization pass feeds the (slice, term) count
+    aggregate — the only corpus-sized shuffle — eagerly checkpointed
+    for its two consumers: per-slice totals, and the per-term
+    ``min(slice)`` first-seen aggregate whose regroup yields n_new.
+    The running vocabulary is a window over the |slices|-row result —
+    slice cardinality is BOUNDED BY CONTRACT (a source catalog or a
+    calendar, never corpus-proportional), so the pid-less window here
+    is aggregate-sized by construction, not a scale hazard.
+
+    Returns (order_col, n_tokens, n_distinct, n_new, vocab_cum), one
+    row per slice.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        docs.select(
+            F.col(order_col).alias("__o"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != ""
+                )
+            ).alias("__t"),
+        )
+        .groupBy("__o", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    per = cells.groupBy("__o").agg(
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    new = (
+        cells.groupBy("__t")
+        .agg(F.min("__o").alias("__o"))
+        .groupBy("__o")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = Window.orderBy("__o").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.join(new, "__o", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .withColumn("vocab_cum", F.sum("n_new").over(w).cast("long"))
+        .select(
+            F.col("__o").alias(order_col),
+            "n_tokens",
+            "n_distinct",
+            "n_new",
+            "vocab_cum",
+        )
+    )

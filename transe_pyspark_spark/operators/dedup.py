@@ -1296,3 +1296,77 @@ def winnow_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .select("doc_a", "doc_b", "n_shared", "nf_a", "nf_b")
     )
+
+
+def golden_record(
+    df: DataFrame,
+    group_expr,
+    id_col: str,
+    min_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+    mode_cols: tuple[str, ...] = (),
+    min_members: int = 2,
+    eager_cleanup: bool = True,
+) -> DataFrame:
+    """SURVIVORSHIP merge — the master-data-management step AFTER
+    duplicate detection: where ``near_dedup_keep`` picks one surviving
+    ROW per duplicate group, this synthesizes one golden record
+    per group FIELD BY FIELD (latest address from one copy, longest
+    description from another, majority-vote category) — the rule-based
+    merge every entity-resolution pipeline ends with.
+
+    Rules (all exact, all deterministic): ``min_cols``/``max_cols``
+    take the group min/max; ``mode_cols`` take the group's most
+    frequent value with ties broken by SMALLEST value (a stated total
+    order — engines disagree on unspecified mode tie-breaks, so the
+    repo never leaves one unstated). NULLs lose every rule (Spark
+    min/max and the count aggregate skip them).
+
+    Plan: groups key on ``group_expr`` (e.g. the normalized text, a
+    cluster id from ``near_dup_components``). Min/max ride ONE group
+    hash-aggregate; each mode column pays one (group, value) count
+    aggregate + one group re-aggregate, where the argmax is
+    ``min(struct(-count, value))`` — no window, no sort. The pieces
+    (each |groups|-sized) join on the group key. Only groups with
+    ``min_members`` or more rows survive (the singleton groups are not
+    duplicates and need no merging). The projected input pins once
+    (``1 + |mode_cols|`` consumers) under the family's eager-cleanup
+    contract.
+
+    Returns (canonical_id = min id, n_members, min_<c>.., max_<c>..,
+    mode_<c>..).
+    """
+    g = (F.col(group_expr) if isinstance(group_expr, str) else group_expr).alias("__g")
+    base = df.select(
+        g,
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in dict.fromkeys([*min_cols, *max_cols, *mode_cols])],
+    ).cache()
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        *[F.min(c).alias(f"min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    ]
+    out = (
+        base.groupBy("__g")
+        .agg(F.min("__id").alias("canonical_id"), *aggs)
+        .filter(F.col("n_members") >= int(min_members))
+    )
+    for c in mode_cols:
+        cells = (
+            base.groupBy("__g", c)
+            .agg(F.count(F.when(F.col(c).isNotNull(), 1)).cast("long").alias("__n"))
+            .filter(F.col("__n") > 0)
+        )
+        m = cells.groupBy("__g").agg(
+            F.min(F.struct((-F.col("__n")).alias("__neg"), F.col(c).alias("__v")))
+            .getField("__v")
+            .alias(f"mode_{c}")
+        )
+        out = out.join(m, "__g", "left")
+    out = out.drop("__g")
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -1097,3 +1097,102 @@ def degree_assortativity(
     out = out.localCheckpoint(eager=True)  # 1-row leaf — THEN release the pin
     und.unpersist()
     return out
+
+
+def hits_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Exact-integer HITS (hubs and authorities) over a directed edge
+    list — Kleinberg's mutual-reinforcement ranking, the natural fit
+    for BIPARTITE curation graphs (buyer→product, user→document,
+    query→click): a good HUB points at good authorities, a good
+    AUTHORITY is pointed at by good hubs; PageRank's single score
+    can't separate the two roles.
+
+    Same determinism trade as ``pagerank_integer``: scores live in
+    nano-units and every round L1-NORMALIZES with integer division —
+    ``a(v) = (Σ_{u→v} h(u)) · scale DIV Σa_raw`` then symmetrically
+    for hubs — decimal-128 products, BIGINT sums, no float anywhere,
+    so fixed-round results are a pure function of the edge set and a
+    DuckDB unrolled-SQL oracle replays them in HUGEINT bit-for-bit.
+    (Float HITS normalizes by an L2 norm — order-dependent sums AND a
+    sqrt; the L1 integer form keeps the same fixed point structure
+    with hash-exact arithmetic.) Parallel edges contribute multiply —
+    multigraph semantics; pass a distinct edge list for simple-graph
+    scores.
+
+    Scale posture per round: the edge leaf pins ONCE (repartitioned on
+    the source key); each round is two edge⨝score equi-joins + two
+    destination/source hash aggregates + two 1-row broadcast totals —
+    node-sized state, nothing quadratic. Per-round eager
+    localCheckpoints truncate the lineage (the ``pagerank_integer``
+    discipline) and keep each round's score frame one hop deep.
+
+    Returns (node, hub_nano, auth_nano) — full outer over both roles,
+    0 where a node never plays one (e.g. a pure source has no
+    authority score).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ed = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .repartition(n_part, "__s")
+        .cache()
+    )
+    h = (
+        ed.select("__s")
+        .distinct()
+        .withColumn("__h", F.lit(int(scale)).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    a = None
+    for _ in range(int(iterations)):
+        a_raw = (
+            ed.join(h, "__s")
+            .groupBy("__d")
+            .agg(F.sum("__h").cast("decimal(38,0)").alias("__r"))
+        )
+        sa = F.broadcast(a_raw.agg(F.sum("__r").alias("__t")))
+        a = (
+            a_raw.crossJoin(sa)
+            .select(
+                "__d",
+                F.expr(
+                    f"CAST((__r * CAST({int(scale)} AS DECIMAL(38,0))) DIV __t AS LONG)"
+                ).alias("__a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            ed.join(a, "__d")
+            .groupBy("__s")
+            .agg(F.sum("__a").cast("decimal(38,0)").alias("__r"))
+        )
+        sh = F.broadcast(h_raw.agg(F.sum("__r").alias("__t")))
+        h = (
+            h_raw.crossJoin(sh)
+            .select(
+                "__s",
+                F.expr(
+                    f"CAST((__r * CAST({int(scale)} AS DECIMAL(38,0))) DIV __t AS LONG)"
+                ).alias("__h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        h.withColumnRenamed("__s", "node")
+        .join(a.withColumnRenamed("__d", "node"), "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("hub_nano"),
+            F.coalesce(F.col("__a"), F.lit(0)).cast("long").alias("auth_nano"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ed.unpersist()
+    return out

@@ -7445,6 +7445,153 @@ def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "golden_record_docs",
+    oracle="""
+    WITH g AS (SELECT array_to_string(list_slice(list_filter(
+                          string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> ''), 1, 2), ' ') AS k,
+                      doc_id, n_chars, source, lang
+               FROM documents),
+    base AS (SELECT k, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                    CAST(count(*) AS BIGINT) AS n_members,
+                    CAST(max(n_chars) AS BIGINT) AS max_n_chars
+             FROM g GROUP BY k HAVING count(*) >= 2),
+    msrc AS (SELECT k, source AS mode_source FROM (
+               SELECT k, source,
+                      row_number() OVER (PARTITION BY k
+                                         ORDER BY count(*) DESC, source) AS rn
+               FROM g WHERE source IS NOT NULL GROUP BY k, source) WHERE rn = 1),
+    mlang AS (SELECT k, lang AS mode_lang FROM (
+               SELECT k, lang,
+                      row_number() OVER (PARTITION BY k
+                                         ORDER BY count(*) DESC, lang) AS rn
+               FROM g WHERE lang IS NOT NULL GROUP BY k, lang) WHERE rn = 1)
+    SELECT canonical_id, n_members, max_n_chars, mode_source, mode_lang
+    FROM base LEFT JOIN msrc USING (k) LEFT JOIN mlang USING (k)
+    """,
+    tags=("dedup", "quality"),
+)
+def q_golden_record_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over LINKAGE BLOCKS
+    (`operators/dedup.py:golden_record`) — the MDM merge step after
+    duplicate/entity detection: blocks key on the opening-bigram
+    prefix (the `record_linkage_parts` blocking-key idiom; this
+    corpus has no exact duplicates, so the exact-dup fingerprint
+    would yield zero groups — the blocking key exercises the merge on
+    genuinely heterogeneous members). Per block with ≥2 members: the
+    canonical min id, the LONGEST member's char count, and the
+    majority-vote source and language with ties broken by smallest
+    value — a stated total order where engines' bare mode() is
+    unspecified. No window on the Spark side: the mode argmax is
+    `min(struct(−count, value))`."""
+    from transe_pyspark_spark.operators.dedup import golden_record
+
+    d = _T(spark, sf_dir, "documents")
+    key = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+            ),
+            1,
+            2,
+        ),
+        " ",
+    )
+    # lazy form for the structural gates (the assoc_rules/bm25
+    # precedent); the library default releases the pin eagerly
+    return golden_record(
+        d, key, "doc_id", max_cols=("n_chars",), mode_cols=("source", "lang"),
+        eager_cleanup=False,
+    )
+
+
+@_register(
+    "vocab_growth_sources",
+    oracle="""
+    WITH tok AS (SELECT source AS o,
+                        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                           x -> x <> '')) AS t
+                 FROM documents),
+    cells AS (SELECT o, t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+    per AS (SELECT o, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM cells GROUP BY 1),
+    fs AS (SELECT t, min(o) AS o FROM cells GROUP BY 1),
+    nw AS (SELECT o, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY 1)
+    SELECT per.o AS source, n_tokens, n_distinct,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY per.o) AS BIGINT) AS vocab_cum
+    FROM per LEFT JOIN nw USING (o)
+    """,
+    tags=("text", "agg"),
+)
+def q_vocab_growth_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-vocabulary growth per source in lexicographic
+    acquisition order (`functions/text.py:vocab_growth`) — the
+    Heaps-law curation curve: per source, exact token/distinct/NEW
+    term counts (first-seen under the order) and the running
+    vocabulary size. One tokenization feeds the (source, term)
+    aggregate — the only corpus shuffle — checkpointed for its two
+    consumers; the running sum is a window over the |sources|-row
+    result, bounded by contract."""
+    return X.vocab_growth(_T(spark, sf_dir, "documents"))
+
+
+@_register(
+    "hits_copurchase_parts",
+    oracle="""
+    WITH e AS (SELECT DISTINCT o_custkey AS s, 10000000 + l_partkey AS d
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT s, CAST(1000000000 AS HUGEINT) AS h FROM e),
+    ar1 AS (SELECT d, sum(h) AS r FROM e JOIN h0 USING (s) GROUP BY d),
+    sa1 AS (SELECT sum(r) AS t FROM ar1),
+    a1 AS (SELECT d, (r * 1000000000) // t AS a FROM ar1, sa1),
+    hr1 AS (SELECT s, sum(a) AS r FROM e JOIN a1 USING (d) GROUP BY s),
+    sh1 AS (SELECT sum(r) AS t FROM hr1),
+    h1 AS (SELECT s, (r * 1000000000) // t AS h FROM hr1, sh1),
+    ar2 AS (SELECT d, sum(h) AS r FROM e JOIN h1 USING (s) GROUP BY d),
+    sa2 AS (SELECT sum(r) AS t FROM ar2),
+    a2 AS (SELECT d, (r * 1000000000) // t AS a FROM ar2, sa2),
+    hr2 AS (SELECT s, sum(a) AS r FROM e JOIN a2 USING (d) GROUP BY s),
+    sh2 AS (SELECT sum(r) AS t FROM hr2),
+    h2 AS (SELECT s, (r * 1000000000) // t AS h FROM hr2, sh2)
+    SELECT coalesce(h2.s, a2.d) AS node,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_nano,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_nano
+    FROM h2 FULL OUTER JOIN a2 ON h2.s = a2.d
+    """,
+    tags=("graph", "join", "iterative"),
+)
+def q_hits_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of exact-integer HITS over the DIRECTED bipartite
+    customer→part purchase graph (part node ids offset by 10M — the
+    `pagerank_trading_graph` id-spacing trick, since customer and part
+    keys share a small integer range)
+    (`operators/graph.py:hits_integer`) —
+    Kleinberg's hubs-and-authorities on its native habitat: hub
+    customers buy authoritative parts, authoritative parts are bought
+    by hub customers, the two-role ranking `pagerank_trading_graph`'s
+    single score cannot express. Nano-unit scores with L1
+    integer-DIV normalization per round (decimal-128/HUGEINT
+    products) make fixed rounds a pure function of the edge set —
+    replayed by a 2×-unrolled SQL oracle. Customers are pure sources
+    (auth 0), parts pure sinks (hub 0)."""
+    from transe_pyspark_spark.operators.graph import hits_integer
+
+    o = _T(spark, sf_dir, "orders")
+    li = _T(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.lit(10000000) + F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_integer(edges, iterations=2)
+
+
+@_register(
     "km_conversion_events",
     oracle="""
     WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
@@ -8246,6 +8393,15 @@ _OVERFLOW_ORACLE = [
     "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
                                      # BIGINT tf·idf_nano ordering,
                                      # WindowGroupLimit-bounded
+    "golden_record_docs",            # MDM survivorship: per-field
+                                     # min/max/mode merge over dup
+                                     # groups, stated tie-breaks
+    "vocab_growth_sources",          # Heaps-law curve: first-seen
+                                     # terms per source, one corpus
+                                     # shuffle, bounded window
+    "hits_copurchase_parts",         # exact-integer HITS: L1 integer-
+                                     # DIV rounds, 2×-unrolled HUGEINT
+                                     # oracle, bipartite id-spaced
     "km_conversion_events",          # Kaplan-Meier conversion curve:
                                      # censored durations, two chained
                                      # frozen-tile prefixes, exact
