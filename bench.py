@@ -207,6 +207,10 @@ SF1_HEADLINE = [
     "golden_record_docs",
     "vocab_growth_sources",
     "hits_copurchase_parts",
+    # Benford is one 9-group pass over 1.5M orders; ACF one day
+    # aggregate over 1M events + a ≤|days|·7 lag join
+    "benford_totalprice_orders",
+    "acf_daily_value_events",
 ]
 
 

@@ -545,6 +545,18 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "two hash aggregates total — the (det, dep) cell count is the "
         "only corpus shuffle and max(cnt) IS the mode",
     ),
+    "benford_totalprice_orders": (
+        ["HashAggregate"],
+        "one ≤9-group digit aggregate (map-side partials) + the 1-row "
+        "total broadcast NLJ; digits come from the BIGINT's decimal "
+        "string, never a float log",
+    ),
+    "acf_daily_value_events": (
+        ["HashAggregate", "Generate", "BroadcastHashJoin", "Scan ExistingRDD"],
+        "one corpus day-aggregate; lags explode map-side onto the "
+        "checkpointed calendar-bounded series and match by the "
+        "t+k=t' hash equi-join; one ≤max_lag-group moment fold",
+    ),
     "golden_record_docs": (
         ["InMemoryTableScan", "HashAggregate", "BroadcastHashJoin"],
         "the projected input pins once (min/max/count pass + one "
@@ -835,6 +847,15 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "the only non-equi joins are the 1-row horizon/totals "
         "broadcasts; cohort joins are user-keyed",
     ),
+    "benford_totalprice_orders": (
+        ["CartesianProduct", "Window", "SortMergeJoin"],
+        "nothing but the digit aggregate and the 1-row total NLJ",
+    ),
+    "acf_daily_value_events": (
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "SortMergeJoin"],
+        "the lag match is a hash EQUI-join on t+k — never a "
+        "range/nested-loop pairing, never a window",
+    ),
     "golden_record_docs": (
         ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
         "every join keys on the block; the mode argmax is an "
@@ -1123,6 +1144,10 @@ SF1_STABLE = [
     "golden_record_docs",
     "vocab_growth_sources",
     "hits_copurchase_parts",
+    # Benford keeps its single 9-group aggregate; ACF keeps one day
+    # aggregate + the calendar-bounded lag join
+    "benford_totalprice_orders",
+    "acf_daily_value_events",
 ]
 
 

@@ -1,6 +1,19 @@
-"""Round-11 operator tests: in-loop release of dead iterative
-generations (VERDICT r10 ask #3), lineage truncation on deep walks,
-and the eager-cleanup default for the r10 corpus pins (ADVICE r10).
+"""Round-11 operator tests.
+
+Early waves: in-loop release of dead iterative generations (VERDICT
+r10 ask #3), lineage truncation on deep walks, the eager-cleanup
+default for the r10 corpus pins (ADVICE r10), the pareto staircase's
+distributed-prefix scale path, personalized PageRank, weighted
+Jaccard/tf-cosine, SymSpell linkage, RRF fusion, rollup cascade, MI,
+robust MAD, association rules, eventually-follows, absence anti-join.
+
+Late waves: TF-IDF keywords, PMI collocations, the two-sample suite on
+the shared frozen-tile prefix (Wasserstein-1, Mann-Whitney, Spearman),
+chi² + Cramér's V, the FD audit, Kaplan-Meier survival, exact-integer
+HITS, golden-record survivorship, vocabulary growth, the Benford
+screen, and lag-k autocorrelation. Every operator gets a hand model
+plus a property/replay test; plan shapes are pinned where the oracle
+can't see them.
 """
 
 from __future__ import annotations
@@ -1561,3 +1574,51 @@ def test_vocab_growth_invariants(spark):
         .count()
     )
     assert cums[-1] == total_vocab
+
+
+# --------------------------------------------- Benford + autocorrelation
+
+
+def test_benford_screen_hand_model(spark):
+    """First digits from the decimal string: 123→1, 95→9, 1000→1;
+    zero/negative excluded but counted nowhere; shares exact."""
+    from transe_pyspark_spark.operators.quality import benford_screen
+
+    df = spark.createDataFrame(
+        [(123,), (95,), (1000,), (19,), (0,), (-7,)], "v long"
+    )
+    got = {r["digit"]: (r["n_obs"], r["n_total"], r["share"]) for r in
+           benford_screen(df, "v").collect()}
+    assert got == {1: (3, 4, 0.75), 9: (1, 4, 0.25)}
+
+
+def test_benford_screen_follows_log_data(spark):
+    """A multiplicative (log-uniform) sample approximates Benford:
+    every digit's |excess| stays small; Σ n_obs = n_total."""
+    import math
+    import random
+
+    from transe_pyspark_spark.operators.quality import benford_screen
+
+    rng = random.Random(5)
+    vals = [
+        int(math.exp(rng.uniform(math.log(10), math.log(10**7))))
+        for _ in range(20000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = benford_screen(df, "v").collect()
+    assert sum(r["n_obs"] for r in rows) == rows[0]["n_total"] == len(vals)
+    assert all(abs(r["share"] - r["benford"]) < 0.02 for r in rows)
+
+
+def test_lag_autocorr_hand_model(spark):
+    """Perfect period-2 alternation: ACF(1) = −1, ACF(2) = +1 exactly;
+    a gap in t shortens n_pairs instead of fabricating zeros."""
+    from transe_pyspark_spark.operators.relational import lag_autocorr
+
+    rows = [(t, 10 if t % 2 == 0 else 20) for t in range(10) if t != 5]
+    df = spark.createDataFrame(rows, "t long, x long")
+    got = {r["lag"]: (r["n_pairs"], r["acf"]) for r in
+           lag_autocorr(df, "t", "x", max_lag=2).collect()}
+    assert got[1] == (7, -1.0)   # 8 adjacent slots minus the t=5 gap
+    assert got[2] == (6, 1.0)    # the gap breaks two lag-2 pairs

@@ -264,3 +264,53 @@ def fd_violations(
         "mode_n",
         (F.col("n_rows") - F.col("mode_n")).cast("long").alias("n_violating"),
     )
+
+
+def benford_screen(
+    df: DataFrame,
+    value_cents,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the numeric-forensics check
+    (fabricated or unit-mangled figures rarely follow the log curve
+    naturally arising in multiplicative data): the observed first
+    SIGNIFICANT digit distribution of a positive integer column
+    against the Benford expectation ``log10(1 + 1/d)``.
+
+    Exactness: the first digit comes from the decimal string of the
+    exact BIGINT (``substring(cast(v AS string), 1, 1)``) — engine-
+    identical with no float log anywhere near the digit extraction;
+    counts are exact BIGINTs; the two shares are single IEEE divisions
+    / a literal ``log10`` per digit, rounded to the 6-dp contract, and
+    ``excess_nano = round((share − benford)·1e9)`` gives the signed
+    per-digit deviation as BIGINT. Non-positive values are excluded
+    (Benford is defined on positive magnitudes) but reported via
+    ``n_total`` on every row so the screen can't silently shrink.
+
+    Plan: one 9-group hash aggregate over the corpus (map-side
+    partials reduce it to ≤9 rows per task) + one 1-row total
+    broadcast. Returns (digit, n_obs, n_total, share, benford,
+    excess_nano), one row per observed digit 1..9.
+    """
+    v = (F.col(value_cents) if isinstance(value_cents, str) else value_cents).cast(
+        "long"
+    )
+    base = df.select(v.alias("__v")).filter(F.col("__v") > 0)
+    digits = (
+        base.select(F.substring(F.col("__v").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = F.broadcast(digits.agg(F.sum("n_obs").cast("long").alias("n_total")))
+    share = F.round(F.col("n_obs").cast("double") / F.col("n_total").cast("double"), 6)
+    benford = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
+    return (
+        digits.crossJoin(tot)
+        .select(
+            "digit",
+            "n_obs",
+            "n_total",
+            share.alias("share"),
+            benford.alias("benford"),
+            F.round((share - benford) * 1e9, 0).cast("long").alias("excess_nano"),
+        )
+    )

@@ -2583,6 +2583,78 @@ def spearman_corr(
     return out
 
 
+def lag_autocorr(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation function over an integer-indexed series —
+    the periodicity screen (weekly rhythm in daily traffic, batch-job
+    echoes) beside ``seasonal_anomaly_report``'s fixed weekly
+    baseline: ACF peaks FIND the period instead of assuming it.
+
+    Definition: for each lag k in 1..max_lag, the PEARSON correlation
+    over the matched pairs ``(x_t, x_{t+k})`` — the pairs-Pearson
+    variant (each lag uses its own pair means), not the
+    global-mean/global-variance estimator, because it is exactly
+    computable from integer moments: Σx, Σy, Σxy, Σx², Σy² in
+    decimal-128 (the ``trend_per_key``/``stddev_exact`` precedent)
+    with ONE IEEE sqrt+division per lag, 6-dp rounded. ``n_pairs`` is
+    returned so sparse overlaps read honestly.
+
+    Plan contract: ``series`` is an already-aggregated frame (daily
+    sums — CALENDAR-BOUNDED, aggregate-sized by contract), pinned once
+    via eager checkpoint; lags EXPLODE map-side onto one side
+    (|series|·max_lag rows) and match by the equality
+    ``t + k = t'`` — one hash equi-join, one ≤max_lag-group
+    aggregate. Missing timestamps simply produce no pair (gaps
+    shorten n_pairs rather than fabricating zeros).
+
+    Returns (lag, n_pairs, acf), one row per lag; acf NULL when a
+    lag's pairs have zero variance on either side.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    s = (
+        series.select(
+            F.col(t_col).cast("long").alias("__t"), F.col(x_col).cast("long").alias("__x")
+        )
+        .filter(F.col("__x").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a = s.select(
+        "__t",
+        F.col("__x").alias("__xa"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, int(max_lag) + 1)])).alias("lag"),
+    )
+    b = s.select(F.col("__t").alias("__t2"), F.col("__x").alias("__xb"))
+    pairs = a.join(b, a["__t"] + a["lag"] == b["__t2"])
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d38(F.col("__xa"))).alias("__sx"),
+        F.sum(d38(F.col("__xb"))).alias("__sy"),
+        F.sum(d38(F.col("__xa")) * d38(F.col("__xb"))).alias("__sxy"),
+        F.sum(d38(F.col("__xa")) * d38(F.col("__xa"))).alias("__sxx"),
+        F.sum(d38(F.col("__xb")) * d38(F.col("__xb"))).alias("__syy"),
+    )
+    n = d38(F.col("n_pairs"))
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = F.sqrt(
+        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+        * (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
 def multires_rollup(
     df: DataFrame,
     ts_col: str,

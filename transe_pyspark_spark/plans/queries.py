@@ -7445,6 +7445,77 @@ def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "benford_totalprice_orders",
+    oracle="""
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+    d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n_obs
+          FROM v WHERE c > 0 GROUP BY 1),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM d)
+    SELECT digit, n_obs, n_total,
+           round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+           CAST(round((round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                       - round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)) * 1e9) AS BIGINT) AS excess_nano
+    FROM d, t
+    """,
+    tags=("quality", "stats"),
+)
+def q_benford_totalprice_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals in cents
+    (`operators/quality.py:benford_screen`) — the numeric-forensics
+    check beside `data_quality_audit`'s rule screens: observed first
+    significant digits vs `log10(1+1/d)`. The digit comes from the
+    BIGINT's decimal string (no float near the extraction), counts
+    are exact, and the signed per-digit excess is nano-quantized from
+    identically-rounded shares. One ≤9-group aggregate + a 1-row
+    total broadcast."""
+    from transe_pyspark_spark.operators.quality import benford_screen
+
+    return benford_screen(_T(spark, sf_dir, "orders"), _cents("o_totalprice"))
+
+
+@_register(
+    "acf_daily_value_events",
+    oracle="""
+    WITH s AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS t,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    l AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    p AS (SELECT l.lag, a.x AS xa, b.x AS xb
+          FROM s a CROSS JOIN l JOIN s b ON b.t = a.t + l.lag),
+    m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                 sum(CAST(xa AS HUGEINT)) AS sx, sum(CAST(xb AS HUGEINT)) AS sy,
+                 sum(CAST(xa AS HUGEINT) * xb) AS sxy,
+                 sum(CAST(xa AS HUGEINT) * xa) AS sxx,
+                 sum(CAST(xb AS HUGEINT) * xb) AS syy
+          FROM p GROUP BY 1)
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM m
+    """,
+    tags=("agg", "stats", "timeseries"),
+)
+def q_acf_daily_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the DAILY event-value series in
+    cents (`operators/relational.py:lag_autocorr`) — the periodicity
+    screen that FINDS the weekly rhythm `seasonal_anomaly_events`
+    assumes: per lag, pairs-Pearson from exact decimal-128 integer
+    moments over the calendar-bounded daily series (one corpus
+    day-aggregate, then an explode-lags hash equi-join on
+    `t + k = t'`), one IEEE sqrt+division per lag, 6 dp."""
+    from transe_pyspark_spark.operators.relational import lag_autocorr
+
+    ev = _T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series = ev.groupBy(
+        F.expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+    return lag_autocorr(series, "day", "cents", max_lag=7)
+
+
+@_register(
     "golden_record_docs",
     oracle="""
     WITH g AS (SELECT array_to_string(list_slice(list_filter(
@@ -8393,6 +8464,12 @@ _OVERFLOW_ORACLE = [
     "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
                                      # BIGINT tf·idf_nano ordering,
                                      # WindowGroupLimit-bounded
+    "benford_totalprice_orders",     # Benford forensics: string-exact
+                                     # first digits, 9-group agg,
+                                     # nano excess vs log10(1+1/d)
+    "acf_daily_value_events",        # lag-1..7 ACF: pairs-Pearson
+                                     # from decimal-128 moments over
+                                     # the bounded daily series
     "golden_record_docs",            # MDM survivorship: per-field
                                      # min/max/mode merge over dup
                                      # groups, stated tie-breaks
