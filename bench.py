@@ -208,9 +208,11 @@ SF1_HEADLINE = [
     "vocab_growth_sources",
     "hits_copurchase_parts",
     # Benford is one 9-group pass over 1.5M orders; ACF one day
-    # aggregate over 1M events + a ≤|days|·7 lag join
+    # aggregate over 1M events + a ≤|days|·7 lag join; QN pays one
+    # range tiling of 50k docs + the pooled-element equi-join
     "benford_totalprice_orders",
     "acf_daily_value_events",
+    "quantile_normalize_docs",
 ]
 
 

@@ -545,6 +545,13 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "two hash aggregates total — the (det, dep) cell count is the "
         "only corpus shuffle and max(cnt) IS the mode",
     ),
+    "quantile_normalize_docs": (
+        ["__pid", "Scan ExistingRDD", "HashAggregate"],
+        "both rank machines ride ONE frozen (value, id) tiling — "
+        "per-tile row_numbers + broadcast exclusive offsets (global "
+        "and per-group); the pooled-element lookup is an integer "
+        "equi-join; no pid-less window anywhere (probed)",
+    ),
     "benford_totalprice_orders": (
         ["HashAggregate"],
         "one ≤9-group digit aggregate (map-side partials) + the 1-row "
@@ -847,6 +854,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "the only non-equi joins are the 1-row horizon/totals "
         "broadcasts; cohort joins are user-keyed",
     ),
+    "quantile_normalize_docs": (
+        ["CartesianProduct"],
+        "the only non-equi join is the 1-row total broadcast; rank "
+        "maps and the target lookup are keyed equi-joins",
+    ),
     "benford_totalprice_orders": (
         ["CartesianProduct", "Window", "SortMergeJoin"],
         "nothing but the digit aggregate and the 1-row total NLJ",
@@ -1145,9 +1157,11 @@ SF1_STABLE = [
     "vocab_growth_sources",
     "hits_copurchase_parts",
     # Benford keeps its single 9-group aggregate; ACF keeps one day
-    # aggregate + the calendar-bounded lag join
+    # aggregate + the calendar-bounded lag join; QN keeps one tiling
+    # + one integer equi-join
     "benford_totalprice_orders",
     "acf_daily_value_events",
+    "quantile_normalize_docs",
 ]
 
 

@@ -1622,3 +1622,60 @@ def test_lag_autocorr_hand_model(spark):
            lag_autocorr(df, "t", "x", max_lag=2).collect()}
     assert got[1] == (7, -1.0)   # 8 adjacent slots minus the t=5 gap
     assert got[2] == (6, 1.0)    # the gap breaks two lag-2 pairs
+
+
+# --------------------------------------------------- quantile normalization
+
+
+def test_quantile_normalize_hand_model(spark):
+    """Two groups over a pooled set of 6: g1 = [10, 20, 30],
+    g2 = [100, 200, 300]; pooled sorted = [10,20,30,100,200,300].
+    Group ranks 1..3 map to positions ⌈r·6/3⌉ = 2,4,6 → both groups
+    normalize to (20, 100, 300): identical marginals, order kept."""
+    from transe_pyspark_spark.operators.relational import quantile_normalize
+
+    rows = [("g1", 10, 1), ("g1", 20, 2), ("g1", 30, 3),
+            ("g2", 100, 4), ("g2", 200, 5), ("g2", 300, 6)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {r["id"]: r["norm_value"] for r in
+           quantile_normalize(df, "g", "v", "id").collect()}
+    assert got == {1: 20, 2: 100, 3: 300, 4: 20, 5: 100, 6: 300}
+
+
+def test_quantile_normalize_equalizes_marginals(spark):
+    """Random unequal-sized groups: after normalization each group's
+    value multiset is (near-)identical — the largest group's marginal
+    matches the pooled quantile function exactly, order within every
+    group is preserved, and the python replay agrees row-for-row."""
+    import random
+
+    from transe_pyspark_spark.operators.relational import quantile_normalize
+
+    rng = random.Random(17)
+    rows = []
+    rid = 0
+    for g, size, lo, hi in (("a", 120, 0, 1000), ("b", 80, 500, 5000), ("c", 50, -200, 100)):
+        for _ in range(size):
+            rows.append((g, rng.randrange(lo, hi), rid))
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = quantile_normalize(df, "g", "v", "id", num_partitions=5).collect()
+
+    pooled = sorted((v, i) for _, v, i in rows)
+    by_group = {}
+    for g, v, i in rows:
+        by_group.setdefault(g, []).append((v, i))
+    n = len(rows)
+    want = {}
+    for g, members in by_group.items():
+        members.sort()
+        ng = len(members)
+        for r, (v, i) in enumerate(members, 1):
+            p = -(-(r * n) // ng)  # ceil
+            want[i] = pooled[p - 1][0]
+    got = {r["id"]: r["norm_value"] for r in out}
+    assert got == want
+    # order preserved within each group
+    for g, members in by_group.items():
+        ordered = [got[i] for _, i in sorted(members)]
+        assert ordered == sorted(ordered)

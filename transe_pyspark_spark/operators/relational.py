@@ -2583,6 +2583,114 @@ def spearman_corr(
     return out
 
 
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_expr,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Quantile normalization across groups — the batch-effect
+    corrector (microarray-era classic, now the feature-alignment step
+    when per-source measurement scales differ): each value maps to
+    the POOLED distribution's element at its within-group fractional
+    rank, ``x → Q_pooled(F_g(x))``, so every group ends up with the
+    same marginal distribution while in-group ORDER is preserved.
+
+    Exact type-1 discrete semantics, no interpolation floats: ranks
+    use the deterministic total order (value, id) — every row gets a
+    distinct integer rank, ties on value take consecutive ranks and
+    map to equal pooled values — and the target position is
+    ``p = ⌈r·N / n_g⌉`` by integer arithmetic (decimal-128 DIV; r=n_g
+    hits p=N exactly). The normalized value is the pooled p-th order
+    statistic — the ``discrete_quantiles`` element-selection
+    primitive, here at row granularity.
+
+    Scale path — ONE ``_frozen_range_partition`` tiling on
+    (value, id) serves BOTH rank machines: the global rank (per-tile
+    row_number + broadcast exclusive tile counts) and the per-group
+    rank (per-(tile, group) row_number + per-group exclusive offsets
+    from the tiny |tiles|×|groups| sizes frame — group cardinality is
+    BOUNDED BY CONTRACT, batches/sources, never corpus-proportional).
+    The target lookup is one hash equi-join of the row table against
+    the global-rank map on ``p = rank`` — corpus-sized both sides,
+    integer key, never a sort or a pid-less window.
+
+    Returns (id, group, value, norm_value), one row per input row.
+    """
+    n_part = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    v = F.col(value_expr) if isinstance(value_expr, str) else value_expr
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        v.cast("long").alias("__v"),
+        F.col(id_col).alias("__id"),
+    ).filter(F.col("__v").isNotNull())
+    part = _frozen_range_partition(base, ["__v", "__id"], n_part)
+    # global rank: per-tile counts -> exclusive offsets + in-tile rows
+    sizes = part.groupBy("__pid").agg(F.count(F.lit(1)).cast("long").alias("__s"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = F.broadcast(
+        sizes.select(
+            "__pid",
+            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        )
+    )
+    tot = F.broadcast(sizes.agg(F.sum("__s").cast("long").alias("__n")))
+    w_row = Window.partitionBy("__pid").orderBy("__v", "__id")
+    pooled = (
+        part.join(offs, "__pid")
+        .select(
+            "__v",
+            (F.row_number().over(w_row) + F.col("__off")).cast("long").alias("__p"),
+        )
+    )
+    # per-group rank: per-(tile, group) counts -> per-group offsets
+    gsizes = part.groupBy("__pid", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__gs")
+    )
+    w_goff = (
+        Window.partitionBy("__g")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    goffs = F.broadcast(
+        gsizes.select(
+            "__pid",
+            "__g",
+            F.coalesce(F.sum("__gs").over(w_goff), F.lit(0)).cast("long").alias("__goff"),
+        )
+    )
+    ng = F.broadcast(
+        gsizes.groupBy("__g").agg(F.sum("__gs").cast("long").alias("__ng"))
+    )
+    w_grow = Window.partitionBy("__pid", "__g").orderBy("__v", "__id")
+    ranked = (
+        part.join(goffs, ["__pid", "__g"])
+        .join(ng, "__g")
+        .crossJoin(tot)
+        .withColumn(
+            "row_r",
+            (F.row_number().over(w_grow) + F.col("__goff")).cast("long"),
+        )
+        .select(
+            "__g",
+            "__v",
+            "__id",
+            F.expr(
+                "CAST((CAST(row_r AS DECIMAL(38,0)) * __n + __ng - 1) DIV __ng AS LONG)"
+            ).alias("__p"),
+        )
+    )
+    return ranked.join(pooled.withColumnRenamed("__v", "__nv"), "__p").select(
+        F.col("__id").alias(id_col),
+        F.col("__g").alias(group_col),
+        F.col("__v").alias("value"),
+        F.col("__nv").alias("norm_value"),
+    )
+
+
 def lag_autocorr(
     series: DataFrame,
     t_col: str,

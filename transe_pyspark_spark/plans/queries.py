@@ -7445,6 +7445,44 @@ def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantile_normalize_docs",
+    oracle="""
+    WITH b AS (SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    ng AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM b GROUP BY 1),
+    r AS (SELECT g, id, v,
+                 CAST(row_number() OVER (PARTITION BY g ORDER BY v, id) AS BIGINT) AS r
+          FROM b),
+    gr AS (SELECT v AS nv,
+                  CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS p
+           FROM b),
+    t AS (SELECT r.g, r.id, r.v,
+                 CAST((CAST(r.r AS HUGEINT) * n.n + ng.ng - 1) // ng.ng AS BIGINT) AS p
+          FROM r JOIN ng USING (g), n)
+    SELECT t.id AS doc_id, t.g AS source, t.v AS value, gr.nv AS norm_value
+    FROM t JOIN gr USING (p)
+    """,
+    tags=("agg", "stats", "ml"),
+)
+def q_quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources
+    (`relational.py:quantile_normalize`) — the batch-effect corrector:
+    every source's n_chars marginal maps onto the POOLED length
+    distribution (`x → Q_pooled(F_source(x))`) with exact type-1
+    discrete semantics — deterministic (value, id) ranks, target
+    position `⌈r·N/n_g⌉` by decimal-128 DIV, the pooled order
+    statistic by the element-selection primitive. ONE frozen tiling
+    serves both rank machines; the target lookup is one integer hash
+    equi-join. The oracle replays both ranks with plain windows."""
+    from transe_pyspark_spark.operators.relational import quantile_normalize
+
+    return quantile_normalize(
+        _T(spark, sf_dir, "documents"), "source", "n_chars", "doc_id"
+    )
+
+
+@_register(
     "benford_totalprice_orders",
     oracle="""
     WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
@@ -8464,6 +8502,9 @@ _OVERFLOW_ORACLE = [
     "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
                                      # BIGINT tf·idf_nano ordering,
                                      # WindowGroupLimit-bounded
+    "quantile_normalize_docs",       # batch-effect QN: both ranks off
+                                     # ONE frozen tiling, pooled
+                                     # element lookup by equi-join
     "benford_totalprice_orders",     # Benford forensics: string-exact
                                      # first digits, 9-group agg,
                                      # nano excess vs log10(1+1/d)
