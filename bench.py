@@ -160,13 +160,18 @@ SF1_HEADLINE = [
     # the corpus-as-its-own-LM quality screen: one pinned tokenization
     # pass + vocab-sized broadcast-back, corpus-proportional by design
     "unigram_nll_docs",
-    # r11 third wave at 10×: the symmetric-delete join pays ~(len+1)
-    # deletion variants per name (150k names → ~2.9M postings) and a
-    # ~2M-pair verify; hybrid RRF's legs are one tokenized corpus pass
-    # + one broadcast knn sweep, the fusion itself output-sized; the
-    # rollup cascade is the single-scan contract at 10× (coarser
-    # levels fold checkpointed partials)
-    "edit_near_names_customers",
+    # r11 third wave at 10×: hybrid RRF's legs are one tokenized
+    # corpus pass + one broadcast knn sweep, the fusion itself
+    # output-sized; the rollup cascade is the single-scan contract at
+    # 10× (coarser levels fold checkpointed partials). NOT here:
+    # edit_near_names_customers — the sf1 fixture's SEQUENTIAL
+    # Customer#NNNNNN names saturate the distance-1 neighborhood
+    # (~every single-digit substitution exists), so the TRUE pair set
+    # is ~quadratic in the fixture: 262k pairs at 15k names -> 26.9M
+    # pairs at 150k names (measured; 203 s is output volume, not a
+    # plan defect — real name data never has 100% of substitution
+    # neighbors present). The interval_overlap/jaccard3 precedent: its
+    # sf1 PLAN stability stays gated in explain_plans.py.
     "hybrid_rrf_docs",
     "multires_rollup_events",
     # r11 fifth wave at 10×: MI is one joint-cell aggregate over 1M

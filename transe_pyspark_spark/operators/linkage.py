@@ -142,6 +142,16 @@ def symmetric_delete_pairs(
     dial and d ≥ 3 wants the PassJoin segment-signature family
     instead (documented trade, not a silent fallback).
 
+    Output-volume caveat (measured): the cost scales with the TRUE
+    pair count, which depends on how densely the name space fills its
+    edit-distance neighborhoods. On the synthetic sequential
+    ``Customer#NNNNNN`` fixture nearly every single-digit substitution
+    exists, so pairs grow ~quadratically with names (15k names →
+    262,500 pairs; 150k names → 26,925,000 pairs, ~203 s on 32
+    threads) — a fixture artifact, not a plan property: the candidate
+    join stays posting-list-shaped and the per-pair verify is O(1).
+    Real name corpora occupy their neighborhoods sparsely.
+
     Returns (id_a, id_b, distance), distance ≤ ``max_distance``;
     BIGINT throughout so the result hash-checks exactly.
     """
@@ -157,25 +167,30 @@ def symmetric_delete_pairs(
     for _ in range(d):
         frontier = F.array_distinct(F.flatten(F.transform(frontier, _one_char_deletions)))
         variants = F.array_union(variants, frontier)
+    # IDS ONLY through the hot path: the candidate join and its
+    # distinct move (sig, id) / (id_a, id_b) rows — never the name
+    # strings (measured 2.4× at the 150k-name 10× point: carrying two
+    # 18-char names through the ~20M-row candidate shuffle and its
+    # distinct state dominated the old plan). Names re-attach onto the
+    # DEDUPLICATED pair set via two id-keyed joins against the narrow
+    # (id, name) projection — pair-set-sized probes, and the verify
+    # kernel still runs exactly once per surviving pair.
     sig = df.select(
         F.col(id_col).alias("__id"),
-        F.col(name_col).alias("__name"),
         F.explode(variants).alias("__sig"),
     )
-    a = sig.select(
-        F.col("__id").alias("id_a"), F.col("__name").alias("name_a"), "__sig"
-    )
-    b = sig.select(
-        F.col("__id").alias("id_b"), F.col("__name").alias("name_b"), "__sig"
-    )
     cand = (
-        a.join(b, "__sig")
+        sig.select(F.col("__id").alias("id_a"), "__sig")
+        .join(sig.select(F.col("__id").alias("id_b"), "__sig"), "__sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    names = df.select(F.col(id_col).alias("__nid"), F.col(name_col).alias("__nm"))
     return (
-        cand.withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        cand.join(names.select(F.col("__nid").alias("id_a"), F.col("__nm").alias("name_a")), "id_a")
+        .join(names.select(F.col("__nid").alias("id_b"), F.col("__nm").alias("name_b")), "id_b")
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("distance") <= d)
         .select("id_a", "id_b", "distance")
     )
