@@ -218,6 +218,9 @@ SF1_HEADLINE = [
     "benford_totalprice_orders",
     "acf_daily_value_events",
     "quantile_normalize_docs",
+    # covariance pays one Arrow QᵀQ pass over 50k embeddings + a
+    # 2k-row moment shuffle
+    "embedding_covariance_vecs",
 ]
 
 

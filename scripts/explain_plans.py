@@ -545,6 +545,14 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "two hash aggregates total — the (det, dep) cell count is the "
         "only corpus shuffle and max(cnt) IS the mode",
     ),
+    "embedding_covariance_vecs": (
+        ["Scan ExistingRDD", "BroadcastHashJoin"],
+        "the visible plan assembles the CHECKPOINTED ≤2,145-row moment "
+        "aggregate (the Arrow QᵀQ partial pass + map-side combine "
+        "executed upstream of the truncation — "
+        "test_embedding_covariance_* pin the kernel bit-for-bit); "
+        "marginals broadcast",
+    ),
     "quantile_normalize_docs": (
         ["__pid", "Scan ExistingRDD", "HashAggregate"],
         "both rank machines ride ONE frozen (value, id) tiling — "
@@ -859,6 +867,11 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "the only non-equi join is the 1-row total broadcast; rank "
         "maps and the target lookup are keyed equi-joins",
     ),
+    "embedding_covariance_vecs": (
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+        "assembly joins over the 2k-row aggregate broadcast; the "
+        "1-row count rides a broadcast NLJ",
+    ),
     "benford_totalprice_orders": (
         ["CartesianProduct", "Window", "SortMergeJoin"],
         "nothing but the digit aggregate and the 1-row total NLJ",
@@ -1162,6 +1175,8 @@ SF1_STABLE = [
     "benford_totalprice_orders",
     "acf_daily_value_events",
     "quantile_normalize_docs",
+    # covariance keeps one Arrow pass + a 2k-row shuffle at 10×
+    "embedding_covariance_vecs",
 ]
 
 

@@ -1679,3 +1679,59 @@ def test_quantile_normalize_equalizes_marginals(spark):
     for g, members in by_group.items():
         ordered = [got[i] for _, i in sorted(members)]
         assert ordered == sorted(ordered)
+
+
+# --------------------------------------------------- embedding covariance
+
+
+def test_embedding_covariance_matches_numpy_exact(spark):
+    """Random float vectors: the integer moment sums equal a numpy
+    int64 replay BIT-FOR-BIT, and the derived covariance matches
+    numpy's biased (population) covariance of the quantized data."""
+    import numpy as np
+
+    from transe_pyspark_spark.functions.vector import embedding_covariance
+
+    rng = np.random.default_rng(9)
+    X = rng.uniform(-0.5, 0.5, size=(200, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = embedding_covariance(df, "embedding").collect()
+    assert len(rows) == 8 * 9 // 2
+    y = X.astype(np.float64) * 1e6
+    Q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    M = Q.T @ Q
+    s = Q.sum(axis=0)
+    n = len(Q)
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert i <= j
+        assert r["n"] == n
+        assert r["s_ij"] == M[i, j]
+        assert (r["s_i"], r["s_j"]) == (s[i], s[j])
+        want = (n * M[i, j] - s[i] * s[j]) / (n * n) / 1e12
+        assert abs(r["cov"] - round(want, 9)) < 1e-12
+
+
+def test_embedding_covariance_diagonal_is_variance(spark):
+    """On the real embeddings table: every diagonal entry is
+    nonnegative and equals the population variance of that dimension
+    (numpy replay); partition count changes nothing."""
+    import numpy as np
+
+    from transe_pyspark_spark.functions.vector import embedding_covariance
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_covariance(df.repartition(7), "embedding").collect()
+    diag = {r["i"]: r for r in rows if r["i"] == r["j"]}
+    y = np.stack(df.toPandas()["embedding"].to_numpy()).astype(np.float64) * 1e6
+    Q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+    n = len(Q)
+    for i, r in diag.items():
+        v = Q[:, i - 1]
+        assert r["s_ij"] == int(v @ v)
+        assert r["cov"] >= 0
+        want = (n * (v @ v) - v.sum() ** 2) / (n * n) / 1e12
+        assert abs(r["cov"] - round(float(want), 9)) < 1e-12

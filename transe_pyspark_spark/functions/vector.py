@@ -86,3 +86,112 @@ def add(a: Column | str, b: Column | str) -> Column:
 def sub(a: Column | str, b: Column | str) -> Column:
     """Elementwise a − b (double)."""
     return F.zip_with(a, b, lambda x, y: _as_double(x) - _as_double(y))
+
+
+def embedding_covariance(
+    df,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+):
+    """EXACT covariance matrix of an embedding column — the
+    second-moment statistic behind PCA/whitening/feature-correlation
+    audits (is a dimension dead? are two dimensions redundant?), as a
+    DataFrame of upper-triangle entries.
+
+    Exactness contract: embeddings quantize ONCE to micro-unit BIGINTs
+    (``round(v·scale)``), so every sum of products is exact integer
+    arithmetic — float covariance is summation-order-dependent and
+    engines disagree in the last ulp, which breaks hash-checkable
+    oracles (the ``stddev_exact`` argument, applied to d² moments at
+    once). The final covariance is ONE float division per entry:
+    ``cov_ij = (n·s_ij − s_i·s_j) / (n² · scale²)``, 9 dp.
+
+    Scale path: a ``mapInPandas`` kernel computes each Arrow batch's
+    d×d outer-product partial ``QᵀQ`` as one int64 matmul (d=64 ⇒
+    2,080 triangle rows per ~10k-row batch — per-BATCH partials keep
+    every int64 bounded by ``batch_rows·scale²·max|v|²``, no
+    cross-batch accumulation to overflow) plus the per-dimension sums
+    and count; Spark's partial hash aggregation then collapses each
+    partition to ≤ d(d+1)/2 + d + 1 rows BEFORE the shuffle, and the
+    final decimal-128 sums are exact. The corpus is touched once; the
+    assembly joins are over the 2k-row aggregate.
+
+    Returns (i, j, n, s_ij, s_i, s_j, cov) for 1-based i ≤ j — raw
+    exact sums alongside the derived covariance so any downstream
+    recentering/rescaling can stay exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as FF
+
+    sc = int(scale)
+
+    def _partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            y = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * sc
+            # half-AWAY-from-zero, matching SQL round() on BOTH engines
+            # (np.rint is half-even and silently disagrees on exact .5)
+            Q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+            m = Q.T @ Q
+            iu, ju = np.triu_indices(Q.shape[1])
+            out = pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "s": m[iu, ju]}
+            )
+            marg = pd.DataFrame(
+                {
+                    "i": np.arange(1, Q.shape[1] + 1),
+                    "j": 0,
+                    "s": Q.sum(axis=0),
+                }
+            )
+            cnt = pd.DataFrame({"i": [0], "j": [0], "s": [len(Q)]})
+            yield pd.concat([out, marg, cnt], ignore_index=True)
+
+    parts = df.select(vec_col).mapInPandas(_partials, "i long, j long, s long")
+    agg = (
+        parts.groupBy("i", "j")
+        .agg(FF.sum(FF.col("s").cast("decimal(38,0)")).alias("__s"))
+        .localCheckpoint(eager=True)  # ≤ d(d+1)/2 + d + 1 rows, 3 consumers
+    )
+    n = FF.broadcast(
+        agg.filter((FF.col("i") == 0) & (FF.col("j") == 0)).select(
+            FF.col("__s").cast("long").alias("__n")
+        )
+    )
+    marg = agg.filter((FF.col("j") == 0) & (FF.col("i") > 0)).select(
+        FF.col("i").alias("__mi"), FF.col("__s").cast("long").alias("__msum")
+    )
+    tri = agg.filter(FF.col("j") > 0)
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    return (
+        tri.join(
+            FF.broadcast(marg.select(FF.col("__mi").alias("i"), FF.col("__msum").alias("__si"))),
+            "i",
+        )
+        .join(
+            FF.broadcast(marg.select(FF.col("__mi").alias("j"), FF.col("__msum").alias("__sj"))),
+            "j",
+        )
+        .crossJoin(n)
+        .select(
+            "i",
+            "j",
+            FF.col("__n").alias("n"),
+            FF.col("__s").cast("long").alias("s_ij"),
+            FF.col("__si").alias("s_i"),
+            FF.col("__sj").alias("s_j"),
+            FF.round(
+                (d38(FF.col("__n")) * FF.col("__s") - d38(FF.col("__si")) * d38(FF.col("__sj")))
+                .cast("double")
+                / (d38(FF.col("__n")) * d38(FF.col("__n"))).cast("double")
+                / float(sc) ** 2,
+                9,
+            ).alias("cov"),
+        )
+    )

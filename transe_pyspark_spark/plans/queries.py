@@ -7445,6 +7445,44 @@ def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embedding_covariance_vecs",
+    oracle="""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+               FROM embeddings),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+    el AS (SELECT vec_id, i, qe[i] AS v
+           FROM q, unnest(generate_series(1, 64)) AS t(i)),
+    s AS (SELECT i, sum(CAST(v AS HUGEINT)) AS si FROM el GROUP BY 1),
+    p AS (SELECT a.i AS i, b.i AS j, sum(CAST(a.v AS HUGEINT) * b.v) AS sij
+          FROM el a JOIN el b ON b.vec_id = a.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+    SELECT p.i AS i, p.j AS j, n.n AS n,
+           CAST(p.sij AS BIGINT) AS s_ij,
+           CAST(sa.si AS BIGINT) AS s_i, CAST(sb.si AS BIGINT) AS s_j,
+           round(CAST(n.n * p.sij - sa.si * sb.si AS DOUBLE)
+                 / CAST(CAST(n.n AS HUGEINT) * n.n AS DOUBLE) / 1e12, 9) AS cov
+    FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n
+    """,
+    tags=("vector", "stats", "ml"),
+)
+def q_embedding_covariance_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding table
+    (`functions/vector.py:embedding_covariance`) — the PCA/whitening
+    precursor and dead/redundant-dimension audit: micro-unit quantized
+    BIGINT moments (float covariance can't hash-check — summation
+    order), computed as per-Arrow-batch int64 `QᵀQ` outer-product
+    partials inside ONE `mapInPandas` pass, map-side-combined to
+    ≤2,145 rows per partition before the only shuffle; one float
+    division per entry at the end. The oracle states the quadratic
+    per-element definition (d²·n rows) the plan never materializes."""
+    from transe_pyspark_spark.functions.vector import embedding_covariance
+
+    return embedding_covariance(_T(spark, sf_dir, "embeddings"), "embedding")
+
+
+@_register(
     "quantile_normalize_docs",
     oracle="""
     WITH b AS (SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS v
@@ -8502,6 +8540,9 @@ _OVERFLOW_ORACLE = [
     "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
                                      # BIGINT tf·idf_nano ordering,
                                      # WindowGroupLimit-bounded
+    "embedding_covariance_vecs",     # exact d×d moments: Arrow QᵀQ
+                                     # partials, map-side combine,
+                                     # one division per entry
     "quantile_normalize_docs",       # batch-effect QN: both ranks off
                                      # ONE frozen tiling, pooled
                                      # element lookup by equi-join
