@@ -219,8 +219,11 @@ SF1_HEADLINE = [
     "acf_daily_value_events",
     "quantile_normalize_docs",
     # covariance pays one Arrow QᵀQ pass over 50k embeddings + a
-    # 2k-row moment shuffle
+    # 2k-row moment shuffle; MK/runs pay the day aggregate over 1M
+    # events + bounded-series statistics
     "embedding_covariance_vecs",
+    "mann_kendall_daily_events",
+    "runs_test_daily_events",
 ]
 
 

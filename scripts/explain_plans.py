@@ -545,6 +545,19 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "two hash aggregates total — the (det, dep) cell count is the "
         "only corpus shuffle and max(cnt) IS the mode",
     ),
+    "mann_kendall_daily_events": (
+        ["Scan ExistingRDD", "HashAggregate"],
+        "S rides the DOCUMENTED bounded |days|² theta self-join over "
+        "the checkpointed calendar series (a deliberate BNLJ over "
+        "aggregate-sized-by-contract input — never a corpus join); "
+        "ties are one value aggregate",
+    ),
+    "runs_test_daily_events": (
+        ["Scan ExistingRDD", "Window", "HashAggregate"],
+        "the run-boundary lag window runs over the |days|-row "
+        "checkpointed series (bounded by contract); the discrete "
+        "median broadcasts as one row",
+    ),
     "embedding_covariance_vecs": (
         ["Scan ExistingRDD", "BroadcastHashJoin"],
         "the visible plan assembles the CHECKPOINTED ≤2,145-row moment "
@@ -867,6 +880,15 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "the only non-equi join is the 1-row total broadcast; rank "
         "maps and the target lookup are keyed equi-joins",
     ),
+    "mann_kendall_daily_events": (
+        ["SortMergeJoin", "Window"],
+        "nothing sorts: the bounded pair join broadcasts, aggregates "
+        "fold scalars",
+    ),
+    "runs_test_daily_events": (
+        ["SortMergeJoin", "CartesianProduct"],
+        "one bounded window + scalar aggregates only",
+    ),
     "embedding_covariance_vecs": (
         ["CartesianProduct", "SortMergeJoin", "Window"],
         "assembly joins over the 2k-row aggregate broadcast; the "
@@ -1175,8 +1197,12 @@ SF1_STABLE = [
     "benford_totalprice_orders",
     "acf_daily_value_events",
     "quantile_normalize_docs",
-    # covariance keeps one Arrow pass + a 2k-row shuffle at 10×
+    # covariance keeps one Arrow pass + a 2k-row shuffle at 10×;
+    # MK/runs ride the calendar-bounded daily series (the corpus cost
+    # is the one day-aggregate)
     "embedding_covariance_vecs",
+    "mann_kendall_daily_events",
+    "runs_test_daily_events",
 ]
 
 

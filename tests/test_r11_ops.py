@@ -1735,3 +1735,89 @@ def test_embedding_covariance_diagonal_is_variance(spark):
         assert r["cov"] >= 0
         want = (n * (v @ v) - v.sum() ** 2) / (n * n) / 1e12
         assert abs(r["cov"] - round(float(want), 9)) < 1e-12
+
+
+# --------------------------------------------- Mann-Kendall + runs test
+
+
+def test_mann_kendall_hand_model(spark):
+    """Strictly increasing n=4: S = 6, var18 = 4·3·13 = 156,
+    z = 5/√(156/18); a tie shrinks S and the tie term subtracts
+    t(t−1)(2t+5)."""
+    import math
+
+    from transe_pyspark_spark.operators.relational import mann_kendall
+
+    df = spark.createDataFrame([(t, v) for t, v in enumerate((1, 2, 3, 4))], "t long, x long")
+    r = mann_kendall(df, "t", "x").collect()[0]
+    assert (r["n"], r["s"], r["var18"]) == (4, 6, 156)
+    assert r["z"] == round(5 / math.sqrt(156 / 18), 6)
+
+    df2 = spark.createDataFrame([(0, 1), (1, 2), (2, 2), (3, 4)], "t long, x long")
+    r2 = mann_kendall(df2, "t", "x").collect()[0]
+    assert (r2["s"], r2["var18"]) == (5, 156 - 2 * 1 * 9)
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    """Random series with ties: S, var18, and z replay exactly."""
+    import math
+    import random
+    from collections import Counter
+
+    from transe_pyspark_spark.operators.relational import mann_kendall
+
+    rng = random.Random(41)
+    xs = [rng.randrange(20) for _ in range(120)]
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    r = mann_kendall(df, "t", "x").collect()[0]
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    n = len(xs)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        c * (c - 1) * (2 * c + 5) for c in Counter(xs).values() if c > 1
+    )
+    assert (r["n"], r["s"], r["var18"]) == (n, s, var18)
+    want = 0.0 if s == 0 else round((s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18), 6)
+    assert r["z"] == want
+
+
+def test_runs_test_hand_model(spark):
+    """[10,20,30,40]: discrete median 20 drops its own value; signs
+    −,+,+ make 2 runs of a=2 pluses, b=1 minus ⇒ z = −0.707107.
+    One-sided series ⇒ z NULL."""
+    from transe_pyspark_spark.operators.relational import runs_test
+
+    df = spark.createDataFrame(list(enumerate((10, 20, 30, 40))), "t long, x long")
+    r = runs_test(df, "t", "x").collect()[0]
+    assert (r["n_plus"], r["n_minus"], r["n_runs"]) == (2, 1, 2)
+    assert r["z"] == -0.707107
+
+    one_sided = spark.createDataFrame([(0, 1), (1, 1), (2, 5)], "t long, x long")
+    r2 = runs_test(one_sided, "t", "x").collect()[0]
+    assert r2["z"] is None and r2["n_minus"] == 0
+
+
+def test_runs_test_matches_python_replay(spark):
+    """Random series: side counts, run count, and z replay exactly
+    against a direct python pass."""
+    import math
+    import random
+
+    from transe_pyspark_spark.operators.relational import runs_test
+
+    rng = random.Random(43)
+    xs = [rng.randrange(100) for _ in range(150)]
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    r = runs_test(df, "t", "x").collect()[0]
+    med = sorted(xs)[math.ceil(0.5 * len(xs)) - 1]
+    signs = [1 if x > med else -1 for x in xs if x != med]
+    a = signs.count(1)
+    b = signs.count(-1)
+    runs = 1 + sum(1 for i in range(1, len(signs)) if signs[i] != signs[i - 1])
+    assert (r["n_plus"], r["n_minus"], r["n_runs"]) == (a, b, runs)
+    mu = 1 + 2 * a * b / (a + b)
+    sig2 = (2 * a * b * (2 * a * b - a - b)) / ((a + b) ** 2 * (a + b - 1))
+    assert r["z"] == round((runs - mu) / math.sqrt(sig2), 6)

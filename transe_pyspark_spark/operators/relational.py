@@ -2583,6 +2583,148 @@ def spearman_corr(
     return out
 
 
+def mann_kendall(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test over an integer-indexed series — the
+    NONPARAMETRIC monotone-trend screen beside ``trend_per_key``'s
+    OLS slope: S = Σ_{i<j} sign(x_j − x_i) counts concordant minus
+    discordant time-ordered pairs, so one outlier shifts S by at most
+    n−1 where it can move a least-squares slope arbitrarily.
+
+    Exactness: S and the tie-corrected variance are exact integers —
+    ``var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)`` (the ×18 form
+    stays integral; decimal-128 for the cubics) — and the normal
+    approximation ``z = (S − sign(S)) / √(var18/18)`` is the only
+    float, 6 dp (standard continuity correction; z = 0 when S = 0).
+
+    Plan contract: ``series`` is an already-aggregated CALENDAR-
+    BOUNDED frame (the ``lag_autocorr`` contract), checkpointed once;
+    the pair set is the |series|²/2 self-join on ``t_i < t_j`` — an
+    explicit, documented quadratic over a bounded-by-contract input
+    (≤ a few thousand rows for years of days), NOT a corpus join; tie
+    groups come from one value aggregate. Returns ONE row:
+    (n, s, var18, z).
+    """
+    s = (
+        series.select(
+            F.col(t_col).cast("long").alias("__t"), F.col(x_col).cast("long").alias("__x")
+        )
+        .filter(F.col("__x").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a = s.select(F.col("__t").alias("__ta"), F.col("__x").alias("__xa"))
+    b = s.select(F.col("__t").alias("__tb"), F.col("__x").alias("__xb"))
+    pairs = a.join(b, F.col("__ta") < F.col("__tb"))
+    s_stat = pairs.agg(
+        F.sum(F.signum(F.col("__xb") - F.col("__xa")).cast("long")).alias("s"),
+    )
+    n_row = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        s.groupBy("__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .filter(F.col("__c") > 1)
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    tie_sum = ties.agg(
+        F.coalesce(
+            F.sum(d38(F.col("__c")) * d38(F.col("__c") - 1) * d38(2 * F.col("__c") + 5)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("__ts")
+    )
+    out = (
+        s_stat.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(tie_sum))
+        .withColumn(
+            "var18",
+            (
+                d38(F.col("n")) * d38(F.col("n") - 1) * d38(2 * F.col("n") + 5)
+                - F.col("__ts")
+            ).cast("long"),
+        )
+    )
+    z = F.when(F.col("s") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("s") - F.signum(F.col("s"))).cast("double")
+            / F.sqrt(F.col("var18").cast("double") / 18.0),
+            6,
+        )
+    )
+    return out.select("n", "s", "var18", z.alias("z"))
+
+
+def runs_test(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test around the exact discrete median —
+    the RANDOMNESS screen for an ordered series (too FEW runs =
+    clustering/trend, too MANY = oscillation): values above the median
+    are '+', below are '−', exact-median values drop (the standard
+    convention), and R counts the maximal same-sign runs.
+
+    Exactness: the median is the type-1 discrete element (DuckDB
+    ``quantile_disc`` parity — never an interpolated float), the
+    signs, run count, and side counts are exact integers, and the
+    normal approximation ``z = (R − μ)/σ`` with ``μ = 1 + 2ab/(a+b)``,
+    ``σ² = 2ab(2ab − a − b)/((a+b)²(a+b−1))`` is the only float
+    (identical expression shape on both engines), 6 dp.
+
+    Plan contract: the ``lag_autocorr``/``mann_kendall`` bounded-
+    series contract — runs count via one lag window over the
+    |series|-row checkpointed frame (calendar-bounded by contract).
+    Returns ONE row: (n_plus, n_minus, n_runs, z); z NULL when either
+    side is empty (σ undefined).
+    """
+    s0 = (
+        series.select(
+            F.col(t_col).cast("long").alias("__t"), F.col(x_col).cast("long").alias("__x")
+        )
+        .filter(F.col("__x").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    med = F.broadcast(
+        s0.agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __x)").alias("__m")
+        )
+    )
+    signed = (
+        s0.crossJoin(med)
+        .filter(F.col("__x") != F.col("__m"))
+        .select("__t", F.when(F.col("__x") > F.col("__m"), 1).otherwise(-1).alias("__s"))
+    )
+    w = Window.orderBy("__t")
+    runs = signed.select(
+        "__s",
+        F.when(F.lag("__s").over(w).isNull() | (F.lag("__s").over(w) != F.col("__s")), 1)
+        .otherwise(0)
+        .alias("__new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).cast("long").alias("n_plus"),
+        F.sum(F.when(F.col("__s") == -1, 1).otherwise(0)).cast("long").alias("n_minus"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    a, b, r = (
+        F.col("n_plus").cast("double"),
+        F.col("n_minus").cast("double"),
+        F.col("n_runs").cast("double"),
+    )
+    mu = F.lit(1.0) + 2.0 * a * b / (a + b)
+    sig2 = (2.0 * a * b * (2.0 * a * b - a - b)) / ((a + b) * (a + b) * (a + b - 1.0))
+    z = F.when(
+        (F.col("n_plus") > 0) & (F.col("n_minus") > 0),
+        F.round((r - mu) / F.sqrt(sig2), 6),
+    )
+    return agg.select("n_plus", "n_minus", "n_runs", z.alias("z"))
+
+
 def quantile_normalize(
     df: DataFrame,
     group_col: str,

@@ -7445,6 +7445,90 @@ def q_absent_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mann_kendall_daily_events",
+    oracle="""
+    WITH s AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS t,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    p AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+          FROM s a JOIN s b ON a.t < b.t),
+    ties AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)),
+                             CAST(0 AS HUGEINT)) AS ts
+             FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM s GROUP BY x) q
+             WHERE c > 1),
+    v AS (SELECT CAST(CAST(n.n AS HUGEINT) * (n.n - 1) * (2 * n.n + 5)
+                      - ties.ts AS BIGINT) AS var18 FROM n, ties)
+    SELECT n.n AS n, p.s AS s, v.var18,
+           CASE WHEN p.s = 0 THEN 0.0
+                ELSE round(CAST(p.s - (CASE WHEN p.s > 0 THEN 1 ELSE -1 END) AS DOUBLE)
+                           / sqrt(CAST(v.var18 AS DOUBLE) / 18.0), 6) END AS z
+    FROM n, p, v
+    """,
+    tags=("agg", "stats", "timeseries"),
+)
+def q_mann_kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test over the daily event-value series in
+    cents (`relational.py:mann_kendall`) — the nonparametric monotone
+    screen beside `trend_per_event_type`'s OLS slope and
+    `acf_daily_value_events`' periodicity: exact integer S over the
+    |days|²/2 time-ordered pairs (a DOCUMENTED quadratic over the
+    calendar-bounded series, never a corpus join), exact tie-corrected
+    var18, one continuity-corrected float z."""
+    from transe_pyspark_spark.operators.relational import mann_kendall
+
+    ev = _T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series = ev.groupBy(
+        F.expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+    return mann_kendall(series, "day", "cents")
+
+
+@_register(
+    "runs_test_daily_events",
+    oracle="""
+    WITH s AS (SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS t,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
+    m AS (SELECT quantile_disc(x, 0.5) AS md FROM s),
+    sg AS (SELECT t, CASE WHEN x > md THEN 1 ELSE -1 END AS sgn
+           FROM s, m WHERE x <> md),
+    r AS (SELECT sgn,
+                 CASE WHEN lag(sgn) OVER (ORDER BY t) IS NULL
+                        OR lag(sgn) OVER (ORDER BY t) <> sgn THEN 1 ELSE 0 END AS nr
+          FROM sg),
+    agg AS (SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(sum(nr) AS BIGINT) AS r FROM r)
+    SELECT a AS n_plus, b AS n_minus, r AS n_runs,
+           CASE WHEN a > 0 AND b > 0 THEN
+             round((CAST(r AS DOUBLE) - (1.0 + 2.0 * a * b / (a + b)))
+                   / sqrt((2.0 * a * b * (2.0 * a * b - a - b))
+                          / ((a + b) * (a + b) * (a + b - 1.0))), 6)
+           END AS z
+    FROM agg
+    """,
+    tags=("agg", "stats", "timeseries"),
+)
+def q_runs_test_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test around the exact discrete median of
+    the daily value series (`relational.py:runs_test`) — the
+    randomness screen completing the trend suite (too few runs =
+    clustering/trend, too many = oscillation): type-1 median
+    (quantile_disc parity), exact run/side counts over the bounded
+    daily series, one float z with an engine-matched expression
+    shape."""
+    from transe_pyspark_spark.operators.relational import runs_test
+
+    ev = _T(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    series = ev.groupBy(
+        F.expr("unix_micros(date_trunc('DAY', ts)) div 86400000000").alias("day")
+    ).agg(F.sum(_cents("value")).cast("long").alias("cents"))
+    return runs_test(series, "day", "cents")
+
+
+@_register(
     "embedding_covariance_vecs",
     oracle="""
     WITH q AS (SELECT vec_id,
@@ -8540,6 +8624,11 @@ _OVERFLOW_ORACLE = [
     "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
                                      # BIGINT tf·idf_nano ordering,
                                      # WindowGroupLimit-bounded
+    "mann_kendall_daily_events",     # nonparametric trend: exact S
+                                     # over the bounded |days|² pairs,
+                                     # tie-corrected var18
+    "runs_test_daily_events",        # randomness screen: discrete-
+                                     # median split, exact run counts
     "embedding_covariance_vecs",     # exact d×d moments: Arrow QᵀQ
                                      # partials, map-side combine,
                                      # one division per entry
