@@ -9,6 +9,13 @@ wall-clock. Every recorded number is the MEDIAN of 3 steady-state runs
 regression. ``value`` is the total seconds (sum of medians) across
 headline queries — the number BENCH_r{N}.json records and BASELINE.md
 is judged against; ``runs`` carries the raw per-run samples.
+
+CLOBBER FOOTGUN: without SPARK_GRAFT_BENCH_OUT, the full JSON lands at
+BENCH_full_r{N}.json for the round PROGRESS.jsonl currently reports —
+a post-round smoke run therefore SILENTLY OVERWRITES (or pre-shadows)
+the NEXT round's driver artifact. For any ad-hoc run, set
+SPARK_GRAFT_BENCH_OUT to a scratch path (or a *_calm.json name if the
+reading is worth keeping — the r11 precedent: BENCH_full_r11_calm.json).
 """
 
 from __future__ import annotations

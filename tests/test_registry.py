@@ -38,50 +38,9 @@ MUST_BE_IN_WINDOW = {
     "stream_quality_counts",
 }
 
-#: the r07 window invariant: everything first driver-checked in r06
-#: (once-green) stays in until twice-green, plus the late-r06 faces
-#: first rotated into the window in r07 (never driver-checked). The
-#: ONCE_GREEN_R05 set went twice-green in r06 and became the r07
-#: rotation pool — five of its members rotated to overflow
-#: (sessionize_events, equi_depth_prices, bigram_familiarity_docs,
-#: scd2_merge_customers, stream_interval_join_outer), plus
-#: token_budget_mix / heavy_hitter_words in the second wave;
-#: incremental_neardedup_drop stays (front slot).
-#: the r09-era faces retained in the window through the r11 rotation
-#: as their families' in-window representatives (their siblings —
-#: event_transitions, time_to_convert_weekly, ab_conversion_ztest,
-#: top_event_paths, session_type_affinity, kcore_trading_graph,
-#: node_clustering_parts, oov_rate_docs, cross_source_dup_matrix —
-#: all twice-green r09+r10, rotated to overflow in r11)
-STAYING_R09 = {
-    "daily_corr_view_purchase",
-    "cusum_change_events",
-    "percent_rank_doc_length",
-    "data_quality_audit",
-    "rfm_segments_customers",
-    "stream_quality_counts",
-    "table_diff_customers",
-    "changeset_customers",
-    "pyds_triples_profile",
-    "pyds_stream_profile",
-    "tsv_sink_roundtrip",
-}
-
-#: the six r09-minted faces rotated into front slots in r10 —
-#: once-green (CORRECTNESS_r10), they hold the window until
-#: twice-green
-NEW_IN_R10 = {
-    "semantic_dedup_recall",
-    "lpa_communities_trading",
-    "ivm_summary_customers",
-    "stream_ivm_summary_customers",
-    "discrete_quantiles_orders",
-    "interval_islands_events",
-}
-
 #: the nine r10-minted faces rotated into front slots in r11
-#: (VERDICT r10 ask #1) — mirror-green at both SFs, never
-#: driver-checked; they hold front slots until driver-green
+#: (VERDICT r10 ask #1) — ONCE-green (CORRECTNESS_r11); they hold
+#: front slots until twice-green
 NEW_IN_R11 = {
     "connected_components_parts",
     "bfs_hops_trading",
@@ -94,11 +53,70 @@ NEW_IN_R11 = {
     "stream_value_drift",
 }
 
+#: the fifteen r11-minted faces rotated into front slots in r12
+#: (VERDICT r11 ask #1: drain the driver-check backlog with a widened
+#: wave) — mirror-green at both SFs + pytest-gated, never
+#: driver-checked; they hold front slots until driver-green. Fifteen
+#: twice-plus-green incumbents rotated to overflow (r09-era
+#: daily_corr/cusum/percent_rank/data_quality/rfm/table_diff/
+#: changeset/pyds_stream, r10-minted semantic_dedup/lpa/ivm_summary/
+#: interval_islands, veterans record_linkage/nearest_click/
+#: split_leakage), each family keeping >=1 in-window member.
+NEW_IN_R12 = {
+    "ppr_copurchase_parts",
+    "hits_copurchase_parts",
+    "edit_near_names_customers",
+    "km_conversion_events",
+    "mann_kendall_daily_events",
+    "runs_test_daily_events",
+    "wasserstein_value_drift_events",
+    "mannwhitney_value_events",
+    "spearman_qty_price_lineitem",
+    "weighted_jaccard3_prefix_docs",
+    "pit_enrich_events",
+    "embedding_covariance_vecs",
+    "stream_pit_enrich",
+    "pareto_frontier_lineitem",
+    "hybrid_rrf_docs",
+}
 
-def test_r11_rotation_inside_window():
+#: family representatives the r12 rotation deliberately keeps
+#: in-window so every operator family retains >=1 hard driver row
+#: (beyond the MUST set): ANN recall, sinks, Python Data Source,
+#: warehouse IVM, filters, dict-encode, joins, top-k windows, set
+#: ops, scalar fns, UDTF, sampling, exact percentiles, agg screens,
+#: time-series, as-of dedup.
+STAYING_R12 = {
+    "ann_recall_vs_exact",
+    "tsv_sink_roundtrip",
+    "pyds_triples_profile",
+    "stream_ivm_summary_customers",
+    "filter_predicates",
+    "dict_encode_brands",
+    "semi_anti_join_customers",
+    "top3_orders_per_customer",
+    "set_ops_nations",
+    "json_extract_events",
+    "udtf_word_positions",
+    "sample_per_lang_docs",
+    "discrete_quantiles_orders",
+    "seasonal_anomaly_events",
+    "interpolate_hourly",
+    "dedup_bursts_events",
+}
+
+
+def test_r12_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (STAYING_R09 | NEW_IN_R10 | NEW_IN_R11) - window
-    assert not missing, f"r11 must-check queries fell out of the driver window: {missing}"
+    missing = (NEW_IN_R11 | NEW_IN_R12 | STAYING_R12) - window
+    assert not missing, f"r12 must-check queries fell out of the driver window: {missing}"
+
+
+def test_r12_first_time_face_count():
+    """VERDICT r11 ask #1's 'done' bar: >=12 first-time faces in the
+    driver window this round."""
+    window = set(list(REGISTRY)[:_DRIVER_WINDOW])
+    assert len(NEW_IN_R12 & window) >= 12
 
 
 def test_driver_window_is_all_oracle_backed():

@@ -369,6 +369,97 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     return df.select(id_col, payload_col).mapInPandas(feats, schema=FEATURE_SCHEMA)
 
 
+def extract_features_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    bins: int = 16,
+) -> DataFrame:
+    """HASH-EXACT sibling of ``extract_features`` (VERDICT r11 ask #8):
+    the same byte-histogram + entropy features, emitted in the repo's
+    engine-replayable integer contract so the face can carry a DuckDB
+    oracle instead of a rows-only check.
+
+    Output per row: ``n_bytes`` and the raw per-bin BIGINT counts
+    (bin = byte >> (8 − ⌈log2 bins⌉), ascending bin order), plus
+    ``entropy_nano`` — Σ over non-empty bins of
+    ``round(−(c/N)·log2(c/N) · 1e9)`` as BIGINT, each term quantized
+    HALF-AWAY-FROM-ZERO (terms are ≥ 0, so ``floor(t·1e9 + 0.5)`` —
+    matching Spark/DuckDB ``round``, NOT numpy's banker's rounding)
+    and summed exactly in bin order: summation order cannot matter and
+    any engine replays the total term-for-term (the
+    ``mutual_information`` determinism idiom). Same plumbing contract
+    as the float face: one narrow Arrow map, no shuffle.
+    """
+    import math
+
+    import numpy as np
+
+    shift = 8 - bins.bit_length() + 1
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, cnts, ents = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(arr >> shift, minlength=bins)[:bins]
+                n = int(counts.sum())
+                e = 0
+                if n:
+                    for c in counts:
+                        if c:
+                            p = c / n
+                            e += int(math.floor(-p * math.log2(p) * 1e9 + 0.5))
+                ids.append(int(doc_id))
+                nb.append(n)
+                cnts.append([int(c) for c in counts])
+                ents.append(e)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "n_bytes": pd.Series(nb, dtype="int64"),
+                 "bin_counts": pd.Series(cnts, dtype=object),
+                 "entropy_nano": pd.Series(ents, dtype="int64")}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema="doc_id long, n_bytes long, bin_counts array<long>, entropy_nano long"
+    )
+
+
+def frame_checksums(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Reduce ``sample_frames`` output to HASH-EXACT per-frame
+    summaries (VERDICT r11 ask #8): (doc_id, frame_no, frame_len,
+    frame_byte_sum) — length and the exact BIGINT byte sum of each
+    frame. Composes AFTER the real binary explode, so the face keeps
+    exercising the 1-row→N-rows mapInPandas plumbing while the output
+    is a closed-form function of the generator payload the oracle
+    recomputes independently. One more narrow Arrow map, no shuffle.
+    """
+    import numpy as np
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens, tots = [], []
+            for payload in pdf[frame_col]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                lens.append(len(arr))
+                tots.append(int(arr.sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"),
+                 "frame_no": pdf["frame_no"].astype("int64"),
+                 "frame_len": pd.Series(lens, dtype="int64", index=pdf.index),
+                 "frame_byte_sum": pd.Series(tots, dtype="int64", index=pdf.index)}
+            )
+
+    return frames.mapInPandas(
+        sums, schema="doc_id long, frame_no long, frame_len long, frame_byte_sum long"
+    )
+
+
 def resize_media(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2229,11 +2229,17 @@ def _two_sample_value_prefix(
     one-row (n_a, n_b) derived from ``sizes``, never from the
     uncached per-value aggregate (the multi-consumer trap; r10
     advisory). Unused columns prune away per consumer.
+
+    NULL contract: NULL values are EXCLUDED up front — rank statistics
+    over NULLs are meaningless, and a NULL ``__v`` group would enter
+    the range-partition/cumsum machinery where Spark's NULLS FIRST
+    ordering silently diverges from the oracle's NULLS LAST (r11
+    advisory; the isNotNull discipline of the sibling faces).
     """
     val = F.col(value_expr) if isinstance(value_expr, str) else value_expr
     ga, gb = F.col(group_col) == F.lit(group_a), F.col(group_col) == F.lit(group_b)
     pv = (
-        df.filter(ga | gb)
+        df.filter((ga | gb) & val.isNotNull())
         .groupBy(val.alias("__v"))
         .agg(
             F.sum(F.when(ga, 1).otherwise(0)).cast("long").alias("__ca"),
@@ -2679,8 +2685,11 @@ def runs_test(
     Plan contract: the ``lag_autocorr``/``mann_kendall`` bounded-
     series contract — runs count via one lag window over the
     |series|-row checkpointed frame (calendar-bounded by contract).
-    Returns ONE row: (n_plus, n_minus, n_runs, z); z NULL when either
-    side is empty (σ undefined).
+    Returns ONE row: (n_plus, n_minus, n_runs, z); z NULL whenever σ²
+    is undefined or zero — either side empty, OR n_plus = n_minus = 1
+    (the only positive-count case with 2ab = a+b, which zeroes the
+    numerator 2ab(2ab−a−b); r11 advisory — without the guard z would
+    read 0/0 = NaN there).
     """
     s0 = (
         series.select(
@@ -2718,8 +2727,13 @@ def runs_test(
     )
     mu = F.lit(1.0) + 2.0 * a * b / (a + b)
     sig2 = (2.0 * a * b * (2.0 * a * b - a - b)) / ((a + b) * (a + b) * (a + b - 1.0))
+    # σ² > 0 ⇔ 2ab > a+b for positive integer counts (fails only at
+    # a=b=1, where σ²=0 and z would be NaN); the guard subsumes the
+    # both-sides-nonempty check (a=0 or b=0 gives 2ab=0 ≤ a+b)
     z = F.when(
-        (F.col("n_plus") > 0) & (F.col("n_minus") > 0),
+        (F.col("n_plus") > 0)
+        & (F.col("n_minus") > 0)
+        & (F.lit(2) * F.col("n_plus") * F.col("n_minus") > F.col("n_plus") + F.col("n_minus")),
         F.round((r - mu) / F.sqrt(sig2), 6),
     )
     return agg.select("n_plus", "n_minus", "n_runs", z.alias("z"))
@@ -2925,12 +2939,16 @@ def multires_rollup(
     fold exact — the same partial-reuse contract Spark's own partial
     hash aggregation applies WITHIN one level, applied ACROSS levels.
 
-    ``levels`` must be ordered finest → coarsest with each level a
-    ``date_trunc`` unit that nests into the next (hour ⊂ day ⊂ week —
-    every finer bucket lies wholly inside one coarser bucket;
-    date_trunc guarantees it for the calendar chain minute/hour/day/
-    week/month/quarter/year because truncation is idempotent across
-    nested units).
+    ``levels`` must be ordered finest → coarsest with each ADJACENT
+    pair a genuine nesting (every finer bucket lies wholly inside one
+    coarser bucket) — minute/hour/day each nest into everything
+    coarser, month ⊂ quarter ⊂ year, and day ⊂ week. ISO weeks do NOT
+    nest into months/quarters/years (a week can straddle the month
+    boundary, and ``date_trunc('month', week_start)`` would fold that
+    week's events into the wrong month), so ``week`` is only valid as
+    the COARSEST level; the constructor validates the chain and
+    rejects non-nesting pairs rather than silently mis-bucketing (r11
+    advisory).
 
     The finest frame is materialized once via an eager localCheckpoint
     (the repo's eager-cleanup idiom — no cache-manager pin outlives
@@ -2940,6 +2958,28 @@ def multires_rollup(
     """
     if len(levels) < 2:
         raise ValueError(f"multires_rollup wants >= 2 levels, got {levels!r}")
+    # adjacency nesting table: coarser units a finer unit folds into
+    # EXACTLY (ISO week deliberately nests nothing coarser — weeks
+    # straddle month/quarter/year boundaries)
+    nests_into = {
+        "minute": {"hour", "day", "week", "month", "quarter", "year"},
+        "hour": {"day", "week", "month", "quarter", "year"},
+        "day": {"week", "month", "quarter", "year"},
+        "week": set(),
+        "month": {"quarter", "year"},
+        "quarter": {"year"},
+        "year": set(),
+    }
+    for finer, coarser in zip(levels, levels[1:]):
+        if finer not in nests_into:
+            raise ValueError(f"multires_rollup: unknown level {finer!r}")
+        if coarser not in nests_into.get(finer, set()):
+            raise ValueError(
+                f"multires_rollup: level {coarser!r} does not nest {finer!r} "
+                f"buckets (valid coarser levels for {finer!r}: "
+                f"{sorted(nests_into[finer])}) — folding partials across a "
+                "non-nesting boundary would silently mis-bucket"
+            )
     finest = (
         df.groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket_start"))
         .agg(
@@ -2994,9 +3034,16 @@ def mutual_information(
     cache-manager pin, and without it every consumer would re-pay the
     corpus aggregate (the multi-consumer trap). Output one row:
     (n_rows, n_x, n_y, n_cells, mi).
+
+    NULL contract: rows where EITHER facet is NULL are excluded up
+    front and n_rows counts only the included rows — without the
+    filter a NULL-keyed cell's term would silently vanish from the MI
+    sum (the marginal equi-joins never match null keys) while N still
+    counted its rows (r11 advisory).
     """
     joint = (
-        df.groupBy(x_expr.alias("__x"), y_expr.alias("__y"))
+        df.filter(x_expr.isNotNull() & y_expr.isNotNull())
+        .groupBy(x_expr.alias("__x"), y_expr.alias("__y"))
         .agg(F.count(F.lit(1)).cast("long").alias("__nxy"))
         .localCheckpoint(eager=True)
     )
@@ -3066,9 +3113,16 @@ def chi2_independence(
     dof = (n_x−1)·(n_y−1) and Cramér's V = √(χ²/(N·min(n_x−1, n_y−1)))
     — the [0, 1] effect size a threshold can act on, where raw χ²
     grows with N.
+
+    NULL contract (shared with ``mutual_information``, r11 advisory):
+    rows where EITHER facet is NULL are excluded up front and n_rows
+    counts only the included rows — without the filter a NULL-keyed
+    observed cell would zero-fill in the grid left join while N still
+    counted its rows, biasing every expected count.
     """
     joint = (
-        df.groupBy(x_expr.alias("__x"), y_expr.alias("__y"))
+        df.filter(x_expr.isNotNull() & y_expr.isNotNull())
+        .groupBy(x_expr.alias("__x"), y_expr.alias("__y"))
         .agg(F.count(F.lit(1)).cast("long").alias("__nxy"))
         .localCheckpoint(eager=True)
     )

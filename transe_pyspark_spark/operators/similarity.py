@@ -692,11 +692,17 @@ def hybrid_rrf_fuse(
 
     Both inputs carry (query_id, doc_id, rank); the fused score is
         rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d)),
-    computed here in EXACT integer nano-units —
-    ``1_000_000_000 div (k_rrf + rank)`` — because ranks are small
-    integers, so the fusion needs no float at all and the result
-    hash-checks bit-for-bit on any engine (the repo's nano-quantization
-    idiom, minus the quantization error: `div` is exact).
+    computed here in EXACT integer nano-units — a literal BIGINT
+    ``div`` expression, ``1_000_000_000L div (k_rrf + rank)`` —
+    because ranks are small integers, so the fusion needs no float at
+    all and the result hash-checks bit-for-bit on any engine (the
+    repo's nano-quantization idiom, minus the quantization error:
+    integral `div` is exact by construction, not merely
+    exact-for-realistic-ranks the way floor(double/double) would be;
+    r11 advisory). ``doc_id`` passes through UNTOUCHED — both lists
+    must carry the same equality-comparable doc_id type (the repo's
+    faces use BIGINT ids); no silent cast that could null non-numeric
+    ids onto a collapsed join key.
 
     Plan shape: the two lists are OUTPUT-sized (≤ |queries|·k rows by
     their own contracts — `bm25_topk` WindowGroupLimit, `knn_*` top-k),
@@ -711,27 +717,23 @@ def hybrid_rrf_fuse(
     """
     t = text_ranked.select(
         "query_id",
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.col("rank").cast("long").alias("__rt"),
     )
     v = vector_ranked.select(
         "query_id",
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.col("rank").cast("long").alias("__rv"),
     )
-    nano = F.lit(1_000_000_000).cast("long")
+    # BIGINT integral division — exact by construction (SQL `div`),
+    # never floor(double/double)
+    leg = "1000000000L div ({k} + __r{leg})".format
     fused = (
         t.join(v, ["query_id", "doc_id"], "full_outer")
         .withColumn(
             "rrf_nano",
-            F.coalesce(
-                F.floor(nano / (F.lit(int(k_rrf)) + F.col("__rt"))).cast("long"),
-                F.lit(0),
-            )
-            + F.coalesce(
-                F.floor(nano / (F.lit(int(k_rrf)) + F.col("__rv"))).cast("long"),
-                F.lit(0),
-            ),
+            F.coalesce(F.expr(leg(k=int(k_rrf), leg="t")).cast("long"), F.lit(0))
+            + F.coalesce(F.expr(leg(k=int(k_rrf), leg="v")).cast("long"), F.lit(0)),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("rrf_nano").desc(), F.col("doc_id").asc())

@@ -3281,25 +3281,107 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio(MM.encode_wav(docs))
 
 
+@_register(
+    "multimodal_features",
+    oracle="""
+    WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 13 AS h,
+                      doc_id % 256 AS v
+               FROM documents),
+    hdr AS (SELECT doc_id, v, 3 * w * h AS body,
+                   'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                        || chr(10) || '255' || chr(10) AS s
+            FROM p),
+    codes AS (SELECT doc_id, v, body, length(s) + body AS n_bytes,
+                     list_transform(range(1, length(s) + 1),
+                                    k -> ord(substr(s, k, 1))) AS cs
+              FROM hdr),
+    bins AS (SELECT doc_id, n_bytes,
+                    list_transform(range(0, 16), b ->
+                        len(list_filter(cs, x -> x // 16 = b))
+                        + CASE WHEN v // 16 = b THEN body ELSE 0 END) AS bc
+             FROM codes)
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(bc[1] AS BIGINT) AS b00, CAST(bc[2] AS BIGINT) AS b01,
+           CAST(bc[3] AS BIGINT) AS b02, CAST(bc[4] AS BIGINT) AS b03,
+           CAST(bc[5] AS BIGINT) AS b04, CAST(bc[6] AS BIGINT) AS b05,
+           CAST(bc[7] AS BIGINT) AS b06, CAST(bc[8] AS BIGINT) AS b07,
+           CAST(bc[9] AS BIGINT) AS b08, CAST(bc[10] AS BIGINT) AS b09,
+           CAST(bc[11] AS BIGINT) AS b10, CAST(bc[12] AS BIGINT) AS b11,
+           CAST(bc[13] AS BIGINT) AS b12, CAST(bc[14] AS BIGINT) AS b13,
+           CAST(bc[15] AS BIGINT) AS b14, CAST(bc[16] AS BIGINT) AS b15,
+           CAST(list_reduce(list_transform(bc, c -> CASE WHEN c = 0 THEN 0
+                    ELSE CAST(floor(-(CAST(c AS DOUBLE) / n_bytes)
+                              * log2(CAST(c AS DOUBLE) / n_bytes) * 1e9 + 0.5)
+                         AS BIGINT) END),
+                (a, b) -> a + b) AS BIGINT) AS entropy_nano
+    FROM bins
+    """,
+    tags=("multimodal",),
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte histogram +
-    entropy) — the 'embed the media' stage shape; rows-only check,
-    invariants (histogram sums to 1, entropy bounds) in pytest."""
-    d = MM.with_payload(_T(spark, sf_dir, "documents"))
-    return MM.extract_features(d)
+    entropy) — the 'embed the media' stage shape — upgraded from a
+    rows-only check to a generator-replayable ORACLE (VERDICT r11 ask
+    #8): payloads are the closed-form PPM binaries of
+    `multimodal_decode` (`operators/multimodal.py:encode_ppm` — header
+    + w·h·3 constant pixel bytes, all arithmetic in doc_id), features
+    come out hash-exact (`extract_features_exact`: BIGINT bin counts +
+    per-term nano-quantized entropy, the `mutual_information`
+    determinism idiom), and the oracle recomputes every count and
+    entropy term from the generator formula independently. The float
+    sibling `extract_features` keeps its pytest invariants. Plumbing
+    unchanged: two chained narrow Arrow maps, no shuffle."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    feats = MM.extract_features_exact(MM.encode_ppm(docs))
+    return feats.select(
+        "doc_id", "n_bytes",
+        *[F.col("bin_counts")[i].cast("long").alias(f"b{i:02d}") for i in range(16)],
+        "entropy_nano",
+    )
 
 
-REGISTRY["multimodal_features"] = QuerySpec("multimodal_features", q_multimodal_features, None, ("multimodal",))
-
-
+@_register(
+    "multimodal_frames",
+    oracle="""
+    WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 13 AS h,
+                      doc_id % 256 AS v
+               FROM documents),
+    hdr AS (SELECT doc_id, v, 3 * w * h AS body,
+                   'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                        || chr(10) || '255' || chr(10) AS s
+            FROM p),
+    m AS (SELECT doc_id, v, length(s) AS hl, length(s) + body AS L,
+                 list_reduce(list_transform(range(1, length(s) + 1),
+                                            k -> ord(substr(s, k, 1))),
+                             (a, b) -> a + b) AS hsum
+          FROM hdr),
+    f AS (SELECT doc_id, v, hl, L, hsum,
+                 unnest(range(0, (L + 127) // 128)) AS frame_no
+          FROM m)
+    SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(least(16, L - 128 * frame_no) AS BIGINT) AS frame_len,
+           CAST(CASE WHEN frame_no = 0 THEN hsum + (16 - hl) * v
+                     ELSE least(16, L - 128 * frame_no) * v END
+                AS BIGINT) AS frame_byte_sum
+    FROM f
+    """,
+    tags=("multimodal",),
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling (1-row→N-rows explode through mapInPandas) for
-    video-shaped payloads; rows-only check."""
-    d = MM.with_payload(_T(spark, sf_dir, "documents"))
-    return MM.sample_frames(d)
-
-
-REGISTRY["multimodal_frames"] = QuerySpec("multimodal_frames", q_multimodal_frames, None, ("multimodal",))
+    video-shaped payloads — upgraded from a rows-only check to a
+    generator-replayable ORACLE (VERDICT r11 ask #8): frames are
+    16-byte windows every 128 bytes of the closed-form PPM payloads
+    (stride small enough that every doc explodes to ≥2 frames), and
+    `frame_checksums` reduces each binary frame to its exact BIGINT
+    (length, byte sum) AFTER the real explode, so the oracle can
+    recompute both from the generator formula — frame 0 carries the
+    ≤15-byte header plus constant pixel bytes, later frames are pure
+    pixel runs, the last one partial. Plumbing unchanged: the
+    explode-shaped mapInPandas plus one more narrow Arrow map."""
+    docs = _T(spark, sf_dir, "documents").select("doc_id")
+    frames = MM.sample_frames(MM.encode_ppm(docs), every=8, frame_size=16)
+    return MM.frame_checksums(frames)
 
 
 # ---------------------------------------------------------------------------
@@ -6414,7 +6496,9 @@ def q_source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pv AS (SELECT value AS v,
                        CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
                        CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-                FROM events WHERE event_type IN ('view', 'purchase') GROUP BY value),
+                FROM events
+                WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+                GROUP BY value),
     t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pv),
     c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma, sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
     d AS (SELECT max(abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)) AS dnum FROM c, t)
@@ -7167,8 +7251,8 @@ def q_edit_near_names_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM sv QUALIFY r <= 10),
     f AS (SELECT coalesce(rt.query_id, rv.query_id) AS query_id,
                  coalesce(rt.doc_id, rv.doc_id) AS doc_id,
-                 CAST(coalesce(CAST(floor(1000000000.0 / (60 + rt.r)) AS BIGINT), 0)
-                      + coalesce(CAST(floor(1000000000.0 / (60 + rv.r)) AS BIGINT), 0)
+                 CAST(coalesce(CAST(1000000000 // (60 + rt.r) AS BIGINT), 0)
+                      + coalesce(CAST(1000000000 // (60 + rv.r) AS BIGINT), 0)
                       AS BIGINT) AS rrf_nano,
                  rt.r IS NOT NULL AS in_text, rv.r IS NOT NULL AS in_vector
           FROM rt FULL OUTER JOIN rv
@@ -7259,7 +7343,9 @@ def q_multires_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH j AS (SELECT event_type AS x, CAST(extract(hour FROM ts) AS BIGINT) AS y,
                       CAST(count(*) AS BIGINT) AS nxy
-               FROM events GROUP BY 1, 2),
+               FROM events
+               WHERE event_type IS NOT NULL AND ts IS NOT NULL
+               GROUP BY 1, 2),
     mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
     my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
     tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_cells FROM j),
@@ -7999,7 +8085,9 @@ def q_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chi2_lang_source_docs",
     oracle="""
     WITH j AS (SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS nxy
-               FROM documents GROUP BY 1, 2),
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL
+               GROUP BY 1, 2),
     mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM j GROUP BY 1),
     my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM j GROUP BY 1),
     tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM j),
@@ -8046,7 +8134,9 @@ def q_chi2_lang_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pv AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
                        CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
                        CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-                FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+                FROM events
+                WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+                GROUP BY 1),
     t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pv),
     c AS (SELECT v, lead(v) OVER (ORDER BY v) AS nv,
                  sum(ca) OVER (ORDER BY v) AS cuma,
@@ -8085,7 +8175,9 @@ def q_wasserstein_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFr
     WITH pv AS (SELECT value AS v,
                        CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
                        CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
-                FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+                FROM events
+                WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+                GROUP BY 1),
     t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pv),
     c AS (SELECT ca, cb,
                  sum(ca) OVER (ORDER BY v) AS cuma,
@@ -8548,27 +8640,16 @@ _OVERFLOW_ORACLE = [
     "cross_source_dup_matrix",   # dedup: incremental_dedup_drop
                                  # (front) + semantic_dedup_recall
                                  # (once-green) keep the family
-    # NOT a rotated-out incumbent — the new r11 face registered past
+    # NOT rotated-out incumbents — r11-minted faces registered past
     # the full window (mirror-checked + pytest-gated, never
-    # driver-checked): the r12 rotation queue:
-    "pareto_frontier_lineitem",  # the skyline's CONTINUOUS-x regime:
-                                 # the staircase prefix-min on the
-                                 # frozen-range-partition distributed
-                                 # prefix (~60k distinct x), NOT
-                                 # EXISTS oracle
+    # driver-checked). The r12 rotation moved FIFTEEN of the original
+    # 38 queued faces into front slots (VERDICT r11 ask #1); these 23
+    # remain the r13 rotation queue:
     "sssp_trading_graph",        # Bellman-Ford's DENSE-graph regime
                                  # (trading graph + familiarity
                                  # weights, the sf1-benched face);
                                  # 3-round unrolled-SQL min-fold
                                  # oracle
-    "ppr_copurchase_parts",      # personalized PageRank (restart-
-                                 # vector recommendation primitive,
-                                 # sparse active-frontier regime);
-                                 # seed-flagged 3x-unrolled SQL
-                                 # oracle
-    # the r11 weighted-similarity widen (VERDICT r10 ask #7's other
-    # half — tf bridge between R18 set-dedup and R17 vector
-    # similarity), also r12-queue:
     "weighted_jaccard_docs",         # exact multiset Jaccard Σmin/Σmax,
                                      # one posting-list hash agg
     "weighted_jaccard_prefix_docs",  # occurrence-expansion PPJoin scale
@@ -8578,14 +8659,6 @@ _OVERFLOW_ORACLE = [
     "unigram_nll_docs",              # perplexity-style quality screen:
                                      # corpus-as-its-own-LM mean NLL,
                                      # nano-quantized tf·ln(q) sums
-    "pit_enrich_events",             # SCD2 point-in-time enrichment:
-                                     # version predicate as residual on
-                                     # a broadcast key equi-join
-    "weighted_jaccard3_prefix_docs", # the multiset family's 10x-benched
-                                     # 3-gram configuration
-    "stream_pit_enrich",             # streaming twin of the PIT join:
-                                     # stateless stream-static version
-                                     # lookup + bounded stateful agg
     "bm25_topk_retrieval",           # multi-query top-k search: one
                                      # scored corpus pass, rank window
                                      # on the rounded-score contract
@@ -8595,13 +8668,6 @@ _OVERFLOW_ORACLE = [
     "psi_value_drift_events",        # PSI completes the drift suite:
                                      # Laplace-smoothed, nano-quantized
                                      # (p-q)·ln(p/q) sums
-    "edit_near_names_customers",     # exhaustive d<=1 edit-distance
-                                     # self-join: symmetric-delete
-                                     # signatures (SymSpell), quadratic
-                                     # levenshtein oracle
-    "hybrid_rrf_docs",               # BM25 ∪ embedding top-k fused by
-                                     # reciprocal-rank fusion in exact
-                                     # integer nano-units
     "multires_rollup_events",        # hour/day/week continuous-
                                      # aggregate cascade: coarser
                                      # levels fold finer partials, one
@@ -8624,14 +8690,6 @@ _OVERFLOW_ORACLE = [
     "tfidf_top_terms_docs",          # per-doc top-5 TF-IDF keywords:
                                      # BIGINT tf·idf_nano ordering,
                                      # WindowGroupLimit-bounded
-    "mann_kendall_daily_events",     # nonparametric trend: exact S
-                                     # over the bounded |days|² pairs,
-                                     # tie-corrected var18
-    "runs_test_daily_events",        # randomness screen: discrete-
-                                     # median split, exact run counts
-    "embedding_covariance_vecs",     # exact d×d moments: Arrow QᵀQ
-                                     # partials, map-side combine,
-                                     # one division per entry
     "quantile_normalize_docs",       # batch-effect QN: both ranks off
                                      # ONE frozen tiling, pooled
                                      # element lookup by equi-join
@@ -8647,16 +8705,6 @@ _OVERFLOW_ORACLE = [
     "vocab_growth_sources",          # Heaps-law curve: first-seen
                                      # terms per source, one corpus
                                      # shuffle, bounded window
-    "hits_copurchase_parts",         # exact-integer HITS: L1 integer-
-                                     # DIV rounds, 2×-unrolled HUGEINT
-                                     # oracle, bipartite id-spaced
-    "km_conversion_events",          # Kaplan-Meier conversion curve:
-                                     # censored durations, two chained
-                                     # frozen-tile prefixes, exact
-                                     # nano-log survival
-    "spearman_qty_price_lineitem",   # exact Spearman: centered doubled
-                                     # midranks on the frozen-tile
-                                     # prefix, decimal-128 moments
     "fd_violations_docs",            # FD audit source→lang: g3 repair
                                      # cost from two hash aggregates,
                                      # max(cnt) is the mode
@@ -8666,12 +8714,80 @@ _OVERFLOW_ORACLE = [
     "chi2_lang_source_docs",         # Pearson chi²: MI's joint cells
                                      # + the zero-filled marginal grid,
                                      # exact decimal-128 deviations
-    "wasserstein_value_drift_events",  # exact 1-D earth-mover drift:
-                                       # CDF-gap area on the frozen-
-                                       # tile prefix, integer terms
-    "mannwhitney_value_events",      # exact rank-sum U / AUC drift:
-                                     # doubled-statistic integers,
-                                     # u2_a+u2_b = 2·n_a·n_b
+    # r12-minted oracle upgrades (VERDICT r11 ask #8): the two
+    # multimodal rows-only faces moved to generator-replayable oracles
+    # (closed-form PPM payloads; hash-exact integer outputs) — r13
+    # rotation queue alongside the 23 above:
+    "multimodal_features",           # BIGINT byte-histogram bins +
+                                     # per-term nano-quantized entropy
+                                     # over closed-form PPM payloads
+    "multimodal_frames",             # binary frame explode reduced to
+                                     # exact (len, byte-sum) rows the
+                                     # oracle replays from the
+                                     # generator formula
+    # rotated out in r12 (VERDICT r11 ask #1: fifteen front slots for
+    # the never-driver-checked r11 wave) — every outgoing incumbent is
+    # TWICE-plus driver-green and every family keeps >=1 in-window
+    # member:
+    "daily_corr_view_purchase",  # correlation: spearman_qty_price_
+                                 # lineitem (incoming) carries the
+                                 # family; thrice-green r09-r11
+    "cusum_change_events",       # changepoint/drift screens: the
+                                 # incoming two-sample suite
+                                 # (wasserstein/mannwhitney) + mann_
+                                 # kendall/runs_test + seasonal_
+                                 # anomaly_events (staying) carry it;
+                                 # thrice-green r09-r11
+    "percent_rank_doc_length",   # window fns: top3_orders_per_
+                                 # customer stays in-window;
+                                 # thrice-green r09-r11
+    "data_quality_audit",        # quality: stream_quality_counts
+                                 # (MUST set) keeps the family;
+                                 # thrice-green r09-r11
+    "rfm_segments_customers",    # warehouse: stream_ivm_summary_
+                                 # customers stays + pit_enrich_
+                                 # events incoming; thrice-green
+    "table_diff_customers",      # warehouse: same coverage;
+                                 # thrice-green r09-r11
+    "changeset_customers",       # warehouse: same coverage (the
+                                 # roundtrip law stays pytest-gated);
+                                 # thrice-green r09-r11
+    "pyds_stream_profile",       # Python Data Source: pyds_triples_
+                                 # profile keeps R1 in-window (batch
+                                 # + pushdown face); the streaming-
+                                 # offsets path stays pytest-gated;
+                                 # thrice-green r09-r11
+    "semantic_dedup_recall",     # dedup/semantic: incremental_dedup_
+                                 # drop (MUST) + weighted_jaccard3_
+                                 # prefix_docs (incoming) +
+                                 # dedup_bursts_events (staying) keep
+                                 # R18; ann_recall_vs_exact +
+                                 # hybrid_rrf_docs (incoming) keep the
+                                 # semantic side; twice-green r10+r11
+    "lpa_communities_trading",   # graph: CC/BFS/SSSP/assortativity
+                                 # (once-green, staying) + ppr/hits
+                                 # (incoming) keep the family;
+                                 # twice-green r10+r11
+    "ivm_summary_customers",     # warehouse IVM: the streaming twin
+                                 # stream_ivm_summary_customers stays
+                                 # in-window (same maintain_group_
+                                 # summary core); twice-green r10+r11
+    "interval_islands_events",   # range/interval: range_count_views
+                                 # (MUST) keeps R7, interpolate_hourly
+                                 # (staying) the islands/gaps story;
+                                 # twice-green r10+r11
+    "record_linkage_parts",      # fuzzy linkage: edit_near_names_
+                                 # customers (incoming) upgrades the
+                                 # family's in-window face;
+                                 # semi_anti_join_customers keeps R6;
+                                 # six-times green r06-r11
+    "nearest_click_purchase",    # as-of nearest: asof_purchase_click
+                                 # (MUST) + interpolate_hourly keep
+                                 # R8; five-times green r07-r11
+    "split_leakage_safe",        # sampling/splits: sample_per_lang_
+                                 # docs keeps R13; the leakage-safe
+                                 # law stays pytest-gated; five-times
+                                 # green r07-r11
 ]
 
 
@@ -8679,11 +8795,32 @@ def _reorder_registry() -> None:
     front = [
         # the flagship keeps slot 0 (pinned by test_flagship_is_first)
         "transe_rank_eval",
-        # r11 rotation (VERDICT r10 ask #1): the nine r10-minted faces
-        # (mirror-green at both SFs + pytest-gated, never
-        # driver-checked) take front slots until driver-green; nine
-        # twice-green r09-era incumbents rotated to overflow (see
-        # _OVERFLOW_ORACLE's r11 block).
+        # r12 rotation (VERDICT r11 ask #1: drain the 38-face
+        # driver-check backlog with a WIDENED 15-slot wave): the
+        # judge's named twelve plus stream_pit_enrich (the PIT join's
+        # streaming twin), pareto_frontier_lineitem (the skyline's
+        # continuous-x regime) and hybrid_rrf_docs (the fusion face,
+        # freshly advisory-hardened) — all mirror-green at both SFs +
+        # pytest-gated, never driver-checked; they hold front slots
+        # until driver-green. Fifteen twice-plus-green incumbents
+        # rotated to overflow (see _OVERFLOW_ORACLE's r12 block).
+        "ppr_copurchase_parts",
+        "hits_copurchase_parts",
+        "edit_near_names_customers",
+        "km_conversion_events",
+        "mann_kendall_daily_events",
+        "runs_test_daily_events",
+        "wasserstein_value_drift_events",
+        "mannwhitney_value_events",
+        "spearman_qty_price_lineitem",
+        "weighted_jaccard3_prefix_docs",
+        "pit_enrich_events",
+        "embedding_covariance_vecs",
+        "stream_pit_enrich",
+        "pareto_frontier_lineitem",
+        "hybrid_rrf_docs",
+        # the nine r11-rotation faces — ONCE-green (CORRECTNESS_r11);
+        # they stay until twice-green per the window policy
         "connected_components_parts",
         "bfs_hops_trading",
         "pareto_frontier_parts",
@@ -8693,44 +8830,36 @@ def _reorder_registry() -> None:
         "source_divergence_docs",
         "ks_value_drift_events",
         "stream_value_drift",
-        # once-green r09-era faces that stay until twice-green, plus
-        # the sequence/agg/warehouse/source family representatives the
-        # r11 rotation keeps in-window:
-        "daily_corr_view_purchase",
-        "cusum_change_events",
-        "percent_rank_doc_length",
-        "data_quality_audit",
-        "rfm_segments_customers",
-        "stream_quality_counts",
-        "table_diff_customers",
-        "changeset_customers",
-        "pyds_triples_profile",
-        "pyds_stream_profile",
-        "tsv_sink_roundtrip",
-        # once-green r08 face that is also the funnel family's
-        # in-window representative (twice-green siblings decayed/gini
-        # rotated to overflow in r10)
-        "funnel_ordered_steps",
-        # r10 rotation (VERDICT r09 ask #4): the six r09-minted faces
-        # (mirror-green both SFs + pytest-gated, never driver-checked)
-        # take front slots until driver-green
-        "semantic_dedup_recall",
-        "lpa_communities_trading",
-        "ivm_summary_customers",
-        "stream_ivm_summary_customers",
-        "discrete_quantiles_orders",
-        "interval_islands_events",
-        # standing family representatives the driver should always see
-        # (twenty twice-green incumbents rotated to overflow this
-        # round — see _OVERFLOW_ORACLE's r09 block)
+        # judge-required standing representatives (MUST_BE_IN_WINDOW)
         "asof_purchase_click",
         "range_count_views",
         "benchmark_decontaminate",
         "incremental_dedup_drop",
-        "ann_recall_vs_exact",
+        "funnel_ordered_steps",
         "multimodal_decode",
         "stream_tumbling_counts",
         "stream_interval_join",
+        "stream_quality_counts",
+        # family representatives the r12 rotation keeps in-window so
+        # every family retains >=1 hard driver row (the outgoing
+        # siblings are all twice-plus-green — see the r12 overflow
+        # block for the per-family mapping):
+        "ann_recall_vs_exact",          # ANN/recall (R16+R17)
+        "tsv_sink_roundtrip",           # sinks (R2)
+        "pyds_triples_profile",         # Python Data Source (R1)
+        "stream_ivm_summary_customers", # warehouse IVM + streaming twin
+        "filter_predicates",            # filters/pushdown (R4)
+        "dict_encode_brands",           # dict-encode (R5)
+        "semi_anti_join_customers",     # join family (R6)
+        "top3_orders_per_customer",     # top-k/windows (R11+R12)
+        "set_ops_nations",              # set ops (R10)
+        "json_extract_events",          # scalar fns (R14)
+        "udtf_word_positions",          # UDF surface (R20)
+        "sample_per_lang_docs",         # sampling (R13)
+        "discrete_quantiles_orders",    # exact percentiles (R9)
+        "seasonal_anomaly_events",      # agg screens (R9)
+        "interpolate_hourly",           # time-series (R8)
+        "dedup_bursts_events",          # as-of dedup (R8+R18)
     ]
     overlap = set(front) & set(_OVERFLOW_ORACLE)
     if overlap:
