@@ -129,6 +129,24 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "equi-join; candidates dedup (hash agg) before one Levenshtein "
         "verify per surviving pair — never the oracle's n² definition",
     ),
+    "edit3_near_names_parts": (
+        ["Generate", "HashAggregate"],
+        "PassJoin segment/substring posting lists (codegen'd explodes) "
+        "feed the (seg_no, part_len, piece) equi-join; candidates dedup "
+        "(hash agg) before one Levenshtein verify per surviving pair — "
+        "the quadratic definition stays in the oracle",
+    ),
+    "multimodal_features": (
+        ["MapInPandas"],
+        "encode → exact-feature extraction are chained narrow Arrow "
+        "maps over the binary column",
+    ),
+    "multimodal_frames": (
+        ["MapInPandas"],
+        "encode → frame explode → checksum reduction are chained "
+        "narrow Arrow maps; the 1-row→N-rows explode happens inside "
+        "the Python worker, never via a shuffle",
+    ),
     "hybrid_rrf_docs": (
         ["WindowGroupLimit", "FullOuter"],
         "both legs keep their own O(k) top-k contracts; the fusion "
@@ -697,6 +715,22 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "edit-distance candidates come from deletion-variant equi-joins "
         "only — the quadratic Levenshtein stays in the oracle",
     ),
+    "edit3_near_names_parts": (
+        ["BroadcastNestedLoopJoin", "CartesianProduct"],
+        "PassJoin candidates come from segment-signature equi-joins "
+        "only (incl. the short-string pass, a length-KEYED join) — "
+        "the quadratic Levenshtein stays in the oracle",
+    ),
+    "multimodal_features": (
+        ["Exchange"],
+        "feature extraction is a narrow map pipeline — a shuffle "
+        "anywhere means the binary column moved for no reason",
+    ),
+    "multimodal_frames": (
+        ["Exchange"],
+        "the frame explode is a narrow map pipeline — a shuffle "
+        "anywhere means the binary column moved for no reason",
+    ),
     "hybrid_rrf_docs": (
         ["CartesianProduct"],
         "the fusion join is keyed on (query, doc); only the knn leg's "
@@ -991,6 +1025,15 @@ MAX_EXCHANGES = {
     "zorder_orders": 0,
     # two chained Arrow maps (encode → decode), no shuffle
     "multimodal_audio": 0,
+    # encode → exact features: chained Arrow maps, no shuffle
+    "multimodal_features": 0,
+    # encode → frame explode → checksums: chained Arrow maps, no shuffle
+    "multimodal_frames": 0,
+    # seg/sub posting-list join (2) + candidate-pair distinct + the two
+    # name re-attach joins re-key the deduplicated pair set; the short
+    # path's length-keyed join broadcasts at any realistic slice —
+    # allow 8 for the shuffled-hash forms AQE may pick at scale
+    "edit3_near_names_parts": 8,
     # bucket join (one side broadcasts at this size) + pair distinct
     "interval_overlap_purchases": 3,
     # obs bucket agg + grid/obs co-partitioning; both window frames
@@ -1155,6 +1198,13 @@ SF1_STABLE = [
     "edit_near_names_customers",
     "hybrid_rrf_docs",
     "multires_rollup_events",
+    # r12: PassJoin keeps its two-explode posting-equi-join +
+    # dedup-agg shape at 10× (quadratic Levenshtein stays in the
+    # oracle at every SF; output volume on the replicated sf1 part
+    # fixture is a fixture artifact, same caveat as
+    # edit_near_names_customers — plan gate here, not an sf1 bench
+    # row)
+    "edit3_near_names_parts",
     # r11 fifth wave: MI keeps its single joint-cell corpus aggregate
     # at 10× (marginals from cells, never a second pass); the robust
     # screen keeps both medians on the __pid prefix-rank; assoc rules

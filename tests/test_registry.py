@@ -78,6 +78,10 @@ NEW_IN_R12 = {
     "stream_pit_enrich",
     "pareto_frontier_lineitem",
     "hybrid_rrf_docs",
+    # the one r12-minted face (ask #7: PassJoin closes the
+    # edit-distance family at d=3) — front slot from day one, so the
+    # queue stays under the ask's 26 bar
+    "edit3_near_names_parts",
 }
 
 #: family representatives the r12 rotation deliberately keeps
@@ -100,7 +104,6 @@ STAYING_R12 = {
     "udtf_word_positions",
     "sample_per_lang_docs",
     "discrete_quantiles_orders",
-    "seasonal_anomaly_events",
     "interpolate_hourly",
     "dedup_bursts_events",
 }

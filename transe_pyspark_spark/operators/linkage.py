@@ -194,3 +194,181 @@ def symmetric_delete_pairs(
         .filter(F.col("distance") <= d)
         .select("id_a", "id_b", "distance")
     )
+
+
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 3,
+) -> DataFrame:
+    """EXHAUSTIVE edit-distance self-join for the RADIUS the deletion
+    neighborhood can't reach (``symmetric_delete_pairs`` caps at
+    d ≤ 2; this is the documented PassJoin trade it names): every id
+    pair (a < b) with ``levenshtein ≤ max_distance``, via
+    segment-signature candidates (Li/Deng/Feng, PassJoin, 2011).
+
+    Pigeonhole completeness: partition the SHORTER string of a true
+    pair into d+1 contiguous segments (the even partition — first
+    segments ⌊l/(d+1)⌋ chars, the last ``l mod (d+1)`` segments one
+    longer). An optimal alignment applies ≤ d edits, so at least one
+    segment is untouched and appears VERBATIM in the longer string,
+    shifted by at most the net indels before it — ≤ d positions. So:
+    the seg side emits each string's d+1 (seg_no, own_len, piece)
+    rows; the sub side emits, for every candidate partner length
+    l2 ∈ [max(d+1, m−d), m] and every segment slot, the substrings of
+    itself within ±d of that slot's position — and the hash equi-join
+    on (seg_no, part_len, piece) finds every true pair. Candidates
+    are exact-verified with the DP kernel, so the result is exact.
+
+    Scale posture: both emissions are codegen'd array transforms
+    (O(d) segments, O(d²·window) substrings per row — constants in
+    d, never in |corpus|), and the join is posting-list-shaped on the
+    piece string: the inverted-index discipline of the dedup family,
+    never an all-pairs product. Piece selectivity is the honest dial:
+    pieces are ~l/(d+1) chars, so strings barely longer than d give
+    1-2 char pieces with fat posting lists — PassJoin wants
+    l ≫ d (name data qualifies); a pathological hot piece is ordinary
+    join skew (AQE split / ``salted_join``). Strings SHORTER than d+1
+    chars have empty segments and route through a separate
+    length-KEYED equi-join (each ≤d-char string explodes its ≤2d
+    admissible partner lengths against the ≤2d-char slice — the only
+    pairs a ≤d-char string can form; never a cross join, bounded by
+    contract for name data). The candidate set is deduplicated BEFORE
+    the O(len²)
+    verify, and the ids-only discipline of ``symmetric_delete_pairs``
+    applies: only (ids, piece) move through the candidate shuffle,
+    names re-attach onto the deduplicated pair set.
+
+    Returns (id_a, id_b, distance), distance ≤ ``max_distance``,
+    BIGINT distance — hash-checks exactly against the quadratic
+    NOT-EXISTS oracle.
+    """
+    d = int(max_distance)
+    if d < 1:
+        raise ValueError(f"passjoin_pairs wants max_distance >= 1, got {d}")
+    n = d + 1
+
+    def seg_len(i, L):
+        base = F.floor(L / F.lit(n)).cast("int")
+        rem = (L % F.lit(n)).cast("int")
+        return (base + F.when(i >= F.lit(n) - rem, F.lit(1)).otherwise(F.lit(0))).cast("int")
+
+    def seg_start(i, L):
+        base = F.floor(L / F.lit(n)).cast("int")
+        rem = (L % F.lit(n)).cast("int")
+        return (
+            F.lit(1) + i * base + F.greatest(F.lit(0), i - (F.lit(n) - rem))
+        ).cast("int")
+
+    base_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__nm"),
+        F.length(name_col).cast("int").alias("__len"),
+    )
+    longs = base_rows.filter(F.col("__len") >= n)
+    iseq = F.sequence(F.lit(0), F.lit(d))
+    L = F.col("__len")
+
+    segs = longs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__len").alias("part_len"),
+        F.explode(
+            F.transform(
+                iseq,
+                lambda i: F.struct(
+                    i.cast("int").alias("seg_no"),
+                    F.col("__nm").substr(seg_start(i, L), seg_len(i, L)).alias("piece"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(
+        "id_a", "part_len",
+        F.col("__s.seg_no").alias("seg_no"), F.col("__s.piece").alias("piece"),
+    )
+
+    subs = longs.select(
+        F.col("__id").alias("id_b"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.greatest(F.lit(n), L - F.lit(d)), L),
+                    lambda l2: F.flatten(
+                        F.transform(
+                            iseq,
+                            lambda i: F.transform(
+                                F.sequence(
+                                    F.greatest(F.lit(1), seg_start(i, l2) - F.lit(d)),
+                                    F.least(
+                                        L - seg_len(i, l2) + F.lit(1),
+                                        seg_start(i, l2) + F.lit(d),
+                                    ),
+                                ),
+                                lambda st: F.struct(
+                                    i.cast("int").alias("seg_no"),
+                                    l2.cast("int").alias("part_len"),
+                                    F.col("__nm").substr(st, seg_len(i, l2)).alias("piece"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("__s"),
+    ).select(
+        "id_b",
+        F.col("__s.seg_no").alias("seg_no"),
+        F.col("__s.part_len").alias("part_len"),
+        F.col("__s.piece").alias("piece"),
+    )
+
+    cand_main = (
+        segs.join(subs, ["seg_no", "part_len", "piece"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    # strings shorter than d+1 chars have empty segments, so they
+    # route through a length-keyed pass instead: a <=d-char string's
+    # only possible partners are <= 2d chars (ed >= |len diff|), so
+    # each short row EXPLODES its <=2d admissible partner lengths and
+    # equi-joins the <=2d-char slice on length — a bounded
+    # posting-list join on the length key (never a cross join), tiny
+    # by contract for name data
+    shorts = base_rows.filter(F.col("__len") <= d).select(
+        F.col("__id").alias("__ida"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("__len") - F.lit(d)),
+                F.col("__len") + F.lit(d),
+            )
+        ).alias("__lb"),
+    )
+    near = base_rows.filter(F.col("__len") <= 2 * d).select(
+        F.col("__id").alias("__idb"), F.col("__len").alias("__lb")
+    )
+    cand_short = (
+        shorts.join(near, "__lb")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+    )
+    cand = cand_main.unionByName(cand_short).distinct()
+    names = df.select(F.col(id_col).alias("__nid"), F.col(name_col).alias("__n"))
+    return (
+        cand.join(
+            names.select(F.col("__nid").alias("id_a"), F.col("__n").alias("name_a")),
+            "id_a",
+        )
+        .join(
+            names.select(F.col("__nid").alias("id_b"), F.col("__n").alias("name_b")),
+            "id_b",
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("distance") <= d)
+        .select("id_a", "id_b", "distance")
+    )

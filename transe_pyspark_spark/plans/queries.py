@@ -7208,6 +7208,48 @@ def q_edit_near_names_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "edit3_near_names_parts",
+    oracle="""
+    WITH q AS (SELECT p_partkey AS id,
+                      p_name || ' ' || p_brand || '-' || CAST(p_size AS VARCHAR) AS nm
+               FROM part)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS distance
+    FROM q a JOIN q b
+      ON a.id < b.id AND abs(length(a.nm) - length(b.nm)) <= 3
+    WHERE levenshtein(a.nm, b.nm) <= 3
+    """,
+    tags=("linkage", "dedup", "join"),
+)
+def q_edit3_near_names_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXHAUSTIVE edit-distance-3 name pairs via PassJoin segment
+    signatures (`operators/linkage.py:passjoin_pairs` — VERDICT r11
+    ask #7, the d ≥ 3 radius `symmetric_delete_pairs` deliberately
+    refuses because the deletion neighborhood is O(len³) there):
+    the shorter name of a true pair is evenly partitioned into d+1
+    segments, of which pigeonhole leaves at least one untouched — so
+    a posting-list equi-join of segments against position-windowed
+    substrings finds every candidate, and one exact Levenshtein per
+    deduplicated pair verifies. The fixture is the NON-degenerate
+    composite `name brand-size` string (1977 distinct of 2000 at
+    sf0.01 — pairs come from genuine 1-3 edit differences in brand
+    digits/sizes/adjacent words, NOT from the saturated
+    neighborhoods of the sequential Customer#NNNNNN strings or the
+    64-value raw p_name); the oracle states the quadratic definition
+    the plan must never contain."""
+    from transe_pyspark_spark.operators.linkage import passjoin_pairs
+
+    part = _T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(
+            "", F.col("p_name"), F.lit(" "), F.col("p_brand"),
+            F.lit("-"), F.col("p_size").cast("string"),
+        ).alias("nm"),
+    )
+    return passjoin_pairs(part, "p_partkey", "nm", max_distance=3)
+
+
+@_register(
     "hybrid_rrf_docs",
     oracle=f"""
     WITH qt(query_id, t) AS (VALUES
@@ -8788,6 +8830,14 @@ _OVERFLOW_ORACLE = [
                                  # docs keeps R13; the leakage-safe
                                  # law stays pytest-gated; five-times
                                  # green r07-r11
+    "seasonal_anomaly_events",   # agg screens: the incoming
+                                 # two-sample/trend suite (mann_
+                                 # kendall/runs/wasserstein/
+                                 # mannwhitney) + discrete_quantiles
+                                 # keep R9; its slot went to the
+                                 # r12-minted edit3_near_names_parts
+                                 # (PassJoin d=3, ask #7); five-times
+                                 # green r07-r11
 ]
 
 
@@ -8857,9 +8907,14 @@ def _reorder_registry() -> None:
         "udtf_word_positions",          # UDF surface (R20)
         "sample_per_lang_docs",         # sampling (R13)
         "discrete_quantiles_orders",    # exact percentiles (R9)
-        "seasonal_anomaly_events",      # agg screens (R9)
         "interpolate_hourly",           # time-series (R8)
         "dedup_bursts_events",          # as-of dedup (R8+R18)
+        # the one r12-minted face (within the <=3 minting freeze of
+        # VERDICT r11 ask #2): PassJoin d=3 closes the edit-distance
+        # family (ask #7); it takes the slot of the five-times-green
+        # seasonal_anomaly_events (agg-screen family coverage passes
+        # to the incoming two-sample/trend suite)
+        "edit3_near_names_parts",
     ]
     overlap = set(front) & set(_OVERFLOW_ORACLE)
     if overlap:
