@@ -271,7 +271,7 @@ def test_passjoin_matches_bruteforce_d3(spark):
     names = [
         "johnathan smith", "jonathan smith", "jonathan smyth", "johnathan smithe",
         "maria garcia", "mario garcia", "marla garcias", "m garcia",
-        "ab", "abc", "a", "abcd", "xyz",
+        "ab", "abc", "a", "abcd", "xyz", "", "",
         "chartreuse lace", "chartreuse lime", "chocolate lace",
         "pufy", "puffy", "fluffy", "spiffy",
     ]

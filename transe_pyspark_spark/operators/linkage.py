@@ -339,9 +339,11 @@ def passjoin_pairs(
     # by contract for name data
     shorts = base_rows.filter(F.col("__len") <= d).select(
         F.col("__id").alias("__ida"),
+        # partner lengths start at 0 (an empty string pairs with empty
+        # strings at distance 0), never below
         F.explode(
             F.sequence(
-                F.greatest(F.lit(1), F.col("__len") - F.lit(d)),
+                F.greatest(F.lit(0), F.col("__len") - F.lit(d)),
                 F.col("__len") + F.lit(d),
             )
         ).alias("__lb"),
