@@ -401,6 +401,39 @@ def _bucketed_join_seconds(spark, sf_dir: str) -> float:
     return sorted(samples)[len(samples) // 2], samples
 
 
+def _cpu_times() -> dict | None:
+    """Cumulative /proc/stat cpu jiffies, bucketed — the raw material
+    for per-section CPU-mode fractions (r12, VERDICT r11 ask #4): the
+    relational-big epoch spread settled as windows of ~99% KERNEL time
+    across all cores (a host-era pathology hitting the Python/Arrow
+    IPC path) that the short 3-sample speed probes dodge entirely —
+    a mover triages honestly only when the artifact records where the
+    CPU actually went during its section."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        v = [int(x) for x in parts[1:9]]
+        # user+nice / system+irq+softirq / idle / iowait / steal
+        return {"user": v[0] + v[1], "system": v[2] + v[5] + v[6],
+                "idle": v[3], "iowait": v[4], "steal": v[7]}
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_frac(a: dict | None, b: dict | None) -> dict | None:
+    """Fraction of total jiffies spent per CPU mode between two
+    ``_cpu_times`` samples; None when /proc/stat is unavailable."""
+    if not a or not b:
+        return None
+    d = {k: b[k] - a[k] for k in a}
+    tot = sum(d.values())
+    if tot <= 0:
+        return None
+    return {k: round(v / tot, 3) for k, v in d.items()}
+
+
 def _probe_codegen(spark) -> float:
     """The jvm_codegen probe alone (median of 3, after a warmup) —
     the cheap section-bracket sample. r11 (VERDICT r10 ask #4): a
@@ -485,6 +518,7 @@ def main() -> None:
 
     calibration = _calibration(spark)
     print(f"# calibration: {calibration}", file=sys.stderr)
+    cpu_run_start = _cpu_times()
 
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -512,6 +546,7 @@ def main() -> None:
     # headline-section end bracket (VERDICT r10 ask #4)
     probe_headline_end = _probe_codegen(spark)
     probe_headline_end_sh = _probe_shuffle(spark)
+    cpu_headline_end = _cpu_times()
     print(f"# probe_headline_end: {probe_headline_end} / shuffle {probe_headline_end_sh}", file=sys.stderr)
 
     # Scale-path reference points, NOT summed into ``value``: the
@@ -584,6 +619,7 @@ def main() -> None:
     # scale-paths-section end bracket (VERDICT r10 ask #4)
     probe_scale_end = _probe_codegen(spark)
     probe_scale_end_sh = _probe_shuffle(spark)
+    cpu_scale_end = _cpu_times()
     print(f"# probe_scale_end: {probe_scale_end} / shuffle {probe_scale_end_sh}", file=sys.stderr)
 
     # sf1 scale-proof section (VERDICT r04 ask #6): the 5 most
@@ -659,7 +695,21 @@ def main() -> None:
     # apart on an idle machine — host-level noise); start+end samples
     # bound which sections a drift window could have touched
     calibration_end = _calibration(spark)
+    cpu_run_end = _cpu_times()
     print(f"# calibration_end: {calibration_end}", file=sys.stderr)
+    # CPU-mode brackets (r12, VERDICT r11 ask #4): the jiffy-delta
+    # fractions per section. The relational-big spread settled as
+    # host-era windows of sy≈99% across all cores that BOTH speed-
+    # probe brackets dodge (3 quick samples each); a section whose
+    # `system` fraction dominates was measured through a kernel
+    # stall — triage its movers against section_cpu before either
+    # speed bracket.
+    section_cpu = {
+        "headline": _cpu_frac(cpu_run_start, cpu_headline_end),
+        "scale_paths": _cpu_frac(cpu_headline_end, cpu_scale_end),
+        "sf1": _cpu_frac(cpu_scale_end, cpu_run_end),
+    }
+    print(f"# section_cpu: {section_cpu}", file=sys.stderr)
 
     # calibration-normalized ratios (VERDICT r06 ask #8): query time
     # divided by a same-run jvm_codegen probe — a dimensionless
@@ -716,6 +766,7 @@ def main() -> None:
         "normalized_probe": round(probe, 4),
         "section_probes": section_probes,
         "section_probes_shuffle": section_probes_shuffle,
+        "section_cpu": section_cpu,
         "section_probe_midpoints": {
             "headline": round(p_head, 4),
             "scale_paths": round(p_scale, 4),
