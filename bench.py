@@ -544,9 +544,12 @@ def main() -> None:
     print(f"# bucketed_orders_lineitem: {times['bucketed_orders_lineitem']}s", file=sys.stderr)
 
     # headline-section end bracket (VERDICT r10 ask #4)
+    # CPU sample FIRST, probes after: each section's jiffy window must
+    # cover exactly the section's own work — sampling after the probes
+    # would attribute probe/calibration CPU to the section
+    cpu_headline_end = _cpu_times()
     probe_headline_end = _probe_codegen(spark)
     probe_headline_end_sh = _probe_shuffle(spark)
-    cpu_headline_end = _cpu_times()
     print(f"# probe_headline_end: {probe_headline_end} / shuffle {probe_headline_end_sh}", file=sys.stderr)
 
     # Scale-path reference points, NOT summed into ``value``: the
@@ -617,9 +620,9 @@ def main() -> None:
         print(f"# skew_join_{mode}: {med}s", file=sys.stderr)
 
     # scale-paths-section end bracket (VERDICT r10 ask #4)
+    cpu_scale_end = _cpu_times()  # before the probes (exact section window)
     probe_scale_end = _probe_codegen(spark)
     probe_scale_end_sh = _probe_shuffle(spark)
-    cpu_scale_end = _cpu_times()
     print(f"# probe_scale_end: {probe_scale_end} / shuffle {probe_scale_end_sh}", file=sys.stderr)
 
     # sf1 scale-proof section (VERDICT r04 ask #6): the 5 most
@@ -694,8 +697,8 @@ def main() -> None:
     # (r05 observed numpy_matmul 0.076 vs 0.331 across two runs an hour
     # apart on an idle machine — host-level noise); start+end samples
     # bound which sections a drift window could have touched
+    cpu_run_end = _cpu_times()  # before the end calibration (exact sf1 window)
     calibration_end = _calibration(spark)
-    cpu_run_end = _cpu_times()
     print(f"# calibration_end: {calibration_end}", file=sys.stderr)
     # CPU-mode brackets (r12, VERDICT r11 ask #4): the jiffy-delta
     # fractions per section. The relational-big spread settled as

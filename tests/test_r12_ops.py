@@ -251,14 +251,9 @@ def test_frame_checksums_match_python_replay(spark):
 # ----------------------------------------------- PassJoin d>=3 (ask #7)
 
 
-def _levenshtein(a: str, b: str) -> int:
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+# shared with the symmetric-delete suite -- one brute-force model, no
+# drift between the two edit-join test families
+from test_r11_ops import _py_levenshtein as _levenshtein  # noqa: E402
 
 
 def test_passjoin_matches_bruteforce_d3(spark):

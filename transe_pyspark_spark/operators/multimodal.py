@@ -390,11 +390,18 @@ def extract_features_exact(
     any engine replays the total term-for-term (the
     ``mutual_information`` determinism idiom). Same plumbing contract
     as the float face: one narrow Arrow map, no shuffle.
+
+    ``bins`` must be a power of two ≤ 256: the bin is the byte's top
+    ``log2(bins)`` bits, which only partitions the byte range evenly
+    when bins divides 256 — a non-power-of-two bin count would leave
+    the top bins silently empty, so it raises instead.
     """
     import math
 
     import numpy as np
 
+    if bins < 2 or bins > 256 or bins & (bins - 1):
+        raise ValueError(f"bins must be a power of two in [2, 256], got {bins}")
     shift = 8 - bins.bit_length() + 1
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
