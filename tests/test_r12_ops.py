@@ -350,3 +350,77 @@ def test_passjoin_even_partition_is_complete(spark):
         byid = dict(sub)
         for ia, ib in got:
             assert _levenshtein(byid[ia], byid[ib]) <= d
+
+
+# ----------------------------------- r12 self-review hardening fixes
+
+
+def test_top_event_paths_excludes_null_types(spark):
+    """concat_ws silently skips NULLs, so NULL-typed events must be
+    excluded: [A,B,NULL] and [A,NULL,B] windows no longer conflate,
+    and path counts match the same data with NULL-typed rows removed
+    (r12 review)."""
+    from transe_pyspark_spark.operators.sequences import top_event_paths
+
+    rows = [
+        (1, "u1", "A", "2024-01-01 00:00:01"),
+        (2, "u1", "B", "2024-01-01 00:00:02"),
+        (3, "u1", None, "2024-01-01 00:00:03"),
+        (4, "u1", "C", "2024-01-01 00:00:04"),
+        (5, "u2", "A", "2024-01-01 00:00:01"),
+        (6, "u2", None, "2024-01-01 00:00:02"),
+        (7, "u2", "B", "2024-01-01 00:00:03"),
+        (8, "u2", "C", "2024-01-01 00:00:04"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts string"
+    ).select("event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    got = {(r["path"], r["n"]) for r in top_event_paths(df, path_len=3, top_k=10).collect()}
+    # over non-null sequences: u1 -> A,B,C ; u2 -> A,B,C: one window each
+    assert got == {("A>B>C", 2)}
+
+
+def test_eventually_follows_excludes_null_basket_keys(spark):
+    """A NULL-keyed basket must not inflate n_from while being
+    unjoinable: results equal the same data with NULL-keyed rows
+    removed (r12 review)."""
+    from transe_pyspark_spark.operators.sequences import eventually_follows
+
+    clean = [
+        ("u1", "A", "2024-01-01 00:00:01"),
+        ("u1", "B", "2024-01-01 00:00:02"),
+        ("u2", "A", "2024-01-01 00:00:01"),
+        ("u2", "B", "2024-01-01 00:00:02"),
+    ]
+    noisy = clean + [(None, "A", "2024-01-01 00:00:01"), ("u3", None, "2024-01-01 00:00:02")]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id string, event_type string, ts string"
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    fc = eventually_follows(mk(clean), ["user_id"], "event_type", "ts").collect()
+    fn = eventually_follows(mk(noisy), ["user_id"], "event_type", "ts").collect()
+    key = lambda r: (r["t_from"], r["t_to"])  # noqa: E731
+    assert sorted(map(tuple, fc)) == sorted(map(tuple, fn))
+    ab = [r for r in fn if key(r) == ("A", "B")][0]
+    assert ab["n_from"] == 2 and ab["n_baskets"] == 2  # NULL basket not counted
+
+
+def test_embedding_covariance_skips_null_vectors_and_guards_overflow(spark):
+    """NULL embedding rows are excluded (n counts only non-null rows)
+    instead of crashing the Arrow kernel; a batch violating the int64
+    partial bound raises loudly instead of wrapping (r12 review)."""
+    import pytest as _pytest
+
+    from transe_pyspark_spark.functions.vector import embedding_covariance
+
+    rows = [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {(r["i"], r["j"]): r for r in embedding_covariance(df).collect()}
+    assert out[(1, 1)]["n"] == 2  # the NULL row is gone
+    # exact moments over the two live rows at scale=1e6
+    assert out[(1, 2)]["s_ij"] == (10**6 * 2 * 10**6) + (3 * 10**6 * 4 * 10**6)
+    # overflow guard: |v| big enough that rows*(scale*|v|)^2 > 2^62
+    big = spark.createDataFrame(
+        [(1, [4000.0, 0.0]), (2, [4000.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="partial bound exceeded"):
+        embedding_covariance(big).collect()

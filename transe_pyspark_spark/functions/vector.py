@@ -119,6 +119,16 @@ def embedding_covariance(
     Returns (i, j, n, s_ij, s_i, s_j, cov) for 1-based i ≤ j — raw
     exact sums alongside the derived covariance so any downstream
     recentering/rescaling can stay exact.
+
+    Input contract (r12 review): NULL vectors are EXCLUDED up front
+    (n counts only non-null rows); vectors must be fixed-width with no
+    NULL elements. The per-batch int64 bound the partials rely on is
+    GUARDED, not assumed — a batch where ``rows · (scale·max|v|)² >
+    2⁶²`` raises with guidance (shrink ``scale`` or the Arrow batch)
+    instead of silently wrapping the "exact" sums. The ``s_ij``/``s_i``
+    BIGINT casts are exact while the decimal totals fit int64 —
+    ``n·(scale·max|v|)² < 2⁶³``, i.e. billions of unit-magnitude rows
+    at the default scale; beyond that, pass a smaller ``scale``.
     """
     import numpy as np
     import pandas as pd
@@ -132,9 +142,25 @@ def embedding_covariance(
             if not len(pdf):
                 continue
             y = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * sc
-            # half-AWAY-from-zero, matching SQL round() on BOTH engines
-            # (np.rint is half-even and silently disagrees on exact .5)
-            Q = np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+            # half-AWAY-from-zero, matching SQL round() on BOTH
+            # engines: compare the exact fractional part against 0.5
+            # (np.rint is half-even; adding 0.5 before floor would
+            # round up doubles whose fraction is the representable
+            # value just BELOW 0.5 — the float-addition artifact).
+            # Exact for |y| < 2^52, far above any sane scale·|v|.
+            a = np.abs(y)
+            fl = np.floor(a)
+            Q = np.copysign(fl + (a - fl >= 0.5), y).astype(np.int64)
+            # loud overflow guard: every partial entry is bounded by
+            # rows·max|q|²; past 2^62 the int64 matmul would WRAP
+            # silently and the exactness contract would be a lie
+            mq = float(np.abs(Q).max()) if Q.size else 0.0
+            if len(Q) * mq * mq > float(2**62):
+                raise ValueError(
+                    f"embedding_covariance int64 partial bound exceeded: "
+                    f"{len(Q)} rows x (max|q|={mq:.3g})^2 > 2^62 — reduce "
+                    "`scale` or spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             m = Q.T @ Q
             iu, ju = np.triu_indices(Q.shape[1])
             out = pd.DataFrame(
@@ -150,7 +176,11 @@ def embedding_covariance(
             cnt = pd.DataFrame({"i": [0], "j": [0], "s": [len(Q)]})
             yield pd.concat([out, marg, cnt], ignore_index=True)
 
-    parts = df.select(vec_col).mapInPandas(_partials, "i long, j long, s long")
+    parts = (
+        df.select(vec_col)
+        .filter(FF.col(vec_col).isNotNull())
+        .mapInPandas(_partials, "i long, j long, s long")
+    )
     agg = (
         parts.groupBy("i", "j")
         .agg(FF.sum(FF.col("s").cast("decimal(38,0)")).alias("__s"))

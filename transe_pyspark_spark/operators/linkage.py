@@ -11,6 +11,15 @@ Reference parity: the reference has no linkage operator; this is part
 of the beyond-reference training-data toolkit (dedup of near-identical
 entity names across sources feeds the same downstream as document
 near-dedup).
+
+Cross-engine hash-check contract (r12 review, measured): Spark's
+``levenshtein`` edits CODE POINTS while DuckDB's edits BYTES —
+``levenshtein('café','cafe')`` is 1 in Spark, 2 in DuckDB — so the
+"hash-checks exactly" claims in this module hold for ASCII name
+corpora (every registered face uses the ASCII TPC-H fixtures). On
+multibyte UTF-8 data the Spark side is self-consistent (signatures and
+verify both count code points, the semantics you want) but a DuckDB
+NOT-EXISTS oracle needs a code-point levenshtein to agree.
 """
 
 from __future__ import annotations

@@ -302,9 +302,17 @@ def top_event_paths(
     Ties break on the path string for determinism.
 
     Returns (path, n) — exactly ``top_k`` rows (fewer on tiny data).
+
+    NULL contract (r12 review): NULL-typed events are EXCLUDED up
+    front — ``concat_ws`` silently SKIPS nulls, so a NULL in any path
+    slot would conflate distinct windows ([A,B,NULL] and [A,NULL,B]
+    both rendering 'A>B') and a NULL in the oldest slot would be
+    indistinguishable from a too-short window; paths are therefore
+    defined over the user's non-null-typed event sequence.
     """
     if path_len < 2:
         raise ValueError(f"path_len must be >= 2, got {path_len}")
+    events = events.filter(F.col(type_col).isNotNull())
     u, t = F.col(user_col), F.col(ts_col)
     w = Window.partitionBy(u).orderBy(t.asc(), F.col(id_col).asc())
     steps = [F.lag(F.col(type_col), path_len - 1 - i).over(w) for i in range(path_len)]
@@ -450,23 +458,17 @@ def session_type_affinity(
     u, t = F.col(user_col), F.col(ts_col)
     w = Window.partitionBy(u).orderBy(t.asc(), F.col(id_col).asc())
     gap_us = int(gap_seconds) * 1_000_000
+    # session id = running count of gap-boundary flags (one window
+    # stage; the boundary flag itself is never needed downstream)
+    new_sess = F.when(
+        F.lag(t).over(w).isNull()
+        | ((F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))) > gap_us),
+        1,
+    ).otherwise(0)
     flagged = events.select(
         u.alias("__u"),
         F.col(type_col).alias("__ty"),
-        F.when(
-            F.lag(t).over(w).isNull()
-            | ((F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))) > gap_us),
-            1,
-        )
-        .otherwise(0)
-        .alias("__nf"),
-        F.sum(
-            F.when(
-                F.lag(t).over(w).isNull()
-                | ((F.unix_micros(t) - F.unix_micros(F.lag(t).over(w))) > gap_us),
-                1,
-            ).otherwise(0)
-        )
+        F.sum(new_sess)
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("__sess"),
     )
@@ -549,8 +551,15 @@ def eventually_follows(
     same microsecond) counts in NEITHER direction — deterministic on
     any engine, no tiebreak needed. Returns
     (t_from, t_to, n_baskets, n_from, ratio_nano).
+
+    NULL contract (r12 review): rows with a NULL basket key or NULL
+    type are EXCLUDED up front — a NULL-keyed basket would be counted
+    in ``n_from`` yet could never match the basket equi-join, silently
+    deflating every ratio its types touch.
     """
     b = [F.col(c) for c in basket_cols]
+    for cnd in (*b, F.col(type_col)):
+        events = events.filter(cnd.isNotNull())
     firsts = (
         events.groupBy(*b, F.col(type_col).alias("__t"))
         .agg(F.min(ts_col).alias("__mt"))
@@ -622,6 +631,13 @@ def km_survival(
 
     Returns one row per distinct duration with ≥1 event:
     (duration, n_risk, n_event, log_s_nano, survival).
+
+    Input contract (r12 review): durations are INTEGERIZED via
+    ``cast('long')`` — SQL cast semantics, truncation toward zero —
+    so callers must pass integer-valued durations (epoch seconds,
+    whole days); a fractional duration column would silently merge
+    distinct event times into one KM step. NULL durations are
+    excluded.
     """
     from transe_pyspark_spark.operators.relational import _frozen_range_partition
 

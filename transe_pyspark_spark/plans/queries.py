@@ -5163,6 +5163,7 @@ def q_daily_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                       lag(event_type, 1) OVER w AS l1,
                       event_type AS l0
                FROM events
+               WHERE event_type IS NOT NULL
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT concat_ws('>', l2, l1, l0) AS path, CAST(count(*) AS BIGINT) AS n
     FROM p WHERE l2 IS NOT NULL
@@ -7509,7 +7510,10 @@ def q_assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH f AS (SELECT user_id, date_trunc('day', ts) AS d, event_type AS t,
                       min(ts) AS mt
-               FROM events GROUP BY 1, 2, 3),
+               FROM events
+               WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                 AND event_type IS NOT NULL
+               GROUP BY 1, 2, 3),
     tot AS (SELECT t AS t_from, CAST(count(*) AS BIGINT) AS n_from FROM f GROUP BY 1),
     p AS (SELECT a.t AS t_from, b.t AS t_to, CAST(count(*) AS BIGINT) AS n_baskets
           FROM f a JOIN f b
