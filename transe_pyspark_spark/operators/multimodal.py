@@ -395,6 +395,18 @@ def extract_features_exact(
     ``log2(bins)`` bits, which only partitions the byte range evenly
     when bins divides 256 — a non-power-of-two bin count would leave
     the top bins silently empty, so it raises instead.
+
+    SHARED-LIBM ASSUMPTION (ADVICE r12, the Levenshtein-note idiom):
+    the hash contract needs Python ``math.log2`` and DuckDB ``log2``
+    to agree at the ``floor(t·1e9 + 0.5)`` rounding boundary for every
+    (c, n) term the fixture family produces — a cross-libm 1-ULP
+    difference at a boundary would flip a term by one nano-unit. The
+    risk is PINNED, not just assumed: ``tests/test_r13_ops.py::
+    test_entropy_nano_terms_cross_engine_exact`` enumerates every
+    distinct (c, n) term over the PPM generator's full 3,328-doc
+    period (lcm of the 16/13/256 payload cycles) and asserts the two
+    engines' quantized terms are integer-identical. Any future payload
+    family with new (c, n) ranges must extend that enumeration.
     """
     import math
 

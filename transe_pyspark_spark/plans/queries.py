@@ -7634,7 +7634,7 @@ def q_mann_kendall_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
                    CAST(sum(nr) AS BIGINT) AS r FROM r)
     SELECT a AS n_plus, b AS n_minus, r AS n_runs,
-           CASE WHEN a > 0 AND b > 0 THEN
+           CASE WHEN a > 0 AND b > 0 AND 2 * a * b > a + b THEN
              round((CAST(r AS DOUBLE) - (1.0 + 2.0 * a * b / (a + b)))
                    / sqrt((2.0 * a * b * (2.0 * a * b - a - b))
                           / ((a + b) * (a + b) * (a + b - 1.0))), 6)
