@@ -79,6 +79,11 @@ SF1_HEADLINE = [
     "bigram_familiarity_docs",
     "heavy_hitter_words",
     "approx_percentile_sketch",
+    # r13 NOTE: equi_depth_prices_approx became the exact-boundary
+    # ANCHOR face (VERDICT r12 ask #7) — this row now times sketch +
+    # exact percentile + the rank-count pass, so its r13 value steps
+    # up vs r12 by construction, not regression; the sketch-only cost
+    # is still isolated by approx_percentile_sketch above
     "equi_depth_prices_approx",
     # r06 second/third wave shuffle-heavy faces at 10×. NOT here:
     # containment_near_pairs — the sf1 fixture's replica construction
@@ -518,6 +523,29 @@ def main() -> None:
 
     calibration = _calibration(spark)
     print(f"# calibration: {calibration}", file=sys.stderr)
+
+    # Warmup-proof the headline section (VERDICT r12 ask #3): the
+    # committed r12 calm headline was hostage to JVM slow-start — the
+    # start bracket read jvm_codegen 0.223 vs 0.094 at run end (2.4×),
+    # and the headline section runs FIRST, so cross-round headline
+    # sums conflated warmup era with engine speed. Loop the codegen
+    # probe until consecutive samples agree within 1.25× (≤8 extra
+    # probes), then RE-TAKE the whole start calibration so the
+    # headline bracket and every normalized row divide by post-warmup
+    # denominators. Done-bar: a calm artifact's start/end calibration
+    # brackets agree within 1.5×.
+    warmup_trail = [calibration["jvm_codegen"]]
+    for _ in range(8):
+        p = _probe_codegen(spark)
+        prev = warmup_trail[-1]
+        warmup_trail.append(p)
+        if max(p, prev) <= 1.25 * min(p, prev):
+            break
+    calibration = _calibration(spark)
+    print(
+        f"# warmup trail: {warmup_trail} -> recalibrated: {calibration}",
+        file=sys.stderr,
+    )
     cpu_run_start = _cpu_times()
 
     times: dict[str, float] = {}
@@ -779,6 +807,7 @@ def main() -> None:
         "sf1": sf1,
         "calibration": calibration,
         "calibration_end": calibration_end,
+        "warmup_trail": warmup_trail,
         "runs": runs,
         "sf": sf,
     }

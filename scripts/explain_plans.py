@@ -250,9 +250,10 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
     ),
     "equi_depth_prices_approx": (
         ["approx_percentile", "BroadcastNestedLoopJoin"],
-        "bucket boundaries come from ONE bounded-state sketch aggregate "
-        "(k−1 doubles), broadcast back as a 1-row build side; assignment "
-        "is a narrow k-comparison projection — no global ntile window",
+        "sketch boundaries come from ONE bounded-state aggregate (k−1 "
+        "doubles), broadcast back as a 1-row build side; the r13 anchor's "
+        "rank counts are one more conditional-sum aggregate over the same "
+        "broadcast — kilobytes moved, no global ntile window",
     ),
     "token_budget_mix": (
         ["__pid", "BroadcastHashJoin"],
@@ -988,8 +989,10 @@ MAX_EXCHANGES = {
     "dup_ngram_docs": 3,
     # one bounded-state sketch aggregate
     "approx_percentile_sketch": 1,
-    # boundary sketch agg + ≤k-group rollup
-    "equi_depth_prices_approx": 2,
+    # boundary sketch+exact+count agg + the anchor's rank-count agg +
+    # final single-row exchange (r13: the face became the exact-
+    # boundary ANCHOR, VERDICT r12 ask #7 — one more aggregate pass)
+    "equi_depth_prices_approx": 3,
     # first-event agg + activity join + distinct-user cell rollup +
     # cohort-size agg (the ratio join side broadcasts)
     "cohort_retention_weekly": 5,
@@ -1822,6 +1825,68 @@ def main() -> int:
         print(f"{status:40s} {name} @ sf1")
         lines += [f"- `{name}` @ sf1: {status}; {n_ex} Exchange node(s)"]
     lines += [""]
+
+    # PassJoin hot-piece skew evidence @ sf1 (r13, VERDICT r12 ask #6):
+    # the module names piece selectivity as the honest dial — this row
+    # MEASURES it on the edit3 face's own sf1 input, in both regimes.
+    # The r13 name-space restructure exists because the row-space
+    # numbers were found degenerate on the duplicate-heavy sf1 fixture
+    # (10 copies of every name): posting lists scale with rows and
+    # candidates with rows², so the gates pin (a) the collapse is real
+    # (name-space candidate volume ≤ 1/10 of row-space) and (b) no
+    # single piece dominates the name-space join (hot-key share < 50%
+    # — ordinary AQE-splittable skew, not a one-key join).
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from transe_pyspark_spark.operators.linkage import passjoin_posting_stats
+    from transe_pyspark_spark.sources.readers import load_table
+
+    part_sf1 = load_table(spark, sf1_dir, "part").select(
+        "p_partkey",
+        F.concat_ws(
+            "", F.col("p_name"), F.lit(" "), F.col("p_brand"),
+            F.lit("-"), F.col("p_size").cast("string"),
+        ).alias("nm"),
+    )
+    skew_name = passjoin_posting_stats(
+        part_sf1, "p_partkey", "nm", 3, count_pairs=False
+    ).collect()[0].asDict()
+    skew_row = passjoin_posting_stats(
+        part_sf1, "p_partkey", "nm", 3, distinct_names=False, count_pairs=False
+    ).collect()[0].asDict()
+    collapse_ok = (
+        skew_name["candidates_pre_dedup"] * 10 <= skew_row["candidates_pre_dedup"]
+    )
+    hot_ok = skew_name["hot_key_share_nano"] < 500_000_000
+    skew_ok = collapse_ok and hot_ok
+    if not skew_ok:
+        failures += 1
+    status = "OK" if skew_ok else (
+        f"FAIL ({'collapse not >=10x ' if not collapse_ok else ''}"
+        f"{'hot key >=50% ' if not hot_ok else ''})"
+    )
+    print(f"{status:40s} passjoin hot-piece skew @ sf1")
+    lines += [
+        "## passjoin hot-piece skew @ sf1 (measured, VERDICT r12 ask #6)", "",
+        "**Requirement:** PassJoin candidate volume must scale with DISTINCT",
+        "strings, not rows (the r13 name-space core), and the hottest",
+        "(seg_no, part_len, piece) key must stay ordinary-skew-sized (<50%",
+        "of candidate volume — AQE skew-split / salting territory, not a",
+        "one-key join).",
+        f"**Status:** {status}", "",
+        f"- sf1 input: {part_sf1.count():,} rows, "
+        f"{part_sf1.select('nm').distinct().count():,} distinct names",
+        f"- row-space (pre-r13 regime): max seg/sub posting "
+        f"{skew_row['max_seg_posting']:,}/{skew_row['max_sub_posting']:,}, "
+        f"candidates pre-dedup {skew_row['candidates_pre_dedup']:,}, "
+        f"hot-key share {skew_row['hot_key_share_nano']/1e7:.1f}%",
+        f"- name-space (what `passjoin_pairs` joins since r13): max seg/sub "
+        f"posting {skew_name['max_seg_posting']:,}/{skew_name['max_sub_posting']:,}, "
+        f"candidates pre-dedup {skew_name['candidates_pre_dedup']:,} "
+        f"({skew_row['candidates_pre_dedup'] / max(1, skew_name['candidates_pre_dedup']):.0f}× collapse), "
+        f"hot-key share {skew_name['hot_key_share_nano']/1e7:.1f}%",
+        "",
+    ]
 
     # relational-trainer beyond-broadcast gate (r07, VERDICT r06 ask #1):
     # at V=2,000,000, k=50 the entity table is ~800 MB — 6.25× the

@@ -14,6 +14,8 @@ import math
 import duckdb
 import pytest
 
+from test_r11_ops import _py_levenshtein as _levenshtein
+
 
 # --------------------------------------------- entropy_nano libm pinning
 
@@ -91,3 +93,139 @@ def test_runs_test_oracle_guard_matches_operator_on_degenerate_series(spark):
         """
     ).fetchone()[0]
     assert got is None
+
+
+# ------------------------------- transe_sgd_step face ↔ trainer parity
+
+
+def test_sgd_step_deterministic_matches_trainer_kernel(spark):
+    """The oracle face's step runs the SAME math as TransETrainer.fit:
+    with fit pinned to one epoch / one batch / one partition,
+    mean-merge, and the pluggable `deterministic_corrupt`, the face's
+    `sgd_step_deterministic` (fed fit's pre-renormed state,
+    TransE.py:97) reproduces fit's post-step matrices. Scatter-add
+    float accumulation order may differ (fit shuffles the trainset),
+    hence allclose, not bit-equality — the FACE's own hash-exactness
+    is integer-carried and checked by the oracle."""
+    import numpy as np
+
+    from transe_pyspark_spark.transe.model import TransEModel, l2_normalize_rows
+    from transe_pyspark_spark.transe.train import (
+        TransETrainer,
+        deterministic_corrupt,
+        sgd_step_deterministic,
+    )
+
+    V, Ln, k = 40, 5, 8
+    rng = np.random.default_rng(7)
+    E0 = rng.normal(size=(V, k))
+    L0 = rng.normal(size=(Ln, k))
+    triples = spark.createDataFrame(
+        [(int(i % V), int(i % Ln), int((3 * i + 1) % V)) for i in range(25)],
+        "h long, l long, t long",
+    )
+    trainer = TransETrainer(
+        k=k, n_epochs=1, n_batches=1, learning_rate=0.01, margin=1.0,
+        distance="L1", merge="mean", kernel="vectorized",
+        train_partitions=1, rejection="exact",
+        corruptor=deterministic_corrupt,
+    )
+    out = trainer.fit(
+        spark, triples, V, Ln, model=TransEModel(E0.copy(), L0.copy())
+    )
+    ent2, lab2, ent_ids, lab_ids = sgd_step_deterministic(
+        spark, triples, l2_normalize_rows(E0), L0,
+        lr=0.01, margin=1.0, distance="L1",
+    )
+    assert np.allclose(out.entity, ent2, rtol=1e-9, atol=1e-12)
+    assert np.allclose(out.label, lab2, rtol=1e-9, atol=1e-12)
+    assert len(ent_ids) > 0 and set(map(int, lab_ids)) == set(range(Ln))
+
+
+def test_deterministic_corrupt_rejects_trainset_members(spark):
+    """The three-probe cascade never returns a corrupted triple that
+    is in the trainset unless all three probes collide (then probe 2,
+    by contract): construct a trainset where probe 0 ALWAYS collides
+    and assert probe 1 is chosen."""
+    import numpy as np
+
+    from transe_pyspark_spark.transe.train import (
+        ExactRejection,
+        deterministic_corrupt,
+    )
+
+    V = 50
+    h = np.arange(10, dtype=np.int64)
+    l = np.zeros(10, dtype=np.int64)
+    t = (h + 1) % V
+    base = h * 37 + l * 11 + t * 17
+    c0 = base % V
+    chead = (h * 31 + l * 7 + t * 13) % 2 == 1
+    # trainset = the real triples PLUS every probe-0 corruption
+    extra_h = np.where(chead, c0, h)
+    extra_t = np.where(chead, t, c0)
+    reject = ExactRejection(
+        np.concatenate([h, extra_h]), np.concatenate([l, l]),
+        np.concatenate([t, extra_t]), V, 1,
+    )
+    ch, ct, got_chead = deterministic_corrupt(h, t, l, V, reject)
+    c1 = (base + 23) % V
+    expect_ch = np.where(chead, c1, h)
+    expect_ct = np.where(chead, t, c1)
+    # rows where probe 1 ALSO collides with the augmented trainset
+    # fall through to probe 2 — exclude them from the probe-1 claim
+    p1_clean = ~reject.contains(expect_ch, l, expect_ct)
+    assert (got_chead == chead).all()
+    assert (ch[p1_clean] == expect_ch[p1_clean]).all()
+    assert (ct[p1_clean] == expect_ct[p1_clean]).all()
+    assert p1_clean.any()
+
+
+# ------------------------- PassJoin name-space join (duplicate-heavy)
+
+
+def test_passjoin_name_space_handles_duplicate_names(spark):
+    """r13 restructure: candidates generate once per distinct NAME and
+    expand back to id pairs — duplicate groups must contribute their
+    internal distance-0 pairs AND multiply cross-name pairs correctly.
+    Brute-force parity on a corpus where every name has 3 copies."""
+    from transe_pyspark_spark.operators.linkage import passjoin_pairs
+
+    names = ["kettle", "kettles", "cat", "", "abc", "kettle braun-9"]
+    rows = [(100 * j + c, nm) for j, nm in enumerate(names) for c in range(3)]
+    df = spark.createDataFrame(rows, "id long, nm string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in passjoin_pairs(df, "id", "nm", max_distance=3).collect()
+    }
+    expect = set()
+    for i, (ia, na) in enumerate(rows):
+        for ib, nb in rows[i + 1:]:
+            dd = _levenshtein(na, nb)
+            if dd <= 3 and ia != ib:
+                expect.add((min(ia, ib), max(ia, ib), dd))
+    assert got == expect
+    # sanity: duplicate groups contribute distance-0 pairs
+    assert (0, 1, 0) in got and (100, 102, 0) in got
+
+
+def test_passjoin_posting_stats_distinct_collapses_duplicates(spark):
+    """The skew probe's distinct_names=True view (what the join now
+    consumes) must show posting lists and candidate volume invariant
+    to duplication, while the row-space view scales linearly /
+    quadratically."""
+    from transe_pyspark_spark.operators.linkage import passjoin_posting_stats
+
+    names = [f"partname {i} brand-{i % 7}" for i in range(40)]
+    one = spark.createDataFrame([(i, n) for i, n in enumerate(names)], "id long, nm string")
+    five = spark.createDataFrame(
+        [(100 * c + i, n) for i, n in enumerate(names) for c in range(5)],
+        "id long, nm string",
+    )
+    d1 = passjoin_posting_stats(one, "id", "nm", 3).collect()[0]
+    d5 = passjoin_posting_stats(five, "id", "nm", 3).collect()[0]
+    assert d5["max_sub_posting"] == d1["max_sub_posting"]
+    assert d5["candidates_pre_dedup"] == d1["candidates_pre_dedup"]
+    raw5 = passjoin_posting_stats(five, "id", "nm", 3, distinct_names=False).collect()[0]
+    assert raw5["max_sub_posting"] == 5 * d1["max_sub_posting"]
+    assert raw5["candidates_pre_dedup"] == 25 * d1["candidates_pre_dedup"]

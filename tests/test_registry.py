@@ -38,30 +38,10 @@ MUST_BE_IN_WINDOW = {
     "stream_quality_counts",
 }
 
-#: the nine r10-minted faces rotated into front slots in r11
-#: (VERDICT r10 ask #1) — ONCE-green (CORRECTNESS_r11); they hold
-#: front slots until twice-green
-NEW_IN_R11 = {
-    "connected_components_parts",
-    "bfs_hops_trading",
-    "pareto_frontier_parts",
-    "bm25_docs",
-    "sssp_copurchase_parts",
-    "assortativity_trading",
-    "source_divergence_docs",
-    "ks_value_drift_events",
-    "stream_value_drift",
-}
-
-#: the fifteen r11-minted faces rotated into front slots in r12
-#: (VERDICT r11 ask #1: drain the driver-check backlog with a widened
-#: wave) — mirror-green at both SFs + pytest-gated, never
-#: driver-checked; they hold front slots until driver-green. Fifteen
-#: twice-plus-green incumbents rotated to overflow (r09-era
-#: daily_corr/cusum/percent_rank/data_quality/rfm/table_diff/
-#: changeset/pyds_stream, r10-minted semantic_dedup/lpa/ivm_summary/
-#: interval_islands, veterans record_linkage/nearest_click/
-#: split_leakage), each family keeping >=1 in-window member.
+#: the sixteen faces rotated into front slots in r12 (VERDICT r11
+#: ask #1's widened wave + the one sanctioned r12 mint,
+#: edit3_near_names_parts) — ONCE-green (CORRECTNESS_r12); they hold
+#: front slots until twice-green per the window policy
 NEW_IN_R12 = {
     "ppr_copurchase_parts",
     "hits_copurchase_parts",
@@ -78,48 +58,63 @@ NEW_IN_R12 = {
     "stream_pit_enrich",
     "pareto_frontier_lineitem",
     "hybrid_rrf_docs",
-    # the one r12-minted face (ask #7: PassJoin closes the
-    # edit-distance family at d=3) — front slot from day one, so the
-    # queue stays under the ask's 26 bar
     "edit3_near_names_parts",
 }
 
-#: family representatives the r12 rotation deliberately keeps
-#: in-window so every operator family retains >=1 hard driver row
-#: (beyond the MUST set): ANN recall, sinks, Python Data Source,
-#: warehouse IVM, filters, dict-encode, joins, top-k windows, set
-#: ops, scalar fns, UDTF, sampling, exact percentiles, agg screens,
-#: time-series, as-of dedup.
-STAYING_R12 = {
+#: the sixteen faces rotated into front slots in r13 (VERDICT r12
+#: ask #1: the named fifteen never-driver-checked queue faces, plus
+#: the one sanctioned r13 mint — transe_sgd_step, the trainer's first
+#: oracle face, ask #4). Sixteen twice-plus-green incumbents rotated
+#: to overflow (the nine r11-wave faces, r11+r12 green, plus seven
+#: multi-green representatives whose families are carried by named
+#: in-window members — see _OVERFLOW_ORACLE's r13 block).
+NEW_IN_R13 = {
+    "multimodal_features",
+    "multimodal_frames",
+    "tfidf_top_terms_docs",
+    "collocations_docs",
+    "unigram_nll_docs",
+    "vocab_growth_sources",
+    "golden_record_docs",
+    "tf_cosine_docs",
+    "winnow_pairs_docs",
+    "weighted_jaccard_prefix_docs",
+    "bm25_topk_retrieval",
+    "eventually_follows_events",
+    "absent_followup_events",
+    "mutual_info_events",
+    "chi2_lang_source_docs",
+    "transe_sgd_step",
+}
+
+#: family representatives the r13 rotation keeps in-window so every
+#: family retains >=1 hard driver row (beyond the MUST set): ANN
+#: recall, sinks, Python Data Source, warehouse IVM, set ops, scalar
+#: fns, UDTF, sampling.
+STAYING_R13 = {
     "ann_recall_vs_exact",
     "tsv_sink_roundtrip",
     "pyds_triples_profile",
     "stream_ivm_summary_customers",
-    "filter_predicates",
-    "dict_encode_brands",
-    "semi_anti_join_customers",
-    "top3_orders_per_customer",
     "set_ops_nations",
     "json_extract_events",
     "udtf_word_positions",
     "sample_per_lang_docs",
-    "discrete_quantiles_orders",
-    "interpolate_hourly",
-    "dedup_bursts_events",
 }
 
 
-def test_r12_rotation_inside_window():
+def test_r13_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (NEW_IN_R11 | NEW_IN_R12 | STAYING_R12) - window
-    assert not missing, f"r12 must-check queries fell out of the driver window: {missing}"
+    missing = (NEW_IN_R12 | NEW_IN_R13 | STAYING_R13) - window
+    assert not missing, f"r13 must-check queries fell out of the driver window: {missing}"
 
 
-def test_r12_first_time_face_count():
-    """VERDICT r11 ask #1's 'done' bar: >=12 first-time faces in the
-    driver window this round."""
+def test_r13_first_time_face_count():
+    """VERDICT r12 ask #1's 'done' bar: the fifteen named queue faces
+    (plus the sanctioned transe_sgd_step mint) all hold driver-window
+    slots this round."""
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    assert len(NEW_IN_R12 & window) >= 12
+    assert len(NEW_IN_R13 & window) == 16
 
 
 def test_driver_window_is_all_oracle_backed():

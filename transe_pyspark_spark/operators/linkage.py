@@ -205,57 +205,12 @@ def symmetric_delete_pairs(
     )
 
 
-def passjoin_pairs(
-    df: DataFrame,
-    id_col: str,
-    name_col: str,
-    max_distance: int = 3,
-) -> DataFrame:
-    """EXHAUSTIVE edit-distance self-join for the RADIUS the deletion
-    neighborhood can't reach (``symmetric_delete_pairs`` caps at
-    d ≤ 2; this is the documented PassJoin trade it names): every id
-    pair (a < b) with ``levenshtein ≤ max_distance``, via
-    segment-signature candidates (Li/Deng/Feng, PassJoin, 2011).
-
-    Pigeonhole completeness: partition the SHORTER string of a true
-    pair into d+1 contiguous segments (the even partition — first
-    segments ⌊l/(d+1)⌋ chars, the last ``l mod (d+1)`` segments one
-    longer). An optimal alignment applies ≤ d edits, so at least one
-    segment is untouched and appears VERBATIM in the longer string,
-    shifted by at most the net indels before it — ≤ d positions. So:
-    the seg side emits each string's d+1 (seg_no, own_len, piece)
-    rows; the sub side emits, for every candidate partner length
-    l2 ∈ [max(d+1, m−d), m] and every segment slot, the substrings of
-    itself within ±d of that slot's position — and the hash equi-join
-    on (seg_no, part_len, piece) finds every true pair. Candidates
-    are exact-verified with the DP kernel, so the result is exact.
-
-    Scale posture: both emissions are codegen'd array transforms
-    (O(d) segments, O(d²·window) substrings per row — constants in
-    d, never in |corpus|), and the join is posting-list-shaped on the
-    piece string: the inverted-index discipline of the dedup family,
-    never an all-pairs product. Piece selectivity is the honest dial:
-    pieces are ~l/(d+1) chars, so strings barely longer than d give
-    1-2 char pieces with fat posting lists — PassJoin wants
-    l ≫ d (name data qualifies); a pathological hot piece is ordinary
-    join skew (AQE split / ``salted_join``). Strings SHORTER than d+1
-    chars have empty segments and route through a separate
-    length-KEYED equi-join (each ≤d-char string explodes its ≤2d
-    admissible partner lengths against the ≤2d-char slice — the only
-    pairs a ≤d-char string can form; never a cross join, bounded by
-    contract for name data). The candidate set is deduplicated BEFORE
-    the O(len²)
-    verify, and the ids-only discipline of ``symmetric_delete_pairs``
-    applies: only (ids, piece) move through the candidate shuffle,
-    names re-attach onto the deduplicated pair set.
-
-    Returns (id_a, id_b, distance), distance ≤ ``max_distance``,
-    BIGINT distance — hash-checks exactly against the quadratic
-    NOT-EXISTS oracle.
-    """
-    d = int(max_distance)
-    if d < 1:
-        raise ValueError(f"passjoin_pairs wants max_distance >= 1, got {d}")
+def _passjoin_postings(df, id_col: str, name_col: str, d: int):
+    """The PassJoin posting frames, factored out so the skew probe
+    (`passjoin_posting_stats`, PLANS.md evidence) measures EXACTLY the
+    frames `passjoin_pairs` joins: returns (base_rows, segs, subs) —
+    segs keyed (id_a, seg_no, part_len, piece), subs keyed
+    (id_b, seg_no, part_len, piece)."""
     n = d + 1
 
     def seg_len(i, L):
@@ -331,12 +286,123 @@ def passjoin_pairs(
         F.col("__s.piece").alias("piece"),
     )
 
+    return base_rows, segs, subs
+
+
+def passjoin_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 3,
+) -> DataFrame:
+    """EXHAUSTIVE edit-distance self-join for the RADIUS the deletion
+    neighborhood can't reach (``symmetric_delete_pairs`` caps at
+    d ≤ 2; this is the documented PassJoin trade it names): every id
+    pair (a < b) with ``levenshtein ≤ max_distance``, via
+    segment-signature candidates (Li/Deng/Feng, PassJoin, 2011).
+
+    Pigeonhole completeness: partition the SHORTER string of a true
+    pair into d+1 contiguous segments (the even partition — first
+    segments ⌊l/(d+1)⌋ chars, the last ``l mod (d+1)`` segments one
+    longer). An optimal alignment applies ≤ d edits, so at least one
+    segment is untouched and appears VERBATIM in the longer string,
+    shifted by at most the net indels before it — ≤ d positions. So:
+    the seg side emits each string's d+1 (seg_no, own_len, piece)
+    rows; the sub side emits, for every candidate partner length
+    l2 ∈ [max(d+1, m−d), m] and every segment slot, the substrings of
+    itself within ±d of that slot's position — and the hash equi-join
+    on (seg_no, part_len, piece) finds every true pair. Candidates
+    are exact-verified with the DP kernel, so the result is exact.
+
+    Scale posture: both emissions are codegen'd array transforms
+    (O(d) segments, O(d²·window) substrings per row — constants in
+    d, never in |corpus|), and the join is posting-list-shaped on the
+    piece string: the inverted-index discipline of the dedup family,
+    never an all-pairs product. Piece selectivity is the honest dial:
+    pieces are ~l/(d+1) chars, so strings barely longer than d give
+    1-2 char pieces with fat posting lists — PassJoin wants
+    l ≫ d (name data qualifies); a pathological hot piece is ordinary
+    join skew (AQE split / ``salted_join``). r13 measured that dial at
+    sf1 (``passjoin_posting_stats``, PLANS.md skew row) and found the
+    duplicate-heavy regime degenerate — 10 copies of every name made
+    candidates 28.0B — hence the NAME-SPACE core: candidates generate
+    and verify once per distinct string pair (127× collapse measured:
+    219.6M) and expand back to id pairs, which are output-sized by
+    definition. Strings SHORTER than d+1
+    chars have empty segments and route through a separate
+    length-KEYED equi-join (each ≤d-char string explodes its ≤2d
+    admissible partner lengths against the ≤2d-char slice — the only
+    pairs a ≤d-char string can form; never a cross join, bounded by
+    contract for name data). The candidate set is deduplicated BEFORE
+    the O(len²)
+    verify, and the ids-only discipline of ``symmetric_delete_pairs``
+    applies: only (ids, piece) move through the candidate shuffle,
+    names re-attach onto the deduplicated pair set.
+
+    Returns (id_a, id_b, distance), distance ≤ ``max_distance``,
+    BIGINT distance — hash-checks exactly against the quadratic
+    NOT-EXISTS oracle.
+    """
+    d = int(max_distance)
+    if d < 1:
+        raise ValueError(f"passjoin_pairs wants max_distance >= 1, got {d}")
+    # NAME-SPACE join (r13, VERDICT r12 ask #6): posting lists and
+    # candidate volume must scale with DISTINCT strings, not rows. On
+    # the duplicate-heavy sf1 fixture (10 physical copies of every
+    # name) the row-space join's measured candidate volume was
+    # 28.0 BILLION pre-dedup (hot key 4.15B, max sub-posting 172,890 —
+    # `passjoin_posting_stats`); every duplicate multiplies posting
+    # lists linearly and candidates QUADRATICALLY. So: candidates are
+    # generated and verified once per distinct NAME pair (the name is
+    # its own join id — no re-attach join needed for the verify), then
+    # verified name pairs expand back to id pairs (output-sized by
+    # definition), and duplicate groups emit their internal
+    # distance-0 pairs directly (also output-sized — those pairs are
+    # owed to the caller regardless).
+    name_pairs = _passjoin_name_pairs(
+        df.select(F.col(name_col).alias("__dn")).distinct(), d
+    )
+    ids = df.select(F.col(id_col).alias("__i"), F.col(name_col).alias("__m"))
+    cross = (
+        name_pairs.join(
+            ids.select(F.col("__i").alias("__ia"), F.col("__m").alias("__na")), "__na"
+        )
+        .join(
+            ids.select(F.col("__i").alias("__ib"), F.col("__m").alias("__nb")), "__nb"
+        )
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "distance",
+        )
+    )
+    same = (
+        ids.select(F.col("__i").alias("__ia"), "__m")
+        .join(ids.select(F.col("__i").alias("__ib"), "__m"), "__m")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(
+            F.col("__ia").alias("id_a"),
+            F.col("__ib").alias("id_b"),
+            F.lit(0).cast("long").alias("distance"),
+        )
+    )
+    return cross.unionByName(same)
+
+
+def _passjoin_name_pairs(dnames: DataFrame, d: int) -> DataFrame:
+    """PassJoin candidate generation + exact verify over DISTINCT
+    names (column ``__dn``): returns (__na, __nb, distance) with
+    ``__na < __nb`` (string order) and ``distance <= d`` — the
+    name-space core ``passjoin_pairs`` expands back to id pairs. The
+    name doubles as the id through the posting join, so the verify
+    needs no name re-attach joins."""
+    base_rows, segs, subs = _passjoin_postings(dnames, "__dn", "__dn", d)
     cand_main = (
         segs.join(subs, ["seg_no", "part_len", "piece"])
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+            F.least("id_a", "id_b").alias("__na"),
+            F.greatest("id_a", "id_b").alias("__nb"),
         )
     )
     # strings shorter than d+1 chars have empty segments, so they
@@ -364,22 +430,80 @@ def passjoin_pairs(
         shorts.join(near, "__lb")
         .filter(F.col("__ida") != F.col("__idb"))
         .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
+            F.least("__ida", "__idb").alias("__na"),
+            F.greatest("__ida", "__idb").alias("__nb"),
         )
     )
-    cand = cand_main.unionByName(cand_short).distinct()
-    names = df.select(F.col(id_col).alias("__nid"), F.col(name_col).alias("__n"))
     return (
-        cand.join(
-            names.select(F.col("__nid").alias("id_a"), F.col("__n").alias("name_a")),
-            "id_a",
-        )
-        .join(
-            names.select(F.col("__nid").alias("id_b"), F.col("__n").alias("name_b")),
-            "id_b",
-        )
-        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        cand_main.unionByName(cand_short)
+        .distinct()
+        .withColumn("distance", F.levenshtein("__na", "__nb").cast("long"))
         .filter(F.col("distance") <= d)
-        .select("id_a", "id_b", "distance")
     )
+
+
+def passjoin_posting_stats(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_distance: int = 3,
+    distinct_names: bool = True,
+    count_pairs: bool = True,
+) -> DataFrame:
+    """Hot-piece SKEW probe for ``passjoin_pairs`` (VERDICT r12 ask
+    #6): the module names piece selectivity as the honest dial — this
+    measures it on the EXACT posting frames the join consumes
+    (``_passjoin_postings``), so PLANS.md carries numbers, not prose.
+
+    One row: per-(seg_no, part_len, piece) posting-list maxima on both
+    sides, the candidate volume the equi-join emits BEFORE pair dedup
+    (Σ over keys of seg_cnt·sub_cnt — the quantity a hot piece
+    inflates and AQE's skew-join split would re-balance), the distinct
+    candidate-pair count after dedup, and the hottest key's share of
+    the pre-dedup volume in nano-units (the skew dial: a share near
+    1e9 means one piece IS the join).
+
+    Aggregation shape is itself scale-safe: two hash aggregates on the
+    join key + one 1-row rollup — never materializes the candidate
+    pairs."""
+    d = int(max_distance)
+    if distinct_names:
+        # measure the frames the join ACTUALLY consumes (the r13
+        # name-space core); distinct_names=False measures the raw
+        # row-space regime for the before/after evidence row
+        df = df.select(F.col(name_col).alias("__dn")).distinct()
+        id_col = name_col = "__dn"
+    _, segs, subs = _passjoin_postings(df, id_col, name_col, d)
+    key = ["seg_no", "part_len", "piece"]
+    seg_counts = segs.groupBy(*key).agg(F.count(F.lit(1)).cast("long").alias("__sc"))
+    sub_counts = subs.groupBy(*key).agg(F.count(F.lit(1)).cast("long").alias("__bc"))
+    per_key = seg_counts.join(sub_counts, key).select(
+        "__sc", "__bc", (F.col("__sc") * F.col("__bc")).alias("__cand")
+    )
+    totals = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_join_keys"),
+        F.max("__sc").cast("long").alias("max_seg_posting"),
+        F.max("__bc").cast("long").alias("max_sub_posting"),
+        F.sum("__cand").cast("long").alias("candidates_pre_dedup"),
+        F.max("__cand").cast("long").alias("hottest_key_candidates"),
+    ).withColumn(
+        "hot_key_share_nano",
+        (F.col("hottest_key_candidates") * F.lit(1_000_000_000) / F.col("candidates_pre_dedup"))
+        .cast("long"),
+    )
+    if not count_pairs:
+        # the pair census EXECUTES the candidate join — at probe-only
+        # scales (the sf1 evidence row) the cheap aggregates above are
+        # the point and the census is skipped
+        return totals
+    n_pairs = (
+        segs.join(subs, key)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("candidates_distinct_pairs"))
+    )
+    return totals.crossJoin(F.broadcast(n_pairs))

@@ -213,6 +213,159 @@ def _grad(delta_neg: np.ndarray, distance: str) -> np.ndarray:
     return g
 
 
+def _vectorized_step(E, L, acc, h, l, t, ch, ct, lr, margin, distance):
+    """One whole-batch SGD update against the snapshot ``(E, L)``,
+    applied into the evolving accumulator ``acc`` — THE step semantics
+    of the reference (``TransEmodule/TransE.py:313-369``: hinge mask,
+    L1-sign / L2 2δ gradients, the six ±lr stores;
+    ``TransE.py:214-217`` renorm schedule, generalized from the row's
+    (head, tail, corrupted) to the batch's touched set). Shared
+    VERBATIM by the training kernel and the oracle-checked single-step
+    face (``sgd_step_deterministic``), so the driver-checked face
+    certifies the same code the trainer runs.
+
+    ``acc`` is ``None`` (lazy first-batch init) or the tuple
+    ``(E_acc, L_acc, ent_touched, lab_touched)``; returns
+    ``(acc, loss_increment)``. Exactness note: with integer-valued
+    state and integer ``lr``/``margin`` under L1, everything before
+    the renorm divide stays an exact int64-in-float64 — the property
+    the SQL oracle of ``transe_sgd_step`` replays in BIGINT."""
+    Hv, Lv, Tv = E[h], L[l], E[t]
+    CHv, CTv = E[ch], E[ct]
+    d_pos = _distances(Hv + Lv - Tv, distance)
+    d_neg = _distances(CHv + Lv - CTv, distance)
+    viol = margin + d_pos - d_neg > 0
+    loss = float((margin + d_pos - d_neg)[viol].sum())
+    g = _grad(Tv - Hv - Lv, distance) * viol[:, None]
+    gc = -_grad(CTv - CHv - Lv, distance) * viol[:, None]
+    if acc is None:
+        acc = (
+            E.astype(np.float64, copy=True),
+            L.astype(np.float64, copy=True),
+            np.zeros(E.shape[0], dtype=bool),
+            np.zeros(L.shape[0], dtype=bool),
+        )
+    E_acc, L_acc, ent_touched, lab_touched = acc
+    # one fused scatter-add per store (np.add.at handles duplicate
+    # ids) — replaces the per-row Python dict loop that dominated
+    # kernel time
+    ids4 = np.concatenate([h, t, ch, ct])
+    deltas4 = np.concatenate([lr * g, -lr * g, lr * gc, -lr * gc])
+    np.add.at(E_acc, ids4, deltas4)
+    np.add.at(L_acc, l, lr * (g + gc))
+    ent_touched[ids4] = True
+    lab_touched[l] = True
+    # renorm exactly the entities touched this batch (matches the
+    # dict kernel's touched set)
+    tu = np.unique(ids4)
+    norms = np.linalg.norm(E_acc[tu], axis=1)
+    nz = norms > 0
+    E_acc[tu[nz]] /= norms[nz][:, None]
+    return acc, loss
+
+
+def _pack_dense(acc_mat, touched, kind: str):
+    """Pack one kind's touched vectors into the ``_UPDATE_SCHEMA`` row
+    shape: ONE row per kind per partition — ids as array<long>, vectors
+    as a contiguous float64 blob — vs ~|touched| rows of list cells
+    (both Arrow-ification here and per-cell unpacking on the driver
+    were the dominant per-batch cost)."""
+    if acc_mat is None or not touched.any():
+        return (kind, [], b"")
+    ids = np.nonzero(touched)[0]
+    return (kind, ids.tolist(), np.ascontiguousarray(acc_mat[ids]).tobytes())
+
+
+def _merge_updates(updates: pd.DataFrame, entity: np.ndarray, label: np.ndarray,
+                   merge: str) -> float:
+    """Apply one collected updates frame into the model matrices
+    in place and return the batch loss (the reference's driver merge,
+    ``TransEmodule/TransE.py:159-170``, plus the order-free ``mean``
+    alternative). Module-level so the oracle-checked single-step face
+    merges through the same code as ``TransETrainer.fit``."""
+    loss = 0.0
+    for blob in updates.loc[updates["kind"] == "__loss__", "data"]:
+        loss += float(np.frombuffer(blob, dtype=np.float64)[0])
+    for kind, store in (("entity", entity), ("label", label)):
+        sub = updates[updates["kind"] == kind]
+        if len(sub) == 0:
+            continue
+        dim = store.shape[1]
+        parts = [
+            (np.asarray(row_ids, dtype=np.int64),
+             np.frombuffer(blob, dtype=np.float64).reshape(-1, dim))
+            for row_ids, blob in zip(sub["ids"], sub["data"])
+            if len(row_ids)
+        ]
+        if not parts:
+            continue
+        ids = np.concatenate([p[0] for p in parts])
+        mat = np.concatenate([p[1] for p in parts])
+        if merge == "last":
+            # row order == partition collect order: in-order
+            # assignment IS last-writer-wins (TransE.py:159-170)
+            store[ids] = mat
+        else:
+            # mean over the vectors shipped per touched id.
+            # Two scatter shapes: when the batch touches most
+            # of V (small-vocab trainings like the bench
+            # shape), a dense V×k accumulator + bincount is
+            # cheapest — no sort. When touched ≪ V (the large-
+            # vocab regime), sorting the touched ids into a
+            # compact buffer keeps merge cost scaled by the
+            # BATCH, not the vocabulary (a V×k zeros alloc per
+            # batch at V=10⁸ would dominate the merge).
+            if len(ids) * 4 >= store.shape[0]:
+                acc = np.zeros_like(store)
+                np.add.at(acc, ids, mat)
+                counts = np.bincount(ids, minlength=store.shape[0])
+                touched = counts > 0
+                store[touched] = acc[touched] / counts[touched, None]
+            else:
+                uniq, inv = np.unique(ids, return_inverse=True)
+                acc = np.zeros((uniq.size, dim), dtype=store.dtype)
+                np.add.at(acc, inv, mat)
+                counts = np.bincount(inv, minlength=uniq.size)
+                store[uniq] = acc / counts[:, None]
+    return loss
+
+
+def deterministic_corrupt(
+    h: np.ndarray,
+    t: np.ndarray,
+    l: np.ndarray,
+    n_entities: int,
+    reject,
+    rng=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Closed-form corruption for the oracle-checked single-step face
+    (VERDICT r12 ask #4): the corrupted SIDE and the candidate entities
+    are pure integer functions of the triple — a SQL oracle replays
+    them term-for-term — while rejection against the trainset keeps
+    the reference's resample-while-seen contract
+    (``TransEmodule/TransE.py:221-246``) as a bounded three-probe
+    cascade (probe 2 is accepted unconditionally; with probes spaced
+    +23 mod V over a sparse trainset a triple-collision of all three
+    is fixture-impossible, and the SQL CASE mirrors the fallback
+    exactly either way). ``rng`` is accepted and ignored so the
+    trainer kernel can call any corruptor uniformly."""
+    chead = (h * 31 + l * 7 + t * 13) % 2 == 1
+    base = h * 37 + l * 11 + t * 17
+
+    def seen(cand: np.ndarray) -> np.ndarray:
+        return reject.contains(
+            np.where(chead, cand, h), l, np.where(chead, t, cand)
+        )
+
+    c0 = base % n_entities
+    c1 = (base + 23) % n_entities
+    c2 = (base + 46) % n_entities
+    chosen = np.where(~seen(c0), c0, np.where(~seen(c1), c1, c2))
+    ch = np.where(chead, chosen, h)
+    ct = np.where(chead, t, chosen)
+    return ch.astype(np.int64), ct.astype(np.int64), chead
+
+
 class TransETrainer:
     def __init__(
         self,
@@ -231,6 +384,7 @@ class TransETrainer:
         rejection: str = "auto",
         exact_rejection_limit: int = 2_000_000,
         overlap: bool = False,
+        corruptor=None,
     ):
         assert distance in ("L1", "L2")
         assert merge in ("mean", "last")
@@ -268,6 +422,12 @@ class TransETrainer:
         #: kernel job dominates; default OFF for strict reference-order
         #: semantics.
         self.overlap = overlap
+        #: negative-sampling corruptor with the `_corrupt_batch`
+        #: signature; None → the reference's seeded-RNG corruption.
+        #: `deterministic_corrupt` plugs in here for the parity test
+        #: that pins the oracle-checked single-step face to this
+        #: trainer's kernel.
+        self.corruptor = corruptor
         self.loss_history: list[float] = []
         self.epoch_times: list[float] = []
         #: cumulative driver-side wall per phase (profiling aid)
@@ -329,6 +489,7 @@ class TransETrainer:
 
         fraction = 1.0 / self.n_batches
         lr, margin, distance, kern = self.learning_rate, self.margin, self.distance, self.kernel
+        corrupt_fn = self.corruptor or _corrupt_batch
         n_ent = n_entities
 
         import time as _time
@@ -346,9 +507,9 @@ class TransETrainer:
                     # vectorized kernel: evolving state as dense copy-on-
                     # write arrays + touched masks instead of per-id dicts
                     # (model-sized copy per task, same contract as the
-                    # broadcast itself; scatter becomes one np.add.at)
-                    E_acc = L_acc = None
-                    ent_touched = lab_touched = None
+                    # broadcast itself; scatter becomes one np.add.at) —
+                    # held as the `_vectorized_step` accumulator tuple
+                    acc = None
                     loss = 0.0
 
                     def ev(i: int) -> np.ndarray:
@@ -365,40 +526,15 @@ class TransETrainer:
                         h = pdf["h"].to_numpy(np.int64)
                         l = pdf["l"].to_numpy(np.int64)
                         t = pdf["t"].to_numpy(np.int64)
-                        ch, ct, chead = _corrupt_batch(h, t, l, n_ent, b_keys.value, rng)
+                        ch, ct, chead = corrupt_fn(h, t, l, n_ent, b_keys.value, rng)
                         if kern == "vectorized":
-                            # Whole-batch step against the snapshot.
-                            Hv, Lv, Tv = E[h], L[l], E[t]
-                            CHv, CTv = E[ch], E[ct]
-                            d_pos = _distances(Hv + Lv - Tv, distance)
-                            d_neg = _distances(CHv + Lv - CTv, distance)
-                            viol = margin + d_pos - d_neg > 0
-                            loss += float((margin + d_pos - d_neg)[viol].sum())
-                            g = _grad(Tv - Hv - Lv, distance) * viol[:, None]
-                            gc = -_grad(CTv - CHv - Lv, distance) * viol[:, None]
-                            if E_acc is None:
-                                E_acc = E.astype(np.float64, copy=True)
-                                L_acc = L.astype(np.float64, copy=True)
-                                ent_touched = np.zeros(E.shape[0], dtype=bool)
-                                lab_touched = np.zeros(L.shape[0], dtype=bool)
-                            # one fused scatter-add per store (np.add.at
-                            # handles duplicate ids) — replaces the
-                            # per-row Python dict loop that dominated
-                            # kernel time
-                            ids4 = np.concatenate([h, t, ch, ct])
-                            deltas4 = np.concatenate(
-                                [lr * g, -lr * g, lr * gc, -lr * gc]
+                            # Whole-batch step against the snapshot —
+                            # the module-level `_vectorized_step`, shared
+                            # with the oracle-checked single-step face.
+                            acc, li = _vectorized_step(
+                                E, L, acc, h, l, t, ch, ct, lr, margin, distance
                             )
-                            np.add.at(E_acc, ids4, deltas4)
-                            np.add.at(L_acc, l, lr * (g + gc))
-                            ent_touched[ids4] = True
-                            lab_touched[l] = True
-                            # renorm exactly the entities touched this
-                            # batch (matches the dict kernel's touched set)
-                            tu = np.unique(ids4)
-                            norms = np.linalg.norm(E_acc[tu], axis=1)
-                            nz = norms > 0
-                            E_acc[tu[nz]] /= norms[nz][:, None]
+                            loss += li
                         else:
                             # Faithful: sequential per-row with evolving
                             # local cache (TransE.py:172-218).
@@ -428,11 +564,8 @@ class TransETrainer:
                                     if i in ent_cache and n > 0:
                                         ent_cache[i] = ent_cache[i] / n
 
-                    # packed transport: ONE row per kind per partition —
-                    # ids as array<long>, vectors as a contiguous
-                    # float64 blob — vs ~|touched| rows of list cells
-                    # (both Arrow-ification here and per-cell unpacking
-                    # on the driver were the dominant per-batch cost)
+                    # packed transport: see `_pack_dense` — ONE row per
+                    # kind per partition
                     def pack(cache: dict[int, np.ndarray], kind: str):
                         if not cache:
                             return (kind, [], b"")
@@ -440,16 +573,13 @@ class TransETrainer:
                         mat = np.stack([cache[i] for i in cache]).astype(np.float64)
                         return (kind, ids, mat.tobytes())
 
-                    def pack_dense(acc, touched, kind: str):
-                        if acc is None or not touched.any():
-                            return (kind, [], b"")
-                        ids = np.nonzero(touched)[0]
-                        return (kind, ids.tolist(), np.ascontiguousarray(acc[ids]).tobytes())
-
                     if kern == "vectorized":
+                        E_acc, L_acc, ent_touched, lab_touched = (
+                            acc if acc is not None else (None, None, None, None)
+                        )
                         rows = [
-                            pack_dense(E_acc, ent_touched, "entity"),
-                            pack_dense(L_acc, lab_touched, "label"),
+                            _pack_dense(E_acc, ent_touched, "entity"),
+                            _pack_dense(L_acc, lab_touched, "label"),
                             ("__loss__", [], np.float64(loss).tobytes()),
                         ]
                     else:
@@ -474,51 +604,9 @@ class TransETrainer:
             ).toPandas()
 
         def merge_updates(updates: pd.DataFrame) -> float:
-            loss = 0.0
-            for blob in updates.loc[updates["kind"] == "__loss__", "data"]:
-                loss += float(np.frombuffer(blob, dtype=np.float64)[0])
-            for kind, store in (("entity", model.entity), ("label", model.label)):
-                sub = updates[updates["kind"] == kind]
-                if len(sub) == 0:
-                    continue
-                dim = store.shape[1]
-                parts = [
-                    (np.asarray(row_ids, dtype=np.int64),
-                     np.frombuffer(blob, dtype=np.float64).reshape(-1, dim))
-                    for row_ids, blob in zip(sub["ids"], sub["data"])
-                    if len(row_ids)
-                ]
-                if not parts:
-                    continue
-                ids = np.concatenate([p[0] for p in parts])
-                mat = np.concatenate([p[1] for p in parts])
-                if self.merge == "last":
-                    # row order == partition collect order: in-order
-                    # assignment IS last-writer-wins (TransE.py:159-170)
-                    store[ids] = mat
-                else:
-                    # mean over the vectors shipped per touched id.
-                    # Two scatter shapes: when the batch touches most
-                    # of V (small-vocab trainings like the bench
-                    # shape), a dense V×k accumulator + bincount is
-                    # cheapest — no sort. When touched ≪ V (the large-
-                    # vocab regime), sorting the touched ids into a
-                    # compact buffer keeps merge cost scaled by the
-                    # BATCH, not the vocabulary (a V×k zeros alloc per
-                    # batch at V=10⁸ would dominate the merge).
-                    if len(ids) * 4 >= store.shape[0]:
-                        acc = np.zeros_like(store)
-                        np.add.at(acc, ids, mat)
-                        counts = np.bincount(ids, minlength=store.shape[0])
-                        touched = counts > 0
-                        store[touched] = acc[touched] / counts[touched, None]
-                    else:
-                        uniq, inv = np.unique(ids, return_inverse=True)
-                        acc = np.zeros((uniq.size, dim), dtype=store.dtype)
-                        np.add.at(acc, inv, mat)
-                        counts = np.bincount(inv, minlength=uniq.size)
-                        store[uniq] = acc / counts[:, None]
-            return loss
+            # module-level `_merge_updates` (shared with the oracle-
+            # checked single-step face) applied to this model in place
+            return _merge_updates(updates, model.entity, model.label, self.merge)
 
         for epoch in range(self.n_epochs):
             _t0 = _time.time()
@@ -581,3 +669,97 @@ class TransETrainer:
         train.unpersist()
         b_keys.unpersist()
         return model
+
+
+def sgd_step_deterministic(
+    spark: SparkSession,
+    triples: DataFrame,
+    entity: np.ndarray,
+    label: np.ndarray,
+    lr: float,
+    margin: float,
+    distance: str = "L1",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """ONE deterministic, oracle-checkable mini-batch SGD step
+    (VERDICT r12 ask #4) — the trainer's first hard correctness face.
+
+    Runs the SAME code `TransETrainer.fit` runs — `_vectorized_step`
+    for the hinge/gradient/scatter/renorm math, `_UPDATE_SCHEMA` Arrow
+    packing via `_pack_dense`, `_merge_updates` mean-merge — through
+    the same transport shape (broadcast snapshot → one `mapInPandas`
+    kernel job → driver merge), with two pins that make the result a
+    pure function of the inputs:
+
+    * corruption is `deterministic_corrupt` (closed-form side +
+      three-probe candidates with trainset rejection), not RNG;
+    * the batch is the WHOLE triples frame in ONE partition, so
+      mean-merge sees each touched id exactly once.
+
+    Exactness contract (what lets a DuckDB oracle replay it): when
+    `entity`/`label` hold integer values (micro-units) and
+    `lr`/`margin` are integers in the same units under L1, every
+    pre-renorm quantity is an exact int64-in-float64 — distances,
+    hinge mask, ±lr stores and their duplicate-id accumulation are
+    order-independent BIGINT arithmetic. The only floats are the
+    touched-row renorms: Σv² is an exact integer, and IEEE-754
+    requires sqrt and division to be correctly rounded, so
+    ``v / sqrt(n2)`` is bit-identical across NumPy and DuckDB (unlike
+    log2 — see the entropy_nano note in operators/multimodal.py —
+    sqrt carries no cross-libm ULP risk).
+
+    The driver-side state here is model-sized BY CONTRACT (the same
+    broadcast-parameter-server posture as `fit`; cf. the annotated
+    collects at `transe/model.py:110`, `similarity.py:85`).
+
+    Returns ``(entity', label', touched_entity_ids, touched_label_ids)``
+    — matrices are modified copies; untouched rows pass through.
+    """
+    sc = spark.sparkContext
+    tp = triples.select("h", "l", "t").toPandas()
+    n_entities, n_labels = entity.shape[0], label.shape[0]
+    reject = ExactRejection(
+        tp["h"].to_numpy(np.int64), tp["l"].to_numpy(np.int64),
+        tp["t"].to_numpy(np.int64), n_entities, n_labels,
+    )
+    ent = entity.astype(np.float64, copy=True)
+    lab = label.astype(np.float64, copy=True)
+    b_ent, b_lab, b_rej = sc.broadcast(ent), sc.broadcast(lab), sc.broadcast(reject)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        E, L = b_ent.value, b_lab.value
+        acc, loss = None, 0.0
+        for pdf in batches:
+            h = pdf["h"].to_numpy(np.int64)
+            l = pdf["l"].to_numpy(np.int64)
+            t = pdf["t"].to_numpy(np.int64)
+            ch, ct, _ = deterministic_corrupt(h, t, l, n_entities, b_rej.value)
+            acc, li = _vectorized_step(E, L, acc, h, l, t, ch, ct, lr, margin, distance)
+            loss += li
+        E_acc, L_acc, ent_touched, lab_touched = (
+            acc if acc is not None else (None, None, None, None)
+        )
+        yield pd.DataFrame(
+            [
+                _pack_dense(E_acc, ent_touched, "entity"),
+                _pack_dense(L_acc, lab_touched, "label"),
+                ("__loss__", [], np.float64(loss).tobytes()),
+            ],
+            columns=["kind", "ids", "data"],
+        )
+
+    updates = (
+        triples.select("h", "l", "t")
+        .repartition(1)
+        .mapInPandas(kernel, schema=_UPDATE_SCHEMA)
+        .toPandas()
+    )
+    _merge_updates(updates, ent, lab, "mean")
+    ent_ids = np.concatenate(
+        [np.asarray(i, dtype=np.int64) for i in updates.loc[updates["kind"] == "entity", "ids"]]
+    ) if len(updates) else np.zeros(0, dtype=np.int64)
+    lab_ids = np.concatenate(
+        [np.asarray(i, dtype=np.int64) for i in updates.loc[updates["kind"] == "label", "ids"]]
+    ) if len(updates) else np.zeros(0, dtype=np.int64)
+    for b in (b_ent, b_lab, b_rej):
+        b.unpersist()
+    return ent, lab, ent_ids, lab_ids
