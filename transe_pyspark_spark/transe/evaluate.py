@@ -245,7 +245,13 @@ def _replay_progress(ranks: DataFrame, every: int, hits_k: int, emit) -> np.ndar
     after triples 1, ``every``+1, 2·``every``+1, … print the running
     mean, hits·100, and the 0-based triple index. Returns the full
     flat rank array (head, tail interleaved) for final metrics."""
-    rows = ranks.orderBy("h", "l", "t").collect()  # test-set-sized by contract
+    # test-set-sized by CONTRACT (r12 verdict watch item): the link-
+    # prediction protocol evaluates a held-out test set, which is
+    # thousands-to-millions of (h,l,t) rows — two doubles each — never
+    # corpus-sized. If a caller ever feeds a corpus-scale frame here,
+    # the right fix is aggregating the running means distributively,
+    # not raising this collect's ceiling.
+    rows = ranks.orderBy("h", "l", "t").collect()
     flat = np.empty(2 * len(rows), dtype=np.float64)
     for i, r in enumerate(rows):
         flat[2 * i] = r.rank_head
