@@ -427,6 +427,13 @@ def doc_keywords(
         docs.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        # standing cache pin (r13): tf feeds TWO consumers — the df
+        # aggregate and the score join — and unpinned, the corpus
+        # tokenize+explode+agg executed TWICE per action (the
+        # transition_counts r08 bug class; measured 2× the corpus pass
+        # at sf1). CacheManager dedups the registration across
+        # repeated calls (the semantic-dedup standing-pin precedent).
+        .persist()
     )
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
