@@ -363,6 +363,11 @@ def cusum_changepoint(
     per = (
         events.groupBy(F.col(type_col).alias("__t"), d.alias("__d"))
         .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+        # standing cache pin (r13, the doc_keywords find): per feeds
+        # THREE consumers (span, the distinct-type table, the spine
+        # join) — unpinned, the corpus (type, day) agg executed three
+        # times per action; CacheManager dedups re-registration
+        .persist()
     )
     span = per.agg(F.min("__d").alias("__d0"), F.max("__d").alias("__d1"))
     types = per.select("__t").distinct()
