@@ -306,3 +306,56 @@ def test_sgd_step_integer_exactness_invariant(spark):
         v = ent[i]
         nv = np.linalg.norm(v)
         assert nv == 0 or abs(nv - 1.0) < 1e-12  # renormed (or zero)
+
+
+# ------------------- structural guard: unpinned multi-consumer frames
+
+
+def test_no_unpinned_multi_consumer_aggregates():
+    """Source-level guard for the r08 transition_counts bug class
+    (found twice more in r13: doc_keywords, cusum_changepoint): a
+    local aggregate/explode frame consumed by 2+ downstream consumers
+    without a persist/cache/localCheckpoint pin re-executes its whole
+    corpus subtree per consumer. The AST scan below flags every such
+    frame; the allowlist names the two DOCUMENTED designs — the
+    per-tile `sizes` frame in `_two_sample_value_prefix` (tiny, child
+    already frozen) and `ordered_funnel`'s `prev` chain (AQE
+    ReusedExchange dedups the identical subtrees, gated in PLANS.md).
+    A new hit means: pin the frame or document-and-allowlist it."""
+    import ast
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "transe_pyspark_spark")
+    allow = {("_two_sample_value_prefix", "sizes"), ("ordered_funnel", "prev")}
+    hits = set()
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        srcall = open(path).read()
+        tree = ast.parse(srcall)
+        for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
+            src = ast.get_source_segment(srcall, fn) or ""
+            if ".persist()" in src or "localCheckpoint" in src or ".cache()" in src:
+                continue
+            assigns = {}
+            for node in ast.walk(fn):
+                if (
+                    isinstance(node, ast.Assign)
+                    and len(node.targets) == 1
+                    and isinstance(node.targets[0], ast.Name)
+                ):
+                    s = ast.dump(node.value)
+                    if ("groupBy" in s or "explode" in s) and "agg" in s:
+                        assigns[node.targets[0].id] = 0
+            for node in ast.walk(fn):
+                if (
+                    isinstance(node, ast.Name)
+                    and isinstance(node.ctx, ast.Load)
+                    and node.id in assigns
+                ):
+                    assigns[node.id] += 1
+            for v, c in assigns.items():
+                if c >= 3:
+                    hits.add((fn.name, v))
+    new = hits - allow
+    assert not new, f"unpinned multi-consumer aggregate frames: {sorted(new)}"
+    assert hits >= allow  # the allowlist entries must still exist
