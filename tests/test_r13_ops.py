@@ -321,21 +321,36 @@ def test_no_unpinned_multi_consumer_aggregates():
     per-tile `sizes` frame in `_two_sample_value_prefix` (tiny, child
     already frozen) and `ordered_funnel`'s `prev` chain (AQE
     ReusedExchange dedups the identical subtrees, gated in PLANS.md).
-    A new hit means: pin the frame or document-and-allowlist it."""
+    A new hit means: pin the frame or document-and-allowlist it.
+
+    Hardened per ADVICE r13: the pin exemption is PER VARIABLE (a
+    `.persist()` elsewhere in the function no longer shields a second
+    unpinned frame) and the consumer threshold is 2 Name loads (the
+    exact shape of the r13 `bounds` escape in
+    q_equi_depth_prices_approx, since fixed), with the documented
+    designs allowlisted by (function, variable) name."""
     import ast
     import glob
     import os
 
     root = os.path.join(os.path.dirname(__file__), "..", "transe_pyspark_spark")
-    allow = {("_two_sample_value_prefix", "sizes"), ("ordered_funnel", "prev")}
+    allow = {
+        # tiny per-tile frame, child already frozen (see its docstring)
+        ("_two_sample_value_prefix", "sizes"),
+        # identical subtrees deduped by AQE ReusedExchange, PLANS-gated
+        ("ordered_funnel", "prev"),
+    }
     hits = set()
+    META_ATTRS = {"schema", "columns", "dtypes", "printSchema", "unpersist"}
     for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
         srcall = open(path).read()
         tree = ast.parse(srcall)
+        # parent links so a Load can see its enclosing Attribute/Assign
+        parents = {}
+        for node in ast.walk(tree):
+            for child in ast.iter_child_nodes(node):
+                parents[child] = node
         for fn in [n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)]:
-            src = ast.get_source_segment(srcall, fn) or ""
-            if ".persist()" in src or "localCheckpoint" in src or ".cache()" in src:
-                continue
             assigns = {}
             for node in ast.walk(fn):
                 if (
@@ -343,18 +358,56 @@ def test_no_unpinned_multi_consumer_aggregates():
                     and len(node.targets) == 1
                     and isinstance(node.targets[0], ast.Name)
                 ):
+                    name = node.targets[0].id
                     s = ast.dump(node.value)
                     if ("groupBy" in s or "explode" in s) and "agg" in s:
-                        assigns[node.targets[0].id] = 0
+                        assigns.setdefault(name, {"lines": set(), "pinned": False})
+                    # pinned by ANY assignment to the name whose RHS
+                    # carries a pin call (`x = x.repartition(...).cache()`,
+                    # `x = y.agg(...).persist()` …)
+                    if name in assigns and (
+                        "persist" in s or "localCheckpoint" in s or "cache" in s
+                    ):
+                        assigns[name]["pinned"] = True
+            if not assigns:
+                continue
             for node in ast.walk(fn):
-                if (
+                if not (
                     isinstance(node, ast.Name)
                     and isinstance(node.ctx, ast.Load)
                     and node.id in assigns
                 ):
-                    assigns[node.id] += 1
-            for v, c in assigns.items():
-                if c >= 3:
+                    continue
+                par = parents.get(node)
+                # metadata / lifecycle access is not a plan consumer
+                if isinstance(par, ast.Attribute) and par.attr in META_ATTRS:
+                    continue
+                if isinstance(par, ast.Attribute) and par.attr in {
+                    "persist",
+                    "localCheckpoint",
+                    "cache",
+                }:
+                    assigns[node.id]["pinned"] = True
+                    continue
+                # a linear reassignment chain (`x = x.union(...)`) threads
+                # the name — each version has one consumer, no recompute
+                stmt = node
+                while stmt in parents and not isinstance(stmt, ast.stmt):
+                    stmt = parents[stmt]
+                if (
+                    isinstance(stmt, ast.Assign)
+                    and len(stmt.targets) == 1
+                    and isinstance(stmt.targets[0], ast.Name)
+                    and stmt.targets[0].id == node.id
+                ):
+                    continue
+                # count distinct consumer STATEMENTS (a self-join that
+                # names the frame twice in one expression is one consumer
+                # subtree occurrence per named use — but the r08 bug class
+                # is frames consumed from separate statements)
+                assigns[node.id]["lines"].add(stmt.lineno if hasattr(stmt, "lineno") else node.lineno)
+            for v, info in assigns.items():
+                if not info["pinned"] and len(info["lines"]) >= 2:
                     hits.add((fn.name, v))
     new = hits - allow
     assert not new, f"unpinned multi-consumer aggregate frames: {sorted(new)}"

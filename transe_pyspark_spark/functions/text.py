@@ -397,6 +397,7 @@ def doc_keywords(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager_cleanup: bool = True,
 ):
     """Per-document keyword extraction by TF-IDF-style lift — the
     corpus-indexing op behind search snippets, topic labels, and
@@ -427,12 +428,13 @@ def doc_keywords(
         docs.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        # standing cache pin (r13): tf feeds TWO consumers — the df
-        # aggregate and the score join — and unpinned, the corpus
+        # cache pin (r13): tf feeds TWO consumers — the df aggregate
+        # and the score join — and unpinned, the corpus
         # tokenize+explode+agg executed TWICE per action (the
         # transition_counts r08 bug class; measured 2× the corpus pass
-        # at sf1). CacheManager dedups the registration across
-        # repeated calls (the semantic-dedup standing-pin precedent).
+        # at sf1). RELEASED before return under the family's
+        # eager-cleanup contract (ADVICE r13: a standing persist leaks
+        # one cache entry per distinct input frame for the session).
         .persist()
     )
     df_tab = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
@@ -440,7 +442,7 @@ def doc_keywords(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("lift").desc(), F.col("term").asc())
-    return (
+    out = (
         tf.join(df_tab, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
@@ -451,6 +453,12 @@ def doc_keywords(
         .filter(F.col("kw_rank") <= k)
         .select(id_col, "term", "tf", "df", F.round("lift", 6).alias("lift"), "kw_rank")
     )
+    if not eager_cleanup:
+        # lazy mode (plan gate): leaves the tf pin in the cache manager
+        return out
+    out = out.localCheckpoint(eager=True)  # top-k-sized leaf — THEN release
+    tf.unpersist()
+    return out
 
 
 def oov_rates(
@@ -570,6 +578,12 @@ def bm25_scores(
         .groupBy(id_col, "__dl", "__t")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
+    if eager_cleanup:
+        # two consumers (the df aggregate + the score join): pinned so
+        # the explode+filter+agg over the cached tokens runs once (r14
+        # guard class); (doc × matched-term)-sized after the term
+        # filter. Lazy mode keeps the plan for the structural gates.
+        tf = tf.localCheckpoint(eager=True)
     dft = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     idf = dft.crossJoin(stats).select(
         "__t",
@@ -750,6 +764,11 @@ def unigram_nll(
         .cache()
     )
     pt = dt.groupBy("__t").agg(F.sum("__tf").cast("long").alias("__ct"))
+    if eager_cleanup:
+        # two consumers (the corpus total + the score join): pinned so
+        # the vocab agg over the cached doc-term counts runs once (r14
+        # guard class); vocab-sized. Lazy mode keeps the gate plan.
+        pt = pt.localCheckpoint(eager=True)
     total = pt.agg(F.sum("__ct").cast("long").alias("__n"))
     q = F.col("__ct").cast("double") / F.col("__n").cast("double")
     scored = (
@@ -838,6 +857,12 @@ def bm25_topk(
         .groupBy(id_col, "__dl", "__t")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
+    if eager_cleanup:
+        # two consumers (the df aggregate + the score join): pinned so
+        # the explode+filter+agg over the cached tokens runs once (r14
+        # guard class); (doc × matched-term)-sized after the term
+        # filter. Lazy mode keeps the plan for the structural gates.
+        tf = tf.localCheckpoint(eager=True)
     dft = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     idf = dft.crossJoin(stats).select(
         "__t",

@@ -229,6 +229,11 @@ def gap_fill_resample(
                       F.round(F.col(value_col) * 100).cast("long").alias("__c"))
         .groupBy(key, "__b")
         .agg(F.sum("__c").alias("__v"))
+        # two consumers (the span agg + the grid join): pinned so the
+        # raw-events scan + bucket agg run once (r14 guard class); the
+        # frame is aggregate-sized (keys×buckets) — the one re-Exchange
+        # a checkpoint costs is of THAT frame, never the raw events
+        .localCheckpoint(eager=True)
     )
     spans = obs.groupBy(key).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
     grid = spans.select(
@@ -535,6 +540,11 @@ def interpolate_resample(
                       F.round(F.col(value_col) * 100).cast("long").alias("__c"))
         .groupBy(key, "__b")
         .agg(F.sum("__c").alias("__v"))
+        # two consumers (the span agg + the grid join): pinned so the
+        # raw-events scan + bucket agg run once (r14 guard class); the
+        # frame is aggregate-sized (keys×buckets) — the one re-Exchange
+        # a checkpoint costs is of THAT frame, never the raw events
+        .localCheckpoint(eager=True)
     )
     spans = obs.groupBy(key).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
     grid = spans.select(
@@ -745,13 +755,18 @@ def cohort_retention(
     weeks later, as a fraction of the cohort.
 
     Scale posture: the first-event aggregate shuffles once on the user
-    key; the activity join re-uses that same hash partitioning (equi-
-    join on ``user_col`` — EnsureRequirements inserts no new Exchange
-    on the aggregated side), and the cell rollup's ``count_distinct``
-    is a two-phase partial-then-final aggregate on (cohort, age) — a
-    matrix of at most weeks² cells, kilobytes however large the event
-    log. Cohort sizes (one row per week) broadcast into the final
-    ratio. No window functions, nothing per-user on the driver.
+    key and has exactly ONE consumer (the activity join, which re-uses
+    that same hash partitioning — EnsureRequirements inserts no new
+    Exchange on the aggregated side); the cell rollup's
+    ``count_distinct`` is a two-phase partial-then-final aggregate on
+    (cohort, age) — a matrix of at most weeks² cells, kilobytes
+    however large the event log. Cohort SIZES come from the cell
+    matrix itself: every user is active at age 0 by construction
+    (their first event), so ``n_cohort = n_active at age_weeks=0`` —
+    no second consumer of the user-sized first-event frame (r14 guard
+    class); the kilobyte cell matrix is pinned once and its age-0
+    slice broadcasts into the final ratio. No window functions,
+    nothing per-user on the driver.
 
     Float parity: ``retention`` divides two BIGINTs in one IEEE
     division (exact cross-engine); week truncation is Monday-anchored
@@ -772,10 +787,16 @@ def cohort_retention(
             ).cast("long").alias("age_weeks"),
         )
     )
-    sizes = first.groupBy(cohort).agg(F.count(F.lit(1)).alias("n_cohort"))
-    return (
+    cells = (
         acts.groupBy("cohort_week", "age_weeks")
         .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+        .localCheckpoint(eager=True)  # weeks²-sized; two consumers below
+    )
+    sizes = cells.filter(F.col("age_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        cells
         .join(F.broadcast(sizes), "cohort_week")
         .select(
             "cohort_week",

@@ -881,6 +881,12 @@ def cross_source_dup_matrix(
         )
         .groupBy("__fp", "__s")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        # two consumers (both self-join sides — their post-shuffle
+        # projections differ, so AQE ReusedExchange does NOT dedup
+        # them): pinned so the corpus scan + fingerprint agg run once
+        # (r14 guard class); the frame carries only (hash, source,
+        # count) — 8-byte keys, never text
+        .localCheckpoint(eager=True)
     )
     a = per.select("__fp", F.col("__s").alias("source_a"), F.col("__n").alias("__na"))
     b = per.select("__fp", F.col("__s").alias("source_b"), F.col("__n").alias("__nb"))

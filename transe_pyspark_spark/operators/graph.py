@@ -314,6 +314,12 @@ def triangle_stats(
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
+    if eager_cleanup:
+        # three consumers (the one-row census agg + both orientation
+        # sides): unpinned, the degree agg over the cached edge set
+        # would execute per consumer (r14 guard class). Node-sized,
+        # materialized once, GC-released with the result.
+        deg = deg.localCheckpoint(eager=True)
     base = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         (F.sum("d") / 2).cast("long").alias("n_edges"),
@@ -1059,6 +1065,11 @@ def degree_assortativity(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
     )
+    if eager_cleanup:
+        # three consumers (the moments agg + both Σxy join sides):
+        # unpinned, the |V|-sized degree agg over the cached edge set
+        # executes per consumer (r14 guard class). Materialized once.
+        deg = deg.localCheckpoint(eager=True)
     # Three of the four moments never touch the edges: over the
     # DOUBLED edge list each node v appears deg(v) times as the
     # u-endpoint, so M = Σ_v deg(v), Σx = Σ_v deg(v)², Σx² = Σ_v
@@ -1152,10 +1163,13 @@ def hits_integer(
     )
     a = None
     for _ in range(int(iterations)):
+        # two consumers (the L1 total + the normalize pass): pinned so
+        # the edge⨝score join + agg runs once per round (r14 guard)
         a_raw = (
             ed.join(h, "__s")
             .groupBy("__d")
             .agg(F.sum("__h").cast("decimal(38,0)").alias("__r"))
+            .localCheckpoint(eager=True)
         )
         sa = F.broadcast(a_raw.agg(F.sum("__r").alias("__t")))
         a = (
@@ -1172,6 +1186,7 @@ def hits_integer(
             ed.join(a, "__d")
             .groupBy("__s")
             .agg(F.sum("__a").cast("decimal(38,0)").alias("__r"))
+            .localCheckpoint(eager=True)
         )
         sh = F.broadcast(h_raw.agg(F.sum("__r").alias("__t")))
         h = (

@@ -20,7 +20,7 @@ plain SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -300,11 +300,16 @@ def benford_screen(
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
-    tot = F.broadcast(digits.agg(F.sum("n_obs").cast("long").alias("n_total")))
+    # the total rides a window over the ≤9-row digit aggregate — ONE
+    # consumer of `digits` (r14 guard class: the earlier 1-row agg +
+    # crossJoin re-executed the corpus digit agg per consumer). The
+    # pid-less window is safe here BY CONSTRUCTION: it runs over the
+    # post-aggregate ≤9-row frame, never the corpus.
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     share = F.round(F.col("n_obs").cast("double") / F.col("n_total").cast("double"), 6)
     benford = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6)
     return (
-        digits.crossJoin(tot)
+        digits.withColumn("n_total", F.sum("n_obs").over(w_all).cast("long"))
         .select(
             "digit",
             "n_obs",

@@ -71,6 +71,39 @@ def _exclusive_offsets(
     )
 
 
+def _offsets_with_total(
+    sizes: DataFrame,
+    size_col: str,
+    partition_cols: list[str] | None = None,
+    total_col: str = "__n",
+) -> DataFrame:
+    """`_exclusive_offsets` plus the grand total in the SAME pass —
+    the single-consumer variant for operators that need both the
+    per-partition exclusive offset and the overall count. An unpinned
+    sizes frame consumed once for offsets and once for a separate
+    total aggregate re-executes its aggregate subtree per consumer
+    (the r08/r13 multi-consumer class, gated by
+    ``test_no_unpinned_multi_consumer_aggregates``); carrying the
+    total as a second window function over the same K-row ordering
+    keeps ONE consumer and drops a broadcast exchange. Both windows
+    touch only the K-row sizes table, never the data."""
+    pb = Window.partitionBy(*partition_cols) if partition_cols else Window
+    w_off = pb.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = pb.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return F.broadcast(
+        sizes.select(
+            *(partition_cols or []),
+            "__pid",
+            F.coalesce(F.sum(size_col).over(w_off), F.lit(0))
+            .cast("long")
+            .alias("__off"),
+            F.sum(size_col).over(w_all).cast("long").alias(total_col),
+        )
+    )
+
+
 def dict_encode(
     df: DataFrame,
     col: str,
@@ -1658,15 +1691,22 @@ def seasonal_anomaly_report(
     ``dow_total``) so it hash-checks cross-engine — a chained double
     division would not.
 
-    Plan: one (key, day) hash-agg over the raw events, one ≤(keys×7)-
-    group rollup of THAT table for the baselines, and a broadcast join
-    back — the raw events shuffle once, the baseline table is
-    kilobytes at any scale. ``dow`` is 0=Sunday..6 (DuckDB's
-    ``dayofweek``; Spark's 1-based ``dayofweek`` is shifted to match).
+    Plan: one (key, day) hash-agg over the raw events, then the
+    weekday baselines as WINDOW aggregates over that day-level table
+    partitioned by (key, dow) — `daily` has exactly ONE consumer, so
+    the raw events scan runs once (the earlier groupBy + broadcast-
+    join-back shape re-executed the events agg per consumer — the
+    multi-consumer class the r13/r14 AST guard flags). The window
+    shuffles only the day-level rows (≤ keys×days, kilobytes per
+    group at any scale; never a global window). ``dow`` is
+    0=Sunday..6 (DuckDB's ``dayofweek``; Spark's 1-based
+    ``dayofweek`` is shifted to match).
 
     Returns (key, day, dow, day_cents, dow_days, dow_total_cents,
     ratio) — ratio NULL when the weekday total is zero.
     """
+    from pyspark.sql import Window
+
     day = F.to_date(F.col(ts_col))
     daily = (
         events.select(
@@ -1678,11 +1718,15 @@ def seasonal_anomaly_report(
         .agg(F.sum("__c").alias("day_cents"))
         .select("key", "day", (F.dayofweek("day") - 1).cast("long").alias("dow"), "day_cents")
     )
-    base = daily.groupBy("key", "dow").agg(
-        F.count(F.lit(1)).cast("long").alias("dow_days"),
-        F.sum("day_cents").alias("dow_total_cents"),
-    )
-    return daily.join(F.broadcast(base), ["key", "dow"]).select(
+    w = Window.partitionBy("key", "dow")
+    return daily.select(
+        "key",
+        "day",
+        "dow",
+        "day_cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("dow_days"),
+        F.sum("day_cents").over(w).alias("dow_total_cents"),
+    ).select(
         "key",
         "day",
         "dow",
@@ -2533,21 +2577,14 @@ def spearman_corr(
         pv = p.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__c"))
         part = _frozen_range_partition(pv, col, n_part)
         sizes = part.groupBy("__pid").agg(F.sum("__c").cast("long").alias("__s"))
-        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-        offs = F.broadcast(
-            sizes.select(
-                "__pid",
-                F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("long").alias("__off"),
-            )
-        )
+        # offsets AND total from ONE consumer of sizes (guard class)
+        offs = _offsets_with_total(sizes, "__s")
         w_in = Window.partitionBy("__pid").orderBy(col).rowsBetween(
             Window.unboundedPreceding, 0
         )
-        tot = F.broadcast(sizes.agg(F.sum("__s").cast("long").alias("__n")))
         cum = (
             part.join(offs, "__pid")
             .withColumn("__cum", (F.sum("__c").over(w_in) + F.col("__off")).cast("long"))
-            .crossJoin(tot)
             .select(
                 col,
                 (F.lit(2) * F.col("__cum") - F.col("__c") - F.col("__n"))
@@ -2784,16 +2821,11 @@ def quantile_normalize(
         F.col(id_col).alias("__id"),
     ).filter(F.col("__v").isNotNull())
     part = _frozen_range_partition(base, ["__v", "__id"], n_part)
-    # global rank: per-tile counts -> exclusive offsets + in-tile rows
+    # global rank: per-tile counts -> exclusive offsets + grand total
+    # from ONE consumer of the sizes aggregate (guard class — the
+    # earlier offs/tot pair re-executed the sizes agg per consumer)
     sizes = part.groupBy("__pid").agg(F.count(F.lit(1)).cast("long").alias("__s"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = F.broadcast(
-        sizes.select(
-            "__pid",
-            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("long").alias("__off"),
-        )
-    )
-    tot = F.broadcast(sizes.agg(F.sum("__s").cast("long").alias("__n")))
+    offs = _offsets_with_total(sizes, "__s")
     w_row = Window.partitionBy("__pid").orderBy("__v", "__id")
     pooled = (
         part.join(offs, "__pid")
@@ -2803,29 +2835,17 @@ def quantile_normalize(
         )
     )
     # per-group rank: per-(tile, group) counts -> per-group offsets
+    # and per-group totals, again one consumer of the gsizes agg
     gsizes = part.groupBy("__pid", "__g").agg(
         F.count(F.lit(1)).cast("long").alias("__gs")
     )
-    w_goff = (
-        Window.partitionBy("__g")
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    goffs = F.broadcast(
-        gsizes.select(
-            "__pid",
-            "__g",
-            F.coalesce(F.sum("__gs").over(w_goff), F.lit(0)).cast("long").alias("__goff"),
-        )
-    )
-    ng = F.broadcast(
-        gsizes.groupBy("__g").agg(F.sum("__gs").cast("long").alias("__ng"))
-    )
+    goffs = _offsets_with_total(
+        gsizes, "__gs", partition_cols=["__g"], total_col="__ng"
+    ).withColumnRenamed("__off", "__goff")
     w_grow = Window.partitionBy("__pid", "__g").orderBy("__v", "__id")
     ranked = (
         part.join(goffs, ["__pid", "__g"])
-        .join(ng, "__g")
-        .crossJoin(tot)
+        .join(offs.select("__pid", "__n"), "__pid")
         .withColumn(
             "row_r",
             (F.row_number().over(w_grow) + F.col("__goff")).cast("long"),
@@ -2950,9 +2970,13 @@ def multires_rollup(
     rejects non-nesting pairs rather than silently mis-bucketing (r11
     advisory).
 
-    The finest frame is materialized once via an eager localCheckpoint
+    EVERY level is materialized once via an eager localCheckpoint
     (the repo's eager-cleanup idiom — no cache-manager pin outlives
-    the call) and consumed |levels| times. Returns
+    the call): each level frame has two consumers (its own output
+    slice and the next-coarser fold), so an unpinned chain would
+    re-execute level k's agg inside every coarser level's plan —
+    aggregate-sized recompute, but the exact multi-consumer class the
+    r13/r14 AST guard exists for. Returns
     (level, bucket_start, n_events, value_cents) — BIGINT counts and
     cent sums, so the union hash-checks exactly.
     """
@@ -2998,7 +3022,7 @@ def multires_rollup(
         ).agg(
             F.sum("n_events").cast("long").alias("n_events"),
             F.sum("value_cents").cast("long").alias("value_cents"),
-        )
+        ).localCheckpoint(eager=True)
         out = out.unionByName(
             cur.select(F.lit(lvl).alias("level"), "bucket_start", "n_events", "value_cents")
         )
@@ -3336,6 +3360,16 @@ def assoc_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= int(min_support))
     )
+    if eager_cleanup:
+        # `pairs` is referenced twice by `directed` (both rule
+        # directions) and `item_counts` twice (antecedent + consequent
+        # sides): unpinned, the expensive within-basket self-join and
+        # the item agg would each execute per reference. Both frames
+        # are output-/vocab-sized — materialize once, eagerly
+        # (`eager_cleanup=False` keeps the lazy plan for the
+        # structural gates, which explain but never execute).
+        item_counts = item_counts.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=True)
     directed = pairs.select(
         F.col("__ia").alias("antecedent"), F.col("__ib").alias("consequent"), "n_ab"
     ).unionByName(

@@ -111,6 +111,10 @@ def time_to_convert(
         events.filter(F.col("event_type") == start_type)
         .groupBy(u.alias("__u"))
         .agg(F.min(t).alias("__t0"))
+        # two consumers (the bounded-convert join + the cohort join):
+        # pinned so the filtered-events scan + user agg run once (r14
+        # guard class); user-sized, GC-released with the result
+        .localCheckpoint(eager=True)
     )
     converts = events.filter(F.col("event_type") == convert_type).select(
         u.alias("__u"), t.alias("__tc")
@@ -155,9 +159,10 @@ def ab_conversion_ztest(
 
     Plan: one distinct hash-agg per (arm, user) over the two filtered
     event streams (converted users are EXPOSED users who also
-    converted — the semi join keeps the denominator honest), then a
-    2-row rollup crossed into the 1-row statistic. Nothing scales with
-    more than the distinct-user count.
+    converted — the semi join keeps the denominator honest), then the
+    ≤2-row arm rollup pivots into the 1-row statistic via conditional
+    aggregation (single consumer — no per-arm filter + cross join).
+    Nothing scales with more than the distinct-user count.
 
     Returns ONE row: (n0, conv0, rate0, n1, conv1, rate1, z) — or ZERO
     rows when either arm has no exposed users (the 1×1 cross of the
@@ -183,13 +188,17 @@ def ab_conversion_ztest(
             F.count("__c").cast("long").alias("conv"),
         )
     )
-    a0 = per_arm.filter(F.col("__arm") == 0).select(
-        F.col("n").alias("n0"), F.col("conv").alias("conv0")
-    )
-    a1 = per_arm.filter(F.col("__arm") == 1).select(
-        F.col("n").alias("n1"), F.col("conv").alias("conv1")
-    )
-    j = a0.crossJoin(a1)  # 1×1
+    # ONE consumer of per_arm: the two arm rows pivot into one row via
+    # conditional aggregation (the earlier filter-each-arm + 1×1 cross
+    # re-executed the distinct-user agg per arm — r14 guard class);
+    # the not-null filter reproduces the zero-rows-when-an-arm-is-empty
+    # contract of the old empty cross join.
+    j = per_arm.agg(
+        F.sum(F.when(F.col("__arm") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("conv"))).cast("long").alias("conv0"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("conv"))).cast("long").alias("conv1"),
+    ).filter(F.col("n0").isNotNull() & F.col("n1").isNotNull())
     r0 = F.col("conv0").cast("double") / F.col("n0").cast("double")
     r1 = F.col("conv1").cast("double") / F.col("n1").cast("double")
     pooled = (F.col("conv0") + F.col("conv1")).cast("double") / (
@@ -247,6 +256,10 @@ def daily_count_correlation(
             F.sum(F.when(tx, 1).otherwise(0)).cast("long").alias("__x"),
             F.sum(F.when(ty, 1).otherwise(0)).cast("long").alias("__y"),
         )
+        # two consumers (the span agg + the spine join): pinned so the
+        # filtered-events scan runs once (r14 guard class); the frame
+        # is calendar-bounded (one row per observed day)
+        .localCheckpoint(eager=True)
     )
     spine = (
         per_day.agg(F.min("__d").alias("__d0"), F.max("__d").alias("__d1"))
@@ -363,10 +376,12 @@ def cusum_changepoint(
     per = (
         events.groupBy(F.col(type_col).alias("__t"), d.alias("__d"))
         .agg(F.count(F.lit(1)).cast("long").alias("__x"))
-        # standing cache pin (r13, the doc_keywords find): per feeds
-        # THREE consumers (span, the distinct-type table, the spine
-        # join) — unpinned, the corpus (type, day) agg executed three
-        # times per action; CacheManager dedups re-registration
+        # cache pin (r13, the doc_keywords find): per feeds THREE
+        # consumers (span, the distinct-type table, the spine join) —
+        # unpinned, the corpus (type, day) agg executed three times
+        # per action. RELEASED below once the cusum grid materializes
+        # (ADVICE r13: a standing persist per distinct input frame
+        # leaks one cache-manager entry per call for the session).
         .persist()
     )
     span = per.agg(F.min("__d").alias("__d0"), F.max("__d").alias("__d1"))
@@ -398,6 +413,13 @@ def cusum_changepoint(
             - F.col("__i").cast("decimal(38,0)") * F.col("__tot").cast("decimal(38,0)")
         ).alias("__ns"),
     )
+    # the (type×days) grid has two consumers (the stats rollup + the
+    # argmax pass): one eager checkpoint materializes it — at which
+    # point per's three consumers have all read the cache exactly once
+    # and the pin can be RELEASED (no standing cache entry outlives
+    # the call)
+    cum = cum.localCheckpoint(eager=True)
+    per.unpersist()
     stats = cum.groupBy("__t").agg(
         F.max("__n").cast("long").alias("n_days"),
         F.max("__tot").cast("long").alias("total"),
@@ -406,19 +428,27 @@ def cusum_changepoint(
     )
     # earliest day attaining the max |n·S| — a deterministic argmax as
     # a ≤|types|-row broadcast join back (identical cross-engine where
-    # struct-ordered arg-extremes differ in tie handling)
-    change = (
-        cum.join(F.broadcast(stats.select("__t", "__m")), "__t")
+    # struct-ordered arg-extremes differ in tie handling). `stats` has
+    # ONE consumer: its per-type row rides the argmax join and the
+    # rollup carries every output column through (r14 guard class —
+    # the earlier stats⨝change re-join re-executed the stats agg).
+    return (
+        cum.join(F.broadcast(stats), "__t")
         .filter(F.abs(F.col("__ns")) == F.col("__m"))
         .groupBy("__t")
-        .agg(F.min("__d").alias("change_day"))
-    )
-    return stats.join(change, "__t").select(
-        F.col("__t").alias(type_col),
-        "n_days",
-        "total",
-        "change_day",
-        "cusum_range",
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("total").alias("total"),
+            F.min("__d").alias("change_day"),
+            F.max("cusum_range").alias("cusum_range"),
+        )
+        .select(
+            F.col("__t").alias(type_col),
+            "n_days",
+            "total",
+            "change_day",
+            "cusum_range",
+        )
     )
 
 
@@ -493,6 +523,12 @@ def session_type_affinity(
         )
     )
     pt = st.groupBy("__ty").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    if eager_cleanup:
+        # two consumers (both lift sides): pinned so the per-type agg
+        # over the cached membership runs once (r14 guard class);
+        # ≤|types| rows (`eager_cleanup=False` keeps the lazy plan for
+        # the structural gates, which explain but never execute)
+        pt = pt.localCheckpoint(eager=True)
     a = st.select("__u", "__sess", F.col("__ty").alias("type_a"))
     b = st.select("__u", "__sess", F.col("__ty").alias("type_b"))
     pairs = (
@@ -644,7 +680,10 @@ def km_survival(
     distinct event times into one KM step. NULL durations are
     excluded.
     """
-    from transe_pyspark_spark.operators.relational import _frozen_range_partition
+    from transe_pyspark_spark.operators.relational import (
+    _frozen_range_partition,
+    _offsets_with_total,
+)
 
     n_part = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -661,20 +700,13 @@ def km_survival(
     )
     part = _frozen_range_partition(pv, "__t", n_part)
     sizes = part.groupBy("__pid").agg(F.sum("__c").cast("long").alias("__s"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offs = F.broadcast(
-        sizes.select(
-            "__pid",
-            F.coalesce(F.sum("__s").over(w_off), F.lit(0)).cast("long").alias("__off"),
-        )
-    )
-    tot = F.broadcast(sizes.agg(F.sum("__s").cast("long").alias("__n")))
+    # offsets AND total from ONE consumer of sizes (r14 guard class)
+    offs = _offsets_with_total(sizes, "__s")
     w_in = Window.partitionBy("__pid").orderBy("__t").rowsBetween(
         Window.unboundedPreceding, 0
     )
     base = (
         part.join(offs, "__pid")
-        .crossJoin(tot)
         .withColumn("__cum", (F.sum("__c").over(w_in) + F.col("__off")).cast("long"))
         .withColumn("__nr", (F.col("__n") - F.col("__cum") + F.col("__c")).cast("long"))
         .withColumn(
@@ -696,12 +728,13 @@ def km_survival(
         )
         .localCheckpoint(eager=True)
     )
+    w_off2 = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs2 = F.broadcast(
         base.groupBy("__pid")
         .agg(F.sum("__tn").cast("long").alias("__s2"))
         .select(
             "__pid",
-            F.coalesce(F.sum("__s2").over(w_off), F.lit(0)).cast("long").alias("__off2"),
+            F.coalesce(F.sum("__s2").over(w_off2), F.lit(0)).cast("long").alias("__off2"),
         )
     )
     return (
