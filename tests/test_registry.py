@@ -103,18 +103,81 @@ STAYING_R13 = {
 }
 
 
-def test_r13_rotation_inside_window():
-    window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (NEW_IN_R12 | NEW_IN_R13 | STAYING_R13) - window
-    assert not missing, f"r13 must-check queries fell out of the driver window: {missing}"
+#: the twelve faces rotated into front slots in r14 (VERDICT r13 ask
+#: #1: the ELEVEN never-driver-checked queue faces — draining the
+#: queue to zero — plus the one sanctioned r14 mint,
+#: transe_sgd_step_merged, ask #2: the multi-partition mean merge).
+#: Twelve twice-green r12-wave incumbents rotated to overflow with
+#: named family carriers (see _OVERFLOW_ORACLE's r14 block).
+NEW_IN_R14 = {
+    "sssp_trading_graph",
+    "weighted_jaccard_docs",
+    "psi_value_drift_events",
+    "multires_rollup_events",
+    "robust_outliers_events",
+    "assoc_rules_parts",
+    "quantile_normalize_docs",
+    "benford_totalprice_orders",
+    "acf_daily_value_events",
+    "fd_violations_docs",
+    "equi_depth_prices_approx",
+    "transe_sgd_step_merged",
+}
+
+#: r12-wave faces the r14 rotation keeps in-window — twice-green, but
+#: each is its family's only/strongest in-window member (edit-distance
+#: linkage, survival, PIT enrichment, skyline/dominance)
+STAYING_R14 = {
+    "edit_near_names_customers",
+    "km_conversion_events",
+    "pit_enrich_events",
+    "pareto_frontier_lineitem",
+}
+
+#: r14-minted past-window faces (VERDICT r13 ask #5 — registered after
+#: the window per the standing protocol; they form the r15 queue)
+PAST_WINDOW_R14 = {
+    "transe_sgd_step_lastwriter",
+    "transe_sgd_two_steps",
+}
 
 
-def test_r13_first_time_face_count():
-    """VERDICT r12 ask #1's 'done' bar: the fifteen named queue faces
-    (plus the sanctioned transe_sgd_step mint) all hold driver-window
-    slots this round."""
+def test_r14_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    assert len(NEW_IN_R13 & window) == 16
+    missing = (NEW_IN_R13 | NEW_IN_R14 | STAYING_R13 | STAYING_R14) - window
+    assert not missing, f"r14 must-check queries fell out of the driver window: {missing}"
+
+
+def test_r14_first_time_face_count():
+    """VERDICT r13 ask #1's 'done' bar: the eleven queue faces (plus
+    the sanctioned transe_sgd_step_merged mint) all hold driver-window
+    slots this round — the never-driver-checked queue is ZERO."""
+    window = set(list(REGISTRY)[:_DRIVER_WINDOW])
+    assert len(NEW_IN_R14 & window) == 12
+
+
+def test_r14_past_window_mints_registered_after_window():
+    """Ask #5's standing protocol: the two new merge-semantics faces
+    register PAST the window (they are the r15 queue), oracle-backed."""
+    names = list(REGISTRY)
+    window = set(names[:_DRIVER_WINDOW])
+    for n in PAST_WINDOW_R14:
+        assert n in REGISTRY and n not in window
+        assert REGISTRY[n].oracle is not None
+
+
+def test_r14_rotated_out_were_twice_green():
+    """Window policy: only twice-plus-driver-green incumbents rotate
+    out — the twelve r14 leavers are exactly the r12-wave faces green
+    in CORRECTNESS_r12 AND _r13, minus the four kept."""
+    window = set(list(REGISTRY)[:_DRIVER_WINDOW])
+    out = NEW_IN_R12 - window
+    assert out == NEW_IN_R12 - STAYING_R14 - {"edit_near_names_customers"} - {
+        "km_conversion_events",
+        "pit_enrich_events",
+        "pareto_frontier_lineitem",
+    }, f"unexpected r14 leaver set: {sorted(out)}"
+    assert len(out) == 12
 
 
 def test_driver_window_is_all_oracle_backed():

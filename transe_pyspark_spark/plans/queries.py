@@ -2561,9 +2561,12 @@ def q_equi_depth_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     because this face IS the anchor (it deliberately runs both paths
     to compare) — the production scale path stays
     ``equi_depth_histogram(..., exact=False)`` alone, whose plan shape
-    this face's sketch+rank passes share: one agg for
-    (sketch, exact, count), one broadcast-crossJoin conditional-sum
-    pass for the 14 rank counts, kilobytes shuffled."""
+    this face's sketch+rank passes share: ONE agg for
+    (sketch, exact, count) with a SINGLE downstream consumer (the
+    broadcast-crossJoin pass carries ebs/n through as first()
+    aggregates, so column pruning cannot split the aggregate into
+    separate scans), 14 rank counts, kilobytes shuffled — two scans
+    of orders total."""
     o = _T(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     d = o.select(cents.alias("cents"))
@@ -2574,23 +2577,28 @@ def q_equi_depth_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("cents", qs).alias("ebs"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    ranks = (
-        d.crossJoin(F.broadcast(bounds.select("bs")))
-        .agg(
-            *[
-                F.sum(F.when(F.col("cents") < F.col("bs")[i], 1).otherwise(0))
-                .cast("long")
-                .alias(f"lt{i}")
-                for i in range(7)
-            ],
-            *[
-                F.sum(F.when(F.col("cents") <= F.col("bs")[i], 1).otherwise(0))
-                .cast("long")
-                .alias(f"le{i}")
-                for i in range(7)
-            ],
-        )
-        .crossJoin(F.broadcast(bounds.select("ebs", "n")))
+    # `bounds` has exactly ONE consumer: a single broadcast-crossJoin
+    # whose agg carries the rank counts AND first(ebs)/first(n) (every
+    # joined row holds the same 1-row aggregate values), so the
+    # (sketch, exact, count) aggregate executes once — two scans of
+    # orders total, never three (ADVICE r13: the earlier two-broadcast
+    # shape let column pruning split the unpinned aggregate into two
+    # full scans, the exact multi-consumer class r13 gates).
+    ranks = d.crossJoin(F.broadcast(bounds)).agg(
+        *[
+            F.sum(F.when(F.col("cents") < F.col("bs")[i], 1).otherwise(0))
+            .cast("long")
+            .alias(f"lt{i}")
+            for i in range(7)
+        ],
+        *[
+            F.sum(F.when(F.col("cents") <= F.col("bs")[i], 1).otherwise(0))
+            .cast("long")
+            .alias(f"le{i}")
+            for i in range(7)
+        ],
+        F.first("ebs").alias("ebs"),
+        F.first("n").alias("n"),
     )
     return ranks.select(
         F.explode(
@@ -3595,15 +3603,15 @@ def q_transe_rank_eval_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRANSE_SGD_ORACLE = """
-WITH ev AS (SELECT vec_id,
+WITH ev AS MATERIALIZED (SELECT vec_id,
                    list_transform(embedding[1:8],
                                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
             FROM embeddings),
-ent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS eid, q
+ent AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS eid, q
         FROM ev WHERE vec_id >= 10),
-lab AS (SELECT vec_id AS lid, q FROM ev WHERE vec_id < 10),
+lab AS MATERIALIZED (SELECT vec_id AS lid, q FROM ev WHERE vec_id < 10),
 nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ent),
-tr AS (SELECT eid AS h, eid % 10 AS l, (eid * 7 + 3) % v AS t FROM ent, nv WHERE eid < 50),
+tr AS MATERIALIZED (SELECT eid AS h, eid % 10 AS l, (eid * 7 + 3) % v AS t FROM ent, nv WHERE eid < 50),
 cr AS (SELECT h, l, t,
               (h * 31 + l * 7 + t * 13) % 2 = 1 AS chead,
               (h * 37 + l * 11 + t * 17) % v AS c0,
@@ -3760,6 +3768,356 @@ def q_transe_sgd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("label", i, *[int(x) for x in lab2[i]]))
     schema = "kind string, id long, " + ", ".join(f"d{i} long" for i in range(8))
     return spark.createDataFrame(rows, schema)
+
+
+def _sgd_step_cte(sfx: str, batch_pred: str, ent_rel: str, lab_rel: str,
+                  lr: int = 10_000, margin: int = 100_000) -> str:
+    """One deterministic SGD step as a reusable DuckDB CTE chain — the
+    EXPLODED-form twin of `_TRANSE_SGD_ORACLE`'s step semantics (hinge
+    mask, L1 sign gradients with the >=0 → +1 convention, the six ±lr
+    stores, touched-set renorm — `TransEmodule/TransE.py:313-369` /
+    `214-217`), parameterized so the partitioned-merge and chained
+    two-step oracles replay the SAME step over different batch
+    predicates and snapshots. Requires the prelude CTEs: ``tr`` (the
+    FULL trainset — rejection always runs against it, whatever the
+    batch predicate, `TransE.py:221-246`), ``nv(v)``, ``dd(d)``, and
+    exploded snapshots ``{ent_rel}(eid, d, q)`` / ``{lab_rel}(lid, d,
+    q)``. Emits (MATERIALIZED — the correlated EXISTS inside the
+    chain otherwise blocks DuckDB's decorrelation under the chained
+    oracle's LEFT/FULL joins, and un-materialized references multiply
+    parquet scans) ``fout{sfx}`` (eid, d, vi, n2, f — post-renorm DOUBLE,
+    exact: integer vi/n2 + one correctly-rounded sqrt and division),
+    ``eout{sfx}`` (micro-quantized BIGINT), ``lout{sfx}`` (BIGINT —
+    labels are never renormed)."""
+    s = sfx
+    return f"""
+tr{s} AS (SELECT h, l, t FROM tr WHERE {batch_pred}),
+cr{s} AS (SELECT h, l, t,
+              (h * 31 + l * 7 + t * 13) % 2 = 1 AS chead,
+              (h * 37 + l * 11 + t * 17) % v AS c0,
+              (h * 37 + l * 11 + t * 17 + 23) % v AS c1,
+              (h * 37 + l * 11 + t * 17 + 46) % v AS c2
+       FROM tr{s}, nv),
+pick{s} AS (SELECT h, l, t, chead,
+                CASE WHEN NOT EXISTS (SELECT 1 FROM tr x WHERE x.l = cr{s}.l
+                           AND x.h = CASE WHEN cr{s}.chead THEN cr{s}.c0 ELSE cr{s}.h END
+                           AND x.t = CASE WHEN cr{s}.chead THEN cr{s}.t ELSE cr{s}.c0 END) THEN c0
+                     WHEN NOT EXISTS (SELECT 1 FROM tr x WHERE x.l = cr{s}.l
+                           AND x.h = CASE WHEN cr{s}.chead THEN cr{s}.c1 ELSE cr{s}.h END
+                           AND x.t = CASE WHEN cr{s}.chead THEN cr{s}.t ELSE cr{s}.c1 END) THEN c1
+                     ELSE c2 END AS cand
+         FROM cr{s}),
+neg{s} AS (SELECT h, l, t,
+               CASE WHEN chead THEN cand ELSE h END AS ch,
+               CASE WHEN chead THEN t ELSE cand END AS ct
+        FROM pick{s}),
+rowd{s} AS (SELECT n.h, n.l, n.t, n.ch, n.ct, eh.d,
+                eh.q AS qh, el.q AS ql, et.q AS qt, ech.q AS qch, ect.q AS qct
+         FROM neg{s} n
+         JOIN {ent_rel} eh ON eh.eid = n.h
+         JOIN {lab_rel} el ON el.lid = n.l AND el.d = eh.d
+         JOIN {ent_rel} et ON et.eid = n.t AND et.d = eh.d
+         JOIN {ent_rel} ech ON ech.eid = n.ch AND ech.d = eh.d
+         JOIN {ent_rel} ect ON ect.eid = n.ct AND ect.d = eh.d),
+hing{s} AS (SELECT h,
+                {margin} + sum(abs(qh + ql - qt)) - sum(abs(qch + ql - qct)) > 0 AS viol
+         FROM rowd{s} GROUP BY 1),
+grad{s} AS (SELECT r.*,
+                CASE WHEN qt - qh - ql >= 0 THEN 1 ELSE -1 END AS g,
+                -(CASE WHEN qct - qch - ql >= 0 THEN 1 ELSE -1 END) AS gc,
+                hing{s}.viol
+         FROM rowd{s} r JOIN hing{s} USING (h)),
+contrib{s} AS (
+    SELECT h AS id, d, CASE WHEN viol THEN {lr} * g ELSE 0 END AS dv FROM grad{s}
+    UNION ALL SELECT t, d, CASE WHEN viol THEN -{lr} * g ELSE 0 END FROM grad{s}
+    UNION ALL SELECT ch, d, CASE WHEN viol THEN {lr} * gc ELSE 0 END FROM grad{s}
+    UNION ALL SELECT ct, d, CASE WHEN viol THEN -{lr} * gc ELSE 0 END FROM grad{s}),
+eupd{s} AS (SELECT id, d, sum(dv) AS delta FROM contrib{s} GROUP BY 1, 2),
+epost{s} AS (SELECT u.id AS eid, u.d, e.q + u.delta AS vi
+          FROM eupd{s} u JOIN {ent_rel} e ON e.eid = u.id AND e.d = u.d),
+n2{s} AS (SELECT eid, sum(vi * vi) AS n2 FROM epost{s} GROUP BY 1),
+fout{s} AS MATERIALIZED (SELECT p.eid, p.d, p.vi, n.n2,
+                 CASE WHEN n.n2 = 0 THEN CAST(p.vi AS DOUBLE)
+                      ELSE CAST(p.vi AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) END AS f
+          FROM epost{s} p JOIN n2{s} n USING (eid)),
+eout{s} AS MATERIALIZED (SELECT eid, d,
+                 CASE WHEN n2 = 0 THEN CAST(vi AS BIGINT)
+                      ELSE CAST((CASE WHEN f >= 0 THEN 1 ELSE -1 END)
+                           * floor(abs(f) * 1000000.0 + 0.5) AS BIGINT) END AS o
+          FROM fout{s}),
+lupd{s} AS (SELECT l AS lid, d,
+                sum(CASE WHEN viol THEN {lr} * (g + gc) ELSE 0 END) AS delta
+         FROM grad{s} GROUP BY 1, 2),
+lout{s} AS MATERIALIZED (SELECT u.lid, u.d, CAST(la.q + u.delta AS BIGINT) AS o
+         FROM lupd{s} u JOIN {lab_rel} la ON la.lid = u.lid AND la.d = u.d)"""
+
+
+# the shared snapshot CTEs are MATERIALIZED: the partitioned/chained
+# oracles reference the exploded snapshot in every join arm of every
+# step (≥10 references), and without materialization DuckDB inlines
+# each reference down to its own parquet scan + window re-evaluation —
+# measured EMFILE (>1024 open handles) on the two-step oracle and
+# ~100 s on the merged one; materialized, each base CTE scans once.
+_SGD_PRELUDE = """
+WITH ev AS MATERIALIZED (SELECT vec_id,
+                   list_transform(embedding[1:8],
+                                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+            FROM embeddings),
+ent AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS eid, q
+        FROM ev WHERE vec_id >= 10),
+lab AS MATERIALIZED (SELECT vec_id AS lid, q FROM ev WHERE vec_id < 10),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ent),
+tr AS MATERIALIZED (SELECT eid AS h, eid % 10 AS l, (eid * 7 + 3) % v AS t FROM ent, nv WHERE eid < 50),
+dd AS (SELECT unnest(range(1, 9)) AS d),
+entd AS MATERIALIZED (SELECT eid, d, q[d] AS q FROM ent, dd),
+labd AS MATERIALIZED (SELECT lid, d, q[d] AS q FROM lab, dd),"""
+
+_SGD_PIVOT = """
+SELECT 'entity' AS kind, eid AS id,
+       CAST(max(CASE WHEN d = 1 THEN o END) AS BIGINT) AS d0,
+       CAST(max(CASE WHEN d = 2 THEN o END) AS BIGINT) AS d1,
+       CAST(max(CASE WHEN d = 3 THEN o END) AS BIGINT) AS d2,
+       CAST(max(CASE WHEN d = 4 THEN o END) AS BIGINT) AS d3,
+       CAST(max(CASE WHEN d = 5 THEN o END) AS BIGINT) AS d4,
+       CAST(max(CASE WHEN d = 6 THEN o END) AS BIGINT) AS d5,
+       CAST(max(CASE WHEN d = 7 THEN o END) AS BIGINT) AS d6,
+       CAST(max(CASE WHEN d = 8 THEN o END) AS BIGINT) AS d7
+FROM {erel} GROUP BY eid
+UNION ALL
+SELECT 'label' AS kind, lid AS id,
+       CAST(max(CASE WHEN d = 1 THEN o END) AS BIGINT) AS d0,
+       CAST(max(CASE WHEN d = 2 THEN o END) AS BIGINT) AS d1,
+       CAST(max(CASE WHEN d = 3 THEN o END) AS BIGINT) AS d2,
+       CAST(max(CASE WHEN d = 4 THEN o END) AS BIGINT) AS d3,
+       CAST(max(CASE WHEN d = 5 THEN o END) AS BIGINT) AS d4,
+       CAST(max(CASE WHEN d = 6 THEN o END) AS BIGINT) AS d5,
+       CAST(max(CASE WHEN d = 7 THEN o END) AS BIGINT) AS d6,
+       CAST(max(CASE WHEN d = 8 THEN o END) AS BIGINT) AS d7
+FROM {lrel} GROUP BY lid
+"""
+
+_TRANSE_SGD_MERGED_ORACLE = (
+    _SGD_PRELUDE
+    + _sgd_step_cte("p0", "h % 2 = 0", "entd", "labd") + ","
+    + _sgd_step_cte("p1", "h % 2 = 1", "entd", "labd") + ","
+    + """
+eu AS (SELECT eid, d, f FROM foutp0 UNION ALL SELECT eid, d, f FROM foutp1),
+emean AS (SELECT eid, d, avg(f) AS f FROM eu GROUP BY 1, 2),
+eoutm AS (SELECT eid, d,
+                 CASE WHEN f = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST((CASE WHEN f >= 0 THEN 1 ELSE -1 END)
+                           * floor(abs(f) * 1000000.0 + 0.5) AS BIGINT) END AS o
+          FROM emean),
+lu AS (SELECT lid, d, CAST(o AS DOUBLE) AS fo FROM loutp0
+       UNION ALL SELECT lid, d, CAST(o AS DOUBLE) FROM loutp1),
+lmean AS (SELECT lid, d, CAST(avg(fo) AS BIGINT) AS o FROM lu GROUP BY 1, 2)
+"""
+    + _SGD_PIVOT.format(erel="eoutm", lrel="lmean")
+)
+
+_TRANSE_SGD_LASTWRITER_ORACLE = (
+    _SGD_PRELUDE
+    + _sgd_step_cte("p0", "h % 2 = 0", "entd", "labd") + ","
+    + _sgd_step_cte("p1", "h % 2 = 1", "entd", "labd") + ","
+    + """
+elast AS (SELECT coalesce(b.eid, a.eid) AS eid, coalesce(b.d, a.d) AS d,
+                 coalesce(b.o, a.o) AS o
+          FROM eoutp0 a FULL JOIN eoutp1 b ON a.eid = b.eid AND a.d = b.d),
+llast AS (SELECT coalesce(b.lid, a.lid) AS lid, coalesce(b.d, a.d) AS d,
+                 coalesce(b.o, a.o) AS o
+          FROM loutp0 a FULL JOIN loutp1 b ON a.lid = b.lid AND a.d = b.d)
+"""
+    + _SGD_PIVOT.format(erel="elast", lrel="llast")
+)
+
+_TRANSE_SGD_TWOSTEP_ORACLE = (
+    _SGD_PRELUDE
+    + _sgd_step_cte("s1", "h < 25", "entd", "labd") + ","
+    + """
+entd1 AS MATERIALIZED (SELECT e.eid, e.d, coalesce(o.o, e.q) AS q
+          FROM entd e LEFT JOIN eouts1 o ON o.eid = e.eid AND o.d = e.d),
+labd1 AS MATERIALIZED (SELECT l.lid, l.d, coalesce(o.o, l.q) AS q
+          FROM labd l LEFT JOIN louts1 o ON o.lid = l.lid AND o.d = l.d),"""
+    + _sgd_step_cte("s2", "h >= 25", "entd1", "labd1") + ","
+    + """
+eidsf AS MATERIALIZED (SELECT DISTINCT eid FROM eouts1 UNION SELECT DISTINCT eid FROM eouts2),
+efin AS (SELECT i.eid, i.d, coalesce(b.o, a.o) AS o
+         FROM (SELECT eid, d FROM eidsf CROSS JOIN dd) i
+         LEFT JOIN eouts2 b ON b.eid = i.eid AND b.d = i.d
+         LEFT JOIN eouts1 a ON a.eid = i.eid AND a.d = i.d),
+lidsf AS MATERIALIZED (SELECT DISTINCT lid FROM louts1 UNION SELECT DISTINCT lid FROM louts2),
+lfin AS (SELECT i.lid, i.d, coalesce(b.o, a.o) AS o
+         FROM (SELECT lid, d FROM lidsf CROSS JOIN dd) i
+         LEFT JOIN louts2 b ON b.lid = i.lid AND b.d = i.d
+         LEFT JOIN louts1 a ON a.lid = i.lid AND a.d = i.d)
+"""
+    + _SGD_PIVOT.format(erel="efin", lrel="lfin")
+)
+
+
+def _sgd_face_fixture(spark: SparkSession, sf_dir: str):
+    """The shared `transe_sgd_step` fixture (see that face's docstring):
+    dict-encoded entity vocabulary over the embeddings table (vec_id <
+    10 are relations), first 8 dims micro-quantized to BIGINT, and the
+    50-triple closed-form trainset (h, h%10, (7h+3) mod V). Returns
+    (E0, L0, triples) — the collects are model-sized by contract."""
+    import numpy as np
+
+    from transe_pyspark_spark.operators.relational import dict_encode
+
+    emb = _T(spark, sf_dir, "embeddings")
+    qdims = [
+        F.round(F.col("embedding")[i].cast("double") * 1e6).cast("long").alias(f"q{i}")
+        for i in range(8)
+    ]
+    ents = emb.filter(F.col("vec_id") >= 10)
+    vocab = dict_encode(ents.select(F.col("vec_id").alias("token")), "token")
+    ent_pd = (
+        ents.join(vocab, ents["vec_id"] == vocab["token"])
+        .select(F.col("id").alias("eid"), *qdims)
+        .orderBy("eid")
+        .toPandas()
+    )
+    lab_pd = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("lid"), *qdims)
+        .orderBy("lid")
+        .toPandas()
+    )
+    dims = [f"q{i}" for i in range(8)]
+    E0 = ent_pd[dims].to_numpy(np.float64)
+    L0 = lab_pd[dims].to_numpy(np.float64)
+    V = E0.shape[0]
+    triples = spark.range(50).select(
+        F.col("id").alias("h"),
+        (F.col("id") % 10).alias("l"),
+        ((F.col("id") * 7 + 3) % V).alias("t"),
+    )
+    return E0, L0, triples
+
+
+def _sgd_rows_frame(spark, ent2, lab2, ent_ids, lab_ids, quantize_entities=True):
+    """Pivot post-step matrices into the shared (kind, id, d0..d7)
+    BIGINT face shape — entity rows micro-quantized (sign·⌊|v|·1e6 +
+    0.5⌋, norm-0 rows pass through as zeros), label rows exact ints."""
+    import numpy as np
+
+    rows = []
+    for i in sorted(map(int, ent_ids)):
+        v = ent2[i]
+        if quantize_entities:
+            q = [int(s * np.floor(a * 1e6 + 0.5)) for s, a in zip(np.sign(v), np.abs(v))]
+        else:
+            q = [int(x) for x in v]
+        rows.append(("entity", i, *q))
+    for i in sorted(map(int, lab_ids)):
+        rows.append(("label", i, *[int(x) for x in lab2[i]]))
+    schema = "kind string, id long, " + ", ".join(f"d{i} long" for i in range(8))
+    return spark.createDataFrame(rows, schema)
+
+
+@_register(
+    "transe_sgd_step_merged",
+    oracle=_TRANSE_SGD_MERGED_ORACLE,
+    tags=("transe", "train"),
+)
+def q_transe_sgd_step_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-PARTITION mean merge, oracle-pinned (VERDICT r13 ask
+    #2): the same deterministic SGD step as `transe_sgd_step`, but the
+    50-triple batch splits by ``h % 2`` into TWO single-partition
+    kernel jobs over one broadcast snapshot, and `_merge_updates`'s
+    ``mean`` mode combines the two update frames — the exact X3
+    cross-kernel decision point (`TransEmodule/TransE.py:159-170`,
+    SURVEY §4 quirk 1) the single-partition face can never regress.
+    The parity split GUARANTEES overlapping touched entity ids (h=2's
+    tail t=17 is partition 1's head, for any V > 17), so the
+    duplicate-id averaging path actually executes; a pytest pins that
+    this face's values DIFFER from the last-writer twin on the same
+    fixture.
+
+    Exactness: each kernel's post-step vectors are integer state + one
+    correctly-rounded sqrt/divide per touched row (the
+    `sgd_step_deterministic` contract); the mean of ≤2 such doubles is
+    one IEEE add + one exact halving, so DuckDB's ``avg`` replays it
+    bit-for-bit, and the final micro-quantization matches the
+    single-step face's. Labels split disjointly under the parity rule
+    (l = h%10 shares h's parity), staying exact BIGINT through the
+    mean of one."""
+    from transe_pyspark_spark.transe.train import sgd_step_deterministic
+
+    E0, L0, triples = _sgd_face_fixture(spark, sf_dir)
+    ent2, lab2, ent_ids, lab_ids = sgd_step_deterministic(
+        spark, triples, E0, L0, lr=10_000.0, margin=100_000.0, distance="L1",
+        parts=2, merge="mean",
+    )
+    return _sgd_rows_frame(spark, ent2, lab2, ent_ids, lab_ids)
+
+
+@_register(
+    "transe_sgd_step_lastwriter",
+    oracle=_TRANSE_SGD_LASTWRITER_ORACLE,
+    tags=("transe", "train"),
+)
+def q_transe_sgd_step_lastwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST-WRITER merge mode, oracle-pinned (VERDICT r13 ask #5a
+    — closes SURVEY §4 quirk 1 completely beside the mean face): same
+    two-kernel parity split as `transe_sgd_step_merged`, but
+    `_merge_updates` runs the reference's collect-order
+    last-writer-wins (`TransEmodule/TransE.py:159-170`: in-order
+    assignment over the concatenated update frames). The frames
+    concatenate in ascending partition order BY CONSTRUCTION (two
+    sequential single-partition jobs), so "last" is deterministically
+    partition 1 for every overlapping id — which the oracle replays
+    as a FULL OUTER JOIN preferring the p1 side. Each surviving
+    vector is a single kernel's post-step state, so the quantization
+    contract is exactly the single-step face's."""
+    from transe_pyspark_spark.transe.train import sgd_step_deterministic
+
+    E0, L0, triples = _sgd_face_fixture(spark, sf_dir)
+    ent2, lab2, ent_ids, lab_ids = sgd_step_deterministic(
+        spark, triples, E0, L0, lr=10_000.0, margin=100_000.0, distance="L1",
+        parts=2, merge="last",
+    )
+    return _sgd_rows_frame(spark, ent2, lab2, ent_ids, lab_ids)
+
+
+@_register(
+    "transe_sgd_two_steps",
+    oracle=_TRANSE_SGD_TWOSTEP_ORACLE,
+    tags=("transe", "train"),
+)
+def q_transe_sgd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO CHAINED deterministic SGD steps, oracle-pinned (VERDICT r13
+    ask #5b): step 1 over triples h<25, step 2 over h>=25 against the
+    step-1 result — pinning the reference's inter-batch
+    snapshot/broadcast discipline (`TransEmodule/TransE.py:116-117`:
+    every batch reads the state left by the previous merge) that no
+    single-step face can reach. Corruption rejection for BOTH steps
+    runs against the full 50-triple trainset, as the reference rejects
+    (`TransE.py:221-246`).
+
+    Exactness across the chain: step-1 touched entity rows re-quantize
+    to integer micro-units between the steps
+    (`transe/train.py:quantize_touched_micro` — the same output
+    quantization every face applies), so step 2 starts from exact
+    BIGINT state and the oracle replays both steps with the shared
+    step CTE (`_sgd_step_cte`) over a coalesced snapshot. Output: one
+    row per vector touched in EITHER step — step-2 values where
+    re-touched, step-1 values otherwise — all integer micro-units
+    (entity rows were quantized inside the chain helper, so the frame
+    builder emits them raw)."""
+    from transe_pyspark_spark.transe.train import sgd_two_steps_deterministic
+
+    E0, L0, triples = _sgd_face_fixture(spark, sf_dir)
+    tr_a = triples.filter(F.col("h") < 25)
+    tr_b = triples.filter(F.col("h") >= 25)
+    ent2, lab2, ent_ids, lab_ids = sgd_two_steps_deterministic(
+        spark, tr_a, tr_b, E0, L0, lr=10_000.0, margin=100_000.0,
+        distance="L1", reject_triples=triples,
+    )
+    return _sgd_rows_frame(
+        spark, ent2, lab2, ent_ids, lab_ids, quantize_entities=False
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -8198,6 +8556,10 @@ def q_km_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("__t0"))
+        # two consumers (the bounded-purchase join + the subject
+        # frame): pinned so the filtered scan + user agg run once
+        # (r14 guard class); user-sized
+        .localCheckpoint(eager=True)
     )
     fp = (
         ev.filter(F.col("event_type") == "purchase")
@@ -8882,50 +9244,64 @@ _OVERFLOW_ORACLE = [
     "cross_source_dup_matrix",   # dedup: incremental_dedup_drop
                                  # (front) + semantic_dedup_recall
                                  # (once-green) keep the family
-    # NOT rotated-out incumbents — oracle-backed faces registered past
-    # the full window (mirror-checked + pytest-gated, never
-    # driver-checked). The r13 rotation moved the VERDICT r12 ask #1
-    # fifteen (the named text/dedup/multimodal/sequence/stat wave)
-    # into front slots; these TEN remain the r14 rotation queue:
-    "sssp_trading_graph",        # Bellman-Ford's DENSE-graph regime
-                                 # (trading graph + familiarity
-                                 # weights, the sf1-benched face);
-                                 # 3-round unrolled-SQL min-fold
-                                 # oracle
-    "weighted_jaccard_docs",         # exact multiset Jaccard Σmin/Σmax,
-                                     # one posting-list hash agg
-    "psi_value_drift_events",        # PSI completes the drift suite:
-                                     # Laplace-smoothed, nano-quantized
-                                     # (p-q)·ln(p/q) sums
-    "multires_rollup_events",        # hour/day/week continuous-
-                                     # aggregate cascade: coarser
-                                     # levels fold finer partials, one
-                                     # raw scan total
-    "robust_outliers_events",        # median/MAD fence per group, all
-                                     # BIGINT on the prefix-rank
-                                     # element selection
-    "assoc_rules_parts",             # market-basket rules: support-
-                                     # pruned basket-keyed pair join,
-                                     # DECIMAL-DIV exact conf/lift
-    "quantile_normalize_docs",       # batch-effect QN: both ranks off
-                                     # ONE frozen tiling, pooled
-                                     # element lookup by equi-join
-    "benford_totalprice_orders",     # Benford forensics: string-exact
-                                     # first digits, 9-group agg,
-                                     # nano excess vs log10(1+1/d)
-    "acf_daily_value_events",        # lag-1..7 ACF: pairs-Pearson
-                                     # from decimal-128 moments over
-                                     # the bounded daily series
-    "fd_violations_docs",            # FD audit source→lang: g3 repair
-                                     # cost from two hash aggregates,
-                                     # max(cnt) is the mode
-    # r13-minted oracle upgrade (VERDICT r12 ask #7): the approx
-    # equi-depth face anchored to exact boundaries + a hard BIGINT
-    # restatement of the GK rank guarantee — r14 rotation queue
-    # alongside the ten above:
-    "equi_depth_prices_approx",      # exact quantile_cont boundaries
-                                     # hash-checked + sketch rank-
-                                     # tolerance verdict stated TRUE
+    # r14 rotation (VERDICT r13 ask #1: drain the driver-check queue to
+    # ZERO): the eleven never-driver-checked queue faces
+    # (sssp_trading_graph, weighted_jaccard_docs,
+    # psi_value_drift_events, multires_rollup_events,
+    # robust_outliers_events, assoc_rules_parts,
+    # quantile_normalize_docs, benford_totalprice_orders,
+    # acf_daily_value_events, fd_violations_docs,
+    # equi_depth_prices_approx) moved OUT of this overflow list into
+    # front slots, alongside the one sanctioned ask #2 mint
+    # (transe_sgd_step_merged). Twelve twice-green r12-wave incumbents
+    # rotated here in exchange (see the r14 block below).
+    #
+    # r14-minted faces registered PAST the window per the standing
+    # protocol (VERDICT r13 ask #5: mirror-green at both SFs +
+    # pytest-gated, never driver-checked — the r15 rotation queue):
+    "transe_sgd_step_lastwriter",    # X3 merge mode "last": the
+                                     # reference's collect-order
+                                     # last-writer (TransE.py:159-170),
+                                     # pinned partition order, FULL
+                                     # OUTER oracle preferring p1
+    "transe_sgd_two_steps",          # two chained deterministic steps:
+                                     # inter-batch snapshot discipline
+                                     # (TransE.py:116-117), micro-
+                                     # requantized between steps
+    # rotated out in r14 (VERDICT r13 ask #1: twelve front slots for
+    # the eleven queue faces + the sanctioned transe_sgd_step_merged
+    # mint) — every outgoing incumbent is TWICE driver-green (r12 +
+    # r13) and every family keeps >=1 in-window member:
+    "ppr_copurchase_parts",        # iterative graph: carried by the
+                                   # incoming sssp_trading_graph
+    "hits_copurchase_parts",       # iterative graph: same carrier
+    "mann_kendall_daily_events",   # daily-series trend tests: carried
+                                   # by the incoming
+                                   # acf_daily_value_events
+    "runs_test_daily_events",      # daily-series trend tests: same
+    "wasserstein_value_drift_events",  # drift suite: carried by the
+                                   # incoming psi_value_drift_events
+    "mannwhitney_value_events",    # rank statistics: carried by the
+                                   # incoming robust_outliers_events +
+                                   # quantile_normalize_docs (same
+                                   # frozen-tile prefix machinery)
+    "spearman_qty_price_lineitem", # rank statistics: same carriers
+    "weighted_jaccard3_prefix_docs",  # weighted Jaccard: carried by
+                                   # the incoming weighted_jaccard_docs
+                                   # + in-window
+                                   # weighted_jaccard_prefix_docs
+    "stream_pit_enrich",           # streaming: four stream faces stay
+                                   # in-window; the PIT semantics stay
+                                   # via pit_enrich_events (kept)
+    "embedding_covariance_vecs",   # vector aggregates: carried by
+                                   # transe_rank_eval (slot 0) +
+                                   # ann_recall_vs_exact +
+                                   # transe_sgd_step
+    "hybrid_rrf_docs",             # retrieval fusion: carried by
+                                   # bm25_topk_retrieval +
+                                   # ann_recall_vs_exact (in-window)
+    "edit3_near_names_parts",      # edit-distance linkage: carried by
+                                   # edit_near_names_customers (kept)
     # rotated out in r13 (VERDICT r12 ask #1: sixteen front slots for
     # the named fifteen + the new transe_sgd_step) — every outgoing
     # incumbent is TWICE-plus driver-green (the nine r11-wave faces
@@ -9098,25 +9474,36 @@ def _reorder_registry() -> None:
         # family (its pipeline head dict-encodes the entity vocab
         # under oracle check).
         "transe_sgd_step",
-        # the sixteen r12-rotation faces — ONCE-green
-        # (CORRECTNESS_r12); they stay until twice-green per the
-        # window policy
-        "ppr_copurchase_parts",
-        "hits_copurchase_parts",
+        # r14 rotation (VERDICT r13 ask #1: drain the queue to ZERO):
+        # the eleven never-driver-checked queue faces — mirror-green
+        # at both SFs + pytest-gated — hold front slots until
+        # driver-green. Twelve twice-green r12-wave incumbents
+        # rotated to overflow (see _OVERFLOW_ORACLE's r14 block for
+        # the per-family carriers).
+        "sssp_trading_graph",
+        "weighted_jaccard_docs",
+        "psi_value_drift_events",
+        "multires_rollup_events",
+        "robust_outliers_events",
+        "assoc_rules_parts",
+        "quantile_normalize_docs",
+        "benford_totalprice_orders",
+        "acf_daily_value_events",
+        "fd_violations_docs",
+        "equi_depth_prices_approx",
+        # the one r14-minted in-window face (VERDICT r13 ask #2, a
+        # sanctioned exception to the minting freeze): the
+        # multi-partition MEAN merge — X3's cross-kernel duplicate-id
+        # averaging (TransE.py:159-170), the one semantic decision
+        # point the single-partition transe_sgd_step face cannot reach
+        "transe_sgd_step_merged",
+        # r12-wave faces kept in-window (twice-green but each its
+        # family's only/strongest in-window member): edit-distance
+        # linkage, PIT enrichment, skyline/dominance, survival
         "edit_near_names_customers",
         "km_conversion_events",
-        "mann_kendall_daily_events",
-        "runs_test_daily_events",
-        "wasserstein_value_drift_events",
-        "mannwhitney_value_events",
-        "spearman_qty_price_lineitem",
-        "weighted_jaccard3_prefix_docs",
         "pit_enrich_events",
-        "embedding_covariance_vecs",
-        "stream_pit_enrich",
         "pareto_frontier_lineitem",
-        "hybrid_rrf_docs",
-        "edit3_near_names_parts",
         # judge-required standing representatives (MUST_BE_IN_WINDOW)
         "asof_purchase_click",
         "range_count_views",

@@ -679,6 +679,9 @@ def sgd_step_deterministic(
     lr: float,
     margin: float,
     distance: str = "L1",
+    parts: int = 1,
+    merge: str = "mean",
+    reject_triples: DataFrame | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """ONE deterministic, oracle-checkable mini-batch SGD step
     (VERDICT r12 ask #4) — the trainer's first hard correctness face.
@@ -692,8 +695,30 @@ def sgd_step_deterministic(
 
     * corruption is `deterministic_corrupt` (closed-form side +
       three-probe candidates with trainset rejection), not RNG;
-    * the batch is the WHOLE triples frame in ONE partition, so
-      mean-merge sees each touched id exactly once.
+    * with the default ``parts=1``, the batch is the WHOLE triples
+      frame in ONE partition, so mean-merge sees each touched id
+      exactly once. With ``parts=k`` (VERDICT r13 ask #2), the frame
+      splits DETERMINISTICALLY by ``h % parts`` into k single-
+      partition kernel jobs over the SAME broadcast snapshot, and
+      `_merge_updates` combines the k update frames under ``merge`` —
+      ``"mean"`` averages each overlapping touched id's per-kernel
+      post-step vectors (order-free), ``"last"`` lets the
+      highest-``p`` kernel win (the frames concatenate in ascending
+      ``p`` order, so in-order assignment IS last-writer — the
+      reference's collect-order merge, ``TransE.py:159-170``). This
+      exercises the exact X3 cross-kernel decision point the
+      single-partition face cannot reach.
+    * corruption REJECTION always runs against ``reject_triples`` (or
+      ``triples`` when None) — the FULL trainset, as the reference
+      rejects (``TransE.py:221-246``) — independent of the batch
+      split, so chained/partitioned steps share one rejection set.
+
+    Each kernel invocation concatenates its incoming Arrow chunks
+    into ONE frame before stepping (ADVICE r13): `_vectorized_step`
+    renorms between calls against the evolving accumulator, so a
+    >maxRecordsPerBatch partition processed chunk-at-a-time would
+    give chunk-dependent results — the whole-frame-as-one-batch
+    contract is enforced, not assumed.
 
     Exactness contract (what lets a DuckDB oracle replay it): when
     `entity`/`label` hold integer values (micro-units) and
@@ -715,7 +740,8 @@ def sgd_step_deterministic(
     — matrices are modified copies; untouched rows pass through.
     """
     sc = spark.sparkContext
-    tp = triples.select("h", "l", "t").toPandas()
+    rej_src = reject_triples if reject_triples is not None else triples
+    tp = rej_src.select("h", "l", "t").toPandas()
     n_entities, n_labels = entity.shape[0], label.shape[0]
     reject = ExactRejection(
         tp["h"].to_numpy(np.int64), tp["l"].to_numpy(np.int64),
@@ -727,14 +753,19 @@ def sgd_step_deterministic(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         E, L = b_ent.value, b_lab.value
+        # whole-frame-as-one-batch: concatenate Arrow chunks FIRST
+        # (ADVICE r13 — per-chunk stepping renorms between chunks)
+        pdfs = [p for p in batches]
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else (
+            pdfs[0] if pdfs else pd.DataFrame({"h": [], "l": [], "t": []})
+        )
         acc, loss = None, 0.0
-        for pdf in batches:
+        if len(pdf):
             h = pdf["h"].to_numpy(np.int64)
             l = pdf["l"].to_numpy(np.int64)
             t = pdf["t"].to_numpy(np.int64)
             ch, ct, _ = deterministic_corrupt(h, t, l, n_entities, b_rej.value)
-            acc, li = _vectorized_step(E, L, acc, h, l, t, ch, ct, lr, margin, distance)
-            loss += li
+            acc, loss = _vectorized_step(E, L, acc, h, l, t, ch, ct, lr, margin, distance)
         E_acc, L_acc, ent_touched, lab_touched = (
             acc if acc is not None else (None, None, None, None)
         )
@@ -747,19 +778,106 @@ def sgd_step_deterministic(
             columns=["kind", "ids", "data"],
         )
 
-    updates = (
-        triples.select("h", "l", "t")
-        .repartition(1)
-        .mapInPandas(kernel, schema=_UPDATE_SCHEMA)
-        .toPandas()
-    )
-    _merge_updates(updates, ent, lab, "mean")
-    ent_ids = np.concatenate(
+    if parts == 1:
+        frames = [
+            triples.select("h", "l", "t")
+            .repartition(1)
+            .mapInPandas(kernel, schema=_UPDATE_SCHEMA)
+            .toPandas()
+        ]
+    else:
+        # k single-partition kernel jobs split by h % parts — the
+        # partition a triple lands in is a pure function of the data,
+        # and the update frames concatenate in ascending p order so
+        # merge="last" reproduces the reference's collect-order
+        # last-writer exactly (TransE.py:159-170)
+        from pyspark.sql import functions as _F
+
+        frames = [
+            triples.select("h", "l", "t")
+            .filter((_F.col("h") % int(parts)) == p)
+            .repartition(1)
+            .mapInPandas(kernel, schema=_UPDATE_SCHEMA)
+            .toPandas()
+            for p in range(int(parts))
+        ]
+    updates = pd.concat(frames, ignore_index=True)
+    _merge_updates(updates, ent, lab, merge)
+    ent_ids = np.unique(np.concatenate(
         [np.asarray(i, dtype=np.int64) for i in updates.loc[updates["kind"] == "entity", "ids"]]
-    ) if len(updates) else np.zeros(0, dtype=np.int64)
-    lab_ids = np.concatenate(
+        + [np.zeros(0, dtype=np.int64)]
+    )) if len(updates) else np.zeros(0, dtype=np.int64)
+    lab_ids = np.unique(np.concatenate(
         [np.asarray(i, dtype=np.int64) for i in updates.loc[updates["kind"] == "label", "ids"]]
-    ) if len(updates) else np.zeros(0, dtype=np.int64)
+        + [np.zeros(0, dtype=np.int64)]
+    )) if len(updates) else np.zeros(0, dtype=np.int64)
     for b in (b_ent, b_lab, b_rej):
         b.unpersist()
     return ent, lab, ent_ids, lab_ids
+
+
+def quantize_touched_micro(mat: np.ndarray, ids: np.ndarray) -> None:
+    """Quantize the TOUCHED rows of a post-step matrix to integer
+    micro-units IN PLACE — ``sign(v) · floor(|v|·1e6 + 0.5)`` per cell,
+    exactly the output quantization of the ``transe_sgd_step`` face
+    (norm-0 rows pass through as the zeros the kernel left raw). Used
+    between chained deterministic steps: re-quantizing the snapshot
+    restores the exact-BIGINT contract for the NEXT step, so a DuckDB
+    oracle can replay a multi-step run step-for-step. Every quantized
+    magnitude stays ≪ 2⁵³, so the floor/sign arithmetic is exact in
+    float64 on any engine."""
+    if len(ids) == 0:
+        return
+    rows = np.asarray(ids, dtype=np.int64)
+    v = mat[rows]
+    mat[rows] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)
+
+
+def sgd_two_steps_deterministic(
+    spark: SparkSession,
+    triples_a: DataFrame,
+    triples_b: DataFrame,
+    entity: np.ndarray,
+    label: np.ndarray,
+    lr: float,
+    margin: float,
+    distance: str = "L1",
+    reject_triples: DataFrame | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """TWO chained deterministic mini-batch SGD steps (VERDICT r13 ask
+    #5b): step 1 over ``triples_a``, then — exactly the reference's
+    inter-batch discipline (``TransE.py:116-117``: each batch reads
+    the snapshot left by the previous merge, re-broadcast) — step 2
+    over ``triples_b`` against the step-1 result. Corruption rejection
+    for BOTH steps runs against ``reject_triples`` (the full
+    trainset), as the reference rejects against the whole trainset
+    regardless of batching.
+
+    Between the steps the step-1 touched entity rows are re-quantized
+    to integer micro-units (`quantize_touched_micro` — the SAME
+    quantization the single-step face applies to its output), so step
+    2 starts from exact-BIGINT state and the whole two-step run stays
+    DuckDB-replayable; labels need no quantization (they are never
+    renormed — exact integers throughout, ``TransE.py:214-217``
+    normalizes entities only).
+
+    Returns ``(entity'', label'', touched_entity_ids,
+    touched_label_ids)`` with the id sets the UNION over both steps —
+    every returned touched row holds integer micro-unit state (step-2
+    touched rows quantized here; step-1-only rows already quantized
+    between the steps).
+    """
+    rej = reject_triples if reject_triples is not None else triples_a.unionByName(
+        triples_b
+    )
+    e1, l1, ei1, li1 = sgd_step_deterministic(
+        spark, triples_a, entity, label, lr, margin, distance, reject_triples=rej
+    )
+    quantize_touched_micro(e1, ei1)
+    e2, l2, ei2, li2 = sgd_step_deterministic(
+        spark, triples_b, e1, l1, lr, margin, distance, reject_triples=rej
+    )
+    quantize_touched_micro(e2, ei2)
+    ent_ids = np.unique(np.concatenate([ei1, ei2]))
+    lab_ids = np.unique(np.concatenate([li1, li2]))
+    return e2, l2, ent_ids, lab_ids
