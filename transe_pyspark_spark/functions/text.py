@@ -578,12 +578,12 @@ def bm25_scores(
         .groupBy(id_col, "__dl", "__t")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
-    if eager_cleanup:
-        # two consumers (the df aggregate + the score join): pinned so
-        # the explode+filter+agg over the cached tokens runs once (r14
-        # guard class); (doc × matched-term)-sized after the term
-        # filter. Lazy mode keeps the plan for the structural gates.
-        tf = tf.localCheckpoint(eager=True)
+    # two consumers (the df aggregate + the score join): pinned so the
+    # explode+filter+agg over the cached tokens runs once (r14 guard
+    # class); (doc × matched-term)-sized after the term filter.
+    # persist() keeps the gate-visible lineage; released with toks in
+    # the eager-cleanup branch.
+    tf = tf.persist()
     dft = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     idf = dft.crossJoin(stats).select(
         "__t",
@@ -617,8 +617,9 @@ def bm25_scores(
         # lazy mode (plan gate): leaves the tokenization pin in the
         # cache manager — library callers use the default
         return out
-    out = out.localCheckpoint(eager=True)  # scored leaf — THEN release the pin
+    out = out.localCheckpoint(eager=True)  # scored leaf — THEN release the pins
     toks.unpersist()
+    tf.unpersist()
     return out
 
 
@@ -763,12 +764,11 @@ def unigram_nll(
         .repartition(n_part, "__t")
         .cache()
     )
-    pt = dt.groupBy("__t").agg(F.sum("__tf").cast("long").alias("__ct"))
-    if eager_cleanup:
-        # two consumers (the corpus total + the score join): pinned so
-        # the vocab agg over the cached doc-term counts runs once (r14
-        # guard class); vocab-sized. Lazy mode keeps the gate plan.
-        pt = pt.localCheckpoint(eager=True)
+    # two consumers (the corpus total + the score join): pinned so the
+    # vocab agg over the cached doc-term counts runs once (r14 guard
+    # class); vocab-sized. persist() keeps the gate-visible lineage;
+    # released with dt in the eager-cleanup branch.
+    pt = dt.groupBy("__t").agg(F.sum("__tf").cast("long").alias("__ct")).persist()
     total = pt.agg(F.sum("__ct").cast("long").alias("__n"))
     q = F.col("__ct").cast("double") / F.col("__n").cast("double")
     scored = (
@@ -799,6 +799,7 @@ def unigram_nll(
         return out
     out = out.localCheckpoint(eager=True)  # |docs|-row leaf — THEN release
     dt.unpersist()
+    pt.unpersist()
     return out
 
 
@@ -857,12 +858,12 @@ def bm25_topk(
         .groupBy(id_col, "__dl", "__t")
         .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
     )
-    if eager_cleanup:
-        # two consumers (the df aggregate + the score join): pinned so
-        # the explode+filter+agg over the cached tokens runs once (r14
-        # guard class); (doc × matched-term)-sized after the term
-        # filter. Lazy mode keeps the plan for the structural gates.
-        tf = tf.localCheckpoint(eager=True)
+    # two consumers (the df aggregate + the score join): pinned so the
+    # explode+filter+agg over the cached tokens runs once (r14 guard
+    # class); (doc × matched-term)-sized after the term filter.
+    # persist() keeps the gate-visible lineage; released with toks in
+    # the eager-cleanup branch.
+    tf = tf.persist()
     dft = tf.groupBy("__t").agg(F.count(F.lit(1)).cast("long").alias("__df"))
     idf = dft.crossJoin(stats).select(
         "__t",
@@ -908,6 +909,7 @@ def bm25_topk(
         return out
     out = out.localCheckpoint(eager=True)  # ≤ |queries|·k leaf — THEN release
     toks.unpersist()
+    tf.unpersist()
     return out
 
 

@@ -231,9 +231,12 @@ def gap_fill_resample(
         .agg(F.sum("__c").alias("__v"))
         # two consumers (the span agg + the grid join): pinned so the
         # raw-events scan + bucket agg run once (r14 guard class); the
-        # frame is aggregate-sized (keys×buckets) — the one re-Exchange
-        # a checkpoint costs is of THAT frame, never the raw events
-        .localCheckpoint(eager=True)
+        # frame is aggregate-sized (keys×buckets). persist() keeps the
+        # gate-visible lineage and the (key, bucket) partitioning the
+        # grid join reuses; standing pin by design (CacheManager-
+        # deduped, eviction-bounded — the documented ADVICE-r13 trade
+        # for a lazily-returned operator).
+        .persist()
     )
     spans = obs.groupBy(key).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
     grid = spans.select(
@@ -542,9 +545,12 @@ def interpolate_resample(
         .agg(F.sum("__c").alias("__v"))
         # two consumers (the span agg + the grid join): pinned so the
         # raw-events scan + bucket agg run once (r14 guard class); the
-        # frame is aggregate-sized (keys×buckets) — the one re-Exchange
-        # a checkpoint costs is of THAT frame, never the raw events
-        .localCheckpoint(eager=True)
+        # frame is aggregate-sized (keys×buckets). persist() keeps the
+        # gate-visible lineage and the (key, bucket) partitioning the
+        # grid join reuses; standing pin by design (CacheManager-
+        # deduped, eviction-bounded — the documented ADVICE-r13 trade
+        # for a lazily-returned operator).
+        .persist()
     )
     spans = obs.groupBy(key).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
     grid = spans.select(
@@ -790,7 +796,10 @@ def cohort_retention(
     cells = (
         acts.groupBy("cohort_week", "age_weeks")
         .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
-        .localCheckpoint(eager=True)  # weeks²-sized; two consumers below
+        # weeks²-sized; two consumers below. persist() keeps the
+        # gate-visible lineage; standing pin by design (kilobytes,
+        # CacheManager-deduped — the documented ADVICE-r13 trade)
+        .persist()
     )
     sizes = cells.filter(F.col("age_weeks") == 0).select(
         "cohort_week", F.col("n_active").alias("n_cohort")

@@ -885,8 +885,11 @@ def cross_source_dup_matrix(
         # projections differ, so AQE ReusedExchange does NOT dedup
         # them): pinned so the corpus scan + fingerprint agg run once
         # (r14 guard class); the frame carries only (hash, source,
-        # count) — 8-byte keys, never text
-        .localCheckpoint(eager=True)
+        # count) — 8-byte keys, never text. persist() keeps the
+        # gate-visible lineage and the __fp partitioning both join
+        # sides reuse; standing pin by design (CacheManager-deduped,
+        # eviction-bounded — the documented ADVICE-r13 trade).
+        .persist()
     )
     a = per.select("__fp", F.col("__s").alias("source_a"), F.col("__n").alias("__na"))
     b = per.select("__fp", F.col("__s").alias("source_b"), F.col("__n").alias("__nb"))

@@ -314,12 +314,11 @@ def triangle_stats(
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    if eager_cleanup:
-        # three consumers (the one-row census agg + both orientation
-        # sides): unpinned, the degree agg over the cached edge set
-        # would execute per consumer (r14 guard class). Node-sized,
-        # materialized once, GC-released with the result.
-        deg = deg.localCheckpoint(eager=True)
+    # three consumers (the one-row census agg + both orientation
+    # sides): unpinned, the degree agg over the cached edge set would
+    # execute per consumer (r14 guard class). persist() keeps the
+    # gate-visible lineage; released in the eager-cleanup branch.
+    deg = deg.persist()
     base = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         (F.sum("d") / 2).cast("long").alias("n_edges"),
@@ -381,6 +380,7 @@ def triangle_stats(
     res = res.localCheckpoint(eager=True)
     und.unpersist()
     ornt.unpersist()
+    deg.unpersist()
     return res
 
 
@@ -1065,11 +1065,11 @@ def degree_assortativity(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
     )
-    if eager_cleanup:
-        # three consumers (the moments agg + both Σxy join sides):
-        # unpinned, the |V|-sized degree agg over the cached edge set
-        # executes per consumer (r14 guard class). Materialized once.
-        deg = deg.localCheckpoint(eager=True)
+    # three consumers (the moments agg + both Σxy join sides):
+    # unpinned, the |V|-sized degree agg over the cached edge set
+    # executes per consumer (r14 guard class). persist() keeps the
+    # gate-visible lineage; released in the eager-cleanup branch.
+    deg = deg.persist()
     # Three of the four moments never touch the edges: over the
     # DOUBLED edge list each node v appears deg(v) times as the
     # u-endpoint, so M = Σ_v deg(v), Σx = Σ_v deg(v)², Σx² = Σ_v
@@ -1107,6 +1107,7 @@ def degree_assortativity(
         return out
     out = out.localCheckpoint(eager=True)  # 1-row leaf — THEN release the pin
     und.unpersist()
+    deg.unpersist()
     return out
 
 

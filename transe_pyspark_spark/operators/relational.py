@@ -3360,16 +3360,17 @@ def assoc_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= int(min_support))
     )
-    if eager_cleanup:
-        # `pairs` is referenced twice by `directed` (both rule
-        # directions) and `item_counts` twice (antecedent + consequent
-        # sides): unpinned, the expensive within-basket self-join and
-        # the item agg would each execute per reference. Both frames
-        # are output-/vocab-sized — materialize once, eagerly
-        # (`eager_cleanup=False` keeps the lazy plan for the
-        # structural gates, which explain but never execute).
-        item_counts = item_counts.localCheckpoint(eager=True)
-        pairs = pairs.localCheckpoint(eager=True)
+    # `pairs` is referenced twice by `directed` (both rule directions)
+    # and `item_counts` twice (antecedent + consequent sides):
+    # unpinned, the expensive within-basket self-join and the item agg
+    # would each execute per reference (r14 guard class). persist(),
+    # not an eager checkpoint: the cache fills on first touch and both
+    # references reuse it WITHIN one action, the InMemoryRelation keeps
+    # the gate-visible lineage, and the eager-cleanup branch below
+    # releases both pins (lazy mode leaves them registered — the
+    # documented toks-style trade for plan inspection).
+    item_counts = item_counts.persist()
+    pairs = pairs.persist()
     directed = pairs.select(
         F.col("__ia").alias("antecedent"), F.col("__ib").alias("consequent"), "n_ab"
     ).unionByName(
@@ -3404,4 +3405,6 @@ def assoc_rules(
         return out
     out = out.localCheckpoint(eager=True)
     m.unpersist()
+    item_counts.unpersist()
+    pairs.unpersist()
     return out

@@ -113,8 +113,13 @@ def time_to_convert(
         .agg(F.min(t).alias("__t0"))
         # two consumers (the bounded-convert join + the cohort join):
         # pinned so the filtered-events scan + user agg run once (r14
-        # guard class); user-sized, GC-released with the result
-        .localCheckpoint(eager=True)
+        # guard class). persist(), not a checkpoint: the cache fills on
+        # first touch and the InMemoryRelation PRESERVES the user-key
+        # partitioning both joins reuse. Standing pin by design —
+        # MEMORY_AND_DISK-backed, deduped across identical calls by
+        # the CacheManager, evicted under pressure (the documented
+        # ADVICE-r13 trade for a lazily-returned operator).
+        .persist()
     )
     converts = events.filter(F.col("event_type") == convert_type).select(
         u.alias("__u"), t.alias("__tc")
@@ -258,8 +263,11 @@ def daily_count_correlation(
         )
         # two consumers (the span agg + the spine join): pinned so the
         # filtered-events scan runs once (r14 guard class); the frame
-        # is calendar-bounded (one row per observed day)
-        .localCheckpoint(eager=True)
+        # is calendar-bounded (one row per observed day). persist()
+        # keeps the gate-visible lineage; standing pin by design
+        # (CacheManager-deduped, eviction-bounded — the documented
+        # ADVICE-r13 trade for a lazily-returned operator).
+        .persist()
     )
     spine = (
         per_day.agg(F.min("__d").alias("__d0"), F.max("__d").alias("__d1"))
@@ -522,13 +530,10 @@ def session_type_affinity(
             F.count(F.lit(1)).cast("long").alias("__S")
         )
     )
-    pt = st.groupBy("__ty").agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    if eager_cleanup:
-        # two consumers (both lift sides): pinned so the per-type agg
-        # over the cached membership runs once (r14 guard class);
-        # ≤|types| rows (`eager_cleanup=False` keeps the lazy plan for
-        # the structural gates, which explain but never execute)
-        pt = pt.localCheckpoint(eager=True)
+    # two consumers (both lift sides): pinned so the per-type agg over
+    # the cached membership runs once (r14 guard class); ≤|types| rows.
+    # persist() keeps the gate-visible lineage; released below with st.
+    pt = st.groupBy("__ty").agg(F.count(F.lit(1)).cast("long").alias("__n")).persist()
     a = st.select("__u", "__sess", F.col("__ty").alias("type_a"))
     b = st.select("__u", "__sess", F.col("__ty").alias("type_b"))
     pairs = (
@@ -557,6 +562,7 @@ def session_type_affinity(
         return out
     out = out.localCheckpoint(eager=True)
     st.unpersist()
+    pt.unpersist()
     return out
 
 

@@ -8557,9 +8557,11 @@ def q_km_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("__t0"))
         # two consumers (the bounded-purchase join + the subject
-        # frame): pinned so the filtered scan + user agg run once
-        # (r14 guard class); user-sized
-        .localCheckpoint(eager=True)
+        # frame): pinned so the filtered scan + user agg run once (r14
+        # guard class); user-sized. persist() keeps the gate-visible
+        # lineage and the user partitioning both joins reuse
+        # (CacheManager-deduped across repeated face calls).
+        .persist()
     )
     fp = (
         ev.filter(F.col("event_type") == "purchase")
