@@ -570,12 +570,18 @@ def main() -> None:
     # headline bracket and every normalized row divide by post-warmup
     # denominators. Done-bar: a calm artifact's start/end calibration
     # brackets agree within 1.5×.
+    # convergence tolerance 1.10 (was 1.25 in r13): the first r14 calm
+    # run converged at [0.152, 0.128] (1.19) yet the JVM kept warming
+    # through the headline section — start/end brackets read
+    # 0.146/0.097 (1.505×), a hair past the era gate's own 1.5×
+    # agreement bar. Tighter convergence costs a few 1-second probes
+    # and buys brackets that actually agree.
     warmup_trail = [calibration["jvm_codegen"]]
-    for _ in range(8):
+    for _ in range(10):
         p = _probe_codegen(spark)
         prev = warmup_trail[-1]
         warmup_trail.append(p)
-        if max(p, prev) <= 1.25 * min(p, prev):
+        if max(p, prev) <= 1.10 * min(p, prev):
             break
     calibration = _calibration(spark)
     print(
