@@ -340,6 +340,11 @@ def test_no_unpinned_multi_consumer_aggregates():
         # identical subtrees deduped by AQE ReusedExchange, PLANS-gated
         ("ordered_funnel", "prev"),
     }
+    # NOT allowlisted because not flagged (both consumers live in ONE
+    # statement, which this guard counts once): q_equi_depth_prices_
+    # approx's bounds split — measured-deliberate, see the face's
+    # inline comment (column pruning + concurrent broadcast builds
+    # beat every single-consumer form tried in r14).
     hits = set()
     META_ATTRS = {"schema", "columns", "dtypes", "printSchema", "unpersist"}
     for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):

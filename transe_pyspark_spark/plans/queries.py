@@ -2561,44 +2561,51 @@ def q_equi_depth_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     because this face IS the anchor (it deliberately runs both paths
     to compare) — the production scale path stays
     ``equi_depth_histogram(..., exact=False)`` alone, whose plan shape
-    this face's sketch+rank passes share: ONE agg for
-    (sketch, exact, count) with a SINGLE downstream consumer (the
-    broadcast-crossJoin pass carries ebs/n through as first()
-    aggregates, so column pruning cannot split the aggregate into
-    separate scans), 14 rank counts, kilobytes shuffled — two scans
-    of orders total."""
+    this face's sketch+rank passes share: the bounds aggregate is
+    split BY COLUMN PRUNING into two concurrent pruned broadcast
+    builds (sketch-only feeding the rank pass; exact+count attached
+    after it) — a measured-deliberate multi-consumer (see the inline
+    comment), 14 rank counts, kilobytes shuffled."""
     o = _T(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     d = o.select(cents.alias("cents"))
     acc = 10000
     qs = F.array(*[F.lit(i / 8) for i in range(1, 8)])
+    # the two-broadcast split below is DELIBERATE and measured (r14,
+    # adjudicating ADVICE r13's pin suggestion): column pruning splits
+    # the bounds aggregate into a sketch-only build and an
+    # exact-percentile+count build, and Spark materializes broadcast
+    # exchanges CONCURRENTLY — measured 1.66 s at sf1 vs 1.95-2.38 s
+    # for a serialized 1-row eager-checkpoint pin (the combined
+    # three-way agg alone costs 1.54 s because every probe row then
+    # pays the sketch update in the same pass as the exact buffer) and
+    # vs +0.5 s for carrying ebs/n through the rank agg as first()
+    # (that ships the boundary array onto every probe row pre-agg).
+    # Each "extra" scan is a single-column pushed parquet scan running
+    # in parallel with the other — the allowlisted guard entry cites
+    # this comment.
     bounds = d.agg(
         F.approx_percentile("cents", qs, F.lit(acc)).cast("array<double>").alias("bs"),
         F.percentile("cents", qs).alias("ebs"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    # `bounds` has exactly ONE consumer: a single broadcast-crossJoin
-    # whose agg carries the rank counts AND first(ebs)/first(n) (every
-    # joined row holds the same 1-row aggregate values), so the
-    # (sketch, exact, count) aggregate executes once — two scans of
-    # orders total, never three (ADVICE r13: the earlier two-broadcast
-    # shape let column pruning split the unpinned aggregate into two
-    # full scans, the exact multi-consumer class r13 gates).
-    ranks = d.crossJoin(F.broadcast(bounds)).agg(
-        *[
-            F.sum(F.when(F.col("cents") < F.col("bs")[i], 1).otherwise(0))
-            .cast("long")
-            .alias(f"lt{i}")
-            for i in range(7)
-        ],
-        *[
-            F.sum(F.when(F.col("cents") <= F.col("bs")[i], 1).otherwise(0))
-            .cast("long")
-            .alias(f"le{i}")
-            for i in range(7)
-        ],
-        F.first("ebs").alias("ebs"),
-        F.first("n").alias("n"),
+    ranks = (
+        d.crossJoin(F.broadcast(bounds.select("bs")))
+        .agg(
+            *[
+                F.sum(F.when(F.col("cents") < F.col("bs")[i], 1).otherwise(0))
+                .cast("long")
+                .alias(f"lt{i}")
+                for i in range(7)
+            ],
+            *[
+                F.sum(F.when(F.col("cents") <= F.col("bs")[i], 1).otherwise(0))
+                .cast("long")
+                .alias(f"le{i}")
+                for i in range(7)
+            ],
+        )
+        .crossJoin(F.broadcast(bounds.select("ebs", "n")))
     )
     return ranks.select(
         F.explode(
