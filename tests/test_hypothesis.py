@@ -859,3 +859,113 @@ def test_winnow_pairs_match_bruteforce(spark, corpus):
             if shared >= 1:
                 want[(a, b)] = (shared, len(sets[a]), len(sets[b]))
     assert got == want
+
+
+# --------------------------- _merge_updates properties (r14, R21/X3)
+
+_upd_frames = st.lists(  # per kernel: list of (id, vector) pairs
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.lists(
+                st.integers(min_value=-1000, max_value=1000),
+                min_size=3, max_size=3,
+            ),
+        ),
+        min_size=0, max_size=8,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(frames=_upd_frames)
+def test_merge_updates_mean_and_last_match_naive_reference(frames):
+    """X3 merge semantics (`TransE.py:159-170`) against a dict-level
+    reference on generated multi-kernel update frames with duplicate
+    ids: mean = order-free average of every vector shipped per id,
+    last = the latest frame's vector in concatenation order; untouched
+    rows pass through; loss rows sum. Exercises BOTH scatter regimes
+    (V=12 with few ids takes the dense branch when Σ|ids|·4 ≥ V, the
+    sorted-compact branch otherwise) — their equivalence is the exact
+    seam a regression in either branch would open."""
+    import numpy as np
+    import pandas as pd
+
+    from transe_pyspark_spark.transe.train import _merge_updates
+
+    V, D = 12, 3
+    rows = []
+    # deduplicate ids WITHIN one kernel frame (the kernel ships each
+    # touched id once — _pack_dense packs a boolean-touched selection)
+    per_frame = []
+    for f in frames:
+        seen = {}
+        for i, vec in f:
+            seen[i] = vec  # last value wins within the frame draw
+        per_frame.append(sorted(seen.items()))
+    for k, f in enumerate(per_frame):
+        ids = [i for i, _ in f]
+        mat = np.array([v for _, v in f], dtype=np.float64).reshape(len(f), D)
+        rows.append(("entity", ids, mat.tobytes()))
+        rows.append(("__loss__", [], np.float64(k + 0.5).tobytes()))
+    updates = pd.DataFrame(rows, columns=["kind", "ids", "data"])
+
+    base = np.arange(V * D, dtype=np.float64).reshape(V, D)
+    lab = np.zeros((2, D), dtype=np.float64)
+
+    ent_mean = base.copy()
+    loss = _merge_updates(updates, ent_mean, lab.copy(), "mean")
+    ent_last = base.copy()
+    _merge_updates(updates, ent_last, lab.copy(), "last")
+
+    # dict-level reference
+    shipped: dict[int, list] = {}
+    for f in per_frame:
+        for i, vec in f:
+            shipped.setdefault(i, []).append(np.array(vec, dtype=np.float64))
+    for i in range(V):
+        if i in shipped:
+            assert np.array_equal(
+                ent_mean[i], np.sum(shipped[i], axis=0) / len(shipped[i])
+            ), f"mean mismatch at id {i}"
+            assert np.array_equal(ent_last[i], shipped[i][-1]), f"last mismatch at {i}"
+        else:
+            assert np.array_equal(ent_mean[i], base[i])
+            assert np.array_equal(ent_last[i], base[i])
+    assert loss == sum(k + 0.5 for k in range(len(per_frame)))
+
+
+@given(frames=_upd_frames)
+def test_merge_updates_scatter_regimes_agree(frames):
+    """The mean path picks a DENSE V×k accumulator when the shipped id
+    count is large relative to V and a sorted-compact buffer otherwise
+    (`_merge_updates`' scale split). Force both regimes on the same
+    updates by varying only V (small V → dense, huge V → compact) and
+    assert the touched rows come out bit-identical."""
+    import numpy as np
+    import pandas as pd
+
+    from transe_pyspark_spark.transe.train import _merge_updates
+
+    D = 3
+    rows = []
+    per_frame = []
+    for f in frames:
+        seen = {}
+        for i, vec in f:
+            seen[i] = vec
+        per_frame.append(sorted(seen.items()))
+    if not any(per_frame):
+        return
+    for f in per_frame:
+        ids = [i for i, _ in f]
+        mat = np.array([v for _, v in f], dtype=np.float64).reshape(len(f), D)
+        rows.append(("entity", ids, mat.tobytes()))
+    updates = pd.DataFrame(rows, columns=["kind", "ids", "data"])
+
+    lab = np.zeros((2, D), dtype=np.float64)
+    small = np.zeros((12, D), dtype=np.float64)        # dense regime
+    big = np.zeros((100_000, D), dtype=np.float64)     # compact regime
+    _merge_updates(updates, small, lab.copy(), "mean")
+    _merge_updates(updates, big, lab.copy(), "mean")
+    assert np.array_equal(small, big[:12])
