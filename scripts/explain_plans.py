@@ -1896,6 +1896,59 @@ def main() -> int:
         "",
     ]
 
+    # deterministic-step kernel transport gate (r14, VERDICT r13 asks
+    # #2/#5): each per-partition kernel job of the partitioned
+    # merge faces must be exactly repartition(1) -> ONE Arrow map —
+    # one SinglePartition exchange, no extra shuffle, no
+    # driver-invisible second Python stage. Built from the same API
+    # shape `sgd_step_deterministic` dispatches per parity class.
+    from pyspark.sql import functions as _Fk
+
+    _ktr = spark.range(50).select(
+        _Fk.col("id").alias("h"),
+        (_Fk.col("id") % 10).alias("l"),
+        ((_Fk.col("id") * 7 + 3) % 97).alias("t"),
+    )
+
+    def _noop_kernel(batches):
+        for b in batches:
+            yield b
+
+    _kjob = (
+        _ktr.filter((_Fk.col("h") % 2) == 0)
+        .repartition(1)
+        .mapInPandas(_noop_kernel, schema="h long, l long, t long")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _kjob.explain("formatted")
+    _kplan = buf.getvalue()
+    # formatted explain lists each node twice (tree + details) —
+    # count node HEADERS for the exchange budget
+    _n_ex = len(re.findall(r"\(\d+\) Exchange", _kplan))
+    _has_arrow = ("MapInPandas" in _kplan) or ("ArrowEvalPython" in _kplan)
+    _k_ok = _n_ex == 1 and "SinglePartition" in _kplan and _has_arrow
+    if not _k_ok:
+        failures += 1
+    status = "OK" if _k_ok else (
+        f"FAIL (exchanges={_n_ex} want 1 SinglePartition, arrow={_has_arrow})"
+    )
+    print(f"{status:40s} sgd deterministic-step kernel job (1 exchange, Arrow map)")
+    lines += [
+        "## sgd deterministic-step kernel job — transport shape (r14)", "",
+        "**Requirement:** the partitioned merge faces "
+        "(`transe_sgd_step_merged`/`_lastwriter`, the two-step chain) "
+        "dispatch each parity class as repartition(1) → one Arrow "
+        "mapInPandas: exactly ONE SinglePartition exchange and one "
+        "Python stage per kernel job — the whole-frame-as-one-batch "
+        "contract has no room for a hidden extra shuffle or a second "
+        "Python eval between the filter and the kernel.",
+        f"**Status:** {status} ({_n_ex} exchange(s))", "",
+    ] + ["```"] + [
+        line.strip() for line in _kplan.splitlines()
+        if "Exchange" in line or "MapInPandas" in line or "ArrowEvalPython" in line
+    ][:6] + ["```", ""]
+
     # relational-trainer beyond-broadcast gate (r07, VERDICT r06 ask #1):
     # at V=2,000,000, k=50 the entity table is ~800 MB — 6.25× the
     # broadcast-model limit — so the gather join must SHUFFLE on the
