@@ -134,50 +134,61 @@ STAYING_R14 = {
     "pareto_frontier_lineitem",
 }
 
-#: r14-minted past-window faces (VERDICT r13 ask #5 — registered after
-#: the window per the standing protocol; they form the r15 queue)
-PAST_WINDOW_R14 = {
+#: r14-minted faces rotated into front slots in r15 (VERDICT r14 ask
+#: #1: the two-face queue — the last-writer merge mode closing SURVEY
+#: §4 quirk 1, and the two-step chain pinning the inter-batch snapshot
+#: discipline). Two twice-green r13-wave incumbents rotated out.
+NEW_IN_R15 = {
     "transe_sgd_step_lastwriter",
     "transe_sgd_two_steps",
 }
 
+#: the two r15 leavers — both driver-green in CORRECTNESS_r13 AND
+#: _r14, each with named in-window family carriers (trainer:
+#: transe_sgd_step_merged + the two incoming; MI/association:
+#: chi2_lang_source_docs + the r14 drift/stat wave)
+ROTATED_OUT_R15 = {
+    "transe_sgd_step",
+    "mutual_info_events",
+}
 
-def test_r14_rotation_inside_window():
+
+def test_r15_rotation_inside_window():
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    missing = (NEW_IN_R13 | NEW_IN_R14 | STAYING_R13 | STAYING_R14) - window
-    assert not missing, f"r14 must-check queries fell out of the driver window: {missing}"
+    must = (NEW_IN_R13 | NEW_IN_R14 | NEW_IN_R15 | STAYING_R13 | STAYING_R14) - ROTATED_OUT_R15
+    missing = must - window
+    assert not missing, f"r15 must-check queries fell out of the driver window: {missing}"
 
 
-def test_r14_first_time_face_count():
-    """VERDICT r13 ask #1's 'done' bar: the eleven queue faces (plus
-    the sanctioned transe_sgd_step_merged mint) all hold driver-window
-    slots this round — the never-driver-checked queue is ZERO."""
+def test_r15_queue_faces_hold_front_slots():
+    """VERDICT r14 ask #1's 'done' bar: both never-driver-checked
+    queue mints hold driver-window slots this round — the queue is
+    again ZERO."""
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    assert len(NEW_IN_R14 & window) == 12
+    assert NEW_IN_R15 <= window
 
 
-def test_r14_past_window_mints_registered_after_window():
-    """Ask #5's standing protocol: the two new merge-semantics faces
-    register PAST the window (they are the r15 queue), oracle-backed."""
-    names = list(REGISTRY)
-    window = set(names[:_DRIVER_WINDOW])
-    for n in PAST_WINDOW_R14:
-        assert n in REGISTRY and n not in window
-        assert REGISTRY[n].oracle is not None
-
-
-def test_r14_rotated_out_were_twice_green():
+def test_r15_rotated_out_were_twice_green():
     """Window policy: only twice-plus-driver-green incumbents rotate
-    out — the twelve r14 leavers are exactly the r12-wave faces green
-    in CORRECTNESS_r12 AND _r13, minus the four kept."""
+    out — the two r15 leavers are green in CORRECTNESS_r13 AND _r14
+    (asserted against the committed artifacts when present)."""
+    import json
+    import os
+
     window = set(list(REGISTRY)[:_DRIVER_WINDOW])
-    out = NEW_IN_R12 - window
-    assert out == NEW_IN_R12 - STAYING_R14 - {"edit_near_names_customers"} - {
-        "km_conversion_events",
-        "pit_enrich_events",
-        "pareto_frontier_lineitem",
-    }, f"unexpected r14 leaver set: {sorted(out)}"
-    assert len(out) == 12
+    assert ROTATED_OUT_R15 & window == set(), "r15 leavers still in window"
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for r in (13, 14):
+        path = os.path.join(here, f"CORRECTNESS_r{r}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            hist = json.load(f)
+        for name in ROTATED_OUT_R15:
+            row = hist.get(name)
+            assert row and row["hash_match"] and not row["err"], (
+                f"{name} was not driver-green in r{r}; rotation policy violated"
+            )
 
 
 def test_driver_window_is_all_oracle_backed():

@@ -9269,18 +9269,21 @@ _OVERFLOW_ORACLE = [
     # (transe_sgd_step_merged). Twelve twice-green r12-wave incumbents
     # rotated here in exchange (see the r14 block below).
     #
-    # r14-minted faces registered PAST the window per the standing
-    # protocol (VERDICT r13 ask #5: mirror-green at both SFs +
-    # pytest-gated, never driver-checked — the r15 rotation queue):
-    "transe_sgd_step_lastwriter",    # X3 merge mode "last": the
-                                     # reference's collect-order
-                                     # last-writer (TransE.py:159-170),
-                                     # pinned partition order, FULL
-                                     # OUTER oracle preferring p1
-    "transe_sgd_two_steps",          # two chained deterministic steps:
-                                     # inter-batch snapshot discipline
-                                     # (TransE.py:116-117), micro-
-                                     # requantized between steps
+    # r15 rotation (VERDICT r14 ask #1): the two r14-minted queue
+    # faces (transe_sgd_step_lastwriter, transe_sgd_two_steps) moved
+    # OUT of this overflow list into front slots. Two twice-green
+    # r13-wave incumbents rotated here in exchange:
+    "transe_sgd_step",           # trainer (R21): carried in-window by
+                                 # transe_sgd_step_merged (r14 green)
+                                 # plus the two incoming merge faces,
+                                 # which strictly extend this face's
+                                 # single-partition step (r13+r14
+                                 # driver-green)
+    "mutual_info_events",        # association/statistics: carried by
+                                 # chi2_lang_source_docs (in-window,
+                                 # same contingency machinery) and the
+                                 # r14 drift/stat wave (psi, acf,
+                                 # robust outliers; r13+r14 green)
     # rotated out in r14 (VERDICT r13 ask #1: twelve front slots for
     # the eleven queue faces + the sanctioned transe_sgd_step_merged
     # mint) — every outgoing incumbent is TWICE driver-green (r12 +
@@ -9477,16 +9480,14 @@ def _reorder_registry() -> None:
         "bm25_topk_retrieval",
         "eventually_follows_events",
         "absent_followup_events",
-        "mutual_info_events",
         "chi2_lang_source_docs",
-        # the one r13-minted face (VERDICT r12 ask #4, a sanctioned
-        # exception to the minting freeze): the trainer's first
-        # oracle face — R21 stops being the only pytest-only
-        # component. It also supersedes the stale rows-only
-        # transe_train_smoke (ask #2) and carries the dict-encode
-        # family (its pipeline head dict-encodes the entity vocab
-        # under oracle check).
-        "transe_sgd_step",
+        # r15 NOTE: transe_sgd_step (the r13 mint) and
+        # mutual_info_events rotated to overflow this round — both
+        # twice driver-green (r13+r14); their slots went to the r15
+        # queue below. Trainer family stays carried in-window by
+        # transe_sgd_step_merged + the two incoming merge faces;
+        # the MI/association family by chi2_lang_source_docs (here)
+        # and psi/acf/robust (r14 wave).
         # r14 rotation (VERDICT r13 ask #1: drain the queue to ZERO):
         # the eleven never-driver-checked queue faces — mirror-green
         # at both SFs + pytest-gated — hold front slots until
@@ -9510,6 +9511,13 @@ def _reorder_registry() -> None:
         # averaging (TransE.py:159-170), the one semantic decision
         # point the single-partition transe_sgd_step face cannot reach
         "transe_sgd_step_merged",
+        # r15 rotation (VERDICT r14 ask #1): the two r14-minted
+        # past-window queue faces take front slots until driver-green —
+        # the LAST-writer merge mode (SURVEY §4 quirk 1,
+        # TransE.py:159-170) and the two-step chain pinning the
+        # inter-batch snapshot discipline (TransE.py:116-117)
+        "transe_sgd_step_lastwriter",
+        "transe_sgd_two_steps",
         # r12-wave faces kept in-window (twice-green but each its
         # family's only/strongest in-window member): edit-distance
         # linkage, PIT enrichment, skyline/dominance, survival
