@@ -449,6 +449,107 @@ _CALM_BAND = {"jvm_codegen": 0.138, "jvm_shuffle": 0.43}
 _ERA_TOL = 1.5
 
 
+#: Per-row sf1 quiet bands (r15, VERDICT r14 ask #2): section-level
+#: era stamps can't see mid-section host windows — the calm-stamped
+#: r14 final artifact carried sf1 rows 1.9-3× their quiet bands
+#: (assortativity 6.34 vs 2.7-3.5, stream_value_drift 10.3 vs 3.4-3.9,
+#: sssp 8.9 vs 5.8-7.7). Each row's band is MACHINE-READABLE here so
+#: movers self-flag in the artifact itself: lo = the row's minimum
+#: across the five committed calm references (BENCH_full_{r12_calm,
+#: r13_calm, r13_calm2, r14_calm, r14_calm3}.json — the BASELINE.md
+#: quiet-window record), hi = 1.5 × lo (the same _ERA_TOL factor the
+#: era gate uses; spot-checked against every BASELINE.md settled band:
+#: stream_value_drift 3.4-3.9 ⊂ [3.37, 5.06], interpolate 0.6-0.9 ⊂
+#: [0.55, 0.83]≈, hybrid_rrf 2.8-3.4 ⊂ [2.61, 3.91]). A row above hi
+#: is EITHER a regression or a mid-section host window — triage order:
+#: section_cpu system-fraction first (kernel era), then normalized
+#: ratio (probe drift), then code. Regenerate lo after a new calm
+#: reference lands: scripts/quiet_bands.py.
+_SF1_QUIET_BANDS: dict[str, tuple[float, float]] = {
+    "absent_followup_events": (0.331, 0.497),
+    "acf_daily_value_events": (0.61, 0.915),
+    "approx_percentile_sketch": (0.197, 0.295),
+    "assoc_rules_parts": (0.886, 1.329),
+    "assortativity_trading": (2.699, 4.048),
+    "benford_totalprice_orders": (0.363, 0.544),
+    "bfs_hops_trading": (5.577, 8.366),
+    "bigram_familiarity_docs": (7.794, 11.691),
+    "bm25_docs": (0.573, 0.859),
+    "cdc_apply_customers": (0.591, 0.886),
+    "chi2_lang_source_docs": (0.554, 0.831),
+    "collocations_docs": (0.961, 1.442),
+    "corpus_pipeline": (15.369, 23.053),
+    "data_quality_audit": (1.26, 1.89),
+    "decayed_user_scores": (0.284, 0.426),
+    "dedup_bursts_events": (0.77, 1.155),
+    "doc_keywords_lift": (1.596, 2.394),
+    "embedding_covariance_vecs": (1.132, 1.698),
+    "equi_depth_prices_approx": (1.023, 1.534),
+    "event_transitions": (0.832, 1.248),
+    "eventually_follows_events": (2.329, 3.494),
+    "fd_violations_docs": (0.43, 0.645),
+    "funnel_ordered_steps": (0.659, 0.989),
+    "gini_customer_spend": (1.138, 1.707),
+    "golden_record_docs": (0.534, 0.801),
+    "heavy_hitter_words": (1.693, 2.54),
+    "hits_copurchase_parts": (5.707, 8.56),
+    "hybrid_rrf_docs": (2.609, 3.913),
+    "interpolate_hourly": (0.55, 0.825),
+    "ivm_summary_customers": (0.825, 1.237),
+    "jaccard_prefix_near_pairs": (7.477, 11.216),
+    "km_conversion_events": (1.429, 2.143),
+    "ks_value_drift_events": (0.747, 1.121),
+    "lpa_communities_trading": (7.185, 10.777),
+    "mann_kendall_daily_events": (0.788, 1.182),
+    "mannwhitney_value_events": (0.693, 1.039),
+    "minhash_pairs_raw": (3.311, 4.966),
+    "multires_rollup_events": (0.596, 0.894),
+    "mutual_info_events": (0.652, 0.978),
+    "nearest_click_purchase": (0.286, 0.429),
+    "node_clustering_parts": (0.431, 0.646),
+    "pagerank_trading_graph": (0.86, 1.29),
+    "pareto_frontier_lineitem": (2.2, 3.3),
+    "quantile_normalize_docs": (1.545, 2.317),
+    "region_revenue": (2.576, 3.864),
+    "rfm_segments_customers": (3.952, 5.928),
+    "robust_outliers_events": (7.875, 11.812),
+    "runs_test_daily_events": (0.711, 1.067),
+    "seasonal_anomaly_events": (0.454, 0.681),
+    "sessionize_events": (0.743, 1.115),
+    "source_divergence_docs": (0.701, 1.051),
+    "spearman_qty_price_lineitem": (3.389, 5.083),
+    "sssp_trading_graph": (5.837, 8.755),
+    "stream_tumbling_counts": (1.641, 2.462),
+    "stream_value_drift": (3.372, 5.058),
+    "tfidf_top_terms_docs": (1.036, 1.554),
+    "top_event_paths": (0.96, 1.44),
+    "top_revenue_orders": (1.248, 1.872),
+    "triangle_stats_parts": (6.674, 10.011),
+    "unigram_nll_docs": (0.725, 1.087),
+    "vocab_growth_sources": (0.71, 1.065),
+    "wasserstein_value_drift_events": (0.744, 1.116),
+    "weighted_jaccard3_prefix_docs": (7.369, 11.053),
+}
+
+
+def _sf1_band_annotations(sf1: dict) -> dict:
+    """Per-row quiet-band verdicts for the sf1 section (VERDICT r14
+    ask #2). ``band_ok`` False means the row read above 1.5× its calm
+    floor — an era window or a regression, never silently
+    era-comparable. Rows without calm history carry ``band: null``."""
+    out = {}
+    for name, v in sf1.items():
+        if not isinstance(v, (int, float)):
+            continue
+        band = _SF1_QUIET_BANDS.get(name)
+        out[name] = {
+            "value": v,
+            "band": list(band) if band else None,
+            "band_ok": (v <= band[1]) if band else None,
+        }
+    return out
+
+
 def _within_calm_band(cal: dict[str, float]) -> bool:
     """True when both speed probes sit within _ERA_TOL of the calm
     reference — the era-aware half of the warmup gate."""
@@ -884,6 +985,18 @@ def main() -> None:
         },
         "scale_paths": scale_paths,
         "sf1": sf1,
+        # per-row quiet-band verdicts (r15, VERDICT r14 ask #2): each
+        # sf1 row self-flags against its committed calm band — a
+        # band_ok=false row was timed through a mid-section host
+        # window OR regressed; triage via section_cpu + normalized
+        # before reading it as code
+        "sf1_bands": _sf1_band_annotations(sf1),
+        "sf1_band_rule": (
+            "lo=min across the 5 committed calm references "
+            "(BENCH_full_{r12_calm,r13_calm,r13_calm2,r14_calm,"
+            "r14_calm3}.json), hi=1.5*lo (_ERA_TOL); "
+            "regenerate via scripts/quiet_bands.py"
+        ),
         "calibration": calibration,
         "calibration_end": calibration_end,
         "warmup_trail": warmup_trail,
