@@ -246,3 +246,18 @@ def test_registry_entries_are_query_functions():
     assert not unannotated, (
         f"registered fn lacks a DataFrame return annotation: {unannotated}"
     )
+
+
+#: r15-minted past-window faces (VERDICT r14 asks #3/#5 — registered
+#: after the window per the standing protocol; they form the r16 queue)
+PAST_WINDOW_R15 = {
+    "transe_sgd_step_relational",
+}
+
+
+def test_r15_past_window_mints_registered_after_window():
+    names = list(REGISTRY)
+    window = set(names[:_DRIVER_WINDOW])
+    for n in PAST_WINDOW_R15:
+        assert n in REGISTRY and n not in window
+        assert REGISTRY[n].oracle is not None

@@ -3648,14 +3648,14 @@ rowd AS (SELECT n.h, n.l, n.t, n.ch, n.ct, d.d,
          JOIN ent et ON et.eid = n.t
          JOIN ent ech ON ech.eid = n.ch
          JOIN ent ect ON ect.eid = n.ct),
-hing AS (SELECT h,
+hing AS (SELECT h, l, t,
                 100000 + sum(abs(qh + ql - qt)) - sum(abs(qch + ql - qct)) > 0 AS viol
-         FROM rowd GROUP BY 1),
+         FROM rowd GROUP BY 1, 2, 3),
 grad AS (SELECT r.*,
                 CASE WHEN qt - qh - ql >= 0 THEN 1 ELSE -1 END AS g,
                 -(CASE WHEN qct - qch - ql >= 0 THEN 1 ELSE -1 END) AS gc,
                 hing.viol
-         FROM rowd r JOIN hing USING (h)),
+         FROM rowd r JOIN hing USING (h, l, t)),
 contrib AS (
     SELECT h AS id, d, CASE WHEN viol THEN 10000 * g ELSE 0 END AS dv FROM grad
     UNION ALL SELECT t, d, CASE WHEN viol THEN -10000 * g ELSE 0 END FROM grad
@@ -3778,7 +3778,8 @@ def q_transe_sgd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sgd_step_cte(sfx: str, batch_pred: str, ent_rel: str, lab_rel: str,
-                  lr: int = 10_000, margin: int = 100_000) -> str:
+                  lr: int = 10_000, margin: int = 100_000,
+                  touch: str = "batch") -> str:
     """One deterministic SGD step as a reusable DuckDB CTE chain — the
     EXPLODED-form twin of `_TRANSE_SGD_ORACLE`'s step semantics (hinge
     mask, L1 sign gradients with the >=0 → +1 convention, the six ±lr
@@ -3795,8 +3796,49 @@ def _sgd_step_cte(sfx: str, batch_pred: str, ent_rel: str, lab_rel: str,
     parquet scans) ``fout{sfx}`` (eid, d, vi, n2, f — post-renorm DOUBLE,
     exact: integer vi/n2 + one correctly-rounded sqrt and division),
     ``eout{sfx}`` (micro-quantized BIGINT), ``lout{sfx}`` (BIGINT —
-    labels are never renormed)."""
+    labels are never renormed).
+
+    ``touch`` selects the TOUCHED-SET convention — the one semantic
+    fork between the two trainer regimes (r15, VERDICT r14 ask #3):
+
+    * ``"batch"`` (default, the broadcast kernel's
+      `_vectorized_step`): every batch entity — head, tail, corrupted
+      — is touched and renormed, with zero delta when its triple
+      doesn't violate the hinge (``TransE.py:214-217`` renorms batch
+      entities unconditionally);
+    * ``"viol"`` (the relational kernel): only VIOLATING triples ship
+      contributions, so non-violating entities/labels are untouched
+      and never renormed — the delta table a distributed groupBy-sum
+      naturally produces.
+
+    Hinge grouping note (ADVICE r14): the hinge CTE aggregates the
+    8 per-dimension rows of each TRIPLE, grouped on the full (h, l, t)
+    key — correct for any batch of DISTINCT triples (a duplicated
+    triple would double-count the margin; batches here are keyed
+    subsets of the closed-form trainset, whose ``h`` is a key, so
+    duplicates are construction-impossible — asserted rather than
+    silently assumed by the full-key grouping)."""
+    assert touch in ("batch", "viol")
     s = sfx
+    if touch == "batch":
+        contrib_ctes = f"""
+contrib{s} AS (
+    SELECT h AS id, d, CASE WHEN viol THEN {lr} * g ELSE 0 END AS dv FROM grad{s}
+    UNION ALL SELECT t, d, CASE WHEN viol THEN -{lr} * g ELSE 0 END FROM grad{s}
+    UNION ALL SELECT ch, d, CASE WHEN viol THEN {lr} * gc ELSE 0 END FROM grad{s}
+    UNION ALL SELECT ct, d, CASE WHEN viol THEN -{lr} * gc ELSE 0 END FROM grad{s}),
+lupd{s} AS (SELECT l AS lid, d,
+                sum(CASE WHEN viol THEN {lr} * (g + gc) ELSE 0 END) AS delta
+         FROM grad{s} GROUP BY 1, 2),"""
+    else:
+        contrib_ctes = f"""
+contrib{s} AS (
+    SELECT h AS id, d, {lr} * g AS dv FROM grad{s} WHERE viol
+    UNION ALL SELECT t, d, -{lr} * g FROM grad{s} WHERE viol
+    UNION ALL SELECT ch, d, {lr} * gc FROM grad{s} WHERE viol
+    UNION ALL SELECT ct, d, -{lr} * gc FROM grad{s} WHERE viol),
+lupd{s} AS (SELECT l AS lid, d, sum({lr} * (g + gc)) AS delta
+         FROM grad{s} WHERE viol GROUP BY 1, 2),"""
     return f"""
 tr{s} AS (SELECT h, l, t FROM tr WHERE {batch_pred}),
 cr{s} AS (SELECT h, l, t,
@@ -3826,19 +3868,14 @@ rowd{s} AS (SELECT n.h, n.l, n.t, n.ch, n.ct, eh.d,
          JOIN {ent_rel} et ON et.eid = n.t AND et.d = eh.d
          JOIN {ent_rel} ech ON ech.eid = n.ch AND ech.d = eh.d
          JOIN {ent_rel} ect ON ect.eid = n.ct AND ect.d = eh.d),
-hing{s} AS (SELECT h,
+hing{s} AS (SELECT h, l, t,
                 {margin} + sum(abs(qh + ql - qt)) - sum(abs(qch + ql - qct)) > 0 AS viol
-         FROM rowd{s} GROUP BY 1),
+         FROM rowd{s} GROUP BY 1, 2, 3),
 grad{s} AS (SELECT r.*,
                 CASE WHEN qt - qh - ql >= 0 THEN 1 ELSE -1 END AS g,
                 -(CASE WHEN qct - qch - ql >= 0 THEN 1 ELSE -1 END) AS gc,
                 hing{s}.viol
-         FROM rowd{s} r JOIN hing{s} USING (h)),
-contrib{s} AS (
-    SELECT h AS id, d, CASE WHEN viol THEN {lr} * g ELSE 0 END AS dv FROM grad{s}
-    UNION ALL SELECT t, d, CASE WHEN viol THEN -{lr} * g ELSE 0 END FROM grad{s}
-    UNION ALL SELECT ch, d, CASE WHEN viol THEN {lr} * gc ELSE 0 END FROM grad{s}
-    UNION ALL SELECT ct, d, CASE WHEN viol THEN -{lr} * gc ELSE 0 END FROM grad{s}),
+         FROM rowd{s} r JOIN hing{s} USING (h, l, t)),{contrib_ctes}
 eupd{s} AS (SELECT id, d, sum(dv) AS delta FROM contrib{s} GROUP BY 1, 2),
 epost{s} AS (SELECT u.id AS eid, u.d, e.q + u.delta AS vi
           FROM eupd{s} u JOIN {ent_rel} e ON e.eid = u.id AND e.d = u.d),
@@ -3852,9 +3889,6 @@ eout{s} AS MATERIALIZED (SELECT eid, d,
                       ELSE CAST((CASE WHEN f >= 0 THEN 1 ELSE -1 END)
                            * floor(abs(f) * 1000000.0 + 0.5) AS BIGINT) END AS o
           FROM fout{s}),
-lupd{s} AS (SELECT l AS lid, d,
-                sum(CASE WHEN viol THEN {lr} * (g + gc) ELSE 0 END) AS delta
-         FROM grad{s} GROUP BY 1, 2),
 lout{s} AS MATERIALIZED (SELECT u.lid, u.d, CAST(la.q + u.delta AS BIGINT) AS o
          FROM lupd{s} u JOIN {lab_rel} la ON la.lid = u.lid AND la.d = u.d)"""
 
@@ -3959,6 +3993,17 @@ lfin AS (SELECT i.lid, i.d, coalesce(b.o, a.o) AS o
          LEFT JOIN louts1 a ON a.lid = i.lid AND a.d = i.d)
 """
     + _SGD_PIVOT.format(erel="efin", lrel="lfin")
+)
+
+#: the relational (beyond-broadcast) step's replay (r15, VERDICT r14
+#: ask #3): the SAME step CTE as every other trainer oracle, in its
+#: ``touch="viol"`` convention — only violating triples ship
+#: contributions, the delta table a distributed groupBy-sum naturally
+#: produces (see `_sgd_step_cte`'s docstring for the regime fork)
+_TRANSE_SGD_RELATIONAL_ORACLE = (
+    _SGD_PRELUDE
+    + _sgd_step_cte("r", "TRUE", "entd", "labd", touch="viol")
+    + _SGD_PIVOT.format(erel="eoutr", lrel="loutr")
 )
 
 
@@ -4125,6 +4170,40 @@ def q_transe_sgd_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sgd_rows_frame(
         spark, ent2, lab2, ent_ids, lab_ids, quantize_entities=False
     )
+
+
+@_register(
+    "transe_sgd_step_relational",
+    oracle=_TRANSE_SGD_RELATIONAL_ORACLE,
+    tags=("transe", "train"),
+)
+def q_transe_sgd_step_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELATIONAL trainer's deterministic step, oracle-pinned
+    (r15, VERDICT r14 ask #3 — the 100 TB path gets its hard face):
+    the same 50-triple micro-unit fixture as `transe_sgd_step`, routed
+    through `train_relational.relational_sgd_step_deterministic` — the
+    melt-gather join, id-keyed partial fold, and grouped-delta update
+    join of `RelationalTransETrainer.fit` in the SHUFFLED
+    (beyond-broadcast) regime, via the shared kernel factories the
+    trainer itself runs (reference semantics
+    `TransEmodule/TransE.py:313-369`; beyond-broadcast plan shape
+    gated in scripts/explain_plans.py at the V=2M shape).
+
+    The oracle replays the step with the shared `_sgd_step_cte` in its
+    ``touch="viol"`` convention — the one semantic fork between the
+    regimes (the relational delta table only carries violating
+    triples' contributions; the broadcast kernel renorms every batch
+    entity). A pytest pins the cross-regime bit-identity on the
+    touched intersection (`test_r15_ops.py`)."""
+    from transe_pyspark_spark.transe.train_relational import (
+        relational_sgd_step_deterministic,
+    )
+
+    E0, L0, triples = _sgd_face_fixture(spark, sf_dir)
+    ent2, lab2, ent_ids, lab_ids = relational_sgd_step_deterministic(
+        spark, triples, E0, L0, lr=10_000.0, margin=100_000.0, distance="L1",
+    )
+    return _sgd_rows_frame(spark, ent2, lab2, ent_ids, lab_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -4443,7 +4522,7 @@ def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, cohort sizes broadcast into the ratio."""
     from transe_pyspark_spark.operators.asof import cohort_retention
 
-    return cohort_retention(_T(spark, sf_dir, "events"))
+    return cohort_retention(_T(spark, sf_dir, "events"), eager_cleanup=False)
 
 
 @_register(
@@ -5502,7 +5581,7 @@ def q_time_to_convert_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two filtered event types, never the full log."""
     from transe_pyspark_spark.operators.sequences import time_to_convert
 
-    return time_to_convert(_T(spark, sf_dir, "events"))
+    return time_to_convert(_T(spark, sf_dir, "events"), eager_cleanup=False)
 
 
 @_register(
@@ -5581,7 +5660,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", F.lit("mirror").alias("source")
         )
     )
-    return cross_source_dup_matrix(corpus)
+    return cross_source_dup_matrix(corpus, eager_cleanup=False)
 
 
 @_register(
@@ -5718,7 +5797,9 @@ def q_daily_corr_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order-dependent."""
     from transe_pyspark_spark.operators.sequences import daily_count_correlation
 
-    return daily_count_correlation(_T(spark, sf_dir, "events"), "view", "purchase")
+    return daily_count_correlation(
+        _T(spark, sf_dir, "events"), "view", "purchase", eager_cleanup=False
+    )
 
 
 @_register(
@@ -8571,7 +8652,13 @@ def q_km_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frame): pinned so the filtered scan + user agg run once (r14
         # guard class); user-sized. persist() keeps the gate-visible
         # lineage and the user partitioning both joins reuse
-        # (CacheManager-deduped across repeated face calls).
+        # (CacheManager-deduped across repeated face calls). ADVICE
+        # r14 asymmetry, deliberate: this pin lives in the FACE, whose
+        # returned frame must stay LAZY for the driver/plan-gate
+        # contract — same residue class as the operators' documented
+        # eager_cleanup=False face calls (one deduped cache entry per
+        # distinct input frame, eviction-bounded); see COVERAGE.md's
+        # r15 standing-pin note.
         .persist()
     )
     fp = (
@@ -9284,6 +9371,15 @@ _OVERFLOW_ORACLE = [
                                  # same contingency machinery) and the
                                  # r14 drift/stat wave (psi, acf,
                                  # robust outliers; r13+r14 green)
+    #
+    # r15-minted faces registered PAST the window per the standing
+    # protocol (VERDICT r14 asks #3/#5: mirror-green at both SFs +
+    # pytest-gated, never driver-checked — the r16 rotation queue):
+    "transe_sgd_step_relational",    # the beyond-broadcast trainer
+                                     # step through the melt-gather /
+                                     # fold / update-join dataflow,
+                                     # replayed by the shared step CTE
+                                     # in touch="viol" convention
     # rotated out in r14 (VERDICT r13 ask #1: twelve front slots for
     # the eleven queue faces + the sanctioned transe_sgd_step_merged
     # mint) — every outgoing incumbent is TWICE driver-green (r12 +
