@@ -760,6 +760,7 @@ def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Weekly cohort-retention matrix — the product-analytics staple:
     users are assigned to the cohort of their FIRST event's week, and
@@ -802,15 +803,17 @@ def cohort_retention(
     cells = (
         acts.groupBy("cohort_week", "age_weeks")
         .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
-        # weeks²-sized; two consumers below. persist() keeps the
-        # gate-visible lineage; standing pin by design (kilobytes,
-        # CacheManager-deduped — the documented ADVICE-r13 trade)
+        # weeks²-sized; two consumers below. RELEASED before return
+        # under the family's eager-cleanup contract (ADVICE r14 — the
+        # doc_keywords idiom); eager_cleanup=False keeps the lazy
+        # gate-visible lineage and leaves the pin (kilobytes,
+        # CacheManager-deduped, eviction-bounded).
         .persist()
     )
     sizes = cells.filter(F.col("age_weeks") == 0).select(
         "cohort_week", F.col("n_active").alias("n_cohort")
     )
-    return (
+    out = (
         cells
         .join(F.broadcast(sizes), "cohort_week")
         .select(
@@ -821,6 +824,11 @@ def cohort_retention(
             (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias("retention"),
         )
     )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)  # weeks²-sized leaf
+    cells.unpersist()
+    return out
 
 
 def ordered_funnel(

@@ -856,6 +856,7 @@ def cross_source_dup_matrix(
     df: DataFrame,
     text_col: str = "text",
     source_col: str = "source",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Corpus-provenance duplication matrix (r08): for every ordered
     source pair ``source_a <= source_b``, the EXACT number of duplicate
@@ -887,8 +888,10 @@ def cross_source_dup_matrix(
         # (r14 guard class); the frame carries only (hash, source,
         # count) — 8-byte keys, never text. persist() keeps the
         # gate-visible lineage and the __fp partitioning both join
-        # sides reuse; standing pin by design (CacheManager-deduped,
-        # eviction-bounded — the documented ADVICE-r13 trade).
+        # sides reuse. RELEASED before return under the family's
+        # eager-cleanup contract (ADVICE r14 — the doc_keywords idiom);
+        # eager_cleanup=False keeps the lazy gate-visible lineage and
+        # leaves the pin (CacheManager-deduped, eviction-bounded).
         .persist()
     )
     a = per.select("__fp", F.col("__s").alias("source_a"), F.col("__n").alias("__na"))
@@ -908,11 +911,16 @@ def cross_source_dup_matrix(
             .alias("__p"),
         )
     )
-    return (
+    out = (
         pairs.groupBy("source_a", "source_b")
         .agg(F.sum("__p").cast("long").alias("dup_pairs"))
         .filter(F.col("dup_pairs") > 0)
     )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)  # ≤|sources|²-row leaf
+    per.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,30 @@ SCALE = 1_000_000
 _LINEAGE_CHECKPOINT_EVERY = 4
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD the context currently keeps blocks for.
+    Snapshot-diff pairs with `_unpersist_rdd_ids` to release EAGER
+    localCheckpoint frames (ADVICE r14): ``Dataset.unpersist`` only
+    clears cache-manager entries — a localCheckpoint's persisted RDD
+    is untouched by it (probed: the block survives df.unpersist), so
+    loops that checkpoint per iteration must free by RDD id."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = m.iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    """Release the blocks of the given persistent RDD ids (non-blocking;
+    ids already released are skipped)."""
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    for rid in ids:
+        if m.contains(rid):
+            m.apply(rid).unpersist(False)
+
+
 def pagerank_integer(
     edges: DataFrame,
     src: str = "src",
@@ -1150,7 +1174,14 @@ def hits_integer(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ADVICE r14: the per-round eager checkpoints (a_raw/a/h_raw/h)
+    # otherwise pin blocks for the session — snapshot the persistent
+    # RDD ids here and release every id this loop adds once the final
+    # result frame has materialized (only `out`'s own checkpoint,
+    # taken after the snapshot diff below, survives the call)
+    rdd_ids_before = _persistent_rdd_ids(spark)
     ed = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .repartition(n_part, "__s")
@@ -1200,6 +1231,7 @@ def hits_integer(
             )
             .localCheckpoint(eager=True)
         )
+    loop_rdd_ids = _persistent_rdd_ids(spark) - rdd_ids_before
     out = (
         h.withColumnRenamed("__s", "node")
         .join(a.withColumnRenamed("__d", "node"), "node", "full_outer")
@@ -1211,4 +1243,5 @@ def hits_integer(
         .localCheckpoint(eager=True)
     )
     ed.unpersist()
+    _unpersist_rdd_ids(spark, loop_rdd_ids)
     return out

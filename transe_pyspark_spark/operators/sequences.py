@@ -82,6 +82,7 @@ def time_to_convert(
     convert_type: str = "purchase",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Conversion-latency distribution: per user, the time from their
     FIRST ``start_type`` event to their EARLIEST ``convert_type`` event
@@ -115,10 +116,11 @@ def time_to_convert(
         # pinned so the filtered-events scan + user agg run once (r14
         # guard class). persist(), not a checkpoint: the cache fills on
         # first touch and the InMemoryRelation PRESERVES the user-key
-        # partitioning both joins reuse. Standing pin by design —
-        # MEMORY_AND_DISK-backed, deduped across identical calls by
-        # the CacheManager, evicted under pressure (the documented
-        # ADVICE-r13 trade for a lazily-returned operator).
+        # partitioning both joins reuse. RELEASED before return under
+        # the family's eager-cleanup contract (ADVICE r14 — the
+        # doc_keywords idiom); ``eager_cleanup=False`` keeps the lazy
+        # gate-visible lineage and leaves the pin (CacheManager-
+        # deduped, eviction-bounded — the documented trade).
         .persist()
     )
     converts = events.filter(F.col("event_type") == convert_type).select(
@@ -134,13 +136,18 @@ def time_to_convert(
         F.date_trunc("week", F.col("__t0")).alias("cohort_week"),
         (F.unix_micros(F.col("__tc")) - F.unix_micros(F.col("__t0"))).alias("__dur_us"),
     )
-    return per_user.groupBy("cohort_week").agg(
+    out = per_user.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("long").alias("n_started"),
         F.count("__dur_us").cast("long").alias("n_converted"),
         (F.count("__dur_us").cast("double") / F.count(F.lit(1)).cast("double")).alias("conv_rate"),
         F.percentile("__dur_us", F.lit(0.5)).alias("p50_us"),
         F.percentile("__dur_us", F.lit(0.9)).alias("p90_us"),
     )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)  # cohort-weeks-sized leaf
+    starts.unpersist()
+    return out
 
 
 def ab_conversion_ztest(
@@ -231,6 +238,7 @@ def daily_count_correlation(
     type_y: str,
     ts_col: str = "ts",
     type_col: str = "event_type",
+    eager_cleanup: bool = True,
 ) -> DataFrame:
     """Pearson correlation between the DAILY COUNTS of two event types
     over the observed day range — the do-views-drive-purchases screen.
@@ -263,10 +271,11 @@ def daily_count_correlation(
         )
         # two consumers (the span agg + the spine join): pinned so the
         # filtered-events scan runs once (r14 guard class); the frame
-        # is calendar-bounded (one row per observed day). persist()
-        # keeps the gate-visible lineage; standing pin by design
-        # (CacheManager-deduped, eviction-bounded — the documented
-        # ADVICE-r13 trade for a lazily-returned operator).
+        # is calendar-bounded (one row per observed day). RELEASED
+        # before return under the family's eager-cleanup contract
+        # (ADVICE r14 — the doc_keywords idiom); eager_cleanup=False
+        # keeps the lazy gate-visible lineage and leaves the pin
+        # (CacheManager-deduped, eviction-bounded).
         .persist()
     )
     spine = (
@@ -294,12 +303,17 @@ def daily_count_correlation(
     num = (d38("n_days") * d38("__sxy") - d38("sum_x") * d38("sum_y")).cast("double")
     vx = (d38("n_days") * d38("__sxx") - d38("sum_x") * d38("sum_x")).cast("double")
     vy = (d38("n_days") * d38("__syy") - d38("sum_y") * d38("sum_y")).cast("double")
-    return m.select(
+    out = m.select(
         "n_days",
         "sum_x",
         "sum_y",
         F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))).alias("r"),
     )
+    if not eager_cleanup:
+        return out
+    out = out.localCheckpoint(eager=True)  # ONE-row leaf — THEN release
+    per_day.unpersist()
+    return out
 
 
 def top_event_paths(
