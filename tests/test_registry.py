@@ -252,6 +252,7 @@ def test_registry_entries_are_query_functions():
 #: after the window per the standing protocol; they form the r16 queue)
 PAST_WINDOW_R15 = {
     "transe_sgd_step_relational",
+    "stratified_split_docs",
 }
 
 

@@ -5430,6 +5430,52 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stratified_split_docs",
+    oracle="""
+    WITH n AS (SELECT doc_id, lang,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nm
+               FROM documents),
+    g AS (SELECT nm, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                 CAST(count(*) AS BIGINT) AS group_size,
+                 min_by(lang, doc_id) AS stratum
+          FROM n GROUP BY nm),
+    h AS (SELECT *, ((canonical_id % 2147483647) * 48271 + 1) % 2147483647 AS h1 FROM g),
+    h2 AS (SELECT *, (h1 * 48271) % 2147483647 AS hh FROM h),
+    r AS (SELECT *,
+                 CAST(row_number() OVER (PARTITION BY stratum ORDER BY hh, canonical_id) AS BIGINT) AS rk,
+                 CAST(count(*) OVER (PARTITION BY stratum) AS BIGINT) AS ng
+          FROM h2)
+    SELECT n.doc_id, n.lang, r.canonical_id, r.group_size,
+           CASE WHEN rk <= (ng * 80) // 100 THEN 'train'
+                WHEN rk <= (ng * 90) // 100 THEN 'val' ELSE 'test' END AS split
+    FROM n JOIN r USING (nm)
+    """,
+    tags=("sampling", "dedup", "pipeline"),
+)
+def q_stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quota per-language train/val/test split with the leakage
+    guarantee (r15, VERDICT r14 ask #5c —
+    `operators/relational.py:stratified_leakage_safe_split`): duplicate
+    groups rank within their canonical row's language by the MINSTD²
+    mix of the canonical id and cut at exact ``(n·80) div 100`` /
+    ``(n·90) div 100`` quotas — where `split_leakage_safe` gives only
+    expected proportions. The in-stratum rank is the
+    `gini_concentration` distributed-prefix pattern (frozen
+    range-partition + broadcast exclusive offsets), never a
+    stratum-funneling window; the oracle replays the rank as a plain
+    SQL window over the group table (group-sized, where the law is
+    checkable)."""
+    from transe_pyspark_spark.operators.relational import (
+        stratified_leakage_safe_split,
+    )
+
+    d = _T(spark, sf_dir, "documents")
+    return stratified_leakage_safe_split(d).select(
+        "doc_id", "lang", "canonical_id", "group_size", "split"
+    )
+
+
+@_register(
     "funnel_ordered_steps",
     oracle="""
     WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
@@ -9380,6 +9426,11 @@ _OVERFLOW_ORACLE = [
                                      # fold / update-join dataflow,
                                      # replayed by the shared step CTE
                                      # in touch="viol" convention
+    "stratified_split_docs",         # exact-quota per-stratum split
+                                     # with the leakage guarantee,
+                                     # chained to split_leakage_safe
+                                     # (ask #5c); distributed-prefix
+                                     # rank, never a stratum window
     # rotated out in r14 (VERDICT r13 ask #1: twelve front slots for
     # the eleven queue faces + the sanctioned transe_sgd_step_merged
     # mint) — every outgoing incumbent is TWICE driver-green (r12 +
