@@ -1068,12 +1068,12 @@ MAX_EXCHANGES = {
     "seasonal_anomaly_events": 2,
     # normalized-text dedup agg; the join back reuses its partitioning
     "split_leakage_safe": 2,
-    # r15 exact-quota stratified split: fp dedup agg + the frozen
-    # range-partition leaf's offsets/sizes pair (tiny K-row frames) +
-    # the (stratum, pid) in-partition rank window + the doc-level join
-    # back — measured 5 at sf0.01, +1 headroom for AQE join-side
-    # re-keys
-    "stratified_split_docs": 6,
+    # r15 exact-quota stratified split: fp dedup agg (ONE consumer —
+    # the frozen leaf carries fp/group_size through the rank) + the
+    # leaf's offsets/sizes pair (tiny K-row frames) + the (stratum,
+    # pid) in-partition rank window + the doc-level join back —
+    # measured 4 at sf0.01, +1 headroom for AQE join-side re-keys
+    "stratified_split_docs": 5,
     # r08 faces. gini: spend agg + range-repartition of the group rank
     # + offsets + final rollup (customer dim broadcasts)
     "gini_customer_spend": 4,

@@ -1836,17 +1836,51 @@ def stratified_leakage_safe_split(
 
     fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
     assert abs(sum(fractions.values()) - 1.0) < 1e-9
+    n_part = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
     m = 2147483647
     fp = F.xxhash64(normalize_text(F.col(text_col)))
     rows = df.select(F.col(id_col), F.col(strata_col), fp.alias("__fp"))
-    groups = rows.groupBy("__fp").agg(
-        F.min(id_col).alias("__cid"),
-        F.count(F.lit(1)).cast("long").alias("group_size"),
-        F.min_by(strata_col, F.col(id_col)).alias("__stratum"),
-    )
     h1 = F.pmod(F.pmod(F.col("__cid"), m) * 48271 + salt, m)
-    gh = groups.withColumn("__h", F.pmod(h1 * 48271, m))
-    ranked = _group_rank_rows(gh, "__stratum", "__h", "__cid", num_partitions)
+    # the dedup aggregate has exactly ONE consumer — the frozen
+    # range-partition leaf below, which carries __fp and group_size
+    # through the rank so the doc-level join back reads the CHECKPOINT,
+    # never re-executing the corpus aggregate (the r08/r13
+    # multi-consumer class, caught by the AST guard on this
+    # function's first draft). The group key rides inside a
+    # single-field struct so a NULL stratum survives the offset/size
+    # equi-joins as its own group (the `_group_rank_rows` idiom).
+    groups = (
+        rows.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("__cid"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.min_by(strata_col, F.col(id_col)).alias("__stratum"),
+        )
+        .select(
+            "__fp",
+            "group_size",
+            F.struct(F.col("__stratum").alias("g")).alias("__g"),
+            F.pmod(h1 * 48271, m).cast("long").alias("__v"),
+            F.col("__cid").alias("__id"),
+        )
+    )
+    part = _frozen_range_partition(groups, ["__g", "__v", "__id"], int(n_part))
+    off = _exclusive_offsets(
+        part.groupBy("__g", "__pid").agg(F.count(F.lit(1)).alias("__w")),
+        "__w",
+        partition_cols=["__g"],
+    )
+    sizes = F.broadcast(
+        part.groupBy("__g").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    w_in = Window.partitionBy("__g", "__pid").orderBy("__v", "__id")
+    ranked = (
+        part.join(off, ["__g", "__pid"])
+        .withColumn("__i", (F.row_number().over(w_in) + F.col("__off")).cast("long"))
+        .join(sizes, "__g")
+    )
     expr = None
     pct = 0
     items = list(fractions.items())
@@ -1858,18 +1892,17 @@ def stratified_leakage_safe_split(
         expr.otherwise(items[-1][0]) if expr is not None else F.lit(items[-1][0])
     )
     gsplit = ranked.select(
-        F.col("__id").alias("__cid"), split_col.alias("split")
+        "__fp",
+        F.col("__id").alias("canonical_id"),
+        "group_size",
+        split_col.alias("split"),
     )
-    return (
-        rows.join(groups, "__fp")
-        .join(gsplit, "__cid")
-        .select(
-            F.col(id_col),
-            F.col(strata_col),
-            F.col("__cid").alias("canonical_id"),
-            "group_size",
-            "split",
-        )
+    return rows.join(gsplit, "__fp").select(
+        F.col(id_col),
+        F.col(strata_col),
+        "canonical_id",
+        "group_size",
+        "split",
     )
 
 
