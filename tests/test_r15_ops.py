@@ -154,3 +154,34 @@ def test_stratified_split_coassigns_duplicates(spark):
     )
     for r in g:
         assert r["tr"] == (r["n"] * 80) // 100, r
+
+
+def test_spread_docs_parallelizes_kernel_input(spark, sf_dir):
+    """r15 optimization C1: per-document Arrow kernels must not run on
+    a single scan split (documents.parquet is one sub-MB file at the
+    bench SFs). `_spread_docs` round-robins the kernel input up to
+    spark.sql.shuffle.partitions — and is a NO-OP when the input
+    already has at least that many partitions (the cluster-scale
+    case). Signatures are pure per-doc functions, so results are
+    IDENTICAL under both paths."""
+    from transe_pyspark_spark.operators import dedup as D
+    from transe_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    spread = D._spread_docs(docs.select("doc_id", "text"))
+    assert spread.rdd.getNumPartitions() == n_part
+
+    wide = docs.select("doc_id", "text").repartition(n_part + 3)
+    assert D._spread_docs(wide).rdd.getNumPartitions() == n_part + 3
+
+    sigs_spread = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in D.minhash_signatures_arrow(docs).collect()
+    }
+    sigs_serial = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in D.minhash_signatures_arrow(docs.coalesce(1).repartition(n_part + 3)).collect()
+    }
+    assert sigs_spread == sigs_serial

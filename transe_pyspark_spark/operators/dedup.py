@@ -38,6 +38,29 @@ def normalize_text(col) -> "F.Column":
     return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
 
 
+def _spread_docs(sel: DataFrame) -> DataFrame:
+    """Spread a per-document Arrow-kernel input across the configured
+    parallelism (r15 optimization, guide §2.5/§4.2: the kernel is the
+    expensive per-task work, and a small parquet is ONE scan split —
+    ``documents.parquet`` at the bench SFs is a single sub-MB file, and
+    even the sf1 directory packs into ~2 splits under the 128 MB +
+    4 MB-open-cost packing rule — so the whole shingle/signature pass
+    was running on 1-2 cores while 30 idled; measured 0.73 s serial
+    for the MinHash signature pass alone at sf0.1).
+
+    Round-robin repartition to ``spark.sql.shuffle.partitions`` ONLY
+    when the incoming plan has fewer partitions than that — at real
+    scale the scan already has thousands of splits and this is a
+    no-op, so no extra exchange is ever paid where the data provides
+    parallelism. Identical results under any partitioning: every
+    kernel below is a pure per-document function and all consumers
+    aggregate order-free."""
+    n_part = int(sel.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if sel.rdd.getNumPartitions() < n_part:
+        return sel.repartition(n_part)
+    return sel
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group exact duplicates by normalized text; keep min-id canonical.
     One hash-aggregate shuffle; map-side partial agg applies.
@@ -118,7 +141,7 @@ def shingle_rows_arrow(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread_docs(df.select(id_col, text_col)).mapInPandas(
         batches, schema=f"{id_col} long, shingle string, n_shingles long"
     )
 
@@ -524,7 +547,7 @@ def minhash_signatures_arrow(
     schema = f"{id_col} long, signature array<long>"
     if include_hashes:
         schema += ", hashes array<long>"
-    return df.select(id_col, text_col).mapInPandas(sig_batches, schema=schema)
+    return _spread_docs(df.select(id_col, text_col)).mapInPandas(sig_batches, schema=schema)
 
 
 def band_keys(sigs: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id") -> DataFrame:
@@ -799,7 +822,7 @@ def simhash_fingerprints_arrow(
                  "__fp": pd.Series(out_fps, dtype="int64")}
             )
 
-    return df.select(id_col, text_col).mapInPandas(fp_batches, schema=f"{id_col} long, __fp long")
+    return _spread_docs(df.select(id_col, text_col)).mapInPandas(fp_batches, schema=f"{id_col} long, __fp long")
 
 
 def simhash_pairs(
@@ -1023,7 +1046,7 @@ def tf_rows_arrow(
         if expand
         else f"{id_col} long, term string, tf long, doc_len long"
     )
-    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+    return _spread_docs(df.select(id_col, text_col)).mapInPandas(batches, schema=schema)
 
 
 def weighted_jaccard_pairs(
@@ -1261,7 +1284,7 @@ def winnow_fingerprint_rows_arrow(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _spread_docs(df.select(id_col, text_col)).mapInPandas(
         batches, schema=f"{id_col} long, fp long, n_fps long"
     )
 
