@@ -1014,8 +1014,14 @@ MAX_EXCHANGES = {
     # block self-join broadcasts at sf0.01 (0 exchanges); allow the
     # shuffled-hash form the same join takes at scale
     "record_linkage_parts": 2,
-    # doc-freq agg + rank window + candidate agg + verify agg
-    "containment_near_pairs": 4,
+    # doc-freq agg + rank window + candidate agg + verify agg; +6 in
+    # r15: `_spread_docs` round-robins the shingle-kernel input (the
+    # serial-scan fix), and the kernel subtree appears 6× in the
+    # printed tree (dfreq/pos/pa-pb/ea/eb consumers) — all 6 are the
+    # SAME canonical exchange, deduplicated to one ReusedExchange at
+    # runtime (the funnel_ordered_steps ReusedExchange gate pins that
+    # mechanism live), so the real shuffle budget is unchanged
+    "containment_near_pairs": 10,
     # r07: cached partitioned leaves — the loop's only per-iteration
     # shuffle is the contribution agg (+ the one-time repartition/degree
     # builds inside the cached plans); was 13 with checkpointed leaves

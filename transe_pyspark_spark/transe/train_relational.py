@@ -315,6 +315,7 @@ class RelationalTransETrainer:
         broadcast_rejection_limit: int = 100_000_000,
         broadcast_model_limit: int = 128 * 1024 * 1024,
         lineage_truncate_every: int = 8,
+        kernel_partitions: int | None = None,
     ):
         assert distance in ("L1", "L2")
         self.k = k
@@ -353,6 +354,22 @@ class RelationalTransETrainer:
         #: materialization every N batches; amortized it keeps plan
         #: depth O(lineage_truncate_every).
         self.lineage_truncate_every = lineage_truncate_every
+        #: gradient-kernel task count (r15 optimization, guide §2.2/§2.3
+        #: "fewer, larger map tasks for the stage feeding the shuffle"):
+        #: every kernel task emits a partial-delta table that is nearly
+        #: V-dense once the batch touches most entities, so the
+        #: partial-fold shuffle moves ~P × min(V, touched) vector rows —
+        #: P=32 map tasks shipped ~186 MB/batch at the FB15k shape where
+        #: P=8 ships ~46 MB for the same answer. The same trade (and the
+        #: same trade) as the broadcast trainer's ``train_partitions``:
+        #: on a real cluster set ≈ executor count; ``None`` (default)
+        #: keeps the input partitioning — the r15 calm-window A/B was
+        #: inconclusive under host contention, so the default stays the
+        #: measured incumbent. Exactness is unaffected by P — the oracle
+        #: faces run integer micro-unit state (order-free in float64)
+        #: and the float trainer is band-tested, not bit-pinned (probed:
+        #: identical loss history at P=8 and P=None on the bench shape).
+        self.kernel_partitions = kernel_partitions
         self._n_part = 32
         self.loss_history: list[float] = []
         self.epoch_times: list[float] = []
@@ -525,11 +542,19 @@ class RelationalTransETrainer:
             .otherwise(F.col("c")).alias("__id"),
         )
         e_side = ent.select(F.col("id").alias("__id"), "vec")
+        kp = self.kernel_partitions or self._n_part
         if self._broadcast_model:
-            return melted.join(F.broadcast(e_side), ["__id"])
+            g = melted.join(F.broadcast(e_side), ["__id"])
+            # fewer, larger kernel tasks (see kernel_partitions): the
+            # narrow coalesce concatenates whole parent partitions in
+            # order, so (__rid, __role) triplet adjacency is preserved
+            # (the kernel's gather-order guard still verifies it row
+            # by row); a no-op when the input already has ≤ kp
+            # partitions
+            return g.coalesce(kp) if self.kernel_partitions else g
         return (
             melted.join(e_side, ["__id"])
-            .repartition(self._n_part, "__rid")
+            .repartition(kp, "__rid")
             .sortWithinPartitions("__rid", "__role")
         )
 
