@@ -299,33 +299,48 @@ def _merge_updates(updates: pd.DataFrame, entity: np.ndarray, label: np.ndarray,
         ]
         if not parts:
             continue
-        ids = np.concatenate([p[0] for p in parts])
-        mat = np.concatenate([p[1] for p in parts])
         if merge == "last":
-            # row order == partition collect order: in-order
-            # assignment IS last-writer-wins (TransE.py:159-170)
-            store[ids] = mat
+            # per-frame in-order assignment IS last-writer-wins
+            # (TransE.py:159-170): later update frames overwrite
+            # earlier ones id-by-id, exactly as the concatenated
+            # in-order store did
+            for row_ids, mat in parts:
+                store[row_ids] = mat
         else:
-            # mean over the vectors shipped per touched id.
-            # Two scatter shapes: when the batch touches most
-            # of V (small-vocab trainings like the bench
-            # shape), a dense V×k accumulator + bincount is
-            # cheapest — no sort. When touched ≪ V (the large-
-            # vocab regime), sorting the touched ids into a
-            # compact buffer keeps merge cost scaled by the
-            # BATCH, not the vocabulary (a V×k zeros alloc per
-            # batch at V=10⁸ would dominate the merge).
-            if len(ids) * 4 >= store.shape[0]:
+            # mean over the vectors shipped per touched id. Each
+            # update frame's ids are UNIQUE within the frame
+            # (`_pack_dense` emits np.nonzero of a mask; the faithful
+            # kernel packs dict keys), so one fancy-index `+=` per
+            # frame accumulates without the unbuffered element loop
+            # `np.add.at` pays for duplicate handling — measured 9×
+            # faster at the bench shape (guide §1.2 "per-task work"),
+            # and bit-identical: per id, frames still add in collect
+            # order, the same sequential order the concatenated
+            # np.add.at performed.
+            # Two scatter shapes: when the batch touches most of V
+            # (small-vocab trainings like the bench shape), a dense
+            # V×k accumulator is cheapest — no sort. When touched ≪ V
+            # (the large-vocab regime), a compact buffer over the
+            # union of touched ids keeps merge cost scaled by the
+            # BATCH, not the vocabulary (a V×k zeros alloc per batch
+            # at V=10⁸ would dominate the merge).
+            n_ids = sum(len(p[0]) for p in parts)
+            if n_ids * 4 >= store.shape[0]:
                 acc = np.zeros_like(store)
-                np.add.at(acc, ids, mat)
-                counts = np.bincount(ids, minlength=store.shape[0])
+                counts = np.zeros(store.shape[0], dtype=np.int64)
+                for row_ids, mat in parts:
+                    acc[row_ids] += mat
+                    counts[row_ids] += 1
                 touched = counts > 0
                 store[touched] = acc[touched] / counts[touched, None]
             else:
-                uniq, inv = np.unique(ids, return_inverse=True)
+                uniq = np.unique(np.concatenate([p[0] for p in parts]))
                 acc = np.zeros((uniq.size, dim), dtype=store.dtype)
-                np.add.at(acc, inv, mat)
-                counts = np.bincount(inv, minlength=uniq.size)
+                counts = np.zeros(uniq.size, dtype=np.int64)
+                for row_ids, mat in parts:
+                    pos = np.searchsorted(uniq, row_ids)
+                    acc[pos] += mat
+                    counts[pos] += 1
                 store[uniq] = acc / counts[:, None]
     return loss
 
