@@ -91,10 +91,14 @@ def main() -> int:
         captured.append(updates)
         return NEW_MERGE(updates, entity, label, merge)
 
+    # try/finally (ADVICE r15): an exception mid-capture must not leave
+    # the module patched with the capturing shim
     T._merge_updates = capturing_merge
-    tr = T.TransETrainer(k=K, n_epochs=2, n_batches=2, learning_rate=0.01, seed=1)
-    tr.fit(spark, triples, n_entities=V, n_labels=L)
-    T._merge_updates = NEW_MERGE
+    try:
+        tr = T.TransETrainer(k=K, n_epochs=2, n_batches=2, learning_rate=0.01, seed=1)
+        tr.fit(spark, triples, n_entities=V, n_labels=L)
+    finally:
+        T._merge_updates = NEW_MERGE
     base_e = np.asarray(
         np.random.default_rng(5).standard_normal((V, K)), dtype=np.float64)
     base_l = np.asarray(
@@ -112,22 +116,26 @@ def main() -> int:
           "old/new bitwise equal (mean and last)", flush=True)
 
     # ---- timing: ABBA fits, merge phase only
-    for r in range(rounds):
-        order = ("old", "new") if r % 2 == 0 else ("new", "old")
-        for variant in order:
-            T._merge_updates = old_merge if variant == "old" else NEW_MERGE
-            tr = T.TransETrainer(k=K, n_epochs=4, n_batches=2,
-                                 learning_rate=0.01, seed=1)
-            t0 = time.time()
-            tr.fit(spark, triples, n_entities=V, n_labels=L)
-            wall = time.time() - t0
-            ph = {k: round(v, 3) for k, v in tr.phase_times.items()}
-            n_merges = 4 * 2
-            print(f"round {r} {variant}: merge/call="
-                  f"{ph['merge'] / n_merges:.4f}s phases={ph} "
-                  f"epochs={[round(t, 3) for t in tr.epoch_times]} "
-                  f"wall={wall:.2f}", flush=True)
-    T._merge_updates = NEW_MERGE
+    # try/finally (ADVICE r15): a failed timing fit must restore the
+    # real merge before the module is reused
+    try:
+        for r in range(rounds):
+            order = ("old", "new") if r % 2 == 0 else ("new", "old")
+            for variant in order:
+                T._merge_updates = old_merge if variant == "old" else NEW_MERGE
+                tr = T.TransETrainer(k=K, n_epochs=4, n_batches=2,
+                                     learning_rate=0.01, seed=1)
+                t0 = time.time()
+                tr.fit(spark, triples, n_entities=V, n_labels=L)
+                wall = time.time() - t0
+                ph = {k: round(v, 3) for k, v in tr.phase_times.items()}
+                n_merges = 4 * 2
+                print(f"round {r} {variant}: merge/call="
+                      f"{ph['merge'] / n_merges:.4f}s phases={ph} "
+                      f"epochs={[round(t, 3) for t in tr.epoch_times]} "
+                      f"wall={wall:.2f}", flush=True)
+    finally:
+        T._merge_updates = NEW_MERGE
     return 0
 
 
