@@ -655,7 +655,7 @@ def _await_calm_probe(spark, rounds: int = 6, sleep_s: int = 5) -> float:
 
 
 #: retry budget: a storm spanning the whole run must not double it
-_MAX_ERA_RETRIES_HEADLINE = 6
+_MAX_ERA_RETRIES_HEADLINE = 8
 _MAX_ERA_RETRIES_SF1 = 8
 
 
@@ -694,6 +694,9 @@ def _era_retry_rows(
         if isinstance(v, (int, float)) and n in bands and n in timing_fns
         and v > bands[n][1]
     ]
+    # worst offenders first: a marginal 1.6×-band row must not exhaust
+    # the cap before a 10× storm row gets its retry
+    suspects.sort(key=lambda n: times[n] / bands[n][1], reverse=True)
     for name in suspects[:max_retries]:
         probe_before = _await_calm_probe(spark)
         try:
